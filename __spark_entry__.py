@@ -1,38 +1,387 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end engine query (index build +
+BM25 top-k) over the sf0.001 documents corpus. ``queries()`` exposes one
+entry per implemented operator from SURVEY.md §2 plus the training-pipeline
+operators; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for every
+SQL-expressible one. Column names and float rounding are aligned on both
+sides (the driver hash-compares values).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+# fixed query terms present in the documents vocabulary (deterministic corpus)
+AND3 = ["spark", "merge", "hash"]
+BM25_Q = ["scan", "merge"]
+K = 10
+
+_INDEX_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → input_hint transcript shape (one turn per doc).
+
+    conv_id zero-padded so lexicographic (conv_id, turn_idx) order ==
+    numeric doc_id order; the engine's dense doc_id then equals the original
+    doc_id, making engine output directly oracle-comparable.
+    """
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.lit("2026-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("ts"),
+    )
+
+
+def _index_for(spark: SparkSession, sf_dir: str) -> dict:
+    key = (sf_dir, "general")
+    if key not in _INDEX_CACHE:
+        from searchengine_spark.operators.indexer import build_index
+        _INDEX_CACHE[key] = build_index(_docs_as_transcripts(spark, sf_dir), mode="general")
+    return _INDEX_CACHE[key]
+
+
+def _orig_doc_id(col: str = "conv_id"):
+    return F.substring(F.col(col), 4, 8).cast("long").alias("doc_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full inverted-index build + block-max BM25 top-k search."""
+    from searchengine_spark.operators.search import search
+    index = _index_for(spark, SF0001)
+    hits = search(index, " ".join(BM25_Q), k=K, mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+# --------------------------------------------------------------------------
+# queries(): (spark, sf_dir) -> DataFrame, one per operator
+# --------------------------------------------------------------------------
+
+def _q_tokenize_tf(spark, sf_dir):
+    """T2+T5: tokenize + per-doc term frequency (documents corpus)."""
+    from searchengine_spark.functions.text import tokens_col
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def _q_term_df(spark, sf_dir):
+    """A1: document frequency per term."""
+    return (_q_tokenize_tf(spark, sf_dir)
+            .groupBy("term").agg(F.count("*").alias("df")))
+
+
+def _q_dictionary_lookup(spark, sf_dir):
+    """Q2: point lookup of query terms in the dictionary (IN-list pushdown)."""
+    return _q_term_df(spark, sf_dir).filter(F.col("term").isin(AND3 + BM25_Q))
+
+
+def _q_high_df_prune(spark, sf_dir):
+    """Q3: drop terms with df/N ≥ 0.8 (survivors listed with df_frac)."""
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    return (_q_term_df(spark, sf_dir)
+            .withColumn("df_frac", F.round(F.col("df") / F.lit(float(n)), 6))
+            .filter(F.col("df_frac") < 0.8)
+            .filter(F.col("df") >= 50))  # keep output small + stable
+
+
+def _q_conjunctive_and(spark, sf_dir):
+    """Q6: docs containing ALL of the 3 query terms, with tf_sum."""
+    tf = _q_tokenize_tf(spark, sf_dir).filter(F.col("term").isin(AND3))
+    agg = tf.groupBy("doc_id").agg(F.count("*").alias("nt"), F.sum("tf").alias("tf_sum"))
+    return agg.filter(F.col("nt") == len(AND3)).select("doc_id", "tf_sum")
+
+
+def _q_ref_topk(spark, sf_dir):
+    """Q7/Q8 ref_compat: conjunctive AND + tf-sum normalized by result max,
+    canonical (score desc, doc_id) top-k — run through the REAL engine
+    (index build + compressed-postings search)."""
+    from searchengine_spark.operators.search import search
+    index = _index_for(spark, sf_dir)
+    hits = search(index, " ".join(AND3), k=K, mode="ref_compat")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """Q5/Q7/Q8 BM25: block-max pruned top-k through the real engine."""
+    from searchengine_spark.operators.search import search
+    index = _index_for(spark, sf_dir)
+    hits = search(index, " ".join(BM25_Q), k=K, mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_metadata_projection(spark, sf_dir):
+    """Q9: join top-k winners back to the source table for metadata."""
+    topk = _q_bm25_topk(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return topk.join(d, "doc_id").select("doc_id", "score", "lang", "source")
+
+
+def _q_statistics(spark, sf_dir):
+    """A3: corpus statistics per source (doc count, token count)."""
+    from searchengine_spark.functions.text import token_count
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    """S2/dedup: exact dedup by normalized-text fingerprint."""
+    from searchengine_spark.functions.dedup import exact_dedup
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_dedup_jaccard(spark, sf_dir):
+    """Near-dup pairs: 3-gram Jaccard ≥ 0.2 over a doc_id<150 slice."""
+    from searchengine_spark.functions.dedup import jaccard_pairs
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    return jaccard_pairs(d, threshold=0.2)
+
+
+def _q_sim_cosine_topk(spark, sf_dir):
+    """ANN baseline: brute-force cosine top-k vs the vec_id=0 embedding."""
+    from searchengine_spark.functions.similarity import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return cosine_topk(emb, qvec, k=K)
+
+
+def _q_text_quality(spark, sf_dir):
+    """Quality scoring: token/char counts, avg token length, punct/digit ratio."""
+    from searchengine_spark.functions.text import quality_metrics
+    return quality_metrics(_docs(spark, sf_dir))
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of normalized text."""
+    from searchengine_spark.functions.text import fingerprint
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    """Heuristic language ID via marker-stopword hits (argmax, ties by code)."""
+    from searchengine_spark.functions.text import lang_id
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH candidate pairs (not SQL-expressible → rows-only check)."""
+    from searchengine_spark.functions.dedup import minhash_lsh_pairs
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return minhash_lsh_pairs(d, n_hashes=32, bands=8)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    """SimHash signatures (not SQL-expressible → rows-only check)."""
+    from searchengine_spark.functions.dedup import simhash
+    return simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
+
+
+def _q_sim_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (rows-only: approximate by construction)."""
+    from searchengine_spark.functions.similarity import lsh_bucket_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return lsh_bucket_topk(emb, qvec, k=K, n_planes=8, multiprobe=1)
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: synthetic media table → image feature extraction
+    (decode stubbed, Spark plumbing real; rows-only check)."""
+    from searchengine_spark.functions.multimodal import image_features, synthetic_media_df
+    return image_features(synthetic_media_df(spark, n=48))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "t2_t5_tokenize_tf": _q_tokenize_tf,
+        "a1_term_df": _q_term_df,
+        "q2_dictionary_lookup": _q_dictionary_lookup,
+        "q3_high_df_prune": _q_high_df_prune,
+        "q6_conjunctive_and": _q_conjunctive_and,
+        "q7_ref_topk": _q_ref_topk,
+        "q7_bm25_topk": _q_bm25_topk,
+        "q9_metadata_projection": _q_metadata_projection,
+        "a3_statistics": _q_statistics,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "sim_cosine_topk": _q_sim_cosine_topk,
+        "sim_lsh_topk": _q_sim_lsh_topk,
+        "text_quality": _q_text_quality,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_lang_id": _q_lang_id,
+        "multimodal_features": _q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle_sql(): DuckDB-equivalent SQL (same aliases, same rounding)
+# --------------------------------------------------------------------------
+
+_TOKS = ("select doc_id, unnest(list_filter(string_split_regex("
+         "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), "
+         "x -> x <> '')) as term from documents")
+
+_TF = f"select doc_id, term, count(*) as tf from ({_TOKS}) group by doc_id, term"
+_DF = f"select term, count(*) as df from ({_TF}) group by term"
+_DL = f"select doc_id, count(*) as dl from ({_TOKS}) group by doc_id"
+
+
+def _bm25_sql(terms: list[str], k: int) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+stats as (select count(*) as n, avg(dl) as avgdl from dl),
+scored as (
+  select tf.doc_id,
+         sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+  from tf join dfv using (term) join dl using (doc_id) cross join stats
+  where tf.term in ({tl})
+  group by tf.doc_id)
+select doc_id, round(s, 6) as score from scored
+order by round(s, 9) desc, doc_id asc limit {k}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    and3 = ", ".join(f"'{t}'" for t in AND3)
+    lookup = ", ".join(f"'{t}'" for t in sorted(set(AND3 + BM25_Q)))
+    return {
+        "t2_t5_tokenize_tf": _TF,
+        "a1_term_df": _DF,
+        "q2_dictionary_lookup": f"select * from ({_DF}) where term in ({lookup})",
+        "q3_high_df_prune": f"""
+            with n as (select count(*) as n from documents)
+            select term, df, round(df / (select n from n), 6) as df_frac
+            from ({_DF}) where df / (select n from n) < 0.8 and df >= 50""",
+        "q6_conjunctive_and": f"""
+            select doc_id, cast(sum(tf) as bigint) as tf_sum from ({_TF})
+            where term in ({and3}) group by doc_id
+            having count(*) = {len(AND3)}""",
+        # ref_compat models the full reference query path, including the Q3
+        # 80%-df prune: terms with df/N ≥ 0.8 silently drop out of the AND
+        "q7_ref_topk": f"""
+            with tf as ({_TF}), dfv as ({_DF}),
+            n as (select count(*) as n from documents),
+            qt as (select term from dfv
+                   where term in ({and3})
+                     and df * 1.0 / (select n from n) < 0.8),
+            m as (
+              select doc_id, sum(tf) as tf_sum from tf
+              where term in (select term from qt) group by doc_id
+              having count(*) = (select count(*) from qt))
+            select doc_id, round(tf_sum / (select max(tf_sum) from m), 6) as score
+            from m order by tf_sum desc, doc_id asc limit {K}""",
+        "q7_bm25_topk": _bm25_sql(BM25_Q, K),
+        "q9_metadata_projection": f"""
+            with b as ({_bm25_sql(BM25_Q, K)})
+            select b.doc_id, b.score, d.lang, d.source
+            from b join documents d using (doc_id)""",
+        "a3_statistics": f"""
+            select d.source, count(distinct d.doc_id) as n_docs,
+                   count(t.term) as n_tokens
+            from documents d left join ({_TOKS}) t using (doc_id)
+            group by d.source""",
+        "dedup_exact": """
+            with fp as (select doc_id,
+                        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp
+                        from documents)
+            select min(doc_id) as doc_id, fp, count(*) as group_size
+            from fp group by fp""",
+        "dedup_jaccard_pairs": """
+            with toks as (
+              select doc_id, list_filter(string_split_regex(
+                regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                x -> x <> '') as t
+              from documents where doc_id < 150),
+            sh as (
+              select doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+                     for i in range(1, len(t) - 1)]) as shingles
+              from toks where len(t) >= 3),
+            ex as (select doc_id, unnest(shingles) as shingle from sh),
+            hot as (select shingle from ex group by shingle having count(*) > 1000),
+            ex2 as (select * from ex where shingle not in (select shingle from hot)),
+            pairs as (
+              select a.doc_id as id_a, b.doc_id as id_b, count(*) as inter
+              from ex2 a join ex2 b using (shingle) where a.doc_id < b.doc_id
+              group by a.doc_id, b.doc_id),
+            sizes as (select doc_id, len(shingles) as n_sh from sh)
+            select id_a, id_b, inter,
+                   round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) as jaccard
+            from pairs join sizes sa on sa.doc_id = id_a
+                       join sizes sb on sb.doc_id = id_b
+            where inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.2""",
+        "sim_cosine_topk": f"""
+            with q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0),
+            s as (select vec_id,
+                   list_dot_product(embedding::DOUBLE[], (select qv from q))
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product((select qv from q), (select qv from q)))) as c
+                  from embeddings)
+            select vec_id, round(c, 6) as cos from s
+            order by round(c, 6) desc, vec_id asc limit {K}""",
+        "text_quality": """
+            with toks as (
+              select doc_id, list_filter(string_split_regex(
+                regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                x -> x <> '') as t
+              from documents)
+            select d.doc_id,
+                   len(t.t) as n_tokens,
+                   length(d.text) as n_chars,
+                   round(list_sum(list_transform(t.t, x -> length(x))) * 1.0
+                         / greatest(len(t.t), 1), 6) as avg_token_len,
+                   round(length(regexp_replace(d.text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+                         / greatest(length(d.text), 1), 6) as punct_ratio,
+                   round(length(regexp_replace(d.text, '[^0-9]', '', 'g')) * 1.0
+                         / greatest(length(d.text), 1), 6) as digit_ratio
+            from documents d join toks t using (doc_id)""",
+        "text_fingerprint": """
+            select doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp
+            from documents""",
+        "text_lang_id": """
+            with toks as (
+              select doc_id, list_distinct(list_filter(
+                string_split_regex(lower(text), '\\s+'), x -> x <> '')) as t
+              from documents),
+            hits as (
+              select doc_id,
+                len(list_intersect(t, ['der','die','und','das','ist'])) as de_h,
+                len(list_intersect(t, ['the','and','of','to','is'])) as en_h,
+                len(list_intersect(t, ['el','la','de','que','los'])) as es_h,
+                len(list_intersect(t, ['le','la','et','les','des'])) as fr_h,
+                len(list_intersect(t, ['и','в','на','не','что'])) as ru_h
+              from toks)
+            select doc_id,
+              case
+                when de_h >= en_h and de_h >= es_h and de_h >= fr_h and de_h >= ru_h then 'de'
+                when en_h >= es_h and en_h >= fr_h and en_h >= ru_h then 'en'
+                when es_h >= fr_h and es_h >= ru_h then 'es'
+                when fr_h >= ru_h then 'fr'
+                else 'ru'
+              end as lang_pred,
+              de_h + en_h + es_h + fr_h + ru_h as lang_hits
+            from hits""",
+        # dedup_minhash_lsh / dedup_simhash / sim_lsh_topk / multimodal_features:
+        # custom hash/LSH/binary ops — not SQL-expressible → rows-only checks.
+    }

@@ -1,0 +1,111 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Sections:
+- engine: deterministic synthetic transcripts (scaled to sf) → inverted-index
+  build wall + turns/sec, then per-query top-k latency (bm25 pruned/exhaustive
+  + ref_compat) on the materialized index.
+- table ops: the driver-contract operators over the sf-dir documents /
+  embeddings tables (tokenize/df/dedup/cosine/quality).
+
+Corpus generation + parquet staging are excluded from timed sections.
+Run `python bench_scaling.py` for the N-vs-4N scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SEARCH_QUERIES = {
+    "search_bm25_rare": ("лесом", "bm25", True),
+    "search_bm25_hot": ("ошибку", "bm25", True),
+    "search_bm25_hot_exhaustive": ("ошибку", "bm25", False),
+    "search_bm25_mixed": ("timeout лес merge", "bm25", True),
+    "search_ref_and2": ("лес дом", "ref_compat", True),
+    "search_ref_and3": ("запрос индекс система", "ref_compat", True),
+}
+
+
+def _stage_transcripts(spark, sf: float, cpus: int) -> tuple[str, int]:
+    from searchengine_spark.sources.fixtures import conv_lengths, transcripts_df_dist
+    n_conv = max(200, int(120_000 * sf))
+    path = f"/tmp/searchengine_bench/transcripts_sf{sf}"
+    marker = os.path.join(path, "_staged.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return path, json.load(f)["n_turns"]
+    df = transcripts_df_dist(spark, n_conv, partitions=cpus * 2)
+    df.write.mode("overwrite").parquet(path)
+    n_turns = int(conv_lengths(n_conv).sum())
+    with open(marker, "w") as f:
+        json.dump({"n_conv": n_conv, "n_turns": n_turns}, f)
+    return path, n_turns
+
+
+def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
+    from searchengine_spark.plans.session import get_spark
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.search import search
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    queries: dict[str, float] = {}
+    extras: dict = {}
+
+    # --- engine: index build throughput -----------------------------------
+    tpath, n_turns = _stage_transcripts(spark, sf, cpus)
+    transcripts = spark.read.parquet(tpath)
+    t0 = time.time()
+    index = build_index(transcripts, mode="general")
+    index["postings"].count()
+    index["terms"].count()
+    build_s = time.time() - t0
+    queries["index_build"] = round(build_s, 3)
+    extras["index_build_turns_per_sec"] = round(n_turns / build_s, 1)
+    extras["n_turns"] = n_turns
+
+    # --- engine: query latency (warm index) -------------------------------
+    lat = []
+    for name, (q, mode, prune) in SEARCH_QUERIES.items():
+        t0 = time.time()
+        search(index, q, k=10, mode=mode, prune_blocks=prune).collect()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        lat.append(dt)
+    lat.sort()
+    extras["search_p50_sec"] = round(lat[len(lat) // 2], 3)
+
+    # --- table ops over the sf-dir corpus ---------------------------------
+    import __spark_entry__ as E
+    table_ops = ["t2_t5_tokenize_tf", "a1_term_df", "q6_conjunctive_and",
+                 "q7_bm25_topk", "dedup_exact", "dedup_minhash_lsh",
+                 "sim_cosine_topk", "text_quality", "text_lang_id"]
+    qmap = E.queries()
+    for name in table_ops:
+        t0 = time.time()
+        df = qmap[name](spark, sf_dir)
+        df.count() if name not in ("q7_bm25_topk", "sim_cosine_topk") else df.collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    return {"metric": "headline_suite_wall_seconds", "value": total, "unit": "sec",
+            "queries": queries, "sf": sf, **extras}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Q10: snippet generation + highlight (SURVEY.md §2.4).
+
+Re-expresses the reference's snippet builder
+(reference: services/SearchingServiceImpl.java:418-505 — regex a "sentence"
+``[^.!?;]*<query word>[^.!?;]*`` case-insensitively, verify word-boundary
+match, wrap matches in ``<b>``, trim context to 120 chars per side and cap
+the total at ~300 chars truncated to 249; fallback string when nothing
+matches, :177-181).
+
+Applied ONLY to the k winner rows (top-k first, snippets after — the
+reference likewise snippets only intersected pages), as an Arrow-batched
+pandas UDF: k rows of regex work, never the corpus.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, functions as F, types as T
+
+NO_MATCH = "Нет совпадений для подсветки"
+SIDE = 120     # chars of context per side (SearchingServiceImpl.java:455-505)
+CAP = 249      # total hard cap after the 300-char check
+
+
+def _query_words(query: str, mode: str) -> list[str]:
+    pat = r"[^а-я\s]" if mode == "ref_compat" else r"[^a-zа-я0-9\s]"
+    return sorted(set(re.sub(pat, " ", (query or "").lower()).split()))
+
+
+def make_snippet(text: str, words: list[str]) -> str:
+    if not text or not words:
+        return NO_MATCH
+    alt = "|".join(re.escape(w) for w in words)
+    sent_re = re.compile(rf"[^.!?;]*\b(?:{alt})\b[^.!?;]*", re.IGNORECASE)
+    m = sent_re.search(text)
+    if not m:
+        return NO_MATCH
+    sentence = m.group(0).strip()
+    word_re = re.compile(rf"\b({alt})\b", re.IGNORECASE)
+    highlighted = word_re.sub(r"<b>\1</b>", sentence)
+    if len(highlighted) <= SIDE * 2 + 60:
+        return highlighted
+    first = highlighted.find("<b>")
+    lo = max(0, first - SIDE)
+    hi = min(len(highlighted), first + SIDE)
+    out = ("…" if lo > 0 else "") + highlighted[lo:hi] + ("…" if hi < len(highlighted) else "")
+    return out[:CAP] if len(out) > 300 else out
+
+
+def snippet_col(text: Column, query: str, mode: str = "general") -> Column:
+    words = _query_words(query, mode)
+
+    @F.pandas_udf(T.StringType())
+    def snip(texts: pd.Series) -> pd.Series:
+        return texts.apply(lambda t: make_snippet(t, words))
+
+    return snip(text)

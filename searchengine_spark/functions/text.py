@@ -1,0 +1,90 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All built from pyspark.sql built-ins (whole-stage codegen, no Python in the
+hot path): token counting, quality scoring, heuristic language ID, document
+fingerprinting. Each has an ANSI-SQL oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_PATTERN = "[^a-z0-9 ]"  # latin corpus normalization (documents table)
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of lowercased, punctuation-stripped text."""
+    arr = F.split(F.regexp_replace(F.lower(text), TOKEN_PATTERN, " "), " +")
+    return F.filter(arr, lambda w: w != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features: token count, char count, avg token length,
+    punctuation ratio, digit ratio — the standard cheap quality filters."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    stripped_len = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    digits_len = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)), 6).alias("avg_token_len"),
+        F.round(stripped_len.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(digits_len.cast("double") / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
+    )
+
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "ru": ["и", "в", "на", "не", "что"],
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-stopword hits.
+
+    Pure built-ins: one pass computing all language scores as columns, then a
+    greatest/when chain — no UDF, no shuffle. Ties break by language code
+    (deterministic). Returns (id, lang_pred, lang_hits).
+    """
+    toks = tokens_col_raw(F.col(text_col))
+    scores = {lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in marks])))
+              for lang, marks in _LANG_MARKERS.items()}
+    best = None
+    for lang in sorted(scores):  # ties → first alphabetically
+        cond = F.lit(True)
+        for other in sorted(scores):
+            if other < lang:
+                cond = cond & (scores[lang] > scores[other])
+            elif other > lang:
+                cond = cond & (scores[lang] >= scores[other])
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    hits = None
+    for c in scores.values():
+        hits = c if hits is None else hits + c
+    return df.select(F.col(id_col), best.alias("lang_pred"), hits.alias("lang_hits"))
+
+
+def tokens_col_raw(text: Column) -> Column:
+    """Tokens keeping unicode letters (for lang-id over mixed scripts)."""
+    arr = F.split(F.lower(text), r"\s+")
+    return F.filter(arr, lambda w: w != F.lit(""))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text — the exact-dedup key at corpus scale."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))

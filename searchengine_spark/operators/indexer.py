@@ -1,0 +1,188 @@
+"""Distributed inverted-index build (SURVEY.md §2.1/§2.3, M2+M4+M5).
+
+Replaces the reference's crawl→JDBC row-at-a-time index write
+(reference: dto/indexing/PageIndexer.java:161-204 — 1 SELECT + 1-2
+INSERT/UPDATE per lemma per page) with a declarative DataFrame pipeline:
+
+    transcripts ──dedup(S2)──> docs (dense doc_id, dl)
+        └─analyze UDF──explode──groupBy(doc_id,term) → tf      [shuffle 1]
+             ├─groupBy(term) → df  (A1)                        [shuffle 2]
+             ├─join term_id (broadcast when dict fits)          → postings_flat
+             └─groupBy(term_id, doc-range bucket)              [shuffle 3]
+                  → applyInPandas block-encode (delta+varint,
+                    per-block max BM25 score)                   → postings
+
+Skew (M5): the hot-term groupBy is salted by a *doc-range* bucket
+(``doc_id // bucket_range``) instead of a hash salt, so each bucket is a
+contiguous, independently-encodable doc-id range — a term appearing in 60%
+of 10^12 docs spreads over N/range tasks and never funnels through one
+reducer, and blocks stay globally sorted without a second merge pass.
+
+Dense IDs: ``assign_dense_ids`` is a two-level distributed prefix sum
+(row_number within partition key + cumulative key offsets); the offsets
+table is |distinct keys|, far smaller than the data. At 10^12 turns add a
+third level over a key prefix — same pattern, noted inline.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from searchengine_spark.functions.analysis import analyze_col
+from searchengine_spark.operators.codec import BLOCK_SIZE
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_idf(df_col, n_docs: int):
+    """Robertson idf, Lucene-style +1 smoothing (always positive)."""
+    return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_col + F.lit(0.5)) / (df_col + F.lit(0.5)))
+
+
+def bm25_tf_part(tf_col, dl_col, avgdl: float):
+    return (tf_col * (K1 + 1.0)) / (tf_col + K1 * (1.0 - B + B * dl_col / F.lit(float(avgdl))))
+
+
+def dedup_turns(transcripts: DataFrame) -> DataFrame:
+    """S2: URL-frontier dedup analog (reference: dto/indexing/SiteIndexer.java:23,38;
+    PageUrl.java:12-23). Exact duplicates by doc key."""
+    return transcripts.dropDuplicates(["conv_id", "turn_idx"])
+
+
+def admission_filter(transcripts: DataFrame, drop_roles: tuple[str, ...] = ()) -> DataFrame:
+    """S3: admission predicate analog (reference: dto/indexing/PageIndexer.java:136-144
+    rejects media/fragment/off-site URLs) — role/tool admission for transcripts."""
+    if not drop_roles:
+        return transcripts
+    return transcripts.filter(~F.col("role").isin(list(drop_roles)))
+
+
+def assign_dense_ids(df: DataFrame, key_col: str, order_cols: list[str],
+                     id_col: str = "_id") -> DataFrame:
+    """Dense 0-based ids by (key_col, *order_cols) without a global window.
+
+    Level 1: row_number within key_col (distributed). Level 2: cumulative
+    offsets over the per-key counts (one window over |keys| rows — at
+    extreme key cardinality, recurse on a key prefix). Join back on key.
+    """
+    w_in = Window.partitionBy(key_col).orderBy(*order_cols)
+    with_rn = df.withColumn("_rn", F.row_number().over(w_in))
+    sizes = df.groupBy(key_col).count()
+    w_off = Window.orderBy(key_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn("_off", F.coalesce(F.sum("count").over(w_off), F.lit(0))).drop("count")
+    return (
+        with_rn.join(offsets, key_col)
+        .withColumn(id_col, (F.col("_off") + F.col("_rn") - 1).cast("long"))
+        .drop("_rn", "_off")
+    )
+
+
+def build_docs(transcripts: DataFrame, mode: str = "general") -> DataFrame:
+    """docs table: dedup → dense doc_id over (conv_id, turn_idx) → lemmas + dl.
+
+    doc_id is the dense rank over the stable (conv_id, turn_idx) order, so
+    ordering by doc_id IS the per-row-invariant stable turn ordering —
+    downstream tie-breaks only need doc_id.
+    """
+    deduped = dedup_turns(transcripts)
+    with_id = assign_dense_ids(deduped, "conv_id", ["turn_idx"], "doc_id")
+    analyzed = with_id.withColumn("lemmas", analyze_col(F.col("text"), mode))
+    return analyzed.withColumn("dl", F.size("lemmas"))
+
+
+def build_index(transcripts: DataFrame, mode: str = "general",
+                bucket_range: int = 1 << 16, block_size: int = BLOCK_SIZE) -> dict:
+    """Full index build from raw transcripts. Returns dict of DataFrames +
+    corpus stats: docs, terms, postings_flat, postings, stats, mode."""
+    return build_index_from_docs(build_docs(transcripts, mode), mode, bucket_range, block_size)
+
+
+def build_index_from_docs(docs: DataFrame, mode: str = "general",
+                          bucket_range: int = 1 << 16, block_size: int = BLOCK_SIZE) -> dict:
+    """Index build over an already-analyzed docs table
+    (doc_id, conv_id, turn_idx, role, tool, ts, lemmas, dl) — shared by the
+    one-shot path and the checkpoint-resume path (plans/manifest.py), which
+    stages analyzed docs per partition and resumes here."""
+    docs = docs.persist()
+    stats_row = docs.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("total_tokens")).collect()[0]
+    n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
+
+    # T5 + A1: one explode, tf and df share the first shuffle's partial aggs
+    tokens = docs.select("doc_id", "dl", F.explode("lemmas").alias("term"))
+    tf = tokens.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    df_agg = tf.groupBy("term").agg(F.count("*").alias("df"))  # tf rows unique per (doc,term)
+    # dense term_id by term asc: prefix-partitioned two-level prefix sum
+    terms = assign_dense_ids(
+        df_agg.withColumn("_tp", F.substring("term", 1, 1)),
+        key_col="_tp", order_cols=["term"], id_col="term_id",
+    ).drop("_tp")
+
+    postings_flat = (
+        tf.join(terms.select("term", "term_id", "df"), "term")
+        .select("term_id", "doc_id", "tf", "dl", "df")
+    )
+
+    score = bm25_idf(F.col("df"), n_docs) * bm25_tf_part(F.col("tf"), F.col("dl"), avgdl)
+    scored = postings_flat.withColumn("score", score).withColumn(
+        "bucket", (F.col("doc_id") / F.lit(bucket_range)).cast("int"))
+
+    blocks_per_bucket = -(-bucket_range // block_size)  # ceil
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        term_id = int(pdf["term_id"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        out = []
+        ids = pdf["doc_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        tfs = pdf["tf"].to_numpy()[order]
+        dls = pdf["dl"].to_numpy()[order]
+        scores = pdf["score"].to_numpy()[order]
+        from searchengine_spark.operators.codec import encode_block, varint_encode
+        for j, lo in enumerate(range(0, len(ids), block_size)):
+            hi = min(lo + block_size, len(ids))
+            first, n, d, t = encode_block(ids[lo:hi], tfs[lo:hi])
+            out.append((term_id, bucket * blocks_per_bucket + j, first, n, d, t,
+                        varint_encode(dls[lo:hi].astype("uint64")),
+                        float(scores[lo:hi].max()), int(tfs[lo:hi].max())))
+        return pd.DataFrame(out, columns=[
+            "term_id", "block_id", "first_doc_id", "n", "doc_deltas", "tfs",
+            "dls", "block_max_score", "block_max_tf"])
+
+    postings = scored.groupBy("term_id", "bucket").applyInPandas(
+        encode,
+        schema=("term_id long, block_id int, first_doc_id long, n int, "
+                "doc_deltas binary, tfs binary, dls binary, "
+                "block_max_score double, block_max_tf int"),
+    )
+
+    # A live (unsaved) index is served repeatedly: materialize terms/postings
+    # once so per-query jobs scan cached data instead of re-running the whole
+    # analyze→aggregate→encode lineage. Persisted saves get this from parquet.
+    terms_out = terms.select("term", "term_id", "df").persist()
+    postings = postings.persist()
+    return {
+        "mode": mode,
+        "docs": docs,
+        "terms": terms_out,
+        "postings_flat": postings_flat.select("term_id", "doc_id", "tf"),
+        "postings": postings,
+        "stats": {"n_docs": n_docs, "avgdl": avgdl,
+                  "total_tokens": int(stats_row["total_tokens"] or 0)},
+    }
+
+
+def statistics(index: dict) -> DataFrame:
+    """A3 corpus statistics (reference: services/StatisticsServiceImpl.java:33-101):
+    per-role doc counts + lemma totals, plus build metrics."""
+    docs, terms = index["docs"], index["terms"]
+    per_role = docs.groupBy("role").agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("n_tokens"))
+    totals = docs.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("n_tokens")) \
+        .withColumn("role", F.lit("__total__")).select("role", "n_docs", "n_tokens")
+    return per_role.unionByName(totals)

@@ -1,0 +1,201 @@
+"""Top-k query path (SURVEY.md §2.4 Q1-Q9, M3+M4).
+
+Re-expresses the reference's search
+(reference: services/SearchingServiceImpl.java:30-201) as one declarative
+plan per query:
+
+  Q1 analyze query (driver, same function as index side)
+  Q2 dictionary lookup      — ``term IN (...)`` literal filter on the terms
+     table (pushes down to the parquet scan; replaces N+1 JDBC SELECTs at
+     SearchingServiceImpl.java:203-270)
+  Q3 80%-df prune           — ``df / N < 0.8`` (SearchingServiceImpl.java:272-298;
+     ref_compat mode only — BM25's idf already damps hot terms)
+  Q4 rarest-first ordering  — subsumed: the single groupBy(doc_id)
+     formulation is order-free (SearchingServiceImpl.java:58-62)
+  Q5 posting fetch          — block scan pruned by term_id (+ partition
+     pruning when postings are written bucketed by term)
+  Q6 conjunctive AND        — count(distinct term)==|q| filter after the
+     doc_id agg (SearchingServiceImpl.java:95-108)
+  Q7 scoring                — ``ref_compat``: tf-sum normalized by the
+     result-set max (SearchingServiceImpl.java:300-329: no idf, no length
+     norm); ``bm25``: k1=1.2, b=0.75, Robertson idf
+  Q8 top-k                  — orderBy(score desc, doc_id).limit(k) →
+     TakeOrderedAndProject (distributed top-k, no global sort). doc_id is
+     the dense rank over (conv_id, turn_idx), so doc_id-asc IS the canonical
+     tie-break; scores are rounded to 9 dp for ordering only, making ties
+     deterministic under float reassociation.
+  Q9 metadata projection    — join the k winners back to docs.
+
+Block-max pruning (BM25 mode), exactness argument: let M_t be term t's max
+block score and θ a lower bound on the true kth score. Skip block b of term
+t iff  block_max(t,b) + Σ_{t'≠t} M_{t'} < θ.  Any doc in a skipped block has
+total score ≤ that bound < θ, so it cannot be top-k; any true top-k doc d
+(total ≥ θ) can have no skipped block, since its block's bound ≥ its total.
+Docs partially scored because *another* term skipped them satisfy
+partial ≤ total < θ, so they can't displace a fully-scored top-k doc.
+θ comes from phase 1 (score only the best block per term): each phase-1 doc
+score is a lower bound of its true score, so the kth largest phase-1 score
+is a valid θ. Both phases are plain DataFrame jobs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from searchengine_spark.functions.analysis import analyze_text
+from searchengine_spark.operators.indexer import K1, B
+
+PRUNE_THRESHOLD = 0.8  # SearchingServiceImpl.java:278 (`percent < 80` keeps)
+def _ord():
+    """Canonical ordering: score rounded to 9 dp desc (deterministic under
+    float reassociation), then doc_id asc (== stable (conv_id, turn_idx))."""
+    return F.round(F.col("score"), 9).desc()
+
+
+def _query_terms(query: str, analysis_mode: str) -> list[str]:
+    """Q1: same analysis chain as the index side, driver-side (tiny input)."""
+    return sorted(set(analyze_text(query, analysis_mode)))
+
+
+def _resolve_terms(index: dict, qterms: list[str], mode: str) -> DataFrame:
+    """Q2+Q3: dictionary point lookup with literal IN pushdown, then prune."""
+    terms = index["terms"].filter(F.col("term").isin(qterms))
+    if mode == "ref_compat":
+        n = index["stats"]["n_docs"]
+        terms = terms.filter(F.col("df") / F.lit(float(n)) < PRUNE_THRESHOLD)
+    return terms
+
+
+def _decode_blocks(blocks: DataFrame, with_score_params: bool,
+                   n_docs: int, avgdl: float) -> DataFrame:
+    """Vectorized block decode: (term blocks) → (term_id, doc_id, tf, score)."""
+
+    def gen(batches):
+        from searchengine_spark.operators.codec import decode_block
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                doc_ids, tfs = decode_block(row.first_doc_id, row.n, row.doc_deltas, row.tfs)
+                from searchengine_spark.operators.codec import varint_decode
+                dls = varint_decode(row.dls).astype(np.float64)
+                if with_score_params:
+                    idf = float(row.idf)
+                    score = idf * (tfs * (K1 + 1.0)) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+                else:
+                    score = np.zeros(len(doc_ids))
+                outs.append(pd.DataFrame({
+                    "term_id": row.term_id, "doc_id": doc_ids,
+                    "tf": tfs.astype("int64"), "score": score}))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"term_id": pd.Series(dtype="int64"), "doc_id": pd.Series(dtype="int64"),
+                 "tf": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+
+    return blocks.mapInPandas(gen, schema="term_id long, doc_id long, tf long, score double")
+
+
+def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
+           prune_blocks: bool = True, with_snippets: bool = False) -> DataFrame:
+    """Top-k search over a built index; returns DataFrame
+    (doc_id, conv_id, turn_idx, role, tool, ts, score[, snippet])."""
+    spark = index["docs"].sparkSession
+    stats = index["stats"]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    qterms = _query_terms(query, index.get("mode", "general"))
+    empty = spark.createDataFrame(
+        [], "doc_id long, conv_id string, turn_idx int, role string, tool string, "
+            "ts timestamp, score double")
+    if not qterms:
+        return empty
+
+    terms = _resolve_terms(index, qterms, mode)
+    tinfo = terms.withColumn("idf", F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))))
+    # reference semantics: absent/pruned lemmas silently drop out of the
+    # conjunction (SearchingServiceImpl.java:203-235 collects only found
+    # lemma rows); all-absent → empty result
+    trows = tinfo.collect()  # |q| rows — driver-side term metadata
+    if len(trows) == 0:
+        return empty
+    term_ids = [r["term_id"] for r in trows]
+    n_q = len(term_ids)
+
+    blocks = index["postings"].filter(F.col("term_id").isin(term_ids))
+    idf_df = F.broadcast(spark.createDataFrame(
+        [(r["term_id"], float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))) for r in trows],
+        "term_id long, idf double"))
+    blocks = blocks.join(idf_df, "term_id")
+
+    if mode == "bm25" and prune_blocks and n_q > 0:
+        m_rows = blocks.groupBy("term_id").agg(F.max("block_max_score").alias("m")).collect()
+        m_of = {r["term_id"]: r["m"] for r in m_rows}
+        m_sum = sum(m_of.values())
+        # phase 1: best block per term → θ = kth largest partial score
+        w = Window.partitionBy("term_id").orderBy(F.col("block_max_score").desc(), "block_id")
+        top_blocks = blocks.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r")
+        p1 = _decode_blocks(top_blocks, True, n_docs, avgdl) \
+            .groupBy("doc_id").agg(F.sum("score").alias("score")) \
+            .orderBy(F.col("score").desc()).limit(k).collect()
+        theta = min(r["score"] for r in p1) if len(p1) >= k else 0.0
+        if theta > 0:
+            m_df = F.broadcast(spark.createDataFrame(
+                [(tid, float(m)) for tid, m in m_of.items()], "term_id long, _m_self double"))
+            bound_expr = F.col("block_max_score") + F.lit(m_sum) - F.col("_m_self")
+            blocks = blocks.join(m_df, "term_id").filter(bound_expr >= F.lit(theta)).drop("_m_self")
+
+    decoded = _decode_blocks(blocks, mode == "bm25", n_docs, avgdl)
+    agg = decoded.groupBy("doc_id").agg(
+        F.count("*").alias("nt"), F.sum("tf").alias("tf_sum"), F.sum("score").alias("bm25"))
+
+    if mode == "ref_compat":
+        matches = agg.filter(F.col("nt") == F.lit(n_q))  # Q6 conjunctive AND
+        # Q7: abs relevance = Σtf, relative = abs/max(abs) over the matches
+        # (SearchingServiceImpl.java:300-329). The max is the rank-1 row, so
+        # take top-k on the integer tf_sum first (TakeOrderedAndProject),
+        # then normalize within the k rows — no global window needed.
+        topk_raw = matches.orderBy(F.col("tf_sum").desc(), F.col("doc_id").asc()).limit(k)
+        topk = topk_raw.withColumn(
+            "score", F.col("tf_sum").cast("double")
+            / F.max(F.col("tf_sum").cast("double")).over(Window.partitionBy()))
+    else:
+        matches = agg.withColumn("score", F.col("bm25"))
+        topk = matches.orderBy(_ord(), F.col("doc_id").asc()).limit(k)
+    docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                                     *(["text"] if with_snippets else []))
+    out = topk.join(docs_meta, "doc_id") \
+        .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "score",
+                *(["text"] if with_snippets else [])) \
+        .orderBy(_ord(), F.col("doc_id").asc())
+    if with_snippets:
+        from searchengine_spark.functions.snippets import snippet_col
+        out = out.withColumn("snippet", snippet_col(F.col("text"), query, mode)).drop("text")
+    return out
+
+
+def search_flat(index: dict, query: str, k: int = 10, mode: str = "ref_compat") -> DataFrame:
+    """Same query semantics over the uncompressed postings_flat (M2 path);
+    used by tests to cross-check the codec path and by the DuckDB oracle."""
+    spark = index["docs"].sparkSession
+    stats = index["stats"]
+    qterms = _query_terms(query, index.get("mode", "general"))
+    if not qterms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    terms = _resolve_terms(index, qterms, mode)
+    n_q = terms.count()
+    if n_q == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+    pf = index["postings_flat"].join(F.broadcast(terms.select("term_id", "df")), "term_id")
+    pf = pf.join(index["docs"].select("doc_id", "dl"), "doc_id")
+    if mode == "ref_compat":
+        agg = pf.groupBy("doc_id").agg(F.count("*").alias("nt"), F.sum("tf").alias("tf_sum"))
+        m = agg.filter(F.col("nt") == F.lit(n_q))
+        m = m.orderBy(F.col("tf_sum").desc(), F.col("doc_id").asc()).limit(k)
+        m = m.withColumn("score", F.col("tf_sum").cast("double") /
+                         F.max(F.col("tf_sum").cast("double")).over(Window.partitionBy()))
+    else:
+        from searchengine_spark.operators.indexer import bm25_idf, bm25_tf_part
+        scored = pf.withColumn(
+            "s", bm25_idf(F.col("df"), stats["n_docs"]) * bm25_tf_part(F.col("tf"), F.col("dl"), stats["avgdl"]))
+        m = scored.groupBy("doc_id").agg(F.sum("s").alias("score"))
+    return m.select("doc_id", "score").orderBy(_ord(), F.col("doc_id").asc()).limit(k)

