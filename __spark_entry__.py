@@ -125,6 +125,44 @@ def _q_bm25_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_bm25_page2(spark, sf_dir):
+    """Q11 pagination: second page (offset=K) of the BM25 ranking."""
+    from searchengine_spark.operators.search import search
+    index = _index_for(spark, sf_dir)
+    hits = search(index, " ".join(BM25_Q), k=K, mode="bm25", offset=K)
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_snippets(spark, sf_dir):
+    """Q10 snippets: highlighted sentence fragment for each top-k hit."""
+    from searchengine_spark.operators.search import search
+    index = _index_for(spark, sf_dir)
+    hits = search(index, " ".join(BM25_Q), k=K, mode="bm25", with_snippets=True)
+    return hits.select(_orig_doc_id(), "snippet")
+
+
+# delta applied by the S6 upsert query: two replaced docs + one new doc
+UPSERT_REPLACE = {7: "replacement text about spark merge operations",
+                  11: "another replacement mentioning hash scan pipelines"}
+UPSERT_NEW_TEXT = "entirely new document exercising upsert insert path"
+
+
+def _q_upsert_term_df(spark, sf_dir):
+    """S6 incremental upsert: merge a 3-row delta (2 replace + 1 insert) into
+    the built index; return the maintained dictionary (term, df)."""
+    from searchengine_spark.operators.upsert import upsert_turns
+    index = _index_for(spark, sf_dir)
+    rows = [(f"doc{did:08d}", 0, "user", text, None)
+            for did, text in UPSERT_REPLACE.items()]
+    rows.append(("zzz_upsert_new", 0, "user", UPSERT_NEW_TEXT, None))
+    delta = spark.createDataFrame(
+        [(c, t, r, x, tool, "2026-02-01 00:00:00") for c, t, r, x, tool in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    upserted = upsert_turns(index, delta)
+    return upserted["terms"].select("term", "df")
+
+
 def _q_metadata_projection(spark, sf_dir):
     """Q9: join top-k winners back to the source table for metadata."""
     topk = _q_bm25_topk(spark, sf_dir)
@@ -218,6 +256,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_ref_topk": _q_ref_topk,
         "q7_bm25_topk": _q_bm25_topk,
         "q9_metadata_projection": _q_metadata_projection,
+        "q10_snippets": _q_snippets,
+        "q11_bm25_page2": _q_bm25_page2,
+        "s6_upsert_term_df": _q_upsert_term_df,
         "a3_statistics": _q_statistics,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
@@ -245,7 +286,7 @@ _DF = f"select term, count(*) as df from ({_TF}) group by term"
 _DL = f"select doc_id, count(*) as dl from ({_TOKS}) group by doc_id"
 
 
-def _bm25_sql(terms: list[str], k: int) -> str:
+def _bm25_sql(terms: list[str], k: int, offset: int = 0) -> str:
     tl = ", ".join(f"'{t}'" for t in terms)
     return f"""
 with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
@@ -258,7 +299,7 @@ scored as (
   where tf.term in ({tl})
   group by tf.doc_id)
 select doc_id, round(s, 6) as score from scored
-order by round(s, 9) desc, doc_id asc limit {k}
+order by round(s, 9) desc, doc_id asc limit {k} offset {offset}
 """
 
 
@@ -292,6 +333,47 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, round(tf_sum / (select max(tf_sum) from m), 6) as score
             from m order by tf_sum desc, doc_id asc limit {K}""",
         "q7_bm25_topk": _bm25_sql(BM25_Q, K),
+        "q11_bm25_page2": _bm25_sql(BM25_Q, K, offset=K),
+        # q10: same sentence/highlight/trim rules as functions/snippets.py
+        # (mirrors reference services/SearchingServiceImpl.java:418-505);
+        # expand_query_words('scan merge','general') == ['merge','scan']
+        "q10_snippets": f"""
+            with b as ({_bm25_sql(BM25_Q, K)}),
+            s as (
+              select b.doc_id,
+                trim(regexp_extract(d.text,
+                     '[^.!?;]*\\b(?:merge|scan)\\b[^.!?;]*', 0, 'i')) as sent
+              from b join documents d using (doc_id)),
+            h as (
+              select doc_id,
+                case when sent = '' then NULL
+                     else regexp_replace(sent, '\\b(merge|scan)\\b',
+                                         '<b>\\1</b>', 'gi') end as hl
+              from s)
+            select doc_id,
+              case when hl is null then 'Нет совпадений для подсветки'
+                   when length(hl) <= 300 then hl
+                   else (case when greatest(strpos(hl,'<b>')-1-120, 0) > 0
+                              then '…' else '' end)
+                        || substr(hl, greatest(strpos(hl,'<b>')-1-120,0)+1,
+                                  least(length(hl), strpos(hl,'<b>')-1+120)
+                                  - greatest(strpos(hl,'<b>')-1-120,0))
+                        || (case when least(length(hl), strpos(hl,'<b>')-1+120)
+                                      < length(hl) then '…' else '' end)
+              end as snippet
+            from h""",
+        "s6_upsert_term_df": f"""
+            with docs as (
+              select doc_id, text from documents where doc_id not in (7, 11)
+              union all select 7, 'replacement text about spark merge operations'
+              union all select 11, 'another replacement mentioning hash scan pipelines'
+              union all select 10000001, 'entirely new document exercising upsert insert path'
+            ),
+            toks as (select doc_id, unnest(list_filter(string_split_regex(
+              regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+              x -> x <> '')) as term from docs)
+            select term, cast(count(distinct doc_id) as bigint) as df
+            from toks group by term""",
         "q9_metadata_projection": f"""
             with b as ({_bm25_sql(BM25_Q, K)})
             select b.doc_id, b.score, d.lang, d.source

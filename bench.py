@@ -26,12 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 SEARCH_QUERIES = {
-    "search_bm25_rare": ("лесом", "bm25", True),
-    "search_bm25_hot": ("ошибку", "bm25", True),
+    "search_bm25_rare": ("лесом", "bm25", "auto"),
+    "search_bm25_hot": ("ошибку", "bm25", True),  # force WAND phase-1 path
     "search_bm25_hot_exhaustive": ("ошибку", "bm25", False),
-    "search_bm25_mixed": ("timeout лес merge", "bm25", True),
-    "search_ref_and2": ("лес дом", "ref_compat", True),
-    "search_ref_and3": ("запрос индекс система", "ref_compat", True),
+    "search_bm25_mixed": ("timeout лес merge", "bm25", "auto"),
+    "search_ref_and2": ("лес дом", "ref_compat", "auto"),
+    "search_ref_and3": ("запрос индекс система", "ref_compat", "auto"),
 }
 
 

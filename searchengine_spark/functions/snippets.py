@@ -29,6 +29,26 @@ def _query_words(query: str, mode: str) -> list[str]:
     return sorted(set(re.sub(pat, " ", (query or "").lower()).split()))
 
 
+def expand_query_words(query: str, mode: str) -> list[str]:
+    """Literal query words + every dictionary surface form of their lemmas.
+
+    The reference highlights ONLY the literal query words (case variants,
+    services/SearchingServiceImpl.java:392-405), so a page matched through an
+    inflected form renders the no-match fallback (:177-181). Since retrieval
+    is lemma-based, we extend highlighting to all surface forms that
+    lemmatize into the query's lemma set — a strict superset of the
+    reference's matches; ``make_snippet`` itself is unchanged."""
+    from searchengine_spark.functions.analysis import analyze_text
+    from searchengine_spark.resources.vocab import LEMMA_OF
+    words = set(_query_words(query, mode))
+    lemmas = set(analyze_text(query, mode))
+    words |= lemmas
+    for form, lemma in LEMMA_OF.items():
+        if lemma in lemmas:
+            words.add(form)
+    return sorted(words)
+
+
 def make_snippet(text: str, words: list[str]) -> str:
     if not text or not words:
         return NO_MATCH
@@ -50,7 +70,7 @@ def make_snippet(text: str, words: list[str]) -> str:
 
 
 def snippet_col(text: Column, query: str, mode: str = "general") -> Column:
-    words = _query_words(query, mode)
+    words = expand_query_words(query, mode)
 
     @F.pandas_udf(T.StringType())
     def snip(texts: pd.Series) -> pd.Series:

@@ -164,8 +164,15 @@ def build_index_from_docs(docs: DataFrame, mode: str = "general",
     # A live (unsaved) index is served repeatedly: materialize terms/postings
     # once so per-query jobs scan cached data instead of re-running the whole
     # analyze→aggregate→encode lineage. Persisted saves get this from parquet.
-    terms_out = terms.select("term", "term_id", "df").persist()
     postings = postings.persist()
+    # Per-term max block score/tf denormalized into the dictionary: the WAND
+    # upper bounds (M_t) then come straight from the |q| dictionary rows at
+    # query time — no per-query aggregation job over the postings.
+    term_max = postings.groupBy("term_id").agg(
+        F.max("block_max_score").alias("max_score"),
+        F.max("block_max_tf").alias("max_tf"))
+    terms_out = (terms.select("term", "term_id", "df")
+                 .join(term_max, "term_id", "left").persist())
     return {
         "mode": mode,
         "docs": docs,

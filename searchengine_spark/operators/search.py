@@ -48,6 +48,7 @@ from searchengine_spark.functions.analysis import analyze_text
 from searchengine_spark.operators.indexer import K1, B
 
 PRUNE_THRESHOLD = 0.8  # SearchingServiceImpl.java:278 (`percent < 80` keeps)
+PRUNE_MIN_POSTINGS = 100_000  # auto mode: Σdf below this → exhaustive decode
 def _ord():
     """Canonical ordering: score rounded to 9 dp desc (deterministic under
     float reassociation), then doc_id asc (== stable (conv_id, turn_idx))."""
@@ -66,6 +67,47 @@ def _resolve_terms(index: dict, qterms: list[str], mode: str) -> DataFrame:
         n = index["stats"]["n_docs"]
         terms = terms.filter(F.col("df") / F.lit(float(n)) < PRUNE_THRESHOLD)
     return terms
+
+
+# Driver-side dictionary cache cap: below this many terms the whole dictionary
+# is collected once per index and term resolution costs zero Spark jobs. A
+# 10^12-turn corpus dictionary (~10^8 terms) exceeds it → DataFrame lookup.
+TERMS_LOCAL_MAX = 5_000_000
+
+
+def _terms_local(index: dict) -> "pd.DataFrame | None":
+    """Lazy driver-side copy of the dictionary (term → id/df/max bounds)."""
+    cached = index.get("_terms_pdf")
+    if cached is not None:
+        return cached if cached is not False else None
+    n = index["stats"].get("n_terms")
+    if n is None:
+        n = index["terms"].count()
+        index["stats"]["n_terms"] = n
+    if n > TERMS_LOCAL_MAX:
+        index["_terms_pdf"] = False
+        return None
+    pdf = index["terms"].toPandas().set_index("term")
+    index["_terms_pdf"] = pdf
+    return pdf
+
+
+def _resolve_terms_driver(index: dict, qterms: list[str], mode: str):
+    """Q2+Q3 without a Spark job when the dictionary fits driver-side.
+    Returns list of dicts (term_id, df, max_score, max_tf) or None."""
+    pdf = _terms_local(index)
+    if pdf is None:
+        return None
+    sub = pdf.loc[pdf.index.intersection(qterms)]
+    if mode == "ref_compat":
+        n = index["stats"]["n_docs"]
+        sub = sub[sub["df"] / float(n) < PRUNE_THRESHOLD]
+    out = []
+    for _, row in sub.iterrows():
+        out.append({"term_id": int(row["term_id"]), "df": int(row["df"]),
+                    "max_score": (None if pd.isna(row.get("max_score")) else float(row["max_score"])),
+                    "max_tf": (None if pd.isna(row.get("max_tf")) else int(row["max_tf"]))})
+    return out
 
 
 def _decode_blocks(blocks: DataFrame, with_score_params: bool,
@@ -96,9 +138,17 @@ def _decode_blocks(blocks: DataFrame, with_score_params: bool,
 
 
 def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
-           prune_blocks: bool = True, with_snippets: bool = False) -> DataFrame:
+           prune_blocks: "bool | str" = "auto", with_snippets: bool = False,
+           offset: int = 0) -> DataFrame:
     """Top-k search over a built index; returns DataFrame
-    (doc_id, conv_id, turn_idx, role, tool, ts, score[, snippet])."""
+    (doc_id, conv_id, turn_idx, role, tool, ts, score[, snippet]).
+
+    ``offset`` implements Q11 pagination *properly* (the reference's UI sends
+    offset/limit but the server ignores them,
+    reference: controllers/ApiController.java:55-58,
+    static/assets/js/scripts.js:1751-1758): retrieve offset+k winners —
+    still TakeOrderedAndProject, no global sort — then drop the first
+    ``offset`` rows by rank."""
     spark = index["docs"].sparkSession
     stats = index["stats"]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -109,35 +159,82 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     if not qterms:
         return empty
 
-    terms = _resolve_terms(index, qterms, mode)
-    tinfo = terms.withColumn("idf", F.log(
-        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))))
     # reference semantics: absent/pruned lemmas silently drop out of the
     # conjunction (SearchingServiceImpl.java:203-235 collects only found
     # lemma rows); all-absent → empty result
-    trows = tinfo.collect()  # |q| rows — driver-side term metadata
+    trows = _resolve_terms_driver(index, qterms, mode)
+    if trows is None:  # dictionary too large for the driver → one lookup job
+        trows = [{"term_id": r["term_id"], "df": r["df"],
+                  "max_score": r["max_score"] if "max_score" in r else None,
+                  "max_tf": r["max_tf"] if "max_tf" in r else None}
+                 for r in _resolve_terms(index, qterms, mode).collect()]
     if len(trows) == 0:
         return empty
     term_ids = [r["term_id"] for r in trows]
     n_q = len(term_ids)
+    sum_df = sum(r["df"] for r in trows)
+    idf_of = {r["term_id"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+              for r in trows}
 
-    blocks = index["postings"].filter(F.col("term_id").isin(term_ids))
+    blocks = index["postings"]
+    # Saved indexes are hash-partitioned by term_bucket = term_id % B
+    # (plans/manifest.py save_index): filtering on the partition column first
+    # prunes whole directories at scan planning, so a |q|-term query touches
+    # ≤|q| of B partitions no matter how large the index is.
+    tb = stats.get("term_buckets")
+    if tb and "term_bucket" in blocks.columns:
+        blocks = blocks.filter(
+            F.col("term_bucket").isin(sorted({tid % tb for tid in term_ids})))
+    blocks = blocks.filter(F.col("term_id").isin(term_ids))
     idf_df = F.broadcast(spark.createDataFrame(
-        [(r["term_id"], float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))) for r in trows],
-        "term_id long, idf double"))
+        [(tid, idf) for tid, idf in idf_of.items()], "term_id long, idf double"))
     blocks = blocks.join(idf_df, "term_id")
 
-    if mode == "bm25" and prune_blocks and n_q > 0:
-        m_rows = blocks.groupBy("term_id").agg(F.max("block_max_score").alias("m")).collect()
-        m_of = {r["term_id"]: r["m"] for r in m_rows}
+    # Upserted/loaded indexes flag tf_bounds: stored block_max_score was
+    # computed under older (n_docs, avgdl), so derive a stats-independent
+    # upper bound from block_max_tf instead — tf-part is increasing in tf and
+    # maximal at dl→0, so idf*bmt*(k1+1)/(bmt+k1*(1-b)) ≥ any doc's score in
+    # the block under the CURRENT stats. WAND stays exact; bounds loosen.
+    if stats.get("tf_bounds"):
+        bmt = F.col("block_max_tf").cast("double")
+        blocks = blocks.withColumn(
+            "block_max_score",
+            F.col("idf") * bmt * F.lit(K1 + 1.0) / (bmt + F.lit(K1 * (1.0 - B))))
+
+    k_eff = offset + k  # Q11: paging retrieves offset+k winners, slices after
+
+    # Cost-based pruning ("auto"): WAND phase 1 costs an extra Spark job
+    # (schedule + decode best-block-per-term + shuffle) to SAVE decode work
+    # proportional to Σdf. Below ~PRUNE_MIN_POSTINGS postings the exhaustive
+    # decode is cheaper than the extra round-trip; above it pruning wins and
+    # keeps winning as the corpus grows. True/False force either path.
+    do_prune = (prune_blocks is True or
+                (prune_blocks == "auto" and sum_df >= PRUNE_MIN_POSTINGS))
+
+    if mode == "bm25" and do_prune and n_q > 0:
+        # per-term WAND upper bounds M_t, driver-side from the dictionary's
+        # denormalized max columns; under tf_bounds the stored max_score is
+        # stale → derive from max_tf (dl→0 bound, valid under any stats)
+        def _m_driver(r):
+            if stats.get("tf_bounds"):
+                if r["max_tf"] is None:
+                    return None
+                bmt = float(r["max_tf"])
+                return idf_of[r["term_id"]] * bmt * (K1 + 1.0) / (bmt + K1 * (1.0 - B))
+            return r["max_score"]
+
+        m_of = {r["term_id"]: _m_driver(r) for r in trows}
+        if any(v is None for v in m_of.values()):  # legacy index: one agg job
+            m_rows = blocks.groupBy("term_id").agg(F.max("block_max_score").alias("m")).collect()
+            m_of = {r["term_id"]: r["m"] for r in m_rows}
         m_sum = sum(m_of.values())
-        # phase 1: best block per term → θ = kth largest partial score
+        # phase 1: best block per term → θ = k_eff-th largest partial score
         w = Window.partitionBy("term_id").orderBy(F.col("block_max_score").desc(), "block_id")
         top_blocks = blocks.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r")
         p1 = _decode_blocks(top_blocks, True, n_docs, avgdl) \
             .groupBy("doc_id").agg(F.sum("score").alias("score")) \
-            .orderBy(F.col("score").desc()).limit(k).collect()
-        theta = min(r["score"] for r in p1) if len(p1) >= k else 0.0
+            .orderBy(F.col("score").desc()).limit(k_eff).collect()
+        theta = min(r["score"] for r in p1) if len(p1) >= k_eff else 0.0
         if theta > 0:
             m_df = F.broadcast(spark.createDataFrame(
                 [(tid, float(m)) for tid, m in m_of.items()], "term_id long, _m_self double"))
@@ -154,22 +251,32 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
         # (SearchingServiceImpl.java:300-329). The max is the rank-1 row, so
         # take top-k on the integer tf_sum first (TakeOrderedAndProject),
         # then normalize within the k rows — no global window needed.
-        topk_raw = matches.orderBy(F.col("tf_sum").desc(), F.col("doc_id").asc()).limit(k)
+        topk_raw = matches.orderBy(F.col("tf_sum").desc(), F.col("doc_id").asc()).limit(k_eff)
+        # the rank-1 (max tf_sum) row is always inside the retrieved k_eff
+        # rows, so normalizing within them == normalizing over all matches
         topk = topk_raw.withColumn(
             "score", F.col("tf_sum").cast("double")
             / F.max(F.col("tf_sum").cast("double")).over(Window.partitionBy()))
     else:
         matches = agg.withColumn("score", F.col("bm25"))
-        topk = matches.orderBy(_ord(), F.col("doc_id").asc()).limit(k)
+        topk = matches.orderBy(_ord(), F.col("doc_id").asc()).limit(k_eff)
+    if offset:
+        w_pg = Window.orderBy(_ord(), F.col("doc_id").asc())
+        topk = (topk.withColumn("_rk", F.row_number().over(w_pg))
+                .filter(F.col("_rk") > offset).drop("_rk"))
     docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                                      *(["text"] if with_snippets else []))
-    out = topk.join(docs_meta, "doc_id") \
+    # k rows vs the corpus: broadcast the winners explicitly so Q9 is a
+    # broadcast-hash join against the docs scan, never a shuffle
+    out = docs_meta.join(F.broadcast(topk), "doc_id") \
         .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "score",
                 *(["text"] if with_snippets else [])) \
         .orderBy(_ord(), F.col("doc_id").asc())
     if with_snippets:
         from searchengine_spark.functions.snippets import snippet_col
-        out = out.withColumn("snippet", snippet_col(F.col("text"), query, mode)).drop("text")
+        out = out.withColumn(
+            "snippet",
+            snippet_col(F.col("text"), query, index.get("mode", "general"))).drop("text")
     return out
 
 

@@ -1,0 +1,273 @@
+"""S6 incremental upsert: MERGE a small delta of turns into a built index.
+
+Reference semantics (reference: services/IndexingPageServiceImpl.java:37-135):
+for an existing page, walk its old postings, decrement each lemma's df
+(delete the lemma at df==0), delete its postings and the page row, then
+re-index the fresh content (df increment-or-insert + posting insert,
+``writeLemmas`` :137-170). For a new page, plain insert.
+
+Spark-first re-expression — instead of row-at-a-time JDBC deletes we rewrite
+only the *touched* (term_id, bucket) posting groups and apply a per-term df
+delta, one declarative job:
+
+1. replaced docs  = docs ⋉ delta keys (re-analyzed — cheap: |delta| rows)
+2. new docs       = delta analyzed; existing keys keep their doc_id, new
+                    keys append after max(doc_id) (stable, monotonic)
+3. Δdf per term   = (#delta docs with term) − (#replaced docs with term);
+                    terms with df+Δdf ≤ 0 are dropped (reference deletes the
+                    lemma row at df==0); unseen terms get fresh term_ids
+4. touched blocks = old blocks of (replaced ∪ inserted) (term_id, bucket)
+                    pairs → decode → drop replaced doc_ids → union new
+                    postings → re-encode with updated BM25 stats
+5. untouched blocks pass through byte-identical. Their stored
+   block_max_score was computed under the *old* (n_docs, avgdl), so the
+   upserted index sets ``stats["tf_bounds"]=True`` and the query path
+   switches to the dl-independent bound
+   ``idf_now * bmt*(k1+1)/(bmt + k1*(1-b))`` (tf-part is increasing in tf
+   and maximal at dl→0, so this is a valid upper bound for WAND under any
+   stats) — pruning exactness is preserved, bounds just loosen.
+
+The production target is an Iceberg ``MERGE INTO`` on (conv_id, turn_idx)
+with the posting rewrite in the same transaction/snapshot; here the same
+semantics run over the in-memory index dict, and ``merge_into_path`` gives
+the persisted flow: load → upsert → save to a new snapshot dir → atomically
+flip a CURRENT pointer file (commit protocol == Iceberg snapshot commit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from searchengine_spark.functions.analysis import analyze_col
+from searchengine_spark.operators.codec import BLOCK_SIZE
+from searchengine_spark.operators.indexer import bm25_idf, bm25_tf_part, dedup_turns
+
+KEY = ["conv_id", "turn_idx"]
+
+
+def _flat_from_lemmas(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf) from an analyzed docs slice."""
+    toks = docs.select("doc_id", "dl", F.explode("lemmas").alias("term"))
+    return toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+
+
+def upsert_turns(index: dict, delta: DataFrame,
+                 bucket_range: int = 1 << 16, block_size: int = BLOCK_SIZE) -> dict:
+    """Merge delta turns (input_hint schema) into ``index``; returns a new
+    index dict. |delta| is assumed small relative to the corpus (the
+    reference's single-page upsert generalized to a micro-batch)."""
+    spark = index["docs"].sparkSession
+    mode = index.get("mode", "general")
+    stats = index["stats"]
+
+    delta = dedup_turns(delta)
+    delta = delta.withColumn("lemmas", analyze_col(F.col("text"), mode)) \
+                 .withColumn("dl", F.size("lemmas"))
+
+    docs = index["docs"]
+    keys = delta.select(*KEY)
+
+    # --- docs merge: replaced keys keep doc_id, new keys append after max ---
+    replaced = docs.join(F.broadcast(keys), KEY, "inner")
+    if "lemmas" not in replaced.columns:  # loaded-from-parquet index
+        replaced = replaced.withColumn("lemmas", analyze_col(F.col("text"), mode)) \
+                           .withColumn("dl", F.size("lemmas"))
+    replaced = replaced.persist()
+
+    max_doc_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    old_ids = replaced.select(*KEY, "doc_id")
+    delta_ided = delta.join(F.broadcast(old_ids), KEY, "left")
+    w_new = Window.orderBy(*KEY)
+    delta_ided = delta_ided.withColumn(
+        "doc_id",
+        F.coalesce(F.col("doc_id"),
+                   F.lit(max_doc_id) + F.dense_rank().over(w_new)).cast("long"),
+    ).persist()
+
+    survivors = docs.join(F.broadcast(keys), KEY, "left_anti")
+    new_docs = survivors.unionByName(delta_ided.select(*survivors.columns))
+
+    # --- stats update -----------------------------------------------------
+    d_row = delta_ided.agg(F.count("*").alias("n"), F.sum("dl").alias("tok"),
+                           F.sum(F.when(F.col("doc_id") > max_doc_id, 1)
+                                 .otherwise(0)).alias("n_new")).collect()[0]
+    r_row = replaced.agg(F.count("*").alias("n"), F.sum("dl").alias("tok")).collect()[0]
+    n_docs = stats["n_docs"] + int(d_row["n_new"] or 0)
+    total_tokens = stats["total_tokens"] + int(d_row["tok"] or 0) - int(r_row["tok"] or 0)
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+    new_stats = {"n_docs": n_docs, "avgdl": avgdl, "total_tokens": total_tokens,
+                 "tf_bounds": True}
+
+    # --- terms merge: per-term df delta (A1 incremental) ------------------
+    old_flat = _flat_from_lemmas(replaced).persist()   # postings to remove
+    new_flat = _flat_from_lemmas(delta_ided).persist() # postings to insert
+
+    ddf = (new_flat.groupBy("term").agg(F.count("*").alias("_plus"))
+           .join(old_flat.groupBy("term").agg(F.count("*").alias("_minus")),
+                 "term", "full")
+           .select("term", (F.coalesce("_plus", F.lit(0))
+                            - F.coalesce("_minus", F.lit(0))).alias("_ddf")))
+
+    terms = index["terms"]  # (term, term_id, df)
+    max_term_id = terms.agg(F.max("term_id")).collect()[0][0]
+    merged = terms.join(F.broadcast(ddf), "term", "full")
+    w_t = Window.orderBy("term")
+    new_terms = (merged
+                 .withColumn("df", (F.coalesce("df", F.lit(0))
+                                    + F.coalesce("_ddf", F.lit(0))).cast("long"))
+                 .filter(F.col("df") > 0)
+                 .withColumn("term_id",
+                             F.coalesce(F.col("term_id"),
+                                        F.lit(max_term_id)
+                                        + F.dense_rank().over(w_t)).cast("long"))
+                 .select("term", "term_id", "df")).persist()
+    new_terms.count()
+
+    # --- postings: rewrite only touched (term_id, bucket) groups ----------
+    tid_of = new_terms.select("term", "term_id", "df")
+    old_tb = (old_flat.join(tid_of, "term", "inner")  # terms fully deleted have no blocks left to keep
+              .select("term_id", (F.col("doc_id") / F.lit(bucket_range)).cast("int").alias("bucket")))
+    # terms that dropped out entirely (df→0): their old blocks must die too
+    dead_terms = (old_flat.select("term").distinct()
+                  .join(tid_of.select("term"), "term", "left_anti")
+                  .join(terms.select("term", "term_id"), "term"))
+    dead_tb = dead_terms.join(
+        old_flat.join(terms.select("term", "term_id"), "term")
+        .select("term_id", (F.col("doc_id") / F.lit(bucket_range)).cast("int").alias("bucket")),
+        "term_id").select("term_id", "bucket")
+    new_tb = (new_flat.join(tid_of, "term")
+              .select("term_id", (F.col("doc_id") / F.lit(bucket_range)).cast("int").alias("bucket")))
+    touched = old_tb.unionByName(new_tb).unionByName(dead_tb).distinct().persist()
+
+    postings = index["postings"].select(
+        "term_id", "block_id", "first_doc_id", "n", "doc_deltas", "tfs", "dls",
+        "block_max_score", "block_max_tf")
+    bpb = -(-bucket_range // block_size)  # blocks per bucket (ceil)
+    touched_b = F.broadcast(touched)
+    is_touched = postings.withColumn("bucket", (F.col("block_id") / F.lit(bpb)).cast("int"))
+    old_touched_blocks = is_touched.join(touched_b, ["term_id", "bucket"], "inner")
+    untouched_blocks = is_touched.join(touched_b, ["term_id", "bucket"], "left_anti") \
+                                 .drop("bucket")
+
+    # decode touched blocks → flat (term_id, doc_id, tf, dl)
+    def _decode(batches):
+        import numpy as np
+        from searchengine_spark.operators.codec import decode_block, varint_decode
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids, tfs = decode_block(row.first_doc_id, row.n, row.doc_deltas, row.tfs)
+                dls = varint_decode(row.dls).astype("int64")
+                outs.append(pd.DataFrame({"term_id": row.term_id, "doc_id": ids,
+                                          "tf": tfs, "dl": dls}))
+            yield (pd.concat(outs) if outs else
+                   pd.DataFrame({"term_id": pd.Series(dtype="int64"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "tf": pd.Series(dtype="int64"),
+                                 "dl": pd.Series(dtype="int64")}))
+
+    decoded = old_touched_blocks.drop("bucket").mapInPandas(
+        _decode, schema="term_id long, doc_id long, tf long, dl long")
+
+    replaced_ids = F.broadcast(replaced.select("doc_id").distinct())
+    kept_flat = decoded.join(replaced_ids, "doc_id", "left_anti")
+    # dead terms: drop all their postings
+    kept_flat = kept_flat.join(
+        F.broadcast(dead_terms.select("term_id")), "term_id", "left_anti")
+    ins_flat = (new_flat.join(tid_of.select("term", "term_id"), "term")
+                .select("term_id", "doc_id", "tf", "dl"))
+    merged_flat = kept_flat.unionByName(ins_flat)
+
+    # re-score with the NEW stats and re-encode (same encoder as the builder)
+    df_of = F.broadcast(new_terms.select("term_id", "df"))
+    scored = (merged_flat.join(df_of, "term_id")
+              .withColumn("score", bm25_idf(F.col("df"), n_docs)
+                          * bm25_tf_part(F.col("tf"), F.col("dl"), avgdl))
+              .withColumn("bucket", (F.col("doc_id") / F.lit(bucket_range)).cast("int")))
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        from searchengine_spark.operators.codec import encode_block, varint_encode
+        term_id = int(pdf["term_id"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        ids = pdf["doc_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        tfs = pdf["tf"].to_numpy()[order]
+        dls = pdf["dl"].to_numpy()[order]
+        scores = pdf["score"].to_numpy()[order]
+        out = []
+        for j, lo in enumerate(range(0, len(ids), block_size)):
+            hi = min(lo + block_size, len(ids))
+            first, n, d, t = encode_block(ids[lo:hi], tfs[lo:hi])
+            out.append((term_id, bucket * bpb + j, first, n, d, t,
+                        varint_encode(dls[lo:hi].astype("uint64")),
+                        float(scores[lo:hi].max()), int(tfs[lo:hi].max())))
+        return pd.DataFrame(out, columns=[
+            "term_id", "block_id", "first_doc_id", "n", "doc_deltas", "tfs",
+            "dls", "block_max_score", "block_max_tf"])
+
+    rewritten = scored.groupBy("term_id", "bucket").applyInPandas(
+        _encode,
+        schema=("term_id long, block_id int, first_doc_id long, n int, "
+                "doc_deltas binary, tfs binary, dls binary, "
+                "block_max_score double, block_max_tf int"))
+
+    new_postings = untouched_blocks.unionByName(rewritten).persist()
+
+    # re-denormalize the per-term WAND bound columns (max_tf is exact; the
+    # stored block_max_score values of untouched blocks reflect the OLD
+    # stats, which is why new_stats carries tf_bounds=True and the query
+    # path derives bounds from max_tf instead)
+    term_max = new_postings.groupBy("term_id").agg(
+        F.max("block_max_score").alias("max_score"),
+        F.max("block_max_tf").alias("max_tf"))
+    final_terms = new_terms.join(term_max, "term_id", "left").persist()
+
+    return {"mode": mode, "docs": new_docs.persist(), "terms": final_terms,
+            "postings": new_postings, "postings_flat": None, "stats": new_stats}
+
+
+# --------------------------------------------------------------------------
+# Persisted snapshot flow (Iceberg-MERGE analog over plain parquet)
+# --------------------------------------------------------------------------
+
+def _current_path(root: str) -> str:
+    return os.path.join(root, "CURRENT")
+
+
+def read_current(root: str) -> str | None:
+    cp = _current_path(root)
+    if os.path.exists(cp):
+        with open(cp) as f:
+            return os.path.join(root, json.load(f)["snapshot"])
+    return None
+
+
+def commit_snapshot(root: str, snapshot: str) -> None:
+    """Atomic pointer flip — the parquet stand-in for an Iceberg commit."""
+    tmp = _current_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"snapshot": snapshot}, f)
+    os.replace(tmp, _current_path(root))
+
+
+def merge_into_path(spark: SparkSession, root: str, delta: DataFrame) -> str:
+    """MERGE delta into the CURRENT snapshot under ``root``; writes a new
+    snapshot dir and flips CURRENT atomically. Returns the new snapshot dir."""
+    from searchengine_spark.plans.manifest import load_index, save_index
+
+    cur = read_current(root)
+    if cur is None:
+        raise ValueError(f"no CURRENT snapshot under {root}")
+    index = load_index(spark, cur)
+    merged = upsert_turns(index, delta)
+    n = len([d for d in os.listdir(root) if d.startswith("snap-")])
+    snap = f"snap-{n:05d}"
+    save_index(merged, os.path.join(root, snap))
+    commit_snapshot(root, snap)
+    return os.path.join(root, snap)

@@ -147,7 +147,8 @@ def save_index(index: dict, path: str, term_buckets: int = 16) -> None:
      .write.mode("overwrite").partitionBy("term_bucket")
      .parquet(os.path.join(path, "postings")))
     with open(os.path.join(path, "stats.json"), "w") as f:
-        json.dump({**index["stats"], "mode": index["mode"]}, f)
+        json.dump({**index["stats"], "mode": index["mode"],
+                   "term_buckets": term_buckets}, f)
 
 
 def load_index(spark: SparkSession, path: str) -> dict:

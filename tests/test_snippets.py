@@ -1,0 +1,94 @@
+"""Q10 snippets + Q11 pagination (SURVEY.md §2.4).
+
+Snippet semantics under test (reference:
+services/SearchingServiceImpl.java:418-505): pick a "sentence"
+([^.!?;]* around a query word, case-insensitive), require a word-boundary
+match, wrap each query-word occurrence in <b>, trim long sentences to
+~120 chars around the first hit, fall back to the no-match string.
+Pagination: the reference declares offset/limit but ignores them
+(controllers/ApiController.java:55-58) — ours is real.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.snippets import CAP, NO_MATCH, make_snippet
+from searchengine_spark.operators.search import search
+
+
+class TestMakeSnippet:
+    def test_basic_highlight(self):
+        out = make_snippet("Alpha beta gamma. Next sentence here.", ["beta"])
+        assert out == "Alpha <b>beta</b> gamma"
+
+    def test_case_insensitive(self):
+        out = make_snippet("ALPHA Beta gamma", ["beta"])
+        assert "<b>Beta</b>" in out
+
+    def test_word_boundary_no_partial(self):
+        assert make_snippet("alphabet soup", ["alpha"]) == NO_MATCH
+
+    def test_multiple_words_highlighted(self):
+        out = make_snippet("alpha and beta walk in", ["alpha", "beta"])
+        assert "<b>alpha</b>" in out and "<b>beta</b>" in out
+
+    def test_sentence_isolation(self):
+        out = make_snippet("First part. target here. trailing part", ["target"])
+        assert "First part" not in out and "<b>target</b> here" in out
+
+    def test_no_match_fallback(self):
+        assert make_snippet("nothing relevant", ["missing"]) == NO_MATCH
+        assert make_snippet("", ["word"]) == NO_MATCH
+        assert make_snippet("text", []) == NO_MATCH
+
+    def test_long_sentence_trimmed(self):
+        text = "x " * 200 + "needle" + " y" * 200
+        out = make_snippet(text, ["needle"])
+        assert "<b>needle</b>" in out
+        assert len(out) <= max(CAP, 300) + 2  # ellipses allowed
+        assert out.startswith("…")
+
+
+class TestSearchSnippets:
+    def test_snippet_column_on_hits(self, index_general):
+        hits = search(index_general, "timeout", k=5, mode="bm25",
+                      with_snippets=True).collect()
+        assert len(hits) > 0
+        for r in hits:
+            assert "<b>timeout</b>" in r["snippet"].lower() or r["snippet"] == NO_MATCH
+
+    def test_snippet_ref_compat(self, index_ref):
+        # retrieval is lemma-based; expand_query_words highlights every
+        # surface form of the query lemma, so each true hit gets a highlight
+        hits = search(index_ref, "лес", k=5, mode="ref_compat",
+                      with_snippets=True).collect()
+        assert hits and all("<b>" in r["snippet"] for r in hits)
+
+    def test_expand_query_words_covers_forms(self):
+        from searchengine_spark.functions.snippets import expand_query_words
+        words = expand_query_words("лес", "ref_compat")
+        assert "лес" in words and "лесом" in words  # inflected form included
+
+
+class TestPagination:
+    def test_offset_slices_ranking(self, index_general):
+        full = search(index_general, "ошибку лес", k=20, mode="bm25").collect()
+        page2 = search(index_general, "ошибку лес", k=10, mode="bm25",
+                       offset=10).collect()
+        want = [(r["doc_id"], round(r["score"], 9)) for r in full[10:20]]
+        got = [(r["doc_id"], round(r["score"], 9)) for r in page2]
+        assert got == want
+
+    def test_offset_ref_compat_scores_globally_normalized(self, index_ref):
+        full = search(index_ref, "лес дом", k=20, mode="ref_compat").collect()
+        page2 = search(index_ref, "лес дом", k=10, mode="ref_compat",
+                       offset=10).collect()
+        want = [(r["doc_id"], round(r["score"], 9)) for r in full[10:20]]
+        got = [(r["doc_id"], round(r["score"], 9)) for r in page2]
+        assert got == want
+
+    def test_offset_past_end_empty(self, index_general):
+        n = search(index_general, "timeout", k=10000, mode="bm25").count()
+        assert search(index_general, "timeout", k=10, mode="bm25",
+                      offset=n).count() == 0

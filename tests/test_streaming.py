@@ -1,0 +1,106 @@
+"""Structured-Streaming surface: micro-batch index maintenance + windowed
+stats (SURVEY.md §2.7 — a scale capability the reference lacks; its analog
+is the ad-hoc upsert endpoint, controllers/ApiController.java:50-53)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.indexer import build_index
+from searchengine_spark.operators.search import search
+from searchengine_spark.operators.upsert import commit_snapshot, read_current
+from searchengine_spark.plans.manifest import load_index, save_index
+from searchengine_spark.streaming.stream_index import (
+    stream_index_turns, streaming_stats)
+
+SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+
+def _mk_df(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(pdf, schema=SCHEMA)
+
+
+def _row(conv, turn, text, ts="2026-01-01 00:00:00", role="user"):
+    return (conv, turn, role, text, None, ts)
+
+
+def test_stream_merge_matches_rebuild(spark, tmp_path_factory):
+    base_rows = [_row("c0", 0, "alpha beta"), _row("c0", 1, "beta gamma"),
+                 _row("c1", 0, "gamma delta alpha")]
+    drop1 = [_row("c2", 0, "epsilon beta"), _row("c0", 1, "zeta zeta")]
+    drop2 = [_row("c3", 0, "alpha epsilon")]
+
+    root = str(tmp_path_factory.mktemp("stream_root"))
+    src = str(tmp_path_factory.mktemp("stream_src"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+
+    base = build_index(_mk_df(spark, base_rows), mode="general",
+                       bucket_range=256, block_size=32)
+    save_index(base, f"{root}/snap-00000")
+    commit_snapshot(root, "snap-00000")
+
+    _mk_df(spark, drop1).write.parquet(f"{src}/d1")
+    _mk_df(spark, drop2).write.parquet(f"{src}/d2")
+    # file-source stream over the drop files (glob into subdirs)
+    q = stream_index_turns(spark, f"{src}/*", root, ckpt, available_now=True)
+    q.awaitTermination(120)
+
+    mutated = {(r[0], r[1]): r for r in base_rows}
+    for r in drop1 + drop2:
+        mutated[(r[0], r[1])] = r
+    rebuilt = build_index(_mk_df(spark, list(mutated.values())), mode="general",
+                          bucket_range=256, block_size=32)
+
+    final = load_index(spark, read_current(root))
+    up = {r["term"]: r["df"] for r in final["terms"].collect()}
+    rb = {r["term"]: r["df"] for r in rebuilt["terms"].collect()}
+    assert up == rb
+    got = search(final, "alpha epsilon", k=10, mode="bm25") \
+        .select("conv_id", "turn_idx", "score").collect()
+    want = search(rebuilt, "alpha epsilon", k=10, mode="bm25") \
+        .select("conv_id", "turn_idx", "score").collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in got] == \
+           [(r["conv_id"], r["turn_idx"]) for r in want]
+    for a, b in zip(got, want):
+        assert abs(a["score"] - b["score"]) < 1e-9
+
+
+def test_stream_restart_is_idempotent(spark, tmp_path_factory):
+    """Re-running the drained stream (same checkpoint) applies nothing new."""
+    root = str(tmp_path_factory.mktemp("re_root"))
+    src = str(tmp_path_factory.mktemp("re_src"))
+    ckpt = str(tmp_path_factory.mktemp("re_ckpt"))
+    base = build_index(_mk_df(spark, [_row("c0", 0, "alpha beta")]),
+                       mode="general", bucket_range=256, block_size=32)
+    save_index(base, f"{root}/snap-00000")
+    commit_snapshot(root, "snap-00000")
+    _mk_df(spark, [_row("c1", 0, "beta gamma")]).write.parquet(f"{src}/d1")
+
+    stream_index_turns(spark, f"{src}/*", root, ckpt).awaitTermination(120)
+    first = read_current(root)
+    stream_index_turns(spark, f"{src}/*", root, ckpt).awaitTermination(120)
+    assert read_current(root) == first  # no duplicate snapshot
+
+
+def test_streaming_stats_windowed(spark, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("stats_src"))
+    rows = [_row("c0", 0, "aa", "2026-01-01 00:00:10", "user"),
+            _row("c0", 1, "bbbb", "2026-01-01 00:00:50", "assistant"),
+            _row("c1", 0, "cc", "2026-01-01 00:01:10", "user"),
+            _row("c1", 1, "dd", "2026-01-01 00:01:20", "user")]
+    _mk_df(spark, rows).write.parquet(f"{src}/d1")
+    stream = spark.readStream.schema(SCHEMA).parquet(f"{src}/*")
+    agg = streaming_stats(stream, window="1 minute", watermark="2 minutes")
+    q = (agg.writeStream.format("memory").queryName("winstats")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(str(r["window_start"]), r["role"]): (r["n_turns"], r["n_chars"])
+           for r in spark.sql("select * from winstats").collect()}
+    assert got[("2026-01-01 00:00:00", "user")] == (1, 2)
+    assert got[("2026-01-01 00:00:00", "assistant")] == (1, 4)
+    assert got[("2026-01-01 00:01:00", "user")] == (2, 4)
