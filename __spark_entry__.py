@@ -239,6 +239,36 @@ def _q_sim_lsh_topk(spark, sf_dir):
     return lsh_bucket_topk(emb, qvec, k=K, n_planes=8, multiprobe=1)
 
 
+def _q_sim_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs on a vec_id<300 slice)."""
+    from searchengine_spark.functions.similarity import cosine_neardup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 300)
+    return cosine_neardup_pairs(emb, threshold=0.35)
+
+
+def _q_sim_lsh_neardup(spark, sf_dir):
+    """LSH-bucketed near-dup pairs (scale path; rows-only — recall < 1)."""
+    from searchengine_spark.functions.similarity import lsh_neardup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 300)
+    dim = len(emb.select("embedding").first()["embedding"])
+    return lsh_neardup_pairs(emb, dim, threshold=0.35, n_planes=4)
+
+
+def _q_sim_ivf_topk(spark, sf_dir):
+    """IVF two-stage ANN (rows-only: approximate by construction)."""
+    from searchengine_spark.functions.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ivf_topk(emb, qvec, k=K, n_centroids=16, n_probe=4)
+
+
+def _q_token_count_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenizer token counts per doc."""
+    from searchengine_spark.functions.text import token_count_bpe
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", token_count_bpe(F.col("text")).alias("n_bpe_tokens"))
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: synthetic media table → image feature extraction
     (decode stubbed, Spark plumbing real; rows-only check)."""
@@ -266,6 +296,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
+        "sim_ivf_topk": _q_sim_ivf_topk,
+        "sim_neardup_pairs": _q_sim_neardup,
+        "sim_lsh_neardup_pairs": _q_sim_lsh_neardup,
+        "text_token_count_bpe": _q_token_count_bpe,
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
         "text_lang_id": _q_lang_id,
@@ -440,6 +474,22 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": """
             select doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp
+            from documents""",
+        "sim_neardup_pairs": """
+            with e as (select vec_id, embedding::DOUBLE[] as v
+                       from embeddings where vec_id < 300),
+            p as (
+              select a.vec_id as id_a, b.vec_id as id_b,
+                     round(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6) as cos
+              from e a join e b on a.vec_id < b.vec_id)
+            select id_a, id_b, cos from p where cos >= 0.35""",
+        "text_token_count_bpe": """
+            select doc_id,
+                   cast(len(regexp_extract_all(text,
+                     '[A-Za-zА-Яа-яЁё]+|[0-9]+|[^\\sA-Za-zА-Яа-яЁё0-9]')) as int)
+                   as n_bpe_tokens
             from documents""",
         "text_lang_id": """
             with toks as (

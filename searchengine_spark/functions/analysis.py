@@ -74,27 +74,41 @@ def analyze_text(text: str, mode: str = "general",
 def make_analyze_udf(mode: str = "general",
                      lemma_of: dict[str, str] | None = None,
                      stop_words: frozenset[str] | None = None):
-    """Vectorized pandas UDF: text → array<string> of lemmas."""
+    """Vectorized pandas UDF: text → array<string> of lemmas.
+
+    Regrouping exploded tokens back into per-row lists is done with a
+    searchsorted over the (nondecreasing) exploded index instead of
+    ``groupby(level=0).agg(list)`` — the groupby-into-lists path allocates
+    millions of tiny Python objects per Arrow batch and measured ~6-10×
+    slower end-to-end inside Spark workers.
+    """
+    import numpy as np
+
     lemma_of = LEMMA_OF if lemma_of is None else lemma_of
     stop_words = STOP_WORDS if stop_words is None else stop_words
     pat = _pattern(mode)
     lemma_series_src = pd.Series(lemma_of)
-    stop_list = sorted(stop_words)
+    stop_set = frozenset(stop_words)
     ref_compat = mode == "ref_compat"
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def analyze(texts: pd.Series) -> pd.Series:
-        toks = texts.fillna("").str.lower().str.replace(pat, " ", regex=True).str.split()
+        tser = texts.reset_index(drop=True)
+        toks = tser.fillna("").str.lower().str.replace(pat, " ", regex=True).str.split()
         ex = toks.explode()
-        keep = ex.notna() & ~ex.isin(stop_list)
+        keep = ex.notna() & ~ex.isin(stop_set)
         ex = ex[keep]
         mapped = ex.map(lemma_series_src)
         if ref_compat:
-            mapped = mapped.dropna()
+            mapped = mapped.dropna()  # no normal form → skip (Lemmatizator.java:47-52)
         else:
             mapped = mapped.fillna(ex)
-        out = mapped.groupby(level=0).agg(list)
-        return out.reindex(texts.index).apply(lambda v: v if isinstance(v, list) else [])
+        idx = mapped.index.to_numpy()  # nondecreasing row ids post-explode
+        vals = mapped.to_numpy()
+        bounds = np.searchsorted(idx, np.arange(len(tser) + 1))
+        return pd.Series(
+            [vals[bounds[i]:bounds[i + 1]].tolist() for i in range(len(tser))],
+            index=texts.index)
 
     return analyze
 
@@ -102,6 +116,81 @@ def make_analyze_udf(mode: str = "general",
 def analyze_col(text: Column, mode: str = "general") -> Column:
     """Default analysis: the vectorized pandas UDF (Arrow-batched)."""
     return make_analyze_udf(mode)(text)
+
+
+# T2-T5 fused: the index build consumes per-doc (term, tf) pairs, so counting
+# inside the UDF (SURVEY.md §2.2 T5's preferred form) makes the tf stage
+# shuffle-free — explode(arrays_zip(terms, tfs)) is a narrow JVM op, and the
+# first real shuffle of the build is the df/postings aggregation.
+TT_SCHEMA = T.StructType([
+    T.StructField("terms", T.ArrayType(T.StringType())),
+    T.StructField("tfs", T.ArrayType(T.IntegerType())),
+    T.StructField("dl", T.IntegerType()),
+])
+
+
+def make_analyze_tf_udf(mode: str = "general",
+                        lemma_of: dict[str, str] | None = None,
+                        stop_words: frozenset[str] | None = None):
+    """Vectorized pandas UDF: text → struct(terms, tfs, dl) with per-doc
+    term frequencies already counted (same T2/T3/T4 semantics as
+    ``make_analyze_udf``; equality-tested against it)."""
+    import numpy as np
+
+    lemma_of = LEMMA_OF if lemma_of is None else lemma_of
+    stop_words = STOP_WORDS if stop_words is None else stop_words
+    pat = _pattern(mode)
+    lemma_series_src = pd.Series(lemma_of)
+    stop_set = frozenset(stop_words)
+    ref_compat = mode == "ref_compat"
+
+    @F.pandas_udf(TT_SCHEMA)
+    def analyze_tf(texts: pd.Series) -> pd.DataFrame:
+        tser = texts.reset_index(drop=True)
+        toks = tser.fillna("").str.lower().str.replace(pat, " ", regex=True).str.split()
+        ex = toks.explode()
+        keep = ex.notna() & ~ex.isin(stop_set)
+        ex = ex[keep]
+        mapped = ex.map(lemma_series_src)
+        if ref_compat:
+            mapped = mapped.dropna()
+        else:
+            mapped = mapped.fillna(ex)
+        tok_idx = mapped.index.to_numpy()  # nondecreasing row ids
+        n_rows = len(tser)
+        tok_bounds = np.searchsorted(tok_idx, np.arange(n_rows + 1))
+        dl = np.diff(tok_bounds).astype("int32")
+        cnt = pd.DataFrame({"r": tok_idx, "t": mapped.to_numpy()}).groupby(
+            ["r", "t"], sort=False).size()
+        r = cnt.index.get_level_values(0).to_numpy()
+        terms = cnt.index.get_level_values(1).to_numpy()
+        tfs = cnt.to_numpy().astype("int32")
+        order = np.argsort(r, kind="stable")
+        r, terms, tfs = r[order], terms[order], tfs[order]
+        bounds = np.searchsorted(r, np.arange(n_rows + 1))
+        return pd.DataFrame({
+            "terms": [terms[bounds[i]:bounds[i + 1]].tolist() for i in range(n_rows)],
+            "tfs": [tfs[bounds[i]:bounds[i + 1]].tolist() for i in range(n_rows)],
+            "dl": dl,
+        }, index=texts.index)
+
+    return analyze_tf
+
+
+def analyze_tf_col(text: Column, mode: str = "general") -> Column:
+    """Fused analysis+tf-count UDF column (struct terms/tfs/dl)."""
+    return make_analyze_tf_udf(mode)(text)
+
+
+def tf_pairs(docs: DataFrame, tt_col: str = "tt") -> DataFrame:
+    """(doc_id, dl, term, tf) rows from the fused struct — narrow ops only
+    (explode of pre-counted pairs; no shuffle)."""
+    return (docs
+            .select("doc_id", "dl",
+                    F.explode(F.arrays_zip(F.col(f"{tt_col}.terms").alias("term"),
+                                           F.col(f"{tt_col}.tfs").alias("tf"))).alias("x"))
+            .select("doc_id", "dl", F.col("x.term").alias("term"),
+                    F.col("x.tf").cast("long").alias("tf")))
 
 
 def tokenize_col_builtin(text: Column, mode: str = "general") -> Column:

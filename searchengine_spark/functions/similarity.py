@@ -74,6 +74,45 @@ def lsh_bucket_topk(df: DataFrame, qvec: list[float], k: int = 10, n_planes: int
     return cosine_topk(cand, qvec, k, vec_col, id_col)
 
 
+def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
+                         vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+
+    Exact all-pairs formulation: self-join (cross within the corpus) with the
+    cosine in whole-stage codegen — the correctness baseline, quadratic, for
+    modest slices. The scale path is ``lsh_neardup_pairs``: bucket once with
+    random hyperplanes, compare only within buckets."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    va = F.transform(F.col("_va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("_vb"), lambda x: x.cast("double"))
+    cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", F.round(cos, 6))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos"))
+
+
+def lsh_neardup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
+                      n_planes: int = 8, vec_col: str = "embedding",
+                      id_col: str = "vec_id", seed: int = 42) -> DataFrame:
+    """Near-dup pairs at scale: candidates = pairs sharing an LSH sign bucket
+    (collision probability rises with cosine), verified with the exact
+    cosine. Misses pairs split across buckets — recall tunes via n_planes /
+    band repetition; the within-bucket join replaces the quadratic blowup
+    with per-bucket quadratic cost."""
+    bucketed = lsh_bucket_ids(df, dim, n_planes, vec_col, id_col, seed)
+    a = bucketed.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = bucketed.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    va = F.transform(F.col("_va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("_vb"), lambda x: x.cast("double"))
+    cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+    return (a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", F.round(cos, 6))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos").distinct())
+
+
 def ivf_topk(df: DataFrame, qvec: list[float], k: int = 10, n_centroids: int = 16,
              n_probe: int = 2, vec_col: str = "embedding", id_col: str = "vec_id",
              seed: int = 42) -> DataFrame:

@@ -83,6 +83,32 @@ def tokens_col_raw(text: Column) -> Column:
     return F.filter(arr, lambda w: w != F.lit(""))
 
 
+def html_to_text(text: Column) -> Column:
+    """T1 analog (reference: Jsoup.parse(html).text() at
+    dto/indexing/PageIndexer.java:93): strip script/style blocks, tags, and
+    common entities; collapse whitespace. Pure built-ins — regex-based, good
+    enough for indexing (not a sanitizer)."""
+    t = F.regexp_replace(text, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, rep in [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")]:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+# BPE-ish pre-tokenizer: word pieces, numbers, and single punctuation marks —
+# the shape GPT-2-style byte-pair pre-tokenization produces before merges.
+BPE_PATTERN = r"[A-Za-zА-Яа-яЁё]+|[0-9]+|[^\sA-Za-zА-Яа-яЁё0-9]"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Pre-tokenizer token count (proxy for LLM token budgeting at corpus
+    scale; the true BPE merge table only shrinks counts)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text — the exact-dedup key at corpus scale."""

@@ -29,7 +29,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from searchengine_spark.functions.analysis import analyze_col
+from searchengine_spark.functions.analysis import analyze_tf_col, tf_pairs
 from searchengine_spark.operators.codec import BLOCK_SIZE
 
 K1 = 1.2
@@ -80,16 +80,47 @@ def assign_dense_ids(df: DataFrame, key_col: str, order_cols: list[str],
 
 
 def build_docs(transcripts: DataFrame, mode: str = "general") -> DataFrame:
-    """docs table: dedup → dense doc_id over (conv_id, turn_idx) → lemmas + dl.
+    """docs table: dedup → dense doc_id over (conv_id, turn_idx) → fused
+    analysis struct ``tt`` (terms, tfs, dl) + dl.
 
     doc_id is the dense rank over the stable (conv_id, turn_idx) order, so
     ordering by doc_id IS the per-row-invariant stable turn ordering —
-    downstream tie-breaks only need doc_id.
+    downstream tie-breaks only need doc_id. tf is counted inside the
+    analysis UDF (T5), so the tf stage downstream is shuffle-free.
     """
-    deduped = dedup_turns(transcripts)
-    with_id = assign_dense_ids(deduped, "conv_id", ["turn_idx"], "doc_id")
-    analyzed = with_id.withColumn("lemmas", analyze_col(F.col("text"), mode))
-    return analyzed.withColumn("dl", F.size("lemmas"))
+    with_id = dedup_and_assign_doc_ids(transcripts)
+    analyzed = with_id.withColumn("tt", analyze_tf_col(F.col("text"), mode))
+    return analyzed.withColumn("dl", F.col("tt.dl"))
+
+
+def dedup_and_assign_doc_ids(transcripts: DataFrame) -> DataFrame:
+    """S2 dedup + dense doc_id in ONE shuffle.
+
+    Both windows share the hash(conv_id) distribution, so Spark plans a
+    single exchange (plus cheap in-partition sorts): the pick window keeps
+    the first row of each (conv_id, turn_idx) run, dense_rank over turn_idx
+    is the local id, and per-conv counts roll into global offsets via the
+    level-2 prefix sum + a broadcast join back (offsets table is |convs|
+    rows — at 10^12-turn conv cardinality, recurse the same pattern over a
+    conv_id prefix). The row payload (text) crosses the wire exactly once.
+    """
+    # NOTE: no payload columns in the sort key — sorting by text-sized keys
+    # measured ~5× slower. (turn_idx, ts, role) discriminates duplicates;
+    # rows identical on all three are exact copies, so the pick is stable.
+    w_pick = Window.partitionBy("conv_id").orderBy("turn_idx", "ts", "role")
+    w_rank = Window.partitionBy("conv_id").orderBy("turn_idx")
+    x = (transcripts
+         .withColumn("_prev", F.lag("turn_idx").over(w_pick))
+         .withColumn("_lid", F.dense_rank().over(w_rank) - 1))
+    deduped = x.filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("turn_idx"))) \
+               .drop("_prev")
+    sizes = deduped.groupBy("conv_id").agg((F.max("_lid") + 1).alias("_cnt"))
+    w_off = Window.orderBy("conv_id").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))).drop("_cnt")
+    return (deduped.join(F.broadcast(offsets), "conv_id")
+            .withColumn("doc_id", (F.col("_off") + F.col("_lid")).cast("long"))
+            .drop("_lid", "_off"))
 
 
 def build_index(transcripts: DataFrame, mode: str = "general",
@@ -99,30 +130,50 @@ def build_index(transcripts: DataFrame, mode: str = "general",
     return build_index_from_docs(build_docs(transcripts, mode), mode, bucket_range, block_size)
 
 
-def build_index_from_docs(docs: DataFrame, mode: str = "general",
+def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
                           bucket_range: int = 1 << 16, block_size: int = BLOCK_SIZE) -> dict:
     """Index build over an already-analyzed docs table
-    (doc_id, conv_id, turn_idx, role, tool, ts, lemmas, dl) — shared by the
-    one-shot path and the checkpoint-resume path (plans/manifest.py), which
-    stages analyzed docs per partition and resumes here."""
-    docs = docs.persist()
+    (doc_id, conv_id, turn_idx, role, tool, ts, tt struct, dl) — shared by
+    the one-shot path and the checkpoint-resume path (plans/manifest.py),
+    which stages analyzed docs per partition and resumes here.
+
+    Caching strategy: the served ``docs`` cache is SLIM (tt dropped — the
+    per-row token arrays are ~65× the metadata and caching them as JVM
+    objects dominated build wall-clock); tf rows are cached separately as
+    slim numerics. The analysis UDF therefore runs twice (once per cache),
+    which measures far cheaper than materializing the fat rows.
+    """
+    docs = docs_with_tt.drop("tt").persist()
     stats_row = docs.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
         F.sum("dl").alias("total_tokens")).collect()[0]
     n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
 
-    # T5 + A1: one explode, tf and df share the first shuffle's partial aggs
-    tokens = docs.select("doc_id", "dl", F.explode("lemmas").alias("term"))
-    tf = tokens.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    # T5 done in the UDF: tf pairs explode without any shuffle; the first
+    # shuffle of the build is the (partial+final) df aggregation below.
+    # The UDF is re-applied ON TOP of the cached slim docs — Spark cache
+    # reuse is plan-based, so deriving tf from docs_with_tt's original
+    # lineage would replay the dedup/id shuffles instead of hitting cache.
+    tf = tf_pairs(docs.withColumn("tt", analyze_tf_col(F.col("text"), mode))).persist()
+    # Eager materialization barrier: letting one mega-job evaluate
+    # tf → {df_agg, postings_flat} lazily makes the two branches race to
+    # populate the tf cache (each recomputing UDF partitions) and leaves the
+    # dictionary's size unknown to the join planner — measured ~3× slower.
+    tf.count()
     df_agg = tf.groupBy("term").agg(F.count("*").alias("df"))  # tf rows unique per (doc,term)
     # dense term_id by term asc: prefix-partitioned two-level prefix sum
     terms = assign_dense_ids(
         df_agg.withColumn("_tp", F.substring("term", 1, 1)),
         key_col="_tp", order_cols=["term"], id_col="term_id",
-    ).drop("_tp")
+    ).drop("_tp").persist()
+    n_terms = terms.count()
 
+    # dictionary-side join: broadcast while the dictionary fits (it is tiny
+    # relative to the postings); at 10^8-term scale fall back to a shuffled
+    # hash join on term (AQE picks the strategy from the real sizes).
+    tsel = terms.select("term", "term_id", "df")
     postings_flat = (
-        tf.join(terms.select("term", "term_id", "df"), "term")
+        tf.join(F.broadcast(tsel) if n_terms <= 10_000_000 else tsel, "term")
         .select("term_id", "doc_id", "tf", "dl", "df")
     )
 
@@ -179,7 +230,7 @@ def build_index_from_docs(docs: DataFrame, mode: str = "general",
         "terms": terms_out,
         "postings_flat": postings_flat.select("term_id", "doc_id", "tf"),
         "postings": postings,
-        "stats": {"n_docs": n_docs, "avgdl": avgdl,
+        "stats": {"n_docs": n_docs, "avgdl": avgdl, "n_terms": n_terms,
                   "total_tokens": int(stats_row["total_tokens"] or 0)},
     }
 

@@ -42,17 +42,11 @@ import os
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from searchengine_spark.functions.analysis import analyze_col
+from searchengine_spark.functions.analysis import analyze_tf_col, tf_pairs
 from searchengine_spark.operators.codec import BLOCK_SIZE
 from searchengine_spark.operators.indexer import bm25_idf, bm25_tf_part, dedup_turns
 
 KEY = ["conv_id", "turn_idx"]
-
-
-def _flat_from_lemmas(docs: DataFrame) -> DataFrame:
-    """(doc_id, dl, term, tf) from an analyzed docs slice."""
-    toks = docs.select("doc_id", "dl", F.explode("lemmas").alias("term"))
-    return toks.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
 
 
 def upsert_turns(index: dict, delta: DataFrame,
@@ -65,17 +59,17 @@ def upsert_turns(index: dict, delta: DataFrame,
     stats = index["stats"]
 
     delta = dedup_turns(delta)
-    delta = delta.withColumn("lemmas", analyze_col(F.col("text"), mode)) \
-                 .withColumn("dl", F.size("lemmas"))
+    delta = delta.withColumn("tt", analyze_tf_col(F.col("text"), mode)) \
+                 .withColumn("dl", F.col("tt.dl"))
 
     docs = index["docs"]
     keys = delta.select(*KEY)
 
     # --- docs merge: replaced keys keep doc_id, new keys append after max ---
     replaced = docs.join(F.broadcast(keys), KEY, "inner")
-    if "lemmas" not in replaced.columns:  # loaded-from-parquet index
-        replaced = replaced.withColumn("lemmas", analyze_col(F.col("text"), mode)) \
-                           .withColumn("dl", F.size("lemmas"))
+    if "tt" not in replaced.columns:  # loaded-from-parquet index
+        replaced = replaced.withColumn("tt", analyze_tf_col(F.col("text"), mode)) \
+                           .withColumn("dl", F.col("tt.dl"))
     replaced = replaced.persist()
 
     max_doc_id = docs.agg(F.max("doc_id")).collect()[0][0]
@@ -103,8 +97,8 @@ def upsert_turns(index: dict, delta: DataFrame,
                  "tf_bounds": True}
 
     # --- terms merge: per-term df delta (A1 incremental) ------------------
-    old_flat = _flat_from_lemmas(replaced).persist()   # postings to remove
-    new_flat = _flat_from_lemmas(delta_ided).persist() # postings to insert
+    old_flat = tf_pairs(replaced).persist()   # postings to remove
+    new_flat = tf_pairs(delta_ided).persist() # postings to insert
 
     ddf = (new_flat.groupBy("term").agg(F.count("*").alias("_plus"))
            .join(old_flat.groupBy("term").agg(F.count("*").alias("_minus")),

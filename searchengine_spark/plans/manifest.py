@@ -35,7 +35,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from searchengine_spark.functions.analysis import analyze_col
+from searchengine_spark.functions.analysis import analyze_tf_col
 from searchengine_spark.operators.codec import BLOCK_SIZE
 from searchengine_spark.operators.indexer import assign_dense_ids, dedup_turns
 
@@ -91,8 +91,8 @@ def stage_partitions(transcripts: DataFrame, path: str, n_parts: int = 8,
             part = transcripts.filter((F.col("conv_id") >= r["lo"]) & (F.col("conv_id") <= r["hi"]))
             part = dedup_turns(part)
             part = assign_dense_ids(part, "conv_id", ["turn_idx"], "local_id")
-            part = part.withColumn("lemmas", analyze_col(F.col("text"), mode)) \
-                       .withColumn("dl", F.size("lemmas")) \
+            part = part.withColumn("tt", analyze_tf_col(F.col("text"), mode)) \
+                       .withColumn("dl", F.col("tt.dl")) \
                        .withColumn("part_id", F.lit(pid))
             part.write.mode("overwrite").parquet(stage_dir)
             staged = spark.read.parquet(stage_dir)
@@ -140,7 +140,7 @@ def save_index(index: dict, path: str, term_buckets: int = 16) -> None:
     """Persist docs/terms/postings; postings partitioned by term bucket so a
     query's ``term_id IN (...)`` prunes whole partitions at scan time."""
     os.makedirs(path, exist_ok=True)
-    index["docs"].drop("lemmas").write.mode("overwrite").parquet(os.path.join(path, "docs"))
+    index["docs"].drop("lemmas", "tt").write.mode("overwrite").parquet(os.path.join(path, "docs"))
     index["terms"].write.mode("overwrite").parquet(os.path.join(path, "terms"))
     (index["postings"]
      .withColumn("term_bucket", (F.col("term_id") % term_buckets).cast("int"))

@@ -64,3 +64,20 @@ def test_particles_dropped_any_analysis():
     assert analyze_text("под лесом", "ref_compat") == ["лес"]
     # "уже"/"очень" carry only non-drop tags — kept
     assert analyze_text("уже очень", "general") == ["уже", "очень"]
+
+
+def test_fused_tf_udf_matches_analysis(spark, corpus_pdf):
+    """analyze_tf_col (T2-T5 fused) == Counter(analyze_text) per row, and
+    dl == total token count after filtering."""
+    from collections import Counter
+    from searchengine_spark.functions.analysis import analyze_tf_col
+    sample = corpus_pdf.head(300)
+    df = spark.createDataFrame(sample[["text"]].assign(i=range(len(sample))), "text string, i long")
+    for mode in ("general", "ref_compat"):
+        got = {r["i"]: r["tt"] for r in
+               df.withColumn("tt", analyze_tf_col(F.col("text"), mode)).collect()}
+        for i, t in enumerate(sample["text"]):
+            lemmas = analyze_text(t, mode)
+            tt = got[i]
+            assert dict(zip(tt["terms"], tt["tfs"])) == dict(Counter(lemmas)), (mode, i)
+            assert tt["dl"] == len(lemmas)

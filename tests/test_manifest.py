@@ -1,0 +1,116 @@
+"""Checkpointed build + kill-and-resume (O3/O4/S5, SURVEY.md §5.5).
+
+Reference semantics re-expressed: site status rows INDEXING/INDEXED/FAILED
+(reference: model/SiteEntity.java:27-35, dto/indexing/SiteIndexer.java:64-84)
+become per-partition manifest rows; destructive truncate-and-reload
+(dto/indexing/SiteIndexer.java:108-129) becomes idempotent resume that skips
+DONE partitions and reproduces the identical index.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+import searchengine_spark.plans.manifest as M
+from searchengine_spark.operators.indexer import build_index
+from searchengine_spark.operators.search import search
+from searchengine_spark.plans.manifest import (
+    finalize_index, load_index, read_manifest, save_index, stage_partitions)
+
+N_PARTS = 4
+
+
+def _terms_map(index):
+    return {r["term"]: r["df"] for r in index["terms"].collect()}
+
+
+def _topk(index, q, mode="bm25"):
+    return [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+            for r in search(index, q, k=10, mode=mode).collect()]
+
+
+@pytest.fixture(scope="module")
+def oneshot(corpus_df):
+    idx = build_index(corpus_df, mode="general", bucket_range=256, block_size=32)
+    idx["postings"].count()
+    return idx
+
+
+def test_staged_build_equals_oneshot(spark, corpus_df, oneshot, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("staged"))
+    manifest = stage_partitions(corpus_df, path, n_parts=N_PARTS, mode="general")
+    assert sorted(manifest) == list(range(N_PARTS))
+    assert all(row["status"] == "DONE" for row in manifest.values())
+    # lineage metrics present per partition (the O4 requirement)
+    for row in manifest.values():
+        assert row["docs"] > 0 and row["tokens"] > 0
+        assert row["docs_per_sec"] > 0 and row["bytes"] > 0
+
+    staged = finalize_index(spark, path, mode="general",
+                            bucket_range=256, block_size=32)
+    assert _terms_map(staged) == _terms_map(oneshot)
+    assert staged["stats"]["n_docs"] == oneshot["stats"]["n_docs"]
+    assert _topk(staged, "лес ошибку") == _topk(oneshot, "лес ошибку")
+    # dense doc ids agree with the one-shot build (global prefix-sum order)
+    a = sorted((r["doc_id"], r["conv_id"], r["turn_idx"])
+               for r in staged["docs"].select("doc_id", "conv_id", "turn_idx").collect())
+    b = sorted((r["doc_id"], r["conv_id"], r["turn_idx"])
+               for r in oneshot["docs"].select("doc_id", "conv_id", "turn_idx").collect())
+    assert a == b
+
+
+def test_kill_and_resume_reproduces_index(spark, corpus_df, oneshot,
+                                          tmp_path_factory, monkeypatch):
+    path = str(tmp_path_factory.mktemp("resume"))
+
+    # simulate a crash after 2 partitions: append_manifest raises on the 3rd
+    real_append = M.append_manifest
+    calls = {"n": 0}
+
+    def dying_append(p, row):
+        if row["status"] == "DONE":
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise RuntimeError("simulated crash before partition-3 commit")
+        real_append(p, row)
+
+    monkeypatch.setattr(M, "append_manifest", dying_append)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        stage_partitions(corpus_df, path, n_parts=N_PARTS, mode="general")
+    monkeypatch.setattr(M, "append_manifest", real_append)
+
+    partial = read_manifest(path)
+    done_before = {p for p, row in partial.items() if row["status"] == "DONE"}
+    assert len(done_before) == 2  # crashed mid-build
+
+    # completed stage dirs must not be rewritten on resume
+    done_files = {}
+    for pid in done_before:
+        for f in glob.glob(os.path.join(path, f"stage/part={pid:05d}", "*.parquet")):
+            done_files[f] = os.path.getmtime(f)
+
+    manifest = stage_partitions(corpus_df, path, n_parts=N_PARTS, mode="general")
+    assert all(row["status"] == "DONE" for row in manifest.values())
+    for f, mtime in done_files.items():
+        assert os.path.getmtime(f) == mtime, f"resume rewrote completed {f}"
+
+    resumed = finalize_index(spark, path, mode="general",
+                             bucket_range=256, block_size=32)
+    assert _terms_map(resumed) == _terms_map(oneshot)
+    assert _topk(resumed, "timeout merge") == _topk(oneshot, "timeout merge")
+    assert _topk(resumed, "лес дом", "ref_compat") == _topk(oneshot, "лес дом", "ref_compat")
+
+
+def test_save_load_round_trip(spark, oneshot, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("saved"))
+    save_index(oneshot, path, term_buckets=8)
+    loaded = load_index(spark, path)
+    assert loaded["stats"]["term_buckets"] == 8
+    assert _terms_map(loaded) == _terms_map(oneshot)
+    assert _topk(loaded, "лес ошибку") == _topk(oneshot, "лес ошибку")
+    # partition pruning is plannable: the scan must carry term_bucket
+    plan = search(loaded, "лес", k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan

@@ -1,0 +1,68 @@
+"""Training-pipeline operators: HTML strip (T1 analog), BPE-ish token count,
+embedding near-dup pairs (exact + LSH subset property)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.similarity import (
+    cosine_neardup_pairs, lsh_neardup_pairs)
+from searchengine_spark.functions.text import html_to_text, token_count_bpe
+
+
+def test_html_to_text(spark):
+    rows = [
+        ("<html><body><p>Hello <b>world</b></p></body></html>", "Hello world"),
+        ("<script>var x = 1;</script>text after", "text after"),
+        ("<style>p { color: red }</style>styled", "styled"),
+        ("a &amp; b &lt;tag&gt; &nbsp; c", 'a & b <tag> c'),
+        ("<!-- comment -->visible", "visible"),
+        ("no markup at all", "no markup at all"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "html string")
+    got = [r["t"] for r in df.select(html_to_text(F.col("html")).alias("t")).collect()]
+    assert got == [w for _, w in rows]
+
+
+def test_token_count_bpe(spark):
+    rows = [("Hello, world!", 4),      # Hello , world !
+            ("x=1; y=2", 6),           # x = 1 ; y(=2 -> y = 2)... x,=,1,;,y,=,2 = 7
+            ("", 0),
+            ("слово word 42", 3)]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r["n"] for r in df.select(token_count_bpe(F.col("text")).alias("n")).collect()]
+    assert got[0] == 4 and got[2] == 0 and got[3] == 3
+    assert got[1] == 7  # x = 1 ; y = 2
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(40, 16))
+    # plant near-dups: vectors 40..49 are tiny perturbations of 0..9
+    dup = base[:10] + rng.normal(scale=0.01, size=(10, 16))
+    mat = np.vstack([base, dup])
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_cosine_neardup_exact(vectors):
+    pairs = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in cosine_neardup_pairs(vectors, threshold=0.99).collect()}
+    for i in range(10):
+        assert (i, 40 + i) in pairs, f"planted near-dup {i} not found"
+        assert pairs[(i, 40 + i)] > 0.99
+    # random gaussian pairs in 16d essentially never hit 0.99
+    assert len(pairs) == 10
+
+
+def test_lsh_neardup_subset_of_exact(vectors):
+    exact = {(r["id_a"], r["id_b"])
+             for r in cosine_neardup_pairs(vectors, threshold=0.99).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in lsh_neardup_pairs(vectors, dim=16, threshold=0.99,
+                                      n_planes=4).collect()}
+    assert lsh <= exact          # verification step guarantees precision
+    assert len(lsh) >= len(exact) // 2  # near-identical vectors mostly collide
