@@ -269,6 +269,19 @@ def _q_token_count_bpe(spark, sf_dir):
     return d.select("doc_id", token_count_bpe(F.col("text")).alias("n_bpe_tokens"))
 
 
+def _q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization of the events table (30-min gap)."""
+    from searchengine_spark.functions.events import sessionize_events_batch
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_events_batch(ev, gap_seconds=1800.0)
+
+
+def _q_event_type_rollup(spark, sf_dir):
+    """Per-event-type count/sum/avg rollup."""
+    from searchengine_spark.functions.events import event_type_rollup
+    return event_type_rollup(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: synthetic media table → image feature extraction
     (decode stubbed, Spark plumbing real; rows-only check)."""
@@ -300,6 +313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup_pairs": _q_sim_neardup,
         "sim_lsh_neardup_pairs": _q_sim_lsh_neardup,
         "text_token_count_bpe": _q_token_count_bpe,
+        "events_sessionize": _q_sessionize_events,
+        "events_type_rollup": _q_event_type_rollup,
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
         "text_lang_id": _q_lang_id,
@@ -491,6 +506,27 @@ def oracle_sql() -> dict[str, str]:
                      '[A-Za-zА-Яа-яЁё]+|[0-9]+|[^\\sA-Za-zА-Яа-яЁё0-9]')) as int)
                    as n_bpe_tokens
             from documents""",
+        "events_sessionize": """
+            with marked as (
+              select user_id, event_id, ts, coalesce(value, 0.0) as value,
+                case when lag(ts) over w is null
+                       or epoch(ts) - epoch(lag(ts) over w) > 1800 then 1
+                     else 0 end as is_new
+              from events
+              window w as (partition by user_id order by ts, event_id)),
+            numbered as (
+              select *, sum(is_new) over (partition by user_id
+                                          order by ts, event_id) as sess
+              from marked)
+            select user_id, min(ts) as session_start, max(ts) as session_end,
+                   cast(count(*) as bigint) as n_events,
+                   round(sum(value), 6) as value_sum
+            from numbered group by user_id, sess""",
+        "events_type_rollup": """
+            select event_type, cast(count(*) as bigint) as n,
+                   round(sum(value), 6) as value_sum,
+                   round(avg(value), 6) as value_avg
+            from events group by event_type""",
         "text_lang_id": """
             with toks as (
               select doc_id, list_distinct(list_filter(

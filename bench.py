@@ -57,7 +57,11 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
     from searchengine_spark.operators.search import search
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # 2× cpus shuffle partitions: the encode/applyInPandas stages need more
+    # tasks than cores to balance (measured ~5× on the sf1.0 build); AQE
+    # coalesces the small stages back down.
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(2 * cpus, 64))
     queries: dict[str, float] = {}
     extras: dict = {}
 
@@ -73,19 +77,30 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
     extras["index_build_turns_per_sec"] = round(n_turns / build_s, 1)
     extras["n_turns"] = n_turns
 
-    # --- engine: query latency (warm index) -------------------------------
-    lat = []
+    # --- engine: query latency (cold pass, then warm pass) ----------------
+    lat_cold, lat_warm = [], []
     for name, (q, mode, prune) in SEARCH_QUERIES.items():
         t0 = time.time()
         search(index, q, k=10, mode=mode, prune_blocks=prune).collect()
         dt = time.time() - t0
         queries[name] = round(dt, 3)
-        lat.append(dt)
-    lat.sort()
-    extras["search_p50_sec"] = round(lat[len(lat) // 2], 3)
+        lat_cold.append(dt)
+    for name, (q, mode, prune) in SEARCH_QUERIES.items():
+        t0 = time.time()
+        search(index, q, k=10, mode=mode, prune_blocks=prune).collect()
+        lat_warm.append(time.time() - t0)
+    lat_cold.sort(), lat_warm.sort()
+    extras["search_p50_sec"] = round(lat_cold[len(lat_cold) // 2], 3)
+    extras["search_p50_warm_sec"] = round(lat_warm[len(lat_warm) // 2], 3)
 
     # --- table ops over the sf-dir corpus ---------------------------------
     import __spark_entry__ as E
+    # the documents-corpus index build is a one-time cost — time it apart so
+    # q7 measures query latency, not lazy cache population
+    t0 = time.time()
+    docs_idx = E._index_for(spark, sf_dir)
+    docs_idx["postings"].count(); docs_idx["terms"].count()
+    queries["docs_index_build"] = round(time.time() - t0, 3)
     table_ops = ["t2_t5_tokenize_tf", "a1_term_df", "q6_conjunctive_and",
                  "q7_bm25_topk", "dedup_exact", "dedup_minhash_lsh",
                  "sim_cosine_topk", "text_quality", "text_lang_id"]

@@ -144,10 +144,6 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
     which measures far cheaper than materializing the fat rows.
     """
     docs = docs_with_tt.drop("tt").persist()
-    stats_row = docs.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
-        F.sum("dl").alias("total_tokens")).collect()[0]
-    n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
 
     # T5 done in the UDF: tf pairs explode without any shuffle; the first
     # shuffle of the build is the (partial+final) df aggregation below.
@@ -155,11 +151,17 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
     # reuse is plan-based, so deriving tf from docs_with_tt's original
     # lineage would replay the dedup/id shuffles instead of hitting cache.
     tf = tf_pairs(docs.withColumn("tt", analyze_tf_col(F.col("text"), mode))).persist()
-    # Eager materialization barrier: letting one mega-job evaluate
-    # tf → {df_agg, postings_flat} lazily makes the two branches race to
-    # populate the tf cache (each recomputing UDF partitions) and leaves the
-    # dictionary's size unknown to the join planner — measured ~3× slower.
+    # Eager materialization barrier, and the build's FIRST action: evaluating
+    # tf populates the docs cache en route (its plan scans the uncached docs
+    # InMemoryRelation), so both caches fill in one pass. Skipping the
+    # barrier lets the postings job's two branches race to populate tf
+    # (each recomputing UDF partitions) and leaves the dictionary's size
+    # unknown to the join planner — measured ~3× slower.
     tf.count()
+    stats_row = docs.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
+        F.sum("dl").alias("total_tokens")).collect()[0]
+    n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
     df_agg = tf.groupBy("term").agg(F.count("*").alias("df"))  # tf rows unique per (doc,term)
     # dense term_id by term asc: prefix-partitioned two-level prefix sum
     terms = assign_dense_ids(
