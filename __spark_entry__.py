@@ -289,6 +289,12 @@ def _q_multimodal_features(spark, sf_dir):
     return image_features(synthetic_media_df(spark, n=48))
 
 
+def _q_multimodal_audio(spark, sf_dir):
+    """Audio windowed RMS/ZCR features (stubbed PCM decode; rows-only)."""
+    from searchengine_spark.functions.multimodal import audio_features, synthetic_media_df
+    return audio_features(synthetic_media_df(spark, n=48), window_ms=500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t2_t5_tokenize_tf": _q_tokenize_tf,
@@ -319,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_lang_id": _q_lang_id,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_audio": _q_multimodal_audio,
     }
 
 

@@ -108,3 +108,40 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     frames = F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
     return (df.filter(F.col("kind") == "video")
             .select("media_id", F.explode(frames).alias("frame_ts_ms")))
+
+
+def _decode_audio_stub(payload: bytes, duration_ms: int, rate: int = 8000) -> np.ndarray:
+    """STUB PCM decoder: deterministic float32 samples from payload hash.
+    Real implementation: ffmpeg/soundfile → mono float PCM."""
+    if payload is None:
+        raise NotImplementedError("real decoder required for null/streamed payloads")
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[4:8], "big")
+    n = max(1, int((duration_ms or 1000) * rate / 1000))
+    return np.random.RandomState(seed).uniform(-1, 1, size=n).astype(np.float32)
+
+
+def audio_features(df: DataFrame, window_ms: int = 250, rate: int = 8000) -> DataFrame:
+    """Decode → windowed RMS energy + zero-crossing rate per audio row.
+
+    One output row per (media_id, window). The window fan-out and the
+    feature math are real; only the PCM decode is stubbed."""
+    win = max(1, int(window_ms * rate / 1000))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pcm = _decode_audio_stub(r.payload, r.duration_ms, rate)
+                n_w = len(pcm) // win
+                if n_w == 0:
+                    continue
+                w = pcm[: n_w * win].reshape(n_w, win)
+                rms = np.sqrt((w ** 2).mean(axis=1))
+                zcr = (np.diff(np.signbit(w), axis=1) != 0).mean(axis=1)
+                for j in range(n_w):
+                    rows.append((r.media_id, j * window_ms,
+                                 round(float(rms[j]), 6), round(float(zcr[j]), 6)))
+            yield pd.DataFrame(rows, columns=["media_id", "window_start_ms", "rms", "zcr"])
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(
+        gen, schema="media_id long, window_start_ms int, rms double, zcr double")
