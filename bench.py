@@ -103,7 +103,8 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
     queries["docs_index_build"] = round(time.time() - t0, 3)
     table_ops = ["t2_t5_tokenize_tf", "a1_term_df", "q6_conjunctive_and",
                  "q7_bm25_topk", "dedup_exact", "dedup_minhash_lsh",
-                 "sim_cosine_topk", "text_quality", "text_lang_id"]
+                 "sim_cosine_topk", "text_quality", "text_lang_id",
+                 "events_sessionize", "text_token_count_bpe", "sim_neardup_pairs"]
     qmap = E.queries()
     for name in table_ops:
         t0 = time.time()
