@@ -145,6 +145,7 @@ def save_index(index: dict, path: str, term_buckets: int = 16) -> None:
     (index["postings"]
      .withColumn("term_bucket", (F.col("term_id") % term_buckets).cast("int"))
      .write.mode("overwrite").partitionBy("term_bucket")
+     .option("compression", "zstd")  # binary block columns compress well
      .parquet(os.path.join(path, "postings")))
     with open(os.path.join(path, "stats.json"), "w") as f:
         json.dump({**index["stats"], "mode": index["mode"],
