@@ -280,6 +280,121 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     return out
 
 
+def search_many(index: dict, queries: dict[str, str], k: int = 10,
+                mode: str = "bm25") -> DataFrame:
+    """Batched top-k: score MANY queries in ONE Spark job.
+
+    A single-query search costs ~1 fixed-latency job regardless of data;
+    serving a query log pays that per query. Batching unions the block
+    scans (one decode pass over the union of all queries' term_ids) and
+    ranks per query with a window — per-query cost amortizes to the
+    marginal decode work. Returns
+    (query_id, rank, doc_id, conv_id, turn_idx, role, tool, ts, score),
+    rank 1..k per query, identical rows to per-query ``search``.
+
+    Block-max pruning is intentionally off here (bounds are per-query;
+    a shared scan can't skip a block any member query still needs) — the
+    batch's win is amortized fixed cost, which dominates exactly in the
+    regime where pruning wouldn't.
+    """
+    spark = index["docs"].sparkSession
+    stats = index["stats"]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    amode = index.get("mode", "general")
+
+    # resolve every query's terms driver-side
+    per_q: dict[str, list[dict]] = {}
+    for qid, qtext in queries.items():
+        qterms = _query_terms(qtext, amode)
+        if not qterms:
+            continue
+        trows = _resolve_terms_driver(index, qterms, mode)
+        if trows is None:
+            trows = [{"term_id": r["term_id"], "df": r["df"]}
+                     for r in _resolve_terms(index, qterms, mode).collect()]
+        if trows:
+            per_q[qid] = trows
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, doc_id long, conv_id string, turn_idx int, "
+            "role string, tool string, ts timestamp, score double")
+    if not per_q:
+        return empty
+
+    # (term_id → [query_id]) mapping + per-query conjunction arity
+    pairs = [(qid, r["term_id"],
+              float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))))
+             for qid, trows in per_q.items() for r in trows]
+    qmap = F.broadcast(spark.createDataFrame(
+        pairs, "query_id string, term_id long, idf double"))
+    nq = F.broadcast(spark.createDataFrame(
+        [(qid, len(trows)) for qid, trows in per_q.items()], "query_id string, n_q int"))
+
+    term_ids = sorted({tid for _, tid, _ in pairs})
+    blocks = index["postings"]
+    tb = stats.get("term_buckets")
+    if tb and "term_bucket" in blocks.columns:
+        blocks = blocks.filter(
+            F.col("term_bucket").isin(sorted({tid % tb for tid in term_ids})))
+    blocks = blocks.filter(F.col("term_id").isin(term_ids))
+
+    # one decode pass over the union of term_ids (scores attached per query
+    # after the fan-out join, since idf is (query, term)-independent here —
+    # decode emits raw tf, scoring happens JVM-side)
+    decoded = _decode_blocks_with_dl(blocks)
+    fanned = decoded.join(qmap, "term_id")
+    score = F.col("idf") * (F.col("tf") * F.lit(K1 + 1.0)) / (
+        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(float(avgdl))))
+    scored = fanned.withColumn("s", score)
+
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.count("*").alias("nt"), F.sum("tf").alias("tf_sum"), F.sum("s").alias("bm25"))
+    w_q = Window.partitionBy("query_id")
+    if mode == "ref_compat":
+        matches = agg.join(nq, "query_id").filter(F.col("nt") == F.col("n_q"))
+        ranked = matches.withColumn(
+            "rank", F.row_number().over(
+                w_q.orderBy(F.col("tf_sum").desc(), F.col("doc_id").asc()))) \
+            .filter(F.col("rank") <= k)
+        ranked = ranked.withColumn(
+            "score", F.col("tf_sum").cast("double")
+            / F.max(F.col("tf_sum").cast("double")).over(w_q))
+    else:
+        ranked = agg.withColumn("score", F.col("bm25")).withColumn(
+            "rank", F.row_number().over(
+                w_q.orderBy(F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()))) \
+            .filter(F.col("rank") <= k)
+
+    docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts")
+    return (docs_meta.join(F.broadcast(
+                ranked.select("query_id", "rank", "doc_id", "score")), "doc_id")
+            .select("query_id", "rank", "doc_id", "conv_id", "turn_idx",
+                    "role", "tool", "ts", "score")
+            .orderBy("query_id", "rank"))
+
+
+def _decode_blocks_with_dl(blocks: DataFrame) -> DataFrame:
+    """Block decode emitting raw (term_id, doc_id, tf, dl) — scoring left to
+    the JVM side (used by the batched path where idf fans out per query)."""
+
+    def gen(batches):
+        from searchengine_spark.operators.codec import decode_block, varint_decode
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                doc_ids, tfs = decode_block(row.first_doc_id, row.n, row.doc_deltas, row.tfs)
+                dls = varint_decode(row.dls).astype("int64")
+                outs.append(pd.DataFrame({
+                    "term_id": row.term_id, "doc_id": doc_ids,
+                    "tf": tfs.astype("int64"), "dl": dls}))
+            yield (pd.concat(outs) if outs else
+                   pd.DataFrame({"term_id": pd.Series(dtype="int64"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "tf": pd.Series(dtype="int64"),
+                                 "dl": pd.Series(dtype="int64")}))
+
+    return blocks.mapInPandas(gen, schema="term_id long, doc_id long, tf long, dl long")
+
+
 def search_flat(index: dict, query: str, k: int = 10, mode: str = "ref_compat") -> DataFrame:
     """Same query semantics over the uncompressed postings_flat (M2 path);
     used by tests to cross-check the codec path and by the DuckDB oracle."""

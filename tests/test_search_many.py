@@ -1,0 +1,31 @@
+"""Batched multi-query search == per-query search, row for row."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.operators.search import search, search_many
+from tests.conftest import load_queries
+
+QUERIES = {f"q{i}": q for i, q in enumerate(load_queries()[:8])}
+
+
+@pytest.mark.parametrize("mode", ["bm25", "ref_compat"])
+def test_search_many_matches_single(index_general, index_ref, mode):
+    index = index_general if mode == "bm25" else index_ref
+    batch = search_many(index, QUERIES, k=10, mode=mode).collect()
+    by_q: dict[str, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, qtext in QUERIES.items():
+        single = search(index, qtext, k=10, mode=mode).collect()
+        got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in single], (mode, qid)
+        for g, s in zip(got, single):
+            assert abs(g["score"] - s["score"]) < 1e-9, (mode, qid)
+            assert g["conv_id"] == s["conv_id"] and g["turn_idx"] == s["turn_idx"]
+
+
+def test_search_many_empty_and_unknown(index_general):
+    out = search_many(index_general, {"a": "", "b": "zzzznotaword"}, k=5).collect()
+    assert out == []
