@@ -10,6 +10,7 @@ sides (the driver hash-compares values).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -133,6 +134,38 @@ def _q_bm25_page2(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+SCOPE_PREFIX = "doc000001"  # conv_id prefix ≡ doc_id in [100, 199]
+
+
+def _q_scoped_bm25_topk(spark, sf_dir):
+    """Site-scoped search (reference GET /api/search?site=,
+    SearchingServiceImpl.java:237-270): BM25 top-k restricted to a conv_id
+    prefix — candidates scoped, idf/avgdl corpus-wide."""
+    from searchengine_spark.operators.search import search
+    index = _index_for(spark, sf_dir)
+    hits = search(index, " ".join(BM25_Q), k=K, mode="bm25", scope=SCOPE_PREFIX)
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_scoped_ref_topk(spark, sf_dir):
+    """Site-scoped ref_compat search: per-SCOPE df drives the 80% prune and
+    the conjunction arity (the reference's per-site lemma frequency)."""
+    from searchengine_spark.operators.search import search
+    index = _index_for(spark, sf_dir)
+    hits = search(index, " ".join(AND3), k=K, mode="ref_compat", scope=SCOPE_PREFIX)
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_statistics_per_collection(spark, sf_dir):
+    """A3 per-collection detail: per-site page AND lemma counts analog
+    (collection = conv_id prefix; tokenizer = the oracle-matched latin one)."""
+    from searchengine_spark.functions.text import tokens_col
+    from searchengine_spark.operators.indexer import statistics_per_collection
+    index = _index_for(spark, sf_dir)
+    return statistics_per_collection(index, prefix_len=9,
+                                     tokens=tokens_col(F.col("text")))
+
+
 def _q_snippets(spark, sf_dir):
     """Q10 snippets: highlighted sentence fragment for each top-k hit."""
     from searchengine_spark.operators.search import search
@@ -164,10 +197,14 @@ def _q_upsert_term_df(spark, sf_dir):
 
 
 def _q_metadata_projection(spark, sf_dir):
-    """Q9: join top-k winners back to the source table for metadata."""
+    """Q9: join top-k winners back to the source table for metadata + the
+    title analog (reference extracts <title> per hit; plain text falls back
+    to a leading-chars title)."""
+    from searchengine_spark.functions.text import extract_title
     topk = _q_bm25_topk(spark, sf_dir)
-    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
-    return topk.join(d, "doc_id").select("doc_id", "score", "lang", "source")
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", extract_title(F.col("text")).alias("title"))
+    return topk.join(d, "doc_id").select("doc_id", "score", "lang", "source", "title")
 
 
 def _q_statistics(spark, sf_dir):
@@ -231,12 +268,34 @@ def _q_dedup_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 200))
 
 
+_ANN_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _ann_index_for(spark, sf_dir: str, kind: str) -> dict:
+    """Persisted ANN index per sf_dir (bucket/centroid computed at ingest,
+    stored as a parquet partition column — queries prune, never re-hash)."""
+    key = (sf_dir, kind)
+    if key not in _ANN_CACHE:
+        from searchengine_spark.functions.similarity import (
+            build_ivf_index, build_lsh_index, load_ann_index)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        dim = len(emb.select("embedding").first()["embedding"])
+        path = f"/root/repo/.ann_cache/{os.path.basename(sf_dir)}/{kind}"
+        if kind == "lsh":
+            build_lsh_index(emb, dim, path, n_planes=8)
+        else:
+            build_ivf_index(emb, dim, path, n_centroids=16, iters=2)
+        _ANN_CACHE[key] = load_ann_index(spark, path)
+    return _ANN_CACHE[key]
+
+
 def _q_sim_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (rows-only: approximate by construction)."""
-    from searchengine_spark.functions.similarity import lsh_bucket_topk
+    """LSH ANN over the PERSISTED bucket-partitioned index (rows-only:
+    approximate by construction)."""
+    from searchengine_spark.functions.similarity import lsh_index_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return lsh_bucket_topk(emb, qvec, k=K, n_planes=8, multiprobe=1)
+    return lsh_index_topk(_ann_index_for(spark, sf_dir, "lsh"), qvec, k=K, multiprobe=1)
 
 
 def _q_sim_neardup(spark, sf_dir):
@@ -255,11 +314,12 @@ def _q_sim_lsh_neardup(spark, sf_dir):
 
 
 def _q_sim_ivf_topk(spark, sf_dir):
-    """IVF two-stage ANN (rows-only: approximate by construction)."""
-    from searchengine_spark.functions.similarity import ivf_topk
+    """IVF ANN over the PERSISTED centroid-partitioned index (k-means with
+    Lloyd steps at build; rows-only: approximate by construction)."""
+    from searchengine_spark.functions.similarity import ivf_index_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return ivf_topk(emb, qvec, k=K, n_centroids=16, n_probe=4)
+    return ivf_index_topk(_ann_index_for(spark, sf_dir, "ivf"), qvec, k=K, n_probe=4)
 
 
 def _q_token_count_bpe(spark, sf_dir):
@@ -284,9 +344,17 @@ def _q_event_type_rollup(spark, sf_dir):
 
 def _q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: synthetic media table → image feature extraction
-    (decode stubbed, Spark plumbing real; rows-only check)."""
+    (decode stubbed, Spark plumbing real; rows-only check).
+
+    ``luma_hist array<double>`` is flattened to 8 scalar columns here so the
+    driver's pandas canonicalization (sort + hash) works on hashable values.
+    """
+    from pyspark.sql import functions as F
     from searchengine_spark.functions.multimodal import image_features, synthetic_media_df
-    return image_features(synthetic_media_df(spark, n=48))
+    feats = image_features(synthetic_media_df(spark, n=48))
+    return feats.select(
+        "media_id", "mean_r", "mean_g", "mean_b",
+        *[F.col("luma_hist")[i].alias(f"luma_h{i}") for i in range(8)])
 
 
 def _q_multimodal_audio(spark, sf_dir):
@@ -307,8 +375,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_metadata_projection": _q_metadata_projection,
         "q10_snippets": _q_snippets,
         "q11_bm25_page2": _q_bm25_page2,
+        "q2_scoped_bm25_topk": _q_scoped_bm25_topk,
+        "q2_scoped_ref_topk": _q_scoped_ref_topk,
         "s6_upsert_term_df": _q_upsert_term_df,
         "a3_statistics": _q_statistics,
+        "a3_statistics_per_collection": _q_statistics_per_collection,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -342,8 +413,12 @@ _DF = f"select term, count(*) as df from ({_TF}) group by term"
 _DL = f"select doc_id, count(*) as dl from ({_TOKS}) group by doc_id"
 
 
-def _bm25_sql(terms: list[str], k: int, offset: int = 0) -> str:
+def _bm25_sql(terms: list[str], k: int, offset: int = 0, scope: str = "") -> str:
+    """BM25 oracle; ``scope`` is an extra predicate on tf.doc_id (candidates
+    scoped, idf/avgdl stay corpus-wide — the engine's filtered-search
+    semantics for ``search(..., scope=)``)."""
     tl = ", ".join(f"'{t}'" for t in terms)
+    sc = f" and {scope}" if scope else ""
     return f"""
 with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
 stats as (select count(*) as n, avg(dl) as avgdl from dl),
@@ -352,7 +427,7 @@ scored as (
          sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
               * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
   from tf join dfv using (term) join dl using (doc_id) cross join stats
-  where tf.term in ({tl})
+  where tf.term in ({tl}){sc}
   group by tf.doc_id)
 select doc_id, round(s, 6) as score from scored
 order by round(s, 9) desc, doc_id asc limit {k} offset {offset}
@@ -390,6 +465,34 @@ def oracle_sql() -> dict[str, str]:
             from m order by tf_sum desc, doc_id asc limit {K}""",
         "q7_bm25_topk": _bm25_sql(BM25_Q, K),
         "q11_bm25_page2": _bm25_sql(BM25_Q, K, offset=K),
+        # scoped search: SCOPE_PREFIX 'doc000001' ≡ doc_id in [100, 199]
+        "q2_scoped_bm25_topk": _bm25_sql(
+            BM25_Q, K, scope="tf.doc_id between 100 and 199"),
+        "q2_scoped_ref_topk": f"""
+            with tf as ({_TF}),
+            stf as (select * from tf where doc_id between 100 and 199),
+            n as (select count(*) as n from documents
+                  where doc_id between 100 and 199),
+            sdf as (select term, count(*) as df from stf group by term),
+            qt as (select term from sdf where term in ({and3})
+                   and df * 1.0 / (select n from n) < 0.8),
+            m as (
+              select doc_id, sum(tf) as tf_sum from stf
+              where term in (select term from qt) group by doc_id
+              having count(*) = (select count(*) from qt))
+            select doc_id, round(tf_sum / (select max(tf_sum) from m), 6) as score
+            from m order by tf_sum desc, doc_id asc limit {K}""",
+        "a3_statistics_per_collection": f"""
+            with t as ({_TOKS}),
+            d as (select doc_id,
+                  'doc' || lpad(cast(doc_id // 100 as varchar), 6, '0') as collection
+                  from documents)
+            select d.collection,
+                   cast(count(distinct d.doc_id) as bigint) as n_docs,
+                   cast(count(t.term) as bigint) as n_tokens,
+                   cast(count(distinct t.term) as bigint) as n_lemmas
+            from d left join t using (doc_id)
+            group by d.collection""",
         # q10: same sentence/highlight/trim rules as functions/snippets.py
         # (mirrors reference services/SearchingServiceImpl.java:418-505);
         # expand_query_words('scan merge','general') == ['merge','scan']
@@ -432,7 +535,10 @@ def oracle_sql() -> dict[str, str]:
             from toks group by term""",
         "q9_metadata_projection": f"""
             with b as ({_bm25_sql(BM25_Q, K)})
-            select b.doc_id, b.score, d.lang, d.source
+            select b.doc_id, b.score, d.lang, d.source,
+                   coalesce(nullif(trim(regexp_extract(d.text,
+                            '(?is)<title[^>]*>(.*?)</title>', 1)), ''),
+                            substr(d.text, 1, 60)) as title
             from b join documents d using (doc_id)""",
         "a3_statistics": f"""
             select d.source, count(distinct d.doc_id) as n_docs,

@@ -42,6 +42,26 @@ from searchengine_spark.resources.vocab import LEMMA_OF, STOP_WORDS
 REF_COMPAT_PATTERN = r"[^а-я\s]"   # Lemmatizator.java:99 (after lowercasing)
 GENERAL_PATTERN = r"[^a-zа-я0-9\s]"
 
+# Named dictionaries behind one registry so the chosen dictionary serializes
+# with the index (stats["dictionary"]) and query-side analysis (Q1) always
+# matches the index side. "fixture": the committed test vocabulary.
+# "ru_full": fixture ∪ the paradigm-generated Russian map (resources/
+# ru_morph.py) — tens of thousands of real word forms for ref_compat recall.
+_DICTIONARIES: dict[str, tuple[dict[str, str], frozenset[str]]] = {}
+
+
+def get_dictionary(name: str = "fixture") -> tuple[dict[str, str], frozenset[str]]:
+    if name not in _DICTIONARIES:
+        if name == "fixture":
+            _DICTIONARIES[name] = (LEMMA_OF, STOP_WORDS)
+        elif name == "ru_full":
+            from searchengine_spark.resources.ru_morph import (
+                full_lemma_of, full_stop_words)
+            _DICTIONARIES[name] = (full_lemma_of(), full_stop_words())
+        else:
+            raise ValueError(f"unknown dictionary: {name}")
+    return _DICTIONARIES[name]
+
 
 def _pattern(mode: str) -> str:
     if mode == "ref_compat":
@@ -53,10 +73,12 @@ def _pattern(mode: str) -> str:
 
 def analyze_text(text: str, mode: str = "general",
                  lemma_of: dict[str, str] | None = None,
-                 stop_words: frozenset[str] | None = None) -> list[str]:
+                 stop_words: frozenset[str] | None = None,
+                 dictionary: str = "fixture") -> list[str]:
     """Pure-Python analysis of one string; normative semantics."""
-    lemma_of = LEMMA_OF if lemma_of is None else lemma_of
-    stop_words = STOP_WORDS if stop_words is None else stop_words
+    d_lem, d_stop = get_dictionary(dictionary)
+    lemma_of = d_lem if lemma_of is None else lemma_of
+    stop_words = d_stop if stop_words is None else stop_words
     cleaned = re.sub(_pattern(mode), " ", (text or "").lower())
     out: list[str] = []
     for w in cleaned.split():
@@ -73,7 +95,8 @@ def analyze_text(text: str, mode: str = "general",
 
 def make_analyze_udf(mode: str = "general",
                      lemma_of: dict[str, str] | None = None,
-                     stop_words: frozenset[str] | None = None):
+                     stop_words: frozenset[str] | None = None,
+                     dictionary: str = "fixture"):
     """Vectorized pandas UDF: text → array<string> of lemmas.
 
     Regrouping exploded tokens back into per-row lists is done with a
@@ -84,8 +107,9 @@ def make_analyze_udf(mode: str = "general",
     """
     import numpy as np
 
-    lemma_of = LEMMA_OF if lemma_of is None else lemma_of
-    stop_words = STOP_WORDS if stop_words is None else stop_words
+    d_lem, d_stop = get_dictionary(dictionary)
+    lemma_of = d_lem if lemma_of is None else lemma_of
+    stop_words = d_stop if stop_words is None else stop_words
     pat = _pattern(mode)
     lemma_series_src = pd.Series(lemma_of)
     stop_set = frozenset(stop_words)
@@ -113,9 +137,10 @@ def make_analyze_udf(mode: str = "general",
     return analyze
 
 
-def analyze_col(text: Column, mode: str = "general") -> Column:
+def analyze_col(text: Column, mode: str = "general",
+                dictionary: str = "fixture") -> Column:
     """Default analysis: the vectorized pandas UDF (Arrow-batched)."""
-    return make_analyze_udf(mode)(text)
+    return make_analyze_udf(mode, dictionary=dictionary)(text)
 
 
 # T2-T5 fused: the index build consumes per-doc (term, tf) pairs, so counting
@@ -131,14 +156,16 @@ TT_SCHEMA = T.StructType([
 
 def make_analyze_tf_udf(mode: str = "general",
                         lemma_of: dict[str, str] | None = None,
-                        stop_words: frozenset[str] | None = None):
+                        stop_words: frozenset[str] | None = None,
+                        dictionary: str = "fixture"):
     """Vectorized pandas UDF: text → struct(terms, tfs, dl) with per-doc
     term frequencies already counted (same T2/T3/T4 semantics as
     ``make_analyze_udf``; equality-tested against it)."""
     import numpy as np
 
-    lemma_of = LEMMA_OF if lemma_of is None else lemma_of
-    stop_words = STOP_WORDS if stop_words is None else stop_words
+    d_lem, d_stop = get_dictionary(dictionary)
+    lemma_of = d_lem if lemma_of is None else lemma_of
+    stop_words = d_stop if stop_words is None else stop_words
     pat = _pattern(mode)
     lemma_series_src = pd.Series(lemma_of)
     stop_set = frozenset(stop_words)
@@ -177,9 +204,10 @@ def make_analyze_tf_udf(mode: str = "general",
     return analyze_tf
 
 
-def analyze_tf_col(text: Column, mode: str = "general") -> Column:
+def analyze_tf_col(text: Column, mode: str = "general",
+                   dictionary: str = "fixture") -> Column:
     """Fused analysis+tf-count UDF column (struct terms/tfs/dl)."""
-    return make_analyze_tf_udf(mode)(text)
+    return make_analyze_tf_udf(mode, dictionary=dictionary)(text)
 
 
 def tf_pairs(docs: DataFrame, tt_col: str = "tt") -> DataFrame:

@@ -8,8 +8,9 @@ each designed around ONE well-understood shuffle:
 - jaccard: shingle explode → pair-join *bucketed by shared shingle* — never
   an all-pairs cross join; hot shingles are capped (df ceiling) exactly like
   hot terms in the index build.
-- minhash LSH: per-doc signature via deterministic affine hashes (numpy,
-  Arrow-batched), banded into buckets; candidate pairs only within a bucket.
+- minhash LSH: per-doc signature via deterministic affine hashes over JVM
+  ``xxhash64`` (pure codegen, no Python), banded into buckets; candidate
+  pairs only within a bucket.
 - simhash: 64-bit signature from token hashes; near-dups = equal signatures
   (or equal on rotated bands for hamming<k).
 
@@ -19,8 +20,7 @@ All hash functions are seeded constants — no runtime randomness.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F
 
 from searchengine_spark.functions.text import tokens_col
 
@@ -75,9 +75,11 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def _affine_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded affine-family params sized so (a*h32 + b) fits SIGNED 64-bit:
+    a < 2^30, h32 < 2^32 → a*h < 2^62; b < M ~2^61 → sum < 2^63."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    a = rng.randint(1, 1 << 30, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
     return a, b
 
 
@@ -85,32 +87,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
                        n_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
     """MinHash signature per doc: min over shingles of (a_i*h(s)+b_i) mod M.
 
-    Vectorized pandas UDF: the (shingles × hashes) min is one numpy matrix op
-    per Arrow batch. Returns (doc_id, sig array<long>).
+    Entirely JVM-side (r1 VERDICT finding 3 killed the per-char Python FNV):
+    explode shingles → ``xxhash64`` masked to 32 bits → ALL n_hashes affine
+    minima in ONE partial+final hash aggregate (map-side combine, one
+    shuffle, whole-stage codegen — no Python worker at any stage). Empty
+    docs get the all-zero signature. Returns (doc_id, sig array<long>).
     """
     a, b = _affine_params(n_hashes)
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig(sh_lists: pd.Series) -> pd.Series:
-        out = []
-        for lst in sh_lists:
-            if lst is None or len(lst) == 0:
-                out.append([0] * n_hashes)
-                continue
-            h = np.array([np.uint64(hash64(s)) for s in lst], dtype=np.uint64)
-            vals = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-            out.append(vals.min(axis=0).astype(np.int64).tolist())
-        return pd.Series(out)
-
-    return df.select(F.col(id_col), sig(shingles_col(F.col(text_col), shingle_n)).alias("sig"))
-
-
-def hash64(s: str) -> int:
-    """Deterministic 64-bit string hash (FNV-1a), seedless and portable."""
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    ex = df.select(
+        F.col(id_col),
+        F.explode_outer(shingles_col(F.col(text_col), shingle_n)).alias("sh"))
+    h32 = F.xxhash64("sh").bitwiseAND(F.lit((1 << 32) - 1))
+    aggs = [
+        F.min(F.when(F.col("sh").isNull(), F.lit(0).cast("long"))
+              .otherwise((h32 * int(a[i]) + int(b[i])) % F.lit(_MERSENNE))).alias(f"_m{i}")
+        for i in range(n_hashes)]
+    mins = ex.groupBy(id_col).agg(*aggs)
+    return mins.select(
+        F.col(id_col), F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -137,19 +131,26 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per doc from token FNV hashes (vectorized numpy)."""
+    """64-bit SimHash per doc from token hashes — entirely JVM-side.
 
-    @F.pandas_udf(T.LongType())
-    def sh(tok_lists: pd.Series) -> pd.Series:
-        out = []
-        for lst in tok_lists:
-            if lst is None or len(lst) == 0:
-                out.append(0)
-                continue
-            hs = np.array([hash64(t) for t in lst], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-            v = np.where(bits.sum(axis=0) * 2 >= len(hs), 1, 0).astype(np.uint64)
-            out.append(int((v << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64).astype(np.int64)))
-        return pd.Series(out, dtype="int64")
-
-    return df.select(F.col(id_col), sh(tokens_col(F.col(text_col))).alias("simhash"))
+    explode tokens → ``xxhash64`` → 64 per-bit majority sums in one
+    partial+final hash aggregate, signature reassembled with shiftleft/OR
+    (whole-stage codegen; no Python worker — r1 VERDICT finding 3).
+    Bit j set iff ≥ half the token hashes have bit j set (ties → 1, same as
+    the previous numpy formulation). Empty docs hash to 0.
+    """
+    ex = df.select(F.col(id_col),
+                   F.explode_outer(tokens_col(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1).cast("long"))).alias(f"_b{j}")
+        for j in range(64)]
+    agg = ex.groupBy(id_col).agg(F.count("tok").alias("_n"), *bit_sums)
+    sig = None
+    for j in range(64):
+        bit = (F.when(F.col(f"_b{j}") * 2 >= F.col("_n"),
+                      F.shiftleft(F.lit(1).cast("long"), j))
+               .otherwise(F.lit(0).cast("long")))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    sig = F.when(F.col("_n") == 0, F.lit(0).cast("long")).otherwise(sig)
+    return agg.select(F.col(id_col), sig.alias("simhash"))

@@ -109,6 +109,16 @@ def token_count_bpe(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0))
 
 
+def extract_title(text: Column, fallback_chars: int = 60) -> Column:
+    """Q9 title analog (reference extracts the substring between
+    ``<title>``/``</title>`` per hit, services/SearchingServiceImpl.java:159-169):
+    the <title> content when markup is present, else the first
+    ``fallback_chars`` characters of the text (transcript turns are plain
+    text, so the fallback is the common path)."""
+    t = F.trim(F.regexp_extract(text, r"(?is)<title[^>]*>(.*?)</title>", 1))
+    return F.when(t != "", t).otherwise(F.substring(text, 1, fallback_chars))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text — the exact-dedup key at corpus scale."""

@@ -18,10 +18,10 @@ contiguous, independently-encodable doc-id range — a term appearing in 60%
 of 10^12 docs spreads over N/range tasks and never funnels through one
 reducer, and blocks stay globally sorted without a second merge pass.
 
-Dense IDs: ``assign_dense_ids`` is a two-level distributed prefix sum
-(row_number within partition key + cumulative key offsets); the offsets
-table is |distinct keys|, far smaller than the data. At 10^12 turns add a
-third level over a key prefix — same pattern, noted inline.
+Dense IDs: ``assign_dense_ids`` is a three-level distributed prefix sum
+(row_number within partition key → prefix-partitioned running sum over the
+per-key counts → driver-side per-prefix totals). No window ever runs on a
+single partition, so the id assignment holds at 10^12 turns.
 """
 
 from __future__ import annotations
@@ -59,19 +59,50 @@ def admission_filter(transcripts: DataFrame, drop_roles: tuple[str, ...] = ()) -
     return transcripts.filter(~F.col("role").isin(list(drop_roles)))
 
 
+def _prefix_sum_offsets(sizes: DataFrame, key_col: str, cnt_col: str,
+                        off_col: str, prefix_len: int = 8) -> DataFrame:
+    """Distributed exclusive prefix sum of ``cnt_col`` in ``key_col`` order.
+
+    Level 1: running sum windowed WITHIN key-prefix partitions (parallel —
+    no single-partition WindowExec, r1 VERDICT finding 4). Level 2:
+    per-prefix totals (|prefixes| rows, ~|keys|/charset^Δ — tiny) collected
+    to the driver, turned into exclusive prefix offsets, broadcast back.
+    String-sort order is preserved because grouping by a string *prefix*
+    keeps key ranges contiguous. At even higher prefix cardinality, recurse
+    the same two levels on a shorter prefix.
+    """
+    spark = sizes.sparkSession
+    pfx = F.substring(F.col(key_col).cast("string"), 1, prefix_len)
+    w_in = (Window.partitionBy("_pfx").orderBy(key_col)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    local = (sizes.withColumn("_pfx", pfx)
+             .withColumn("_loff", F.coalesce(F.sum(cnt_col).over(w_in), F.lit(0))))
+    totals = sorted(
+        local.groupBy("_pfx").agg(F.sum(cnt_col).alias("_t")).collect(),
+        key=lambda r: r["_pfx"])
+    acc, rows = 0, []
+    for r in totals:
+        rows.append((r["_pfx"], acc))
+        acc += int(r["_t"])
+    poff = spark.createDataFrame(rows or [("", 0)], schema="_pfx string, _poff long")
+    return (local.join(F.broadcast(poff), "_pfx")
+            .withColumn(off_col, (F.col("_loff") + F.col("_poff")).cast("long"))
+            .select(key_col, off_col))
+
+
 def assign_dense_ids(df: DataFrame, key_col: str, order_cols: list[str],
                      id_col: str = "_id") -> DataFrame:
     """Dense 0-based ids by (key_col, *order_cols) without a global window.
 
-    Level 1: row_number within key_col (distributed). Level 2: cumulative
-    offsets over the per-key counts (one window over |keys| rows — at
-    extreme key cardinality, recurse on a key prefix). Join back on key.
+    Level 1: row_number within key_col (distributed). Levels 2+3: the
+    per-key counts go through ``_prefix_sum_offsets`` (prefix-partitioned
+    running sum + driver-side per-prefix totals), so no window ever runs on
+    a single partition. Join back on key.
     """
     w_in = Window.partitionBy(key_col).orderBy(*order_cols)
     with_rn = df.withColumn("_rn", F.row_number().over(w_in))
     sizes = df.groupBy(key_col).count()
-    w_off = Window.orderBy(key_col).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.withColumn("_off", F.coalesce(F.sum("count").over(w_off), F.lit(0))).drop("count")
+    offsets = _prefix_sum_offsets(sizes, key_col, "count", "_off")
     return (
         with_rn.join(offsets, key_col)
         .withColumn(id_col, (F.col("_off") + F.col("_rn") - 1).cast("long"))
@@ -79,7 +110,8 @@ def assign_dense_ids(df: DataFrame, key_col: str, order_cols: list[str],
     )
 
 
-def build_docs(transcripts: DataFrame, mode: str = "general") -> DataFrame:
+def build_docs(transcripts: DataFrame, mode: str = "general",
+               dictionary: str = "fixture") -> DataFrame:
     """docs table: dedup → dense doc_id over (conv_id, turn_idx) → fused
     analysis struct ``tt`` (terms, tfs, dl) + dl.
 
@@ -89,7 +121,8 @@ def build_docs(transcripts: DataFrame, mode: str = "general") -> DataFrame:
     analysis UDF (T5), so the tf stage downstream is shuffle-free.
     """
     with_id = dedup_and_assign_doc_ids(transcripts)
-    analyzed = with_id.withColumn("tt", analyze_tf_col(F.col("text"), mode))
+    analyzed = with_id.withColumn(
+        "tt", analyze_tf_col(F.col("text"), mode, dictionary))
     return analyzed.withColumn("dl", F.col("tt.dl"))
 
 
@@ -99,10 +132,10 @@ def dedup_and_assign_doc_ids(transcripts: DataFrame) -> DataFrame:
     Both windows share the hash(conv_id) distribution, so Spark plans a
     single exchange (plus cheap in-partition sorts): the pick window keeps
     the first row of each (conv_id, turn_idx) run, dense_rank over turn_idx
-    is the local id, and per-conv counts roll into global offsets via the
-    level-2 prefix sum + a broadcast join back (offsets table is |convs|
-    rows — at 10^12-turn conv cardinality, recurse the same pattern over a
-    conv_id prefix). The row payload (text) crosses the wire exactly once.
+    is the local id, and per-conv counts roll into global offsets via
+    ``_prefix_sum_offsets`` (prefix-partitioned running sum, driver-side
+    per-prefix totals — no single-partition window at any conv cardinality)
+    + a broadcast join back. The row payload (text) crosses the wire once.
     """
     # NOTE: no payload columns in the sort key — sorting by text-sized keys
     # measured ~5× slower. (turn_idx, ts, role) discriminates duplicates;
@@ -115,23 +148,26 @@ def dedup_and_assign_doc_ids(transcripts: DataFrame) -> DataFrame:
     deduped = x.filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("turn_idx"))) \
                .drop("_prev")
     sizes = deduped.groupBy("conv_id").agg((F.max("_lid") + 1).alias("_cnt"))
-    w_off = Window.orderBy("conv_id").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.withColumn(
-        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))).drop("_cnt")
+    offsets = _prefix_sum_offsets(sizes, "conv_id", "_cnt", "_off")
     return (deduped.join(F.broadcast(offsets), "conv_id")
             .withColumn("doc_id", (F.col("_off") + F.col("_lid")).cast("long"))
             .drop("_lid", "_off"))
 
 
 def build_index(transcripts: DataFrame, mode: str = "general",
-                bucket_range: int = 1 << 16, block_size: int = BLOCK_SIZE) -> dict:
+                bucket_range: int = 1 << 16, block_size: int = BLOCK_SIZE,
+                dictionary: str = "fixture") -> dict:
     """Full index build from raw transcripts. Returns dict of DataFrames +
-    corpus stats: docs, terms, postings_flat, postings, stats, mode."""
-    return build_index_from_docs(build_docs(transcripts, mode), mode, bucket_range, block_size)
+    corpus stats: docs, terms, postings_flat, postings, stats, mode.
+    ``dictionary`` picks the named lemma dictionary (analysis.get_dictionary)
+    and rides along in stats so query-side analysis always matches."""
+    return build_index_from_docs(build_docs(transcripts, mode, dictionary),
+                                 mode, bucket_range, block_size, dictionary)
 
 
 def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
-                          bucket_range: int = 1 << 16, block_size: int = BLOCK_SIZE) -> dict:
+                          bucket_range: int = 1 << 16, block_size: int = BLOCK_SIZE,
+                          dictionary: str = "fixture") -> dict:
     """Index build over an already-analyzed docs table
     (doc_id, conv_id, turn_idx, role, tool, ts, tt struct, dl) — shared by
     the one-shot path and the checkpoint-resume path (plans/manifest.py),
@@ -150,7 +186,8 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
     # The UDF is re-applied ON TOP of the cached slim docs — Spark cache
     # reuse is plan-based, so deriving tf from docs_with_tt's original
     # lineage would replay the dedup/id shuffles instead of hitting cache.
-    tf = tf_pairs(docs.withColumn("tt", analyze_tf_col(F.col("text"), mode))).persist()
+    tf = tf_pairs(docs.withColumn(
+        "tt", analyze_tf_col(F.col("text"), mode, dictionary))).persist()
     # Eager materialization barrier, and the build's FIRST action: evaluating
     # tf populates the docs cache en route (its plan scans the uncached docs
     # InMemoryRelation), so both caches fill in one pass. Skipping the
@@ -228,13 +265,42 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
                  .join(term_max, "term_id", "left").persist())
     return {
         "mode": mode,
+        "dictionary": dictionary,
         "docs": docs,
         "terms": terms_out,
         "postings_flat": postings_flat.select("term_id", "doc_id", "tf"),
         "postings": postings,
         "stats": {"n_docs": n_docs, "avgdl": avgdl, "n_terms": n_terms,
-                  "total_tokens": int(stats_row["total_tokens"] or 0)},
+                  "total_tokens": int(stats_row["total_tokens"] or 0),
+                  # persisted geometry: upsert's touched-(term_id, bucket)
+                  # classification MUST use the layout the index was built
+                  # with (bucket = block_id // ceil(bucket_range/block_size))
+                  "bucket_range": bucket_range, "block_size": block_size},
     }
+
+
+def statistics_per_collection(index: dict, prefix_len: int = 9,
+                              tokens=None) -> DataFrame:
+    """A3 per-collection detail (reference services/StatisticsServiceImpl.java:71-89
+    returns per-site page AND lemma counts): collection = conv_id prefix.
+
+    Returns (collection, n_docs, n_tokens, n_lemmas). One explode + one
+    groupBy(collection) — partial aggregation map-side; lemma distinctness
+    is a hash agg on (collection, term), no skew hazard beyond AQE's reach.
+    ``tokens`` overrides the tokenizer column (default: the index's own
+    analysis chain, so n_lemmas counts DICTIONARY lemmas per collection).
+    """
+    from searchengine_spark.functions.analysis import analyze_col
+
+    docs = index["docs"]
+    mode = index.get("mode", "general")
+    toks = analyze_col(F.col("text"), mode) if tokens is None else tokens
+    ex = docs.select(F.substring("conv_id", 1, prefix_len).alias("collection"),
+                     "doc_id", F.explode_outer(toks).alias("term"))
+    return ex.groupBy("collection").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("term").alias("n_tokens"),
+        F.countDistinct("term").alias("n_lemmas"))
 
 
 def statistics(index: dict) -> DataFrame:

@@ -55,9 +55,10 @@ def _ord():
     return F.round(F.col("score"), 9).desc()
 
 
-def _query_terms(query: str, analysis_mode: str) -> list[str]:
+def _query_terms(query: str, analysis_mode: str,
+                 dictionary: str = "fixture") -> list[str]:
     """Q1: same analysis chain as the index side, driver-side (tiny input)."""
-    return sorted(set(analyze_text(query, analysis_mode)))
+    return sorted(set(analyze_text(query, analysis_mode, dictionary=dictionary)))
 
 
 def _resolve_terms(index: dict, qterms: list[str], mode: str) -> DataFrame:
@@ -137,9 +138,47 @@ def _decode_blocks(blocks: DataFrame, with_score_params: bool,
     return blocks.mapInPandas(gen, schema="term_id long, doc_id long, tf long, score double")
 
 
+SCOPE_BROADCAST_MAX = 5_000_000  # scoped doc sets below this broadcast for the semi-join
+
+
+def _scope_info(index: dict, scope) -> "dict | None":
+    """Resolve a search scope (reference's ``site=`` analog,
+    services/SearchingServiceImpl.java:47-56,237-270) to doc-id bounds.
+
+    ``scope`` is a conv_id prefix string or an arbitrary Column predicate
+    over the docs table. Because built indexes assign dense doc_ids in
+    (conv_id, turn_idx) order, a conv-prefix scope is a CONTIGUOUS doc_id
+    range — detected exactly by count == hi-lo+1 — and then the scope filter
+    is a pure codegen range check plus bucket-level block pruning, no join.
+    Non-contiguous scopes (arbitrary predicates, post-upsert indexes) fall
+    back to a semi-join against the scoped doc_id set (broadcast when it
+    fits). Returns None for an empty scope.
+    """
+    pred = F.col("conv_id").startswith(scope) if isinstance(scope, str) else scope
+    sel = index["docs"].filter(pred).select("doc_id")
+    row = sel.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
+                  F.count("*").alias("n")).collect()[0]
+    if not row["n"]:
+        return None
+    lo, hi, n = int(row["lo"]), int(row["hi"]), int(row["n"])
+    return {"lo": lo, "hi": hi, "n": n,
+            "contiguous": hi - lo + 1 == n, "sel": sel}
+
+
+def _scope_filter(decoded: DataFrame, sc: dict) -> DataFrame:
+    """Restrict decoded postings to the scope (range check or semi-join)."""
+    decoded = decoded.filter(F.col("doc_id").between(sc["lo"], sc["hi"]))
+    if sc["contiguous"]:
+        return decoded
+    sel = sc["sel"]
+    if sc["n"] <= SCOPE_BROADCAST_MAX:
+        sel = F.broadcast(sel)
+    return decoded.join(sel, "doc_id", "left_semi")
+
+
 def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
            prune_blocks: "bool | str" = "auto", with_snippets: bool = False,
-           offset: int = 0) -> DataFrame:
+           offset: int = 0, scope=None, with_titles: bool = False) -> DataFrame:
     """Top-k search over a built index; returns DataFrame
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, snippet]).
 
@@ -148,26 +187,41 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     reference: controllers/ApiController.java:55-58,
     static/assets/js/scripts.js:1751-1758): retrieve offset+k winners —
     still TakeOrderedAndProject, no global sort — then drop the first
-    ``offset`` rows by rank."""
+    ``offset`` rows by rank.
+
+    ``scope`` (reference ``GET /api/search?site=``,
+    SearchingServiceImpl.java:237-270): a conv_id prefix string or a Column
+    predicate over docs; candidates, conjunction arity and — in ref_compat
+    mode — the 80%-df prune all evaluate WITHIN the scope (the reference's
+    per-site lemma frequency), while BM25 idf/avgdl stay index-wide (the
+    standard filtered-search semantics). Scoped doc ranges prune whole
+    posting buckets before any decode."""
     spark = index["docs"].sparkSession
     stats = index["stats"]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    qterms = _query_terms(query, index.get("mode", "general"))
+    qterms = _query_terms(query, index.get("mode", "general"),
+                          index.get("dictionary", "fixture"))
     empty = spark.createDataFrame(
         [], "doc_id long, conv_id string, turn_idx int, role string, tool string, "
             "ts timestamp, score double")
     if not qterms:
         return empty
+    sc = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc is None:
+        return empty
 
     # reference semantics: absent/pruned lemmas silently drop out of the
     # conjunction (SearchingServiceImpl.java:203-235 collects only found
     # lemma rows); all-absent → empty result
-    trows = _resolve_terms_driver(index, qterms, mode)
+    # Scoped ref_compat prunes on PER-SCOPE df (the reference's per-site
+    # lemma frequency) further below, not the global df here.
+    resolve_mode = mode if sc is None else "scoped"
+    trows = _resolve_terms_driver(index, qterms, resolve_mode)
     if trows is None:  # dictionary too large for the driver → one lookup job
         trows = [{"term_id": r["term_id"], "df": r["df"],
                   "max_score": r["max_score"] if "max_score" in r else None,
                   "max_tf": r["max_tf"] if "max_tf" in r else None}
-                 for r in _resolve_terms(index, qterms, mode).collect()]
+                 for r in _resolve_terms(index, qterms, resolve_mode).collect()]
     if len(trows) == 0:
         return empty
     term_ids = [r["term_id"] for r in trows]
@@ -186,6 +240,15 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
         blocks = blocks.filter(
             F.col("term_bucket").isin(sorted({tid % tb for tid in term_ids})))
     blocks = blocks.filter(F.col("term_id").isin(term_ids))
+    if sc is not None:
+        # bucket-level block pruning: bucket = block_id // ceil(range/size)
+        # covers doc_ids [bucket*range, (bucket+1)*range) — only buckets
+        # intersecting the scope's [lo, hi] doc range are decoded at all
+        br, bs = stats.get("bucket_range"), stats.get("block_size")
+        if br and bs:
+            bpb = -(-br // bs)
+            bcol = F.floor(F.col("block_id") / F.lit(bpb))
+            blocks = blocks.filter(bcol.between(sc["lo"] // br, sc["hi"] // br))
     idf_df = F.broadcast(spark.createDataFrame(
         [(tid, idf) for tid, idf in idf_of.items()], "term_id long, idf double"))
     blocks = blocks.join(idf_df, "term_id")
@@ -231,8 +294,10 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
         # phase 1: best block per term → θ = k_eff-th largest partial score
         w = Window.partitionBy("term_id").orderBy(F.col("block_max_score").desc(), "block_id")
         top_blocks = blocks.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r")
-        p1 = _decode_blocks(top_blocks, True, n_docs, avgdl) \
-            .groupBy("doc_id").agg(F.sum("score").alias("score")) \
+        p1_dec = _decode_blocks(top_blocks, True, n_docs, avgdl)
+        if sc is not None:  # θ must come from in-scope docs only
+            p1_dec = _scope_filter(p1_dec, sc)
+        p1 = p1_dec.groupBy("doc_id").agg(F.sum("score").alias("score")) \
             .orderBy(F.col("score").desc()).limit(k_eff).collect()
         theta = min(r["score"] for r in p1) if len(p1) >= k_eff else 0.0
         if theta > 0:
@@ -242,6 +307,24 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
             blocks = blocks.join(m_df, "term_id").filter(bound_expr >= F.lit(theta)).drop("_m_self")
 
     decoded = _decode_blocks(blocks, mode == "bm25", n_docs, avgdl)
+    if sc is not None:
+        decoded = _scope_filter(decoded, sc)
+        if mode == "ref_compat":
+            # Per-scope 80%-df prune (reference's per-site lemma frequency,
+            # SearchingServiceImpl.java:286-298: percent = site_df/site_pages):
+            # terms absent in scope drop out of the conjunction; terms with
+            # scoped df/n ≥ threshold are pruned. One tiny agg job (|q| rows).
+            decoded = decoded.persist()
+            sdf = {r["term_id"]: r["c"] for r in
+                   decoded.groupBy("term_id").agg(F.count("*").alias("c")).collect()}
+            kept = [tid for tid in term_ids
+                    if sdf.get(tid, 0) > 0
+                    and sdf[tid] / float(sc["n"]) < PRUNE_THRESHOLD]
+            if not kept:
+                return empty
+            if len(kept) < n_q:
+                decoded = decoded.filter(F.col("term_id").isin(kept))
+                n_q = len(kept)
     agg = decoded.groupBy("doc_id").agg(
         F.count("*").alias("nt"), F.sum("tf").alias("tf_sum"), F.sum("score").alias("bm25"))
 
@@ -264,14 +347,21 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
         w_pg = Window.orderBy(_ord(), F.col("doc_id").asc())
         topk = (topk.withColumn("_rk", F.row_number().over(w_pg))
                 .filter(F.col("_rk") > offset).drop("_rk"))
+    need_text = with_snippets or with_titles
     docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-                                     *(["text"] if with_snippets else []))
+                                     *(["text"] if need_text else []))
     # k rows vs the corpus: broadcast the winners explicitly so Q9 is a
     # broadcast-hash join against the docs scan, never a shuffle
     out = docs_meta.join(F.broadcast(topk), "doc_id") \
         .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "score",
-                *(["text"] if with_snippets else [])) \
+                *(["text"] if need_text else [])) \
         .orderBy(_ord(), F.col("doc_id").asc())
+    if with_titles:
+        # Q9 title analog (reference services/SearchingServiceImpl.java:159-169)
+        from searchengine_spark.functions.text import extract_title
+        out = out.withColumn("title", extract_title(F.col("text")))
+        if not with_snippets:
+            out = out.drop("text")
     if with_snippets:
         from searchengine_spark.functions.snippets import snippet_col
         out = out.withColumn(
@@ -305,7 +395,7 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     # resolve every query's terms driver-side
     per_q: dict[str, list[dict]] = {}
     for qid, qtext in queries.items():
-        qterms = _query_terms(qtext, amode)
+        qterms = _query_terms(qtext, amode, index.get("dictionary", "fixture"))
         if not qterms:
             continue
         trows = _resolve_terms_driver(index, qterms, mode)
@@ -400,7 +490,8 @@ def search_flat(index: dict, query: str, k: int = 10, mode: str = "ref_compat") 
     used by tests to cross-check the codec path and by the DuckDB oracle."""
     spark = index["docs"].sparkSession
     stats = index["stats"]
-    qterms = _query_terms(query, index.get("mode", "general"))
+    qterms = _query_terms(query, index.get("mode", "general"),
+                          index.get("dictionary", "fixture"))
     if not qterms:
         return spark.createDataFrame([], "doc_id long, score double")
     terms = _resolve_terms(index, qterms, mode)

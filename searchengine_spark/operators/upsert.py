@@ -50,16 +50,42 @@ KEY = ["conv_id", "turn_idx"]
 
 
 def upsert_turns(index: dict, delta: DataFrame,
-                 bucket_range: int = 1 << 16, block_size: int = BLOCK_SIZE) -> dict:
+                 bucket_range: int | None = None,
+                 block_size: int | None = None) -> dict:
     """Merge delta turns (input_hint schema) into ``index``; returns a new
     index dict. |delta| is assumed small relative to the corpus (the
-    reference's single-page upsert generalized to a micro-batch)."""
+    reference's single-page upsert generalized to a micro-batch).
+
+    Geometry (bucket_range, block_size) defaults to the values the index was
+    BUILT with (persisted in stats by the builder/save_index): classifying
+    touched (term_id, bucket) groups under any other layout would silently
+    leave stale postings alive in blocks it wrongly deems untouched.
+
+    doc_id invariant after upsert (relaxed vs a fresh build): replaced keys
+    keep their doc_id; genuinely NEW keys append after max(doc_id) in delta
+    key order. Ordering by doc_id is therefore deterministic but
+    *insertion-ordered*, not globally (conv_id, turn_idx)-sorted — score
+    ties on an upserted index may break differently than on a full rebuild
+    of the same corpus. Rebuild-equivalence tests must not rely on tie cases.
+    """
     spark = index["docs"].sparkSession
     mode = index.get("mode", "general")
+    dictionary = index.get("dictionary", "fixture")
     stats = index["stats"]
+    built_br = stats.get("bucket_range", 1 << 16)
+    built_bs = stats.get("block_size", BLOCK_SIZE)
+    if bucket_range is None:
+        bucket_range = built_br
+    if block_size is None:
+        block_size = built_bs
+    if (bucket_range, block_size) != (built_br, built_bs):
+        raise ValueError(
+            f"upsert geometry ({bucket_range}, {block_size}) != built index "
+            f"geometry ({built_br}, {built_bs}); touched-block classification "
+            "would corrupt postings")
 
     delta = dedup_turns(delta)
-    delta = delta.withColumn("tt", analyze_tf_col(F.col("text"), mode)) \
+    delta = delta.withColumn("tt", analyze_tf_col(F.col("text"), mode, dictionary)) \
                  .withColumn("dl", F.col("tt.dl"))
 
     docs = index["docs"]
@@ -68,7 +94,7 @@ def upsert_turns(index: dict, delta: DataFrame,
     # --- docs merge: replaced keys keep doc_id, new keys append after max ---
     replaced = docs.join(F.broadcast(keys), KEY, "inner")
     if "tt" not in replaced.columns:  # loaded-from-parquet index
-        replaced = replaced.withColumn("tt", analyze_tf_col(F.col("text"), mode)) \
+        replaced = replaced.withColumn("tt", analyze_tf_col(F.col("text"), mode, dictionary)) \
                            .withColumn("dl", F.col("tt.dl"))
     replaced = replaced.persist()
 
@@ -94,7 +120,8 @@ def upsert_turns(index: dict, delta: DataFrame,
     total_tokens = stats["total_tokens"] + int(d_row["tok"] or 0) - int(r_row["tok"] or 0)
     avgdl = total_tokens / n_docs if n_docs else 0.0
     new_stats = {"n_docs": n_docs, "avgdl": avgdl, "total_tokens": total_tokens,
-                 "tf_bounds": True}
+                 "tf_bounds": True,
+                 "bucket_range": bucket_range, "block_size": block_size}
 
     # --- terms merge: per-term df delta (A1 incremental) ------------------
     old_flat = tf_pairs(replaced).persist()   # postings to remove
@@ -108,17 +135,29 @@ def upsert_turns(index: dict, delta: DataFrame,
 
     terms = index["terms"]  # (term, term_id, df)
     max_term_id = terms.agg(F.max("term_id")).collect()[0][0]
-    merged = terms.join(F.broadcast(ddf), "term", "full")
-    w_t = Window.orderBy("term")
-    new_terms = (merged
-                 .withColumn("df", (F.coalesce("df", F.lit(0))
-                                    + F.coalesce("_ddf", F.lit(0))).cast("long"))
-                 .filter(F.col("df") > 0)
-                 .withColumn("term_id",
-                             F.coalesce(F.col("term_id"),
-                                        F.lit(max_term_id)
-                                        + F.dense_rank().over(w_t)).cast("long"))
-                 .select("term", "term_id", "df")).persist()
+    # Existing terms: apply the df delta in place; term_ids unchanged — no
+    # window over the full dictionary (r1 VERDICT finding 2: at 10^8 terms a
+    # Window.orderBy over the merged dictionary funnels every micro-batch
+    # through one task). Terms whose df hits 0 are dropped (reference deletes
+    # the lemma row, services/IndexingPageServiceImpl.java:108-121).
+    existing = (terms.join(F.broadcast(ddf), "term", "left")
+                .withColumn("df", (F.col("df")
+                                   + F.coalesce("_ddf", F.lit(0))).cast("long"))
+                .filter(F.col("df") > 0)
+                .select("term", "term_id", "df"))
+    # Genuinely new terms ≈ delta vocabulary — tiny by the micro-batch
+    # contract. Assign dense ids driver-side in sorted-term order
+    # (deterministic), avoiding any single-partition WindowExec.
+    fresh_rows = (ddf.join(terms.select("term"), "term", "left_anti")
+                  .filter(F.col("_ddf") > 0).collect())
+    if fresh_rows:
+        fresh = spark.createDataFrame(
+            [(r["term"], max_term_id + i + 1, int(r["_ddf"]))
+             for i, r in enumerate(sorted(fresh_rows, key=lambda r: r["term"]))],
+            schema="term string, term_id long, df long")
+        new_terms = existing.unionByName(fresh).persist()
+    else:
+        new_terms = existing.persist()
     new_terms.count()
 
     # --- postings: rewrite only touched (term_id, bucket) groups ----------
@@ -222,7 +261,8 @@ def upsert_turns(index: dict, delta: DataFrame,
         F.max("block_max_tf").alias("max_tf"))
     final_terms = new_terms.join(term_max, "term_id", "left").persist()
 
-    return {"mode": mode, "docs": new_docs.persist(), "terms": final_terms,
+    return {"mode": mode, "dictionary": dictionary,
+            "docs": new_docs.persist(), "terms": final_terms,
             "postings": new_postings, "postings_flat": None, "stats": new_stats}
 
 

@@ -33,11 +33,11 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from searchengine_spark.functions.analysis import analyze_tf_col
 from searchengine_spark.operators.codec import BLOCK_SIZE
-from searchengine_spark.operators.indexer import assign_dense_ids, dedup_turns
+from searchengine_spark.operators.indexer import dedup_and_assign_doc_ids
 
 
 def _manifest_path(path: str) -> str:
@@ -69,29 +69,37 @@ def _dir_bytes(d: str) -> int:
 
 
 def stage_partitions(transcripts: DataFrame, path: str, n_parts: int = 8,
-                     mode: str = "general") -> dict[int, dict]:
+                     mode: str = "general",
+                     dictionary: str = "fixture") -> dict[int, dict]:
     """Stage 1: per conv-range partition, dedup + analyze + local dense ids →
     parquet stage dir + DONE manifest row with lineage metrics. Skips
     partitions already DONE (resume)."""
     spark = transcripts.sparkSession
     manifest = read_manifest(path)
+    # Contiguous conv_id ranges via Spark's sampled RangePartitioner
+    # (deterministic seed) — no global single-partition window over the
+    # distinct-conv set, so the bounds step itself scales to 10^10 convs.
     bounds = (
         transcripts.select("conv_id").distinct()
-        .withColumn("b", F.ntile(n_parts).over(Window.orderBy("conv_id")))
-        .groupBy("b").agg(F.min("conv_id").alias("lo"), F.max("conv_id").alias("hi"))
+        .repartitionByRange(n_parts, "conv_id")
+        .groupBy(F.spark_partition_id().alias("b"))
+        .agg(F.min("conv_id").alias("lo"), F.max("conv_id").alias("hi"))
         .orderBy("b").collect()
     )
     for r in bounds:
-        pid = int(r["b"]) - 1
+        pid = int(r["b"])
         if manifest.get(pid, {}).get("status") == "DONE":
             continue
         started = time.time()
         stage_dir = os.path.join(path, f"stage/part={pid:05d}")
         try:
             part = transcripts.filter((F.col("conv_id") >= r["lo"]) & (F.col("conv_id") <= r["hi"]))
-            part = dedup_turns(part)
-            part = assign_dense_ids(part, "conv_id", ["turn_idx"], "local_id")
-            part = part.withColumn("tt", analyze_tf_col(F.col("text"), mode)) \
+            # Same deterministic dedup + dense-id pick as the one-shot build
+            # (dedup_and_assign_doc_ids: lag over turn_idx ordered by
+            # (turn_idx, ts, role)) so checkpoint-resume and one-shot builds
+            # index IDENTICAL rows even when conflicting duplicates exist.
+            part = dedup_and_assign_doc_ids(part).withColumnRenamed("doc_id", "local_id")
+            part = part.withColumn("tt", analyze_tf_col(F.col("text"), mode, dictionary)) \
                        .withColumn("dl", F.col("tt.dl")) \
                        .withColumn("part_id", F.lit(pid))
             part.write.mode("overwrite").parquet(stage_dir)
@@ -116,7 +124,8 @@ def stage_partitions(transcripts: DataFrame, path: str, n_parts: int = 8,
 
 
 def finalize_index(spark: SparkSession, path: str, mode: str = "general",
-                   bucket_range: int = 1 << 16, block_size: int = BLOCK_SIZE) -> dict:
+                   bucket_range: int = 1 << 16, block_size: int = BLOCK_SIZE,
+                   dictionary: str = "fixture") -> dict:
     """Stage 2: globalize doc ids via manifest offsets, then the standard
     terms/postings build over the staged (already-analyzed) docs."""
     from searchengine_spark.operators.indexer import build_index_from_docs
@@ -133,7 +142,7 @@ def finalize_index(spark: SparkSession, path: str, mode: str = "general",
     docs = (staged.join(off_df, "part_id")
             .withColumn("doc_id", F.col("_off") + F.col("local_id"))
             .drop("_off", "local_id", "part_id"))
-    return build_index_from_docs(docs, mode, bucket_range, block_size)
+    return build_index_from_docs(docs, mode, bucket_range, block_size, dictionary)
 
 
 def save_index(index: dict, path: str, term_buckets: int = 16) -> None:
@@ -149,6 +158,7 @@ def save_index(index: dict, path: str, term_buckets: int = 16) -> None:
      .parquet(os.path.join(path, "postings")))
     with open(os.path.join(path, "stats.json"), "w") as f:
         json.dump({**index["stats"], "mode": index["mode"],
+                   "dictionary": index.get("dictionary", "fixture"),
                    "term_buckets": term_buckets}, f)
 
 
@@ -156,8 +166,10 @@ def load_index(spark: SparkSession, path: str) -> dict:
     with open(os.path.join(path, "stats.json")) as f:
         stats = json.load(f)
     mode = stats.pop("mode")
+    dictionary = stats.pop("dictionary", "fixture")
     return {
         "mode": mode,
+        "dictionary": dictionary,
         "docs": spark.read.parquet(os.path.join(path, "docs")),
         "terms": spark.read.parquet(os.path.join(path, "terms")),
         "postings": spark.read.parquet(os.path.join(path, "postings")),

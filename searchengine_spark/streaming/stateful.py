@@ -52,8 +52,14 @@ def _sessionize_fn(gap_seconds: float):
                 state.remove()
         else:
             cur = list(state.get) if state.exists else None
-            for pdf in pdfs:
-                pdf = pdf.sort_values("ts")
+            # applyInPandasWithState may deliver the group's micro-batch as
+            # MULTIPLE chunks with no global ts ordering; sorting chunks
+            # independently could close/split sessions on out-of-order events
+            # across chunk boundaries. Materialize + concat + one sort (state
+            # per user is bounded by its micro-batch slice).
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
                 for ts, val in zip(pdf["ts"].astype("int64") // 1000,
                                    pdf["value"].fillna(0.0)):
                     if cur is not None and ts - cur[1] > gap_us:

@@ -1,0 +1,91 @@
+"""Persisted ANN indexes: ingest-time bucket/centroid assignment stored as a
+parquet partition column; queries must PRUNE partitions (scan planning), not
+re-hash the corpus (r1 VERDICT finding 4 of the perf audit)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.similarity import (
+    build_ivf_index, build_lsh_index, cosine_topk, ivf_index_topk,
+    kmeans_centroids, load_ann_index, lsh_bucket_topk, lsh_index_topk)
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.RandomState(11)
+    # 4 well-separated clusters of 30 + some noise vectors
+    centers = rng.normal(size=(4, DIM)) * 4
+    rows = []
+    i = 0
+    for c in range(4):
+        for _ in range(30):
+            v = centers[c] + rng.normal(scale=0.3, size=DIM)
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    for _ in range(20):
+        rows.append((i, [float(x) for x in rng.normal(size=DIM)]))
+        i += 1
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>").persist()
+
+
+def test_lsh_index_matches_inmemory(spark, vecs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("lsh_idx"))
+    build_lsh_index(vecs, DIM, path, n_planes=8)
+    ann = load_ann_index(spark, path)
+    q = [float(x) for x in vecs.filter("vec_id = 3").first()["embedding"]]
+    got = [(r["vec_id"], r["cos"]) for r in lsh_index_topk(ann, q, k=5, multiprobe=1).collect()]
+    ref = [(r["vec_id"], r["cos"]) for r in lsh_bucket_topk(vecs, q, k=5, n_planes=8, multiprobe=1).collect()]
+    assert got == ref  # same planes seed → identical candidates + ranking
+
+
+def test_lsh_index_partition_pruning(spark, vecs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("lsh_prune"))
+    build_lsh_index(vecs, DIM, path, n_planes=8)
+    ann = load_ann_index(spark, path)
+    q = [float(x) for x in vecs.filter("vec_id = 3").first()["embedding"]]
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        lsh_index_topk(ann, q, k=5).explain(mode="formatted")
+    plan = buf.getvalue()
+    # bucket is a partition column: the filter must reach PartitionFilters
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_ivf_index_recall_and_pruning(spark, vecs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf_idx"))
+    build_ivf_index(vecs, DIM, path, n_centroids=4, iters=2)
+    ann = load_ann_index(spark, path)
+    q = [float(x) for x in vecs.filter("vec_id = 3").first()["embedding"]]
+    exact = [r["vec_id"] for r in cosine_topk(vecs, q, k=5).collect()]
+    got = [r["vec_id"] for r in ivf_index_topk(ann, q, k=5, n_probe=1).collect()]
+    # clustered data + converged centroids: probing 1/4 partitions finds the
+    # same cluster-mates as the exact scan
+    assert len(set(exact) & set(got)) >= 4
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ivf_index_topk(ann, q, k=5, n_probe=1).explain(mode="formatted")
+    assert "PartitionFilters" in buf.getvalue()
+
+
+def test_kmeans_lloyd_improves_assignment(spark, vecs):
+    # with clustered data, 2 Lloyd iterations should land one centroid per
+    # planted cluster: every cluster's members share an argmax centroid
+    cents = kmeans_centroids(vecs, DIM, n_centroids=4, iters=2)
+    mat = np.vstack([np.asarray(r["embedding"]) for r in
+                     vecs.orderBy("vec_id").collect()])[:120]
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    assign = (mat @ cents.T).argmax(axis=1)
+    for c in range(4):
+        grp = assign[c * 30:(c + 1) * 30]
+        # majority of each planted cluster maps to a single centroid
+        assert (grp == np.bincount(grp).argmax()).mean() >= 0.9
