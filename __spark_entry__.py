@@ -166,6 +166,21 @@ def _q_statistics_per_collection(spark, sf_dir):
                                      tokens=tokens_col(F.col("text")))
 
 
+def _q_phrase_topk(spark, sf_dir):
+    """Exact phrase query over a POSITIONAL index (delta+varint-encoded
+    token positions per posting block; adjacency via base-alignment):
+    docs containing the phrase "scan merge", ranked by occurrence count."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.search import phrase_search
+    key = (sf_dir, "positional")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    hits = phrase_search(_INDEX_CACHE[key], " ".join(BM25_Q), k=K)
+    return hits.select(_orig_doc_id(), "n_matches")
+
+
 def _q_snippets(spark, sf_dir):
     """Q10 snippets: highlighted sentence fragment for each top-k hit."""
     from searchengine_spark.operators.search import search
@@ -377,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_bm25_page2": _q_bm25_page2,
         "q2_scoped_bm25_topk": _q_scoped_bm25_topk,
         "q2_scoped_ref_topk": _q_scoped_ref_topk,
+        "q_phrase_topk": _q_phrase_topk,
         "s6_upsert_term_df": _q_upsert_term_df,
         "a3_statistics": _q_statistics,
         "a3_statistics_per_collection": _q_statistics_per_collection,
@@ -482,6 +498,21 @@ def oracle_sql() -> dict[str, str]:
               having count(*) = (select count(*) from qt))
             select doc_id, round(tf_sum / (select max(tf_sum) from m), 6) as score
             from m order by tf_sum desc, doc_id asc limit {K}""",
+        "q_phrase_topk": f"""
+            with arrs as (select doc_id, list_filter(string_split_regex(
+                regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                x -> x <> '') as arr from documents),
+            tp as (select doc_id, unnest(arr) as term,
+                   unnest(range(len(arr))) as pos from arrs),
+            q as (select * from (values ('scan', 0), ('merge', 1)) as t(term, qidx)),
+            al as (select tp.doc_id, tp.pos - q.qidx as base, q.qidx
+                   from tp join q using (term)),
+            b as (select doc_id, base from al group by doc_id, base
+                  having count(distinct qidx) = 2),
+            m as (select doc_id, cast(count(*) as bigint) as n_matches
+                  from b group by doc_id)
+            select doc_id, n_matches from m
+            order by n_matches desc, doc_id asc limit {K}""",
         "a3_statistics_per_collection": f"""
             with t as ({_TOKS}),
             d as (select doc_id,

@@ -210,6 +210,98 @@ def analyze_tf_col(text: Column, mode: str = "general",
     return make_analyze_tf_udf(mode, dictionary=dictionary)(text)
 
 
+# Positional variant: adds the token positions of each term occurrence.
+# ``poss`` is the per-doc CONCATENATION of each term's sorted position list
+# (term order matches ``terms``; boundaries recoverable from ``tfs`` since a
+# term's position count == its tf). Positions index the KEPT-lemma stream
+# (post stop-filter, post lemmatization), 0-based — phrase adjacency is
+# evaluated over what the index actually stores, the same convention the
+# oracle reproduces.
+TTP_SCHEMA = T.StructType([
+    T.StructField("terms", T.ArrayType(T.StringType())),
+    T.StructField("tfs", T.ArrayType(T.IntegerType())),
+    T.StructField("dl", T.IntegerType()),
+    T.StructField("poss", T.ArrayType(T.IntegerType())),
+])
+
+
+def make_analyze_tf_pos_udf(mode: str = "general",
+                            lemma_of: dict[str, str] | None = None,
+                            stop_words: frozenset[str] | None = None,
+                            dictionary: str = "fixture"):
+    """Vectorized pandas UDF: text → struct(terms, tfs, dl, poss)."""
+    import numpy as np
+
+    d_lem, d_stop = get_dictionary(dictionary)
+    lemma_of = d_lem if lemma_of is None else lemma_of
+    stop_words = d_stop if stop_words is None else stop_words
+    pat = _pattern(mode)
+    lemma_series_src = pd.Series(lemma_of)
+    stop_set = frozenset(stop_words)
+    ref_compat = mode == "ref_compat"
+
+    @F.pandas_udf(TTP_SCHEMA)
+    def analyze_tf_pos(texts: pd.Series) -> pd.DataFrame:
+        tser = texts.reset_index(drop=True)
+        toks = tser.fillna("").str.lower().str.replace(pat, " ", regex=True).str.split()
+        ex = toks.explode()
+        keep = ex.notna() & ~ex.isin(stop_set)
+        ex = ex[keep]
+        mapped = ex.map(lemma_series_src)
+        if ref_compat:
+            mapped = mapped.dropna()
+        else:
+            mapped = mapped.fillna(ex)
+        tok_idx = mapped.index.to_numpy()  # nondecreasing row ids
+        n_rows = len(tser)
+        tok_bounds = np.searchsorted(tok_idx, np.arange(n_rows + 1))
+        dl = np.diff(tok_bounds).astype("int32")
+        # position within each row's kept-lemma stream
+        pos = (np.arange(len(tok_idx)) - tok_bounds[tok_idx]).astype("int32")
+        g = pd.DataFrame({"r": tok_idx, "t": mapped.to_numpy(), "p": pos})
+        # sorted by (row, term, position): positions per (row, term) stay asc
+        g = g.sort_values(["r", "t", "p"], kind="stable")
+        cnt = g.groupby(["r", "t"], sort=False).size()
+        r = cnt.index.get_level_values(0).to_numpy()
+        terms = cnt.index.get_level_values(1).to_numpy()
+        tfs = cnt.to_numpy().astype("int32")
+        bounds = np.searchsorted(r, np.arange(n_rows + 1))
+        pvals = g["p"].to_numpy()
+        pb = np.searchsorted(g["r"].to_numpy(), np.arange(n_rows + 1))
+        return pd.DataFrame({
+            "terms": [terms[bounds[i]:bounds[i + 1]].tolist() for i in range(n_rows)],
+            "tfs": [tfs[bounds[i]:bounds[i + 1]].tolist() for i in range(n_rows)],
+            "dl": dl,
+            "poss": [pvals[pb[i]:pb[i + 1]].tolist() for i in range(n_rows)],
+        }, index=texts.index)
+
+    return analyze_tf_pos
+
+
+def analyze_tf_pos_col(text: Column, mode: str = "general",
+                       dictionary: str = "fixture") -> Column:
+    return make_analyze_tf_pos_udf(mode, dictionary=dictionary)(text)
+
+
+def tf_pos_pairs(docs: DataFrame, tt_col: str = "tt") -> DataFrame:
+    """(doc_id, dl, term, tf, positions array<int>) rows from the positional
+    struct — the concatenated ``poss`` is re-split per term with a slice over
+    the running tf offsets, all JVM-side."""
+    offs = F.expr(
+        f"transform({tt_col}.tfs, (x, i) -> "
+        f"aggregate(slice({tt_col}.tfs, 1, i), 0, (a, b) -> a + b))")
+    z = docs.select(
+        "doc_id", "dl", F.col(f"{tt_col}.poss").alias("_poss"),
+        F.explode(F.arrays_zip(
+            F.col(f"{tt_col}.terms").alias("term"),
+            F.col(f"{tt_col}.tfs").alias("tf"),
+            offs.alias("off"))).alias("x"))
+    return z.select(
+        "doc_id", "dl", F.col("x.term").alias("term"),
+        F.col("x.tf").cast("long").alias("tf"),
+        F.slice("_poss", F.col("x.off") + 1, F.col("x.tf")).alias("positions"))
+
+
 def tf_pairs(docs: DataFrame, tt_col: str = "tt") -> DataFrame:
     """(doc_id, dl, term, tf) rows from the fused struct — narrow ops only
     (explode of pre-counted pairs; no shuffle)."""

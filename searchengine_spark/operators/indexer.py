@@ -156,18 +156,22 @@ def dedup_and_assign_doc_ids(transcripts: DataFrame) -> DataFrame:
 
 def build_index(transcripts: DataFrame, mode: str = "general",
                 bucket_range: int = 1 << 16, block_size: int = BLOCK_SIZE,
-                dictionary: str = "fixture") -> dict:
+                dictionary: str = "fixture", with_positions: bool = False) -> dict:
     """Full index build from raw transcripts. Returns dict of DataFrames +
     corpus stats: docs, terms, postings_flat, postings, stats, mode.
     ``dictionary`` picks the named lemma dictionary (analysis.get_dictionary)
-    and rides along in stats so query-side analysis always matches."""
+    and rides along in stats so query-side analysis always matches.
+    ``with_positions`` adds delta+varint-encoded token positions to every
+    posting block (phrase queries via ``operators.search.phrase_search``)."""
     return build_index_from_docs(build_docs(transcripts, mode, dictionary),
-                                 mode, bucket_range, block_size, dictionary)
+                                 mode, bucket_range, block_size, dictionary,
+                                 with_positions)
 
 
 def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
                           bucket_range: int = 1 << 16, block_size: int = BLOCK_SIZE,
-                          dictionary: str = "fixture") -> dict:
+                          dictionary: str = "fixture",
+                          with_positions: bool = False) -> dict:
     """Index build over an already-analyzed docs table
     (doc_id, conv_id, turn_idx, role, tool, ts, tt struct, dl) — shared by
     the one-shot path and the checkpoint-resume path (plans/manifest.py),
@@ -186,8 +190,14 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
     # The UDF is re-applied ON TOP of the cached slim docs — Spark cache
     # reuse is plan-based, so deriving tf from docs_with_tt's original
     # lineage would replay the dedup/id shuffles instead of hitting cache.
-    tf = tf_pairs(docs.withColumn(
-        "tt", analyze_tf_col(F.col("text"), mode, dictionary))).persist()
+    if with_positions:
+        from searchengine_spark.functions.analysis import (
+            analyze_tf_pos_col, tf_pos_pairs)
+        tf = tf_pos_pairs(docs.withColumn(
+            "tt", analyze_tf_pos_col(F.col("text"), mode, dictionary))).persist()
+    else:
+        tf = tf_pairs(docs.withColumn(
+            "tt", analyze_tf_col(F.col("text"), mode, dictionary))).persist()
     # Eager materialization barrier, and the build's FIRST action: evaluating
     # tf populates the docs cache en route (its plan scans the uncached docs
     # InMemoryRelation), so both caches fill in one pass. Skipping the
@@ -211,9 +221,10 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
     # relative to the postings); at 10^8-term scale fall back to a shuffled
     # hash join on term (AQE picks the strategy from the real sizes).
     tsel = terms.select("term", "term_id", "df")
+    pos_cols = ["positions"] if with_positions else []
     postings_flat = (
         tf.join(F.broadcast(tsel) if n_terms <= 10_000_000 else tsel, "term")
-        .select("term_id", "doc_id", "tf", "dl", "df")
+        .select("term_id", "doc_id", "tf", "dl", "df", *pos_cols)
     )
 
     score = bm25_idf(F.col("df"), n_docs) * bm25_tf_part(F.col("tf"), F.col("dl"), avgdl)
@@ -233,23 +244,39 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
         tfs = pdf["tf"].to_numpy()[order]
         dls = pdf["dl"].to_numpy()[order]
         scores = pdf["score"].to_numpy()[order]
+        if with_positions:
+            plists = pdf["positions"].to_numpy()[order]
         from searchengine_spark.operators.codec import encode_block, varint_encode
         for j, lo in enumerate(range(0, len(ids), block_size)):
             hi = min(lo + block_size, len(ids))
             first, n, d, t = encode_block(ids[lo:hi], tfs[lo:hi])
-            out.append((term_id, bucket * blocks_per_bucket + j, first, n, d, t,
-                        varint_encode(dls[lo:hi].astype("uint64")),
-                        float(scores[lo:hi].max()), int(tfs[lo:hi].max())))
-        return pd.DataFrame(out, columns=[
-            "term_id", "block_id", "first_doc_id", "n", "doc_deltas", "tfs",
-            "dls", "block_max_score", "block_max_tf"])
+            row = [term_id, bucket * blocks_per_bucket + j, first, n, d, t,
+                   varint_encode(dls[lo:hi].astype("uint64")),
+                   float(scores[lo:hi].max()), int(tfs[lo:hi].max())]
+            if with_positions:
+                # per-doc position lists, each delta-encoded (first abs, then
+                # gaps), concatenated; boundaries recoverable from the tfs
+                # stream (|positions of doc| == tf)
+                flat = []
+                for pl in plists[lo:hi]:
+                    a = np.asarray(pl, dtype=np.int64)
+                    flat.append(np.diff(a, prepend=0))
+                row.append(varint_encode(
+                    (np.concatenate(flat) if flat else
+                     np.empty(0, dtype=np.int64)).astype("uint64")))
+            out.append(tuple(row))
+        cols = ["term_id", "block_id", "first_doc_id", "n", "doc_deltas",
+                "tfs", "dls", "block_max_score", "block_max_tf"]
+        if with_positions:
+            cols.append("pos")
+        return pd.DataFrame(out, columns=cols)
 
-    postings = scored.groupBy("term_id", "bucket").applyInPandas(
-        encode,
-        schema=("term_id long, block_id int, first_doc_id long, n int, "
-                "doc_deltas binary, tfs binary, dls binary, "
-                "block_max_score double, block_max_tf int"),
-    )
+    schema = ("term_id long, block_id int, first_doc_id long, n int, "
+              "doc_deltas binary, tfs binary, dls binary, "
+              "block_max_score double, block_max_tf int")
+    if with_positions:
+        schema += ", pos binary"
+    postings = scored.groupBy("term_id", "bucket").applyInPandas(encode, schema)
 
     # A live (unsaved) index is served repeatedly: materialize terms/postings
     # once so per-query jobs scan cached data instead of re-running the whole
@@ -275,7 +302,8 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
                   # persisted geometry: upsert's touched-(term_id, bucket)
                   # classification MUST use the layout the index was built
                   # with (bucket = block_id // ceil(bucket_range/block_size))
-                  "bucket_range": bucket_range, "block_size": block_size},
+                  "bucket_range": bucket_range, "block_size": block_size,
+                  **({"positions": True} if with_positions else {})},
     }
 
 

@@ -370,6 +370,119 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     return out
 
 
+def phrase_search(index: dict, phrase: str, k: int = 10,
+                  scope=None) -> DataFrame:
+    """Exact phrase query over a POSITIONAL index
+    (``build_index(with_positions=True)``).
+
+    Plan (pure DataFrame ops after the decode UDF): decode the phrase
+    terms' blocks to (term_id, doc_id, pos) — positions delta-decoded from
+    the ``pos`` binary, boundaries from the tfs stream — fan positions out
+    to their phrase slots via a broadcast (term_id, qidx) map, align with
+    ``base = pos - qidx``, and a doc has a phrase match at ``base`` iff all
+    |phrase| distinct slots appear at that base:
+    ``groupBy(doc_id, base) → countDistinct(qidx) == n``. n_matches = the
+    number of such bases. One decode pass, one aggregation — the same
+    shuffle budget as a conjunctive AND. Returns
+    (doc_id, conv_id, turn_idx, role, tool, ts, n_matches) top-k by
+    (n_matches desc, doc_id asc).
+
+    Positions index the kept-lemma stream (stop-filtered, lemmatized), so a
+    phrase matches modulo stopword removal — the standard analyzed-phrase
+    semantics. Duplicate phrase terms are handled (each occurrence is its
+    own slot).
+    """
+    spark = index["docs"].sparkSession
+    stats = index["stats"]
+    if not stats.get("positions"):
+        raise ValueError("phrase_search requires build_index(with_positions=True)")
+    amode = index.get("mode", "general")
+    dictionary = index.get("dictionary", "fixture")
+    # phrase analysis keeps ORDER and duplicates: one slot per kept lemma
+    qseq = analyze_text(phrase, amode, dictionary=dictionary)
+    empty = spark.createDataFrame(
+        [], "doc_id long, conv_id string, turn_idx int, role string, "
+            "tool string, ts timestamp, n_matches long")
+    if not qseq:
+        return empty
+    sc = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc is None:
+        return empty
+    id_of = {}
+    pdf_terms = _terms_local(index)
+    if pdf_terms is not None:
+        for t in set(qseq):
+            if t in pdf_terms.index:
+                id_of[t] = int(pdf_terms.loc[t, "term_id"])
+    else:
+        got = index["terms"].filter(F.col("term").isin(sorted(set(qseq)))).collect()
+        id_of = {r["term"]: r["term_id"] for r in got}
+    if any(t not in id_of for t in qseq):
+        return empty  # a phrase term absent from the corpus → no match
+    n_q = len(qseq)
+    slot_pairs = [(id_of[t], i) for i, t in enumerate(qseq)]
+    term_ids = sorted({tid for tid, _ in slot_pairs})
+
+    blocks = index["postings"]
+    tb = stats.get("term_buckets")
+    if tb and "term_bucket" in blocks.columns:
+        blocks = blocks.filter(
+            F.col("term_bucket").isin(sorted({tid % tb for tid in term_ids})))
+    blocks = blocks.filter(F.col("term_id").isin(term_ids))
+    if sc is not None:
+        br, bs = stats.get("bucket_range"), stats.get("block_size")
+        if br and bs:
+            bpb = -(-br // bs)
+            bcol = F.floor(F.col("block_id") / F.lit(bpb))
+            blocks = blocks.filter(bcol.between(sc["lo"] // br, sc["hi"] // br))
+
+    def gen(batches):
+        from searchengine_spark.operators.codec import decode_block, varint_decode
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                doc_ids, tfs = decode_block(row.first_doc_id, row.n,
+                                            row.doc_deltas, row.tfs)
+                deltas = varint_decode(row.pos).astype(np.int64)
+                ends = np.cumsum(tfs)
+                starts = ends - tfs
+                # per-doc cumsum over the flat delta stream (first delta of a
+                # doc is its absolute first position): pos[i] = Σ deltas[s..i]
+                # = glob[i] - (glob[s] - deltas[s]), vectorized over the block
+                glob = np.cumsum(deltas)
+                base0 = np.repeat(glob[starts] - deltas[starts], tfs)
+                outs.append(pd.DataFrame({
+                    "doc_id": np.repeat(doc_ids, tfs),
+                    "term_id": row.term_id,
+                    "pos": (glob - base0).astype("int64"),
+                }))
+            yield (pd.concat(outs) if outs else
+                   pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "term_id": pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64")}))
+
+    decoded = blocks.mapInPandas(gen, schema="doc_id long, term_id long, pos long")
+    if sc is not None:
+        decoded = _scope_filter(decoded, sc)
+
+    slots = F.broadcast(spark.createDataFrame(
+        slot_pairs, "term_id long, qidx int"))
+    aligned = (decoded.join(slots, "term_id")
+               .select("doc_id", (F.col("pos") - F.col("qidx")).alias("base"),
+                       "qidx"))
+    bases = (aligned.groupBy("doc_id", "base")
+             .agg(F.countDistinct("qidx").alias("nslots"))
+             .filter((F.col("nslots") == n_q) & (F.col("base") >= 0)))
+    matches = bases.groupBy("doc_id").agg(F.count("*").alias("n_matches"))
+    topk = matches.orderBy(F.col("n_matches").desc(), F.col("doc_id").asc()).limit(k)
+    docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
+                                     "tool", "ts")
+    return (docs_meta.join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                    "n_matches")
+            .orderBy(F.col("n_matches").desc(), F.col("doc_id").asc()))
+
+
 def search_many(index: dict, queries: dict[str, str], k: int = 10,
                 mode: str = "bm25") -> DataFrame:
     """Batched top-k: score MANY queries in ONE Spark job.

@@ -83,6 +83,11 @@ def upsert_turns(index: dict, delta: DataFrame,
             f"upsert geometry ({bucket_range}, {block_size}) != built index "
             f"geometry ({built_br}, {built_bs}); touched-block classification "
             "would corrupt postings")
+    if stats.get("positions"):
+        raise NotImplementedError(
+            "incremental upsert of a POSITIONAL index is not implemented "
+            "(the touched-block rewrite would drop the pos column); rebuild "
+            "with build_index(with_positions=True) instead")
 
     delta = dedup_turns(delta)
     delta = delta.withColumn("tt", analyze_tf_col(F.col("text"), mode, dictionary)) \

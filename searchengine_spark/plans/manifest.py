@@ -68,12 +68,38 @@ def _dir_bytes(d: str) -> int:
     return total
 
 
+def _cancel_path(path: str) -> str:
+    return os.path.join(path, "CANCEL")
+
+
+def request_cancel(path: str) -> None:
+    """O3 cooperative stop (reference ``GET /api/stopIndexing``,
+    services/IndexingServiceImpl.java:54-60): drop a CANCEL marker; the
+    build checks it at every partition boundary, records a CANCELLED
+    manifest row, and stops. Completed partitions stay DONE — a later run
+    (after ``clear_cancel``) resumes exactly where the build stopped."""
+    os.makedirs(path, exist_ok=True)
+    with open(_cancel_path(path), "w") as f:
+        f.write("cancel requested\n")
+
+
+def clear_cancel(path: str) -> None:
+    if os.path.exists(_cancel_path(path)):
+        os.remove(_cancel_path(path))
+
+
+class BuildCancelled(RuntimeError):
+    """Raised by stage_partitions when a CANCEL marker is observed."""
+
+
 def stage_partitions(transcripts: DataFrame, path: str, n_parts: int = 8,
                      mode: str = "general",
                      dictionary: str = "fixture") -> dict[int, dict]:
     """Stage 1: per conv-range partition, dedup + analyze + local dense ids →
     parquet stage dir + DONE manifest row with lineage metrics. Skips
-    partitions already DONE (resume)."""
+    partitions already DONE (resume); honors ``request_cancel`` between
+    partitions (cooperative O3 stop — raises BuildCancelled after recording
+    a CANCELLED manifest row)."""
     spark = transcripts.sparkSession
     manifest = read_manifest(path)
     # Contiguous conv_id ranges via Spark's sampled RangePartitioner
@@ -90,6 +116,15 @@ def stage_partitions(transcripts: DataFrame, path: str, n_parts: int = 8,
         pid = int(r["b"])
         if manifest.get(pid, {}).get("status") == "DONE":
             continue
+        if os.path.exists(_cancel_path(path)):
+            append_manifest(path, {
+                "partition_id": pid, "status": "CANCELLED",
+                "conv_lo": r["lo"], "conv_hi": r["hi"],
+                "started_ts": None, "finished_ts": time.time(),
+                "error": "cancelled by request_cancel", "docs": None,
+                "tokens": None, "elapsed_s": None, "docs_per_sec": None,
+                "bytes": None})
+            raise BuildCancelled(f"build under {path} cancelled before partition {pid}")
         started = time.time()
         stage_dir = os.path.join(path, f"stage/part={pid:05d}")
         try:

@@ -104,6 +104,40 @@ def test_kill_and_resume_reproduces_index(spark, corpus_df, oneshot,
     assert _topk(resumed, "лес дом", "ref_compat") == _topk(oneshot, "лес дом", "ref_compat")
 
 
+def test_cancel_and_resume(spark, corpus_df, oneshot, tmp_path_factory,
+                           monkeypatch):
+    """O3 cooperative stop (reference GET /api/stopIndexing): a CANCEL
+    marker stops the build at the next partition boundary with a CANCELLED
+    manifest row; clearing it resumes from the completed partitions."""
+    path = str(tmp_path_factory.mktemp("cancel"))
+
+    real_append = M.append_manifest
+    calls = {"n": 0}
+
+    def cancelling_append(p, row):
+        real_append(p, row)
+        if row["status"] == "DONE":
+            calls["n"] += 1
+            if calls["n"] == 2:
+                M.request_cancel(path)  # user hits stop after 2 partitions
+
+    monkeypatch.setattr(M, "append_manifest", cancelling_append)
+    with pytest.raises(M.BuildCancelled):
+        stage_partitions(corpus_df, path, n_parts=N_PARTS, mode="general")
+    monkeypatch.setattr(M, "append_manifest", real_append)
+
+    partial = read_manifest(path)
+    assert sum(1 for r in partial.values() if r["status"] == "DONE") == 2
+    assert any(r["status"] == "CANCELLED" for r in partial.values())
+
+    M.clear_cancel(path)
+    manifest = stage_partitions(corpus_df, path, n_parts=N_PARTS, mode="general")
+    assert all(row["status"] == "DONE" for row in manifest.values())
+    resumed = finalize_index(spark, path, mode="general",
+                             bucket_range=256, block_size=32)
+    assert _terms_map(resumed) == _terms_map(oneshot)
+
+
 def test_save_load_round_trip(spark, oneshot, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("saved"))
     save_index(oneshot, path, term_buckets=8)

@@ -1,0 +1,98 @@
+"""Positional postings + phrase queries: engine vs a pure-Python brute-force
+golden over the fixture corpus (adjacency on the analyzed lemma stream)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.analysis import analyze_text
+from searchengine_spark.operators.search import phrase_search
+
+
+@pytest.fixture(scope="module")
+def pos_index(corpus_df):
+    from searchengine_spark.operators.indexer import build_index
+    idx = build_index(corpus_df, mode="general", bucket_range=256,
+                      block_size=32, with_positions=True)
+    idx["postings"].count()
+    idx["terms"].count()
+    return idx
+
+
+def _golden_phrase(corpus_pdf, phrase: str) -> dict[tuple, int]:
+    qseq = analyze_text(phrase, "general")
+    out: dict[tuple, int] = {}
+    for rec in corpus_pdf.to_dict("records"):
+        toks = analyze_text(rec["text"], "general")
+        n = sum(1 for i in range(len(toks) - len(qseq) + 1)
+                if toks[i:i + len(qseq)] == qseq)
+        if n:
+            out[(rec["conv_id"], rec["turn_idx"])] = n
+    return out
+
+
+def _dedup_golden(corpus_pdf, phrase):
+    # corpus_pdf may contain duplicate (conv_id, turn_idx) rows (the fixture
+    # plants dups); the engine indexes the deterministic pick — text is
+    # identical across dups, so first-seen is fine
+    seen, out = set(), []
+    for rec in corpus_pdf.to_dict("records"):
+        key = (rec["conv_id"], rec["turn_idx"])
+        if key not in seen:
+            seen.add(key)
+            out.append(rec)
+    import pandas as pd
+    return _golden_phrase(pd.DataFrame(out), phrase)
+
+
+@pytest.mark.parametrize("phrase", [
+    "ошибка сервер",      # hot + mid lemmas, inflected in text
+    "поиск запрос",
+    "merge retry",        # latin agentic tokens
+])
+def test_phrase_matches_golden(pos_index, corpus_pdf, phrase):
+    exp = _dedup_golden(corpus_pdf, phrase)
+    got = {(r["conv_id"], r["turn_idx"]): r["n_matches"]
+           for r in phrase_search(pos_index, phrase, k=10_000).collect()}
+    assert got == exp, (phrase, got, exp)
+
+
+def test_phrase_absent_term_empty(pos_index):
+    assert phrase_search(pos_index, "абракадабрище ошибка", k=10).count() == 0
+
+
+def test_phrase_topk_ordering(pos_index, corpus_pdf):
+    phrase = "ошибка сервер"
+    exp = _dedup_golden(corpus_pdf, phrase)
+    if len(exp) < 2:
+        pytest.skip("need ≥2 matching docs for ordering")
+    rows = phrase_search(pos_index, phrase, k=3).collect()
+    counts = [r["n_matches"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert len(rows) <= 3
+
+
+def test_positional_save_load_round_trip(pos_index, corpus_pdf, spark,
+                                         tmp_path_factory):
+    from searchengine_spark.plans.manifest import load_index, save_index
+    path = str(tmp_path_factory.mktemp("pos_saved"))
+    save_index(pos_index, path, term_buckets=8)
+    loaded = load_index(spark, path)
+    assert loaded["stats"].get("positions") is True
+    phrase = "поиск запрос"
+    exp = {(r["conv_id"], r["turn_idx"]): r["n_matches"]
+           for r in phrase_search(pos_index, phrase, k=10_000).collect()}
+    got = {(r["conv_id"], r["turn_idx"]): r["n_matches"]
+           for r in phrase_search(loaded, phrase, k=10_000).collect()}
+    assert got == exp
+
+
+def test_positional_upsert_rejected(pos_index, spark):
+    from searchengine_spark.operators.upsert import upsert_turns
+    delta = spark.createDataFrame(
+        [("zz", 0, "user", "текст", None, "2026-01-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(NotImplementedError):
+        upsert_turns(pos_index, delta)
