@@ -181,6 +181,20 @@ def _q_phrase_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), "n_matches")
 
 
+def _q_near_topk(spark, sf_dir):
+    """Two-term proximity query over the positional index: docs where
+    'scan' and 'hash' occur within 4 positions, ranked by close-pair count."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.search import near_search
+    key = (sf_dir, "positional")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    hits = near_search(_INDEX_CACHE[key], "scan", "hash", max_dist=4, k=K)
+    return hits.select(_orig_doc_id(), "n_pairs")
+
+
 def _q_snippets(spark, sf_dir):
     """Q10 snippets: highlighted sentence fragment for each top-k hit."""
     from searchengine_spark.operators.search import search
@@ -393,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_scoped_bm25_topk": _q_scoped_bm25_topk,
         "q2_scoped_ref_topk": _q_scoped_ref_topk,
         "q_phrase_topk": _q_phrase_topk,
+        "q_near_topk": _q_near_topk,
         "s6_upsert_term_df": _q_upsert_term_df,
         "a3_statistics": _q_statistics,
         "a3_statistics_per_collection": _q_statistics_per_collection,
@@ -513,6 +528,20 @@ def oracle_sql() -> dict[str, str]:
                   from b group by doc_id)
             select doc_id, n_matches from m
             order by n_matches desc, doc_id asc limit {K}""",
+        "q_near_topk": f"""
+            with arrs as (select doc_id, list_filter(string_split_regex(
+                regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                x -> x <> '') as arr from documents),
+            tp as (select doc_id, unnest(arr) as term,
+                   unnest(range(len(arr))) as pos from arrs),
+            a as (select doc_id, pos as pa from tp where term = 'scan'),
+            b as (select doc_id, pos as pb from tp where term = 'hash'),
+            p as (select distinct a.doc_id, pa, pb
+                  from a join b using (doc_id) where abs(pa - pb) <= 4),
+            m as (select doc_id, cast(count(*) as bigint) as n_pairs
+                  from p group by doc_id)
+            select doc_id, n_pairs from m
+            order by n_pairs desc, doc_id asc limit {K}""",
         "a3_statistics_per_collection": f"""
             with t as ({_TOKS}),
             d as (select doc_id,

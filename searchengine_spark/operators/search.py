@@ -423,45 +423,7 @@ def phrase_search(index: dict, phrase: str, k: int = 10,
     slot_pairs = [(id_of[t], i) for i, t in enumerate(qseq)]
     term_ids = sorted({tid for tid, _ in slot_pairs})
 
-    blocks = index["postings"]
-    tb = stats.get("term_buckets")
-    if tb and "term_bucket" in blocks.columns:
-        blocks = blocks.filter(
-            F.col("term_bucket").isin(sorted({tid % tb for tid in term_ids})))
-    blocks = blocks.filter(F.col("term_id").isin(term_ids))
-    if sc is not None:
-        br, bs = stats.get("bucket_range"), stats.get("block_size")
-        if br and bs:
-            bpb = -(-br // bs)
-            bcol = F.floor(F.col("block_id") / F.lit(bpb))
-            blocks = blocks.filter(bcol.between(sc["lo"] // br, sc["hi"] // br))
-
-    def gen(batches):
-        from searchengine_spark.operators.codec import decode_block, varint_decode
-        for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                doc_ids, tfs = decode_block(row.first_doc_id, row.n,
-                                            row.doc_deltas, row.tfs)
-                deltas = varint_decode(row.pos).astype(np.int64)
-                ends = np.cumsum(tfs)
-                starts = ends - tfs
-                # per-doc cumsum over the flat delta stream (first delta of a
-                # doc is its absolute first position): pos[i] = Σ deltas[s..i]
-                # = glob[i] - (glob[s] - deltas[s]), vectorized over the block
-                glob = np.cumsum(deltas)
-                base0 = np.repeat(glob[starts] - deltas[starts], tfs)
-                outs.append(pd.DataFrame({
-                    "doc_id": np.repeat(doc_ids, tfs),
-                    "term_id": row.term_id,
-                    "pos": (glob - base0).astype("int64"),
-                }))
-            yield (pd.concat(outs) if outs else
-                   pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "term_id": pd.Series(dtype="int64"),
-                                 "pos": pd.Series(dtype="int64")}))
-
-    decoded = blocks.mapInPandas(gen, schema="doc_id long, term_id long, pos long")
+    decoded = _decode_positions(index, term_ids, sc)
     if sc is not None:
         decoded = _scope_filter(decoded, sc)
 
@@ -481,6 +443,116 @@ def phrase_search(index: dict, phrase: str, k: int = 10,
             .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                     "n_matches")
             .orderBy(F.col("n_matches").desc(), F.col("doc_id").asc()))
+
+
+def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
+                k: int = 10, scope=None) -> DataFrame:
+    """Two-term proximity query over a POSITIONAL index: docs where an
+    occurrence of ``term_a`` and one of ``term_b`` lie within ``max_dist``
+    positions (either order), ranked by the number of such close pairs.
+
+    Plan: same decode as phrase_search, then positions bucketized to
+    ``pos // max_dist`` — a close pair must land in the same or adjacent
+    bucket, so the pair join is equi-join on (doc_id, bucket) fanned to the
+    3 adjacent buckets (never a per-doc cartesian), followed by the exact
+    |pa - pb| ≤ max_dist check in codegen. At 100× data the join stays
+    bucket-local. Returns (doc_id, conv_id, turn_idx, role, tool, ts,
+    n_pairs) top-k by (n_pairs desc, doc_id asc).
+    """
+    spark = index["docs"].sparkSession
+    stats = index["stats"]
+    if not stats.get("positions"):
+        raise ValueError("near_search requires build_index(with_positions=True)")
+    amode = index.get("mode", "general")
+    dictionary = index.get("dictionary", "fixture")
+    qa = analyze_text(term_a, amode, dictionary=dictionary)
+    qb = analyze_text(term_b, amode, dictionary=dictionary)
+    empty = spark.createDataFrame(
+        [], "doc_id long, conv_id string, turn_idx int, role string, "
+            "tool string, ts timestamp, n_pairs long")
+    if len(qa) != 1 or len(qb) != 1 or qa[0] == qb[0]:
+        raise ValueError("near_search takes two distinct single-term arguments")
+    sc = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc is None:
+        return empty
+    pdf_terms = _terms_local(index)
+    id_of = {}
+    for t in (qa[0], qb[0]):
+        if pdf_terms is not None:
+            if t in pdf_terms.index:
+                id_of[t] = int(pdf_terms.loc[t, "term_id"])
+        else:
+            rows = index["terms"].filter(F.col("term") == t).collect()
+            if rows:
+                id_of[t] = rows[0]["term_id"]
+    if len(id_of) < 2:
+        return empty
+    ta, tb = id_of[qa[0]], id_of[qb[0]]
+
+    decoded = _decode_positions(index, [ta, tb], sc)
+    if sc is not None:
+        decoded = _scope_filter(decoded, sc)
+    w = max(1, int(max_dist))
+    bucketed = decoded.withColumn("b", F.floor(F.col("pos") / F.lit(w)))
+    a = bucketed.filter(F.col("term_id") == ta).select(
+        "doc_id", F.col("pos").alias("pa"), F.col("b").alias("ba"))
+    # fan b-side to adjacent buckets so every |pa-pb| ≤ w pair shares a key
+    b = (bucketed.filter(F.col("term_id") == tb)
+         .select("doc_id", F.col("pos").alias("pb"),
+                 F.explode(F.array(F.col("b") - 1, F.col("b"),
+                                   F.col("b") + 1)).alias("ba")))
+    pairs = (a.join(b, ["doc_id", "ba"])
+             .filter(F.abs(F.col("pa") - F.col("pb")) <= w)
+             .select("doc_id", "pa", "pb").distinct())
+    matches = pairs.groupBy("doc_id").agg(F.count("*").alias("n_pairs"))
+    topk = matches.orderBy(F.col("n_pairs").desc(), F.col("doc_id").asc()).limit(k)
+    docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
+                                     "tool", "ts")
+    return (docs_meta.join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                    "n_pairs")
+            .orderBy(F.col("n_pairs").desc(), F.col("doc_id").asc()))
+
+
+def _decode_positions(index: dict, term_ids: list[int], sc=None) -> DataFrame:
+    """Shared positional decode: blocks of ``term_ids`` → (doc_id, term_id,
+    pos), with term-bucket partition pruning and scope bucket pruning."""
+    stats = index["stats"]
+    blocks = index["postings"]
+    tb = stats.get("term_buckets")
+    if tb and "term_bucket" in blocks.columns:
+        blocks = blocks.filter(
+            F.col("term_bucket").isin(sorted({tid % tb for tid in term_ids})))
+    blocks = blocks.filter(F.col("term_id").isin(sorted(term_ids)))
+    if sc is not None:
+        br, bs = stats.get("bucket_range"), stats.get("block_size")
+        if br and bs:
+            bpb = -(-br // bs)
+            bcol = F.floor(F.col("block_id") / F.lit(bpb))
+            blocks = blocks.filter(bcol.between(sc["lo"] // br, sc["hi"] // br))
+
+    def gen(batches):
+        from searchengine_spark.operators.codec import decode_block, varint_decode
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                doc_ids, tfs = decode_block(row.first_doc_id, row.n,
+                                            row.doc_deltas, row.tfs)
+                deltas = varint_decode(row.pos).astype(np.int64)
+                starts = np.cumsum(tfs) - tfs
+                glob = np.cumsum(deltas)
+                base0 = np.repeat(glob[starts] - deltas[starts], tfs)
+                outs.append(pd.DataFrame({
+                    "doc_id": np.repeat(doc_ids, tfs),
+                    "term_id": row.term_id,
+                    "pos": (glob - base0).astype("int64"),
+                }))
+            yield (pd.concat(outs) if outs else
+                   pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "term_id": pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64")}))
+
+    return blocks.mapInPandas(gen, schema="doc_id long, term_id long, pos long")
 
 
 def search_many(index: dict, queries: dict[str, str], k: int = 10,

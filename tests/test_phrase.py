@@ -73,6 +73,35 @@ def test_phrase_topk_ordering(pos_index, corpus_pdf):
     assert len(rows) <= 3
 
 
+def _golden_near(corpus_pdf, ta, tb, w):
+    la, lb = analyze_text(ta, "general")[0], analyze_text(tb, "general")[0]
+    out, seen = {}, set()
+    for rec in corpus_pdf.to_dict("records"):
+        key = (rec["conv_id"], rec["turn_idx"])
+        if key in seen:
+            continue
+        seen.add(key)
+        toks = analyze_text(rec["text"], "general")
+        pa = [i for i, t in enumerate(toks) if t == la]
+        pb = [i for i, t in enumerate(toks) if t == lb]
+        n = sum(1 for x in pa for y in pb if abs(x - y) <= w)
+        if n:
+            out[key] = n
+    return out
+
+
+@pytest.mark.parametrize("ta,tb,w", [
+    ("ошибка", "сервер", 3),
+    ("поиск", "запрос", 5),
+])
+def test_near_search_matches_golden(pos_index, corpus_pdf, ta, tb, w):
+    from searchengine_spark.operators.search import near_search
+    exp = _golden_near(corpus_pdf, ta, tb, w)
+    got = {(r["conv_id"], r["turn_idx"]): r["n_pairs"]
+           for r in near_search(pos_index, ta, tb, max_dist=w, k=10_000).collect()}
+    assert got == exp, (ta, tb, w, got, exp)
+
+
 def test_positional_save_load_round_trip(pos_index, corpus_pdf, spark,
                                          tmp_path_factory):
     from searchengine_spark.plans.manifest import load_index, save_index
