@@ -334,6 +334,15 @@ def _q_sim_neardup(spark, sf_dir):
     return cosine_neardup_pairs(emb, threshold=0.35)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Dedup groups: connected components (min-label propagation) over the
+    exact cosine near-dup pairs — the pairs→clusters step every dedup
+    pipeline needs before keeping one doc per group."""
+    from searchengine_spark.functions.dedup import connected_components
+    pairs = _q_sim_neardup(spark, sf_dir)
+    return connected_components(pairs)
+
+
 def _q_sim_lsh_neardup(spark, sf_dir):
     """LSH-bucketed near-dup pairs (scale path; rows-only — recall < 1)."""
     from searchengine_spark.functions.similarity import lsh_neardup_pairs
@@ -419,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_neardup_pairs": _q_sim_neardup,
+        "dedup_clusters": _q_dedup_clusters,
         "sim_lsh_neardup_pairs": _q_sim_lsh_neardup,
         "text_token_count_bpe": _q_token_count_bpe,
         "events_sessionize": _q_sessionize_events,
@@ -673,6 +683,24 @@ def oracle_sql() -> dict[str, str]:
                               * sqrt(list_dot_product(b.v, b.v))), 6) as cos
               from e a join e b on a.vec_id < b.vec_id)
             select id_a, id_b, cos from p where cos >= 0.35""",
+        "dedup_clusters": """
+            with recursive
+            e as (select vec_id, embedding::DOUBLE[] as v
+                  from embeddings where vec_id < 300),
+            p as (
+              select a.vec_id as id_a, b.vec_id as id_b,
+                     round(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6) as cos
+              from e a join e b on a.vec_id < b.vec_id),
+            f as (select id_a, id_b from p where cos >= 0.35),
+            ed as (select id_a as a, id_b as b from f
+                   union select id_b, id_a from f),
+            reach(id, r) as (
+              select a, a from ed
+              union
+              select ed.a, reach.r from ed join reach on ed.b = reach.id)
+            select id, min(r) as rep from reach group by id""",
         "text_token_count_bpe": """
             select doc_id,
                    cast(len(regexp_extract_all(text,

@@ -130,6 +130,41 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return pairs
 
 
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Dedup clusters from near-dup pairs: connected components by min-label
+    propagation. Returns (id, rep) — rep is the smallest id in the
+    component — for every id that appears in at least one pair.
+
+    Each iteration is one join + one groupBy(min) over (edge, label) rows —
+    standard large-scale CC (converges in O(component diameter) rounds;
+    near-dup components are shallow). Iteration stops early when a round
+    changes nothing (one small count action per round). Pair order is
+    irrelevant; edges are symmetrized internally.
+    """
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # iterative plans must truncate lineage each round (localCheckpoint):
+    # chaining 20 join+agg rounds into one logical plan blows up the
+    # optimizer and recomputes the pair source per round
+    edges = edges.localCheckpoint(eager=True)
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+              .withColumn("rep", F.col("id")).localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        prop = (edges.join(labels.withColumnRenamed("id", "a"), "a")
+                .select(F.col("b").alias("id"), "rep")
+                .unionByName(labels)
+                .groupBy("id").agg(F.min("rep").alias("rep"))
+                .localCheckpoint(eager=True))
+        n_changed = (prop.join(labels.withColumnRenamed("rep", "_old"), "id")
+                     .filter(F.col("rep") != F.col("_old")).count())
+        labels = prop
+        if n_changed == 0:
+            break
+    return labels.select("id", "rep")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per doc from token hashes — entirely JVM-side.
 

@@ -48,6 +48,17 @@ def vectors(spark):
     return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
 
 
+def test_connected_components_clusters(spark):
+    from searchengine_spark.functions.dedup import connected_components
+    # chain 1-2-3-4, triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "id_a int, id_b int")
+    got = {r["id"]: r["rep"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
 def test_cosine_neardup_exact(vectors):
     pairs = {(r["id_a"], r["id_b"]): r["cos"]
              for r in cosine_neardup_pairs(vectors, threshold=0.99).collect()}
