@@ -181,6 +181,20 @@ def _q_phrase_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), "n_matches")
 
 
+BATCH_Q2 = ["hash", "scan"]
+
+
+def _q_batched_bm25(spark, sf_dir):
+    """Batched top-k: TWO queries scored in one Spark job (union of block
+    scans, per-query window ranking) — rows identical to per-query search."""
+    from searchengine_spark.operators.search import search_many
+    index = _index_for(spark, sf_dir)
+    out = search_many(index, {"qa": " ".join(BM25_Q), "qb": " ".join(BATCH_Q2)},
+                      k=K, mode="bm25")
+    return out.select("query_id", _orig_doc_id(),
+                      F.round("score", 6).alias("score"))
+
+
 def _q_near_topk(spark, sf_dir):
     """Two-term proximity query over the positional index: docs where
     'scan' and 'hash' occur within 4 positions, ranked by close-pair count."""
@@ -417,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_scoped_ref_topk": _q_scoped_ref_topk,
         "q_phrase_topk": _q_phrase_topk,
         "q_near_topk": _q_near_topk,
+        "q_batched_bm25": _q_batched_bm25,
         "s6_upsert_term_df": _q_upsert_term_df,
         "a3_statistics": _q_statistics,
         "a3_statistics_per_collection": _q_statistics_per_collection,
@@ -538,6 +553,12 @@ def oracle_sql() -> dict[str, str]:
                   from b group by doc_id)
             select doc_id, n_matches from m
             order by n_matches desc, doc_id asc limit {K}""",
+        "q_batched_bm25": f"""
+            with a as ({_bm25_sql(BM25_Q, K)}),
+                 b as ({_bm25_sql(BATCH_Q2, K)})
+            select 'qa' as query_id, doc_id, score from a
+            union all
+            select 'qb' as query_id, doc_id, score from b""",
         "q_near_topk": f"""
             with arrs as (select doc_id, list_filter(string_split_regex(
                 regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
