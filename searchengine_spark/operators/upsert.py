@@ -42,7 +42,8 @@ import os
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from searchengine_spark.functions.analysis import analyze_tf_col, tf_pairs
+from searchengine_spark.functions.analysis import (
+    analyze_tf_col, analyze_tf_pos_col, tf_pairs, tf_pos_pairs)
 from searchengine_spark.operators.codec import BLOCK_SIZE
 from searchengine_spark.operators.indexer import bm25_idf, bm25_tf_part, dedup_turns
 
@@ -83,14 +84,12 @@ def upsert_turns(index: dict, delta: DataFrame,
             f"upsert geometry ({bucket_range}, {block_size}) != built index "
             f"geometry ({built_br}, {built_bs}); touched-block classification "
             "would corrupt postings")
-    if stats.get("positions"):
-        raise NotImplementedError(
-            "incremental upsert of a POSITIONAL index is not implemented "
-            "(the touched-block rewrite would drop the pos column); rebuild "
-            "with build_index(with_positions=True) instead")
+    positional = bool(stats.get("positions"))
+    _an = ((lambda c: analyze_tf_pos_col(c, mode, dictionary)) if positional
+           else (lambda c: analyze_tf_col(c, mode, dictionary)))
 
     delta = dedup_turns(delta)
-    delta = delta.withColumn("tt", analyze_tf_col(F.col("text"), mode, dictionary)) \
+    delta = delta.withColumn("tt", _an(F.col("text"))) \
                  .withColumn("dl", F.col("tt.dl"))
 
     docs = index["docs"]
@@ -99,7 +98,8 @@ def upsert_turns(index: dict, delta: DataFrame,
     # --- docs merge: replaced keys keep doc_id, new keys append after max ---
     replaced = docs.join(F.broadcast(keys), KEY, "inner")
     if "tt" not in replaced.columns:  # loaded-from-parquet index
-        replaced = replaced.withColumn("tt", analyze_tf_col(F.col("text"), mode, dictionary)) \
+        replaced = replaced.drop("dl") \
+                           .withColumn("tt", _an(F.col("text"))) \
                            .withColumn("dl", F.col("tt.dl"))
     replaced = replaced.persist()
 
@@ -126,11 +126,14 @@ def upsert_turns(index: dict, delta: DataFrame,
     avgdl = total_tokens / n_docs if n_docs else 0.0
     new_stats = {"n_docs": n_docs, "avgdl": avgdl, "total_tokens": total_tokens,
                  "tf_bounds": True,
-                 "bucket_range": bucket_range, "block_size": block_size}
+                 "bucket_range": bucket_range, "block_size": block_size,
+                 **({"positions": True} if positional else {})}
 
     # --- terms merge: per-term df delta (A1 incremental) ------------------
     old_flat = tf_pairs(replaced).persist()   # postings to remove
-    new_flat = tf_pairs(delta_ided).persist() # postings to insert
+    # inserts carry positions when the index is positional (same analyzer)
+    new_flat = (tf_pos_pairs(delta_ided) if positional
+                else tf_pairs(delta_ided)).persist()
 
     ddf = (new_flat.groupBy("term").agg(F.count("*").alias("_plus"))
            .join(old_flat.groupBy("term").agg(F.count("*").alias("_minus")),
@@ -183,7 +186,8 @@ def upsert_turns(index: dict, delta: DataFrame,
 
     postings = index["postings"].select(
         "term_id", "block_id", "first_doc_id", "n", "doc_deltas", "tfs", "dls",
-        "block_max_score", "block_max_tf")
+        "block_max_score", "block_max_tf",
+        *(["pos"] if positional else []))
     bpb = -(-bucket_range // block_size)  # blocks per bucket (ceil)
     touched_b = F.broadcast(touched)
     is_touched = postings.withColumn("bucket", (F.col("block_id") / F.lit(bpb)).cast("int"))
@@ -191,7 +195,7 @@ def upsert_turns(index: dict, delta: DataFrame,
     untouched_blocks = is_touched.join(touched_b, ["term_id", "bucket"], "left_anti") \
                                  .drop("bucket")
 
-    # decode touched blocks → flat (term_id, doc_id, tf, dl)
+    # decode touched blocks → flat (term_id, doc_id, tf, dl[, positions])
     def _decode(batches):
         import numpy as np
         from searchengine_spark.operators.codec import decode_block, varint_decode
@@ -200,16 +204,32 @@ def upsert_turns(index: dict, delta: DataFrame,
             for row in pdf.itertuples(index=False):
                 ids, tfs = decode_block(row.first_doc_id, row.n, row.doc_deltas, row.tfs)
                 dls = varint_decode(row.dls).astype("int64")
-                outs.append(pd.DataFrame({"term_id": row.term_id, "doc_id": ids,
-                                          "tf": tfs, "dl": dls}))
-            yield (pd.concat(outs) if outs else
-                   pd.DataFrame({"term_id": pd.Series(dtype="int64"),
-                                 "doc_id": pd.Series(dtype="int64"),
-                                 "tf": pd.Series(dtype="int64"),
-                                 "dl": pd.Series(dtype="int64")}))
+                cols = {"term_id": row.term_id, "doc_id": ids,
+                        "tf": tfs, "dl": dls}
+                if positional:
+                    deltas = varint_decode(row.pos).astype("int64")
+                    starts = np.cumsum(tfs) - tfs
+                    glob = np.cumsum(deltas)
+                    base0 = np.repeat(glob[starts] - deltas[starts], tfs)
+                    cols["positions"] = np.split((glob - base0).astype("int32"),
+                                                 np.cumsum(tfs)[:-1])
+                    cols["positions"] = [a.tolist() for a in cols["positions"]]
+                outs.append(pd.DataFrame(cols))
+            if outs:
+                yield pd.concat(outs)
+            else:
+                empty_cols = {"term_id": pd.Series(dtype="int64"),
+                              "doc_id": pd.Series(dtype="int64"),
+                              "tf": pd.Series(dtype="int64"),
+                              "dl": pd.Series(dtype="int64")}
+                if positional:
+                    empty_cols["positions"] = pd.Series(dtype="object")
+                yield pd.DataFrame(empty_cols)
 
-    decoded = old_touched_blocks.drop("bucket").mapInPandas(
-        _decode, schema="term_id long, doc_id long, tf long, dl long")
+    dec_schema = "term_id long, doc_id long, tf long, dl long"
+    if positional:
+        dec_schema += ", positions array<int>"
+    decoded = old_touched_blocks.drop("bucket").mapInPandas(_decode, dec_schema)
 
     replaced_ids = F.broadcast(replaced.select("doc_id").distinct())
     kept_flat = decoded.join(replaced_ids, "doc_id", "left_anti")
@@ -217,7 +237,8 @@ def upsert_turns(index: dict, delta: DataFrame,
     kept_flat = kept_flat.join(
         F.broadcast(dead_terms.select("term_id")), "term_id", "left_anti")
     ins_flat = (new_flat.join(tid_of.select("term", "term_id"), "term")
-                .select("term_id", "doc_id", "tf", "dl"))
+                .select("term_id", "doc_id", "tf", "dl",
+                        *(["positions"] if positional else [])))
     merged_flat = kept_flat.unionByName(ins_flat)
 
     # re-score with the NEW stats and re-encode (same encoder as the builder)
@@ -238,22 +259,34 @@ def upsert_turns(index: dict, delta: DataFrame,
         tfs = pdf["tf"].to_numpy()[order]
         dls = pdf["dl"].to_numpy()[order]
         scores = pdf["score"].to_numpy()[order]
+        if positional:
+            plists = pdf["positions"].to_numpy()[order]
         out = []
         for j, lo in enumerate(range(0, len(ids), block_size)):
             hi = min(lo + block_size, len(ids))
             first, n, d, t = encode_block(ids[lo:hi], tfs[lo:hi])
-            out.append((term_id, bucket * bpb + j, first, n, d, t,
-                        varint_encode(dls[lo:hi].astype("uint64")),
-                        float(scores[lo:hi].max()), int(tfs[lo:hi].max())))
-        return pd.DataFrame(out, columns=[
-            "term_id", "block_id", "first_doc_id", "n", "doc_deltas", "tfs",
-            "dls", "block_max_score", "block_max_tf"])
+            row = [term_id, bucket * bpb + j, first, n, d, t,
+                   varint_encode(dls[lo:hi].astype("uint64")),
+                   float(scores[lo:hi].max()), int(tfs[lo:hi].max())]
+            if positional:
+                flat = [np.diff(np.asarray(pl, dtype=np.int64), prepend=0)
+                        for pl in plists[lo:hi]]
+                row.append(varint_encode(
+                    (np.concatenate(flat) if flat else
+                     np.empty(0, dtype=np.int64)).astype("uint64")))
+            out.append(tuple(row))
+        cols = ["term_id", "block_id", "first_doc_id", "n", "doc_deltas",
+                "tfs", "dls", "block_max_score", "block_max_tf"]
+        if positional:
+            cols.append("pos")
+        return pd.DataFrame(out, columns=cols)
 
-    rewritten = scored.groupBy("term_id", "bucket").applyInPandas(
-        _encode,
-        schema=("term_id long, block_id int, first_doc_id long, n int, "
-                "doc_deltas binary, tfs binary, dls binary, "
-                "block_max_score double, block_max_tf int"))
+    enc_schema = ("term_id long, block_id int, first_doc_id long, n int, "
+                  "doc_deltas binary, tfs binary, dls binary, "
+                  "block_max_score double, block_max_tf int")
+    if positional:
+        enc_schema += ", pos binary"
+    rewritten = scored.groupBy("term_id", "bucket").applyInPandas(_encode, enc_schema)
 
     new_postings = untouched_blocks.unionByName(rewritten).persist()
 

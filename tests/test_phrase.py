@@ -117,11 +117,32 @@ def test_positional_save_load_round_trip(pos_index, corpus_pdf, spark,
     assert got == exp
 
 
-def test_positional_upsert_rejected(pos_index, spark):
+def test_positional_upsert_matches_rebuild(pos_index, corpus_df, spark):
+    """Upserting a delta into a positional index must answer phrase queries
+    identically to a full positional rebuild of the mutated corpus
+    (the touched-block rewrite re-encodes the pos column)."""
+    from searchengine_spark.operators.indexer import build_index
     from searchengine_spark.operators.upsert import upsert_turns
+
+    first = corpus_df.select("conv_id").orderBy("conv_id").first()["conv_id"]
+    new_text = "поиск запрос поиск запрос ошибка"
     delta = spark.createDataFrame(
-        [("zz", 0, "user", "текст", None, "2026-01-01 00:00:00")],
+        [(first, 0, "user", new_text, None, "2026-03-01 00:00:00"),
+         ("zzz_new_conv", 0, "user", "запрос поиск запрос", None,
+          "2026-03-01 00:01:00")],
         "conv_id string, turn_idx int, role string, text string, tool string, ts string",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
-    with pytest.raises(NotImplementedError):
-        upsert_turns(pos_index, delta)
+
+    upserted = upsert_turns(pos_index, delta)
+    assert upserted["stats"].get("positions") is True
+
+    mutated = (corpus_df.filter(~((F.col("conv_id") == first) & (F.col("turn_idx") == 0)))
+               .unionByName(delta))
+    rebuilt = build_index(mutated, mode="general", bucket_range=256,
+                          block_size=32, with_positions=True)
+    for phrase in ("поиск запрос", "запрос поиск запрос"):
+        got = {(r["conv_id"], r["turn_idx"]): r["n_matches"]
+               for r in phrase_search(upserted, phrase, k=10_000).collect()}
+        exp = {(r["conv_id"], r["turn_idx"]): r["n_matches"]
+               for r in phrase_search(rebuilt, phrase, k=10_000).collect()}
+        assert got == exp, (phrase, got, exp)
