@@ -154,15 +154,23 @@ def _scope_info(index: dict, scope) -> "dict | None":
     back to a semi-join against the scoped doc_id set (broadcast when it
     fits). Returns None for an empty scope.
     """
+    cache = index.setdefault("_scope_cache", {})
+    ckey = scope if isinstance(scope, str) else None
+    if ckey is not None and ckey in cache:
+        return cache[ckey]
     pred = F.col("conv_id").startswith(scope) if isinstance(scope, str) else scope
     sel = index["docs"].filter(pred).select("doc_id")
     row = sel.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
                   F.count("*").alias("n")).collect()[0]
     if not row["n"]:
-        return None
-    lo, hi, n = int(row["lo"]), int(row["hi"]), int(row["n"])
-    return {"lo": lo, "hi": hi, "n": n,
-            "contiguous": hi - lo + 1 == n, "sel": sel}
+        out = None
+    else:
+        lo, hi, n = int(row["lo"]), int(row["hi"]), int(row["n"])
+        out = {"lo": lo, "hi": hi, "n": n,
+               "contiguous": hi - lo + 1 == n, "sel": sel}
+    if ckey is not None:  # string scopes repeat across queries — cache bounds
+        cache[ckey] = out
+    return out
 
 
 def _scope_filter(decoded: DataFrame, sc: dict) -> DataFrame:
