@@ -29,7 +29,8 @@ def _query_words(query: str, mode: str) -> list[str]:
     return sorted(set(re.sub(pat, " ", (query or "").lower()).split()))
 
 
-def expand_query_words(query: str, mode: str) -> list[str]:
+def expand_query_words(query: str, mode: str,
+                       dictionary: str = "fixture") -> list[str]:
     """Literal query words + every dictionary surface form of their lemmas.
 
     The reference highlights ONLY the literal query words (case variants,
@@ -37,13 +38,17 @@ def expand_query_words(query: str, mode: str) -> list[str]:
     inflected form renders the no-match fallback (:177-181). Since retrieval
     is lemma-based, we extend highlighting to all surface forms that
     lemmatize into the query's lemma set — a strict superset of the
-    reference's matches; ``make_snippet`` itself is unchanged."""
-    from searchengine_spark.functions.analysis import analyze_text
-    from searchengine_spark.resources.vocab import LEMMA_OF
+    reference's matches; ``make_snippet`` itself is unchanged.
+
+    ``dictionary`` must be the INDEX's dictionary: expanding from a smaller
+    dictionary than the one retrieval used re-creates the reference's
+    no-match bug for hits reached through inflections outside it."""
+    from searchengine_spark.functions.analysis import analyze_text, get_dictionary
+    lemma_of, _ = get_dictionary(dictionary)
     words = set(_query_words(query, mode))
-    lemmas = set(analyze_text(query, mode))
+    lemmas = set(analyze_text(query, mode, dictionary=dictionary))
     words |= lemmas
-    for form, lemma in LEMMA_OF.items():
+    for form, lemma in lemma_of.items():
         if lemma in lemmas:
             words.add(form)
     return sorted(words)
@@ -69,8 +74,9 @@ def make_snippet(text: str, words: list[str]) -> str:
     return out[:CAP] if len(out) > 300 else out
 
 
-def snippet_col(text: Column, query: str, mode: str = "general") -> Column:
-    words = expand_query_words(query, mode)
+def snippet_col(text: Column, query: str, mode: str = "general",
+                dictionary: str = "fixture") -> Column:
+    words = expand_query_words(query, mode, dictionary)
 
     @F.pandas_udf(T.StringType())
     def snip(texts: pd.Series) -> pd.Series:

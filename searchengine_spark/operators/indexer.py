@@ -20,8 +20,10 @@ reducer, and blocks stay globally sorted without a second merge pass.
 
 Dense IDs: ``assign_dense_ids`` is a three-level distributed prefix sum
 (row_number within partition key → prefix-partitioned running sum over the
-per-key counts → driver-side per-prefix totals). No window ever runs on a
-single partition, so the id assignment holds at 10^12 turns.
+per-key counts → driver-side per-prefix totals). No window over a
+data-sized table ever runs on a single partition (the only single-partition
+window is level 3's ≲10^4-row short-prefix totals), so the id assignment
+holds at 10^12 turns.
 """
 
 from __future__ import annotations
@@ -70,12 +72,23 @@ def _prefix_sum_offsets(sizes: DataFrame, key_col: str, cnt_col: str,
     Level 1: running sum windowed WITHIN key-prefix partitions (parallel).
     Level 2: per-prefix totals (|keys|/charset^Δ rows) prefix-summed within
     SHORT-prefix partitions. Level 3: per-short-prefix totals — a set small
-    enough (≲10^4 even at 10^10 keys) that its single-partition window is
-    trivial. String-sort order is preserved because grouping by a string
-    prefix keeps key ranges contiguous; at even higher cardinality add a
-    fourth level the same way.
+    enough (≲10^4 even at 10^10 keys) that its single-partition window is a
+    deliberate, trivial exception to the no-single-partition-window rule.
+    String-sort order is preserved because grouping by a string prefix keeps
+    key ranges contiguous; at even higher cardinality add a fourth level the
+    same way.
+
+    Requires a STRING key column: prefix grouping sorts keys in string
+    order, so a numeric key would get ids in string-prefix order ("10"
+    before "9") — contract violation. Enforced, not assumed.
     """
-    pfx = F.substring(F.col(key_col).cast("string"), 1, prefix_len)
+    ktype = dict(sizes.dtypes)[key_col]
+    if ktype != "string":
+        raise TypeError(
+            f"_prefix_sum_offsets requires a string key column; got "
+            f"{key_col}: {ktype}. Cast (and, if numeric, zero-pad) the key "
+            f"first so string-prefix order matches the intended order.")
+    pfx = F.substring(F.col(key_col), 1, prefix_len)
     w_in = (Window.partitionBy("_pfx").orderBy(key_col)
             .rowsBetween(Window.unboundedPreceding, -1))
     local = (sizes.withColumn("_pfx", pfx)
@@ -334,7 +347,9 @@ def statistics_per_collection(index: dict, prefix_len: int = 9,
 
     docs = index["docs"]
     mode = index.get("mode", "general")
-    toks = analyze_col(F.col("text"), mode) if tokens is None else tokens
+    dictionary = index.get("dictionary", "fixture")
+    toks = (analyze_col(F.col("text"), mode, dictionary)
+            if tokens is None else tokens)
     ex = docs.select(F.substring("conv_id", 1, prefix_len).alias("collection"),
                      "doc_id", F.explode_outer(toks).alias("term"))
     return ex.groupBy("collection").agg(

@@ -173,6 +173,19 @@ def _scope_info(index: dict, scope) -> "dict | None":
     return out
 
 
+def release_query_caches(index: dict) -> None:
+    """Unpersist per-query scratch caches (currently the scoped ref_compat
+    decode cache). Called automatically at the start of every ``search`` so
+    a long-lived session doesn't accumulate cached partitions across scoped
+    queries; callable explicitly when a query's results are done being
+    consumed."""
+    for df in index.pop("_query_persists", []):
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — a dead SparkContext is fine here
+            pass
+
+
 def _scope_filter(decoded: DataFrame, sc: dict) -> DataFrame:
     """Restrict decoded postings to the scope (range check or semi-join)."""
     decoded = decoded.filter(F.col("doc_id").between(sc["lo"], sc["hi"]))
@@ -205,6 +218,7 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     standard filtered-search semantics). Scoped doc ranges prune whole
     posting buckets before any decode."""
     spark = index["docs"].sparkSession
+    release_query_caches(index)  # scoped caches from PREVIOUS queries
     stats = index["stats"]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     qterms = _query_terms(query, index.get("mode", "general"),
@@ -322,7 +336,11 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
             # SearchingServiceImpl.java:286-298: percent = site_df/site_pages):
             # terms absent in scope drop out of the conjunction; terms with
             # scoped df/n ≥ threshold are pruned. One tiny agg job (|q| rows).
+            # Tracked in _query_persists: release_query_caches unpersists it
+            # on the NEXT query (it must outlive this lazy result's
+            # materialization, so it can't be unpersisted here).
             decoded = decoded.persist()
+            index.setdefault("_query_persists", []).append(decoded)
             sdf = {r["term_id"]: r["c"] for r in
                    decoded.groupBy("term_id").agg(F.count("*").alias("c")).collect()}
             kept = [tid for tid in term_ids
@@ -374,7 +392,8 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
         from searchengine_spark.functions.snippets import snippet_col
         out = out.withColumn(
             "snippet",
-            snippet_col(F.col("text"), query, index.get("mode", "general"))).drop("text")
+            snippet_col(F.col("text"), query, index.get("mode", "general"),
+                        index.get("dictionary", "fixture"))).drop("text")
     return out
 
 

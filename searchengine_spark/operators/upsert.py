@@ -50,9 +50,17 @@ from searchengine_spark.operators.indexer import bm25_idf, bm25_tf_part, dedup_t
 KEY = ["conv_id", "turn_idx"]
 
 
+# Micro-batch contract: the new-doc id window (Window.orderBy over the delta)
+# and the fresh-term collect are fine for deltas this size relative to the
+# corpus, and pathological beyond it. Enforced, not assumed.
+MAX_DELTA_FRACTION = 0.25
+MAX_DELTA_ABS = 5_000_000  # ceiling even against a huge corpus
+
+
 def upsert_turns(index: dict, delta: DataFrame,
                  bucket_range: int | None = None,
-                 block_size: int | None = None) -> dict:
+                 block_size: int | None = None,
+                 max_delta_fraction: float = MAX_DELTA_FRACTION) -> dict:
     """Merge delta turns (input_hint schema) into ``index``; returns a new
     index dict. |delta| is assumed small relative to the corpus (the
     reference's single-page upsert generalized to a micro-batch).
@@ -89,6 +97,23 @@ def upsert_turns(index: dict, delta: DataFrame,
            else (lambda c: analyze_tf_col(c, mode, dictionary)))
 
     delta = dedup_turns(delta)
+    # Delta-size guard: this operator's plan shapes (delta-wide id window,
+    # driver-side fresh-term collect, broadcast key joins) assume a
+    # micro-batch. A bulk load disguised as a delta would funnel through
+    # them — refuse and point at the bulk path instead.
+    n_delta = delta.count()
+    # fraction of corpus, but never below a floor (tiny corpora accept any
+    # small delta) and never above an absolute ceiling
+    limit = min(MAX_DELTA_ABS,
+                max(100_000, int(stats["n_docs"] * max_delta_fraction)))
+    if n_delta > limit:
+        raise ValueError(
+            f"delta has {n_delta} rows > {limit} "
+            f"(= min({MAX_DELTA_ABS}, max(100000, {max_delta_fraction:.0%} of "
+            f"{stats['n_docs']} docs))); upsert_turns is for micro-batches — "
+            f"use operators.indexer.build_index (or stage the delta through "
+            f"plans.manifest) for bulk loads, or raise max_delta_fraction "
+            f"explicitly if this size is intended")
     delta = delta.withColumn("tt", _an(F.col("text"))) \
                  .withColumn("dl", F.col("tt.dl"))
 
@@ -142,7 +167,8 @@ def upsert_turns(index: dict, delta: DataFrame,
                             - F.coalesce("_minus", F.lit(0))).alias("_ddf")))
 
     terms = index["terms"]  # (term, term_id, df)
-    max_term_id = terms.agg(F.max("term_id")).collect()[0][0]
+    row0 = terms.agg(F.max("term_id")).collect()[0][0]
+    max_term_id = row0 if row0 is not None else -1  # empty dictionary → ids from 0
     # Existing terms: apply the df delta in place; term_ids unchanged — no
     # window over the full dictionary (r1 VERDICT finding 2: at 10^8 terms a
     # Window.orderBy over the merged dictionary funnels every micro-batch

@@ -102,16 +102,48 @@ def stage_partitions(transcripts: DataFrame, path: str, n_parts: int = 8,
     a CANCELLED manifest row)."""
     spark = transcripts.sparkSession
     manifest = read_manifest(path)
-    # Contiguous conv_id ranges via Spark's sampled RangePartitioner
-    # (deterministic seed) — no global single-partition window over the
-    # distinct-conv set, so the bounds step itself scales to 10^10 convs.
-    bounds = (
-        transcripts.select("conv_id").distinct()
-        .repartitionByRange(n_parts, "conv_id")
-        .groupBy(F.spark_partition_id().alias("b"))
-        .agg(F.min("conv_id").alias("lo"), F.max("conv_id").alias("hi"))
-        .orderBy("b").collect()
-    )
+    # Contiguous conv_id ranges via Spark's sampled RangePartitioner — no
+    # global single-partition window over the distinct-conv set, so the
+    # bounds step itself scales to 10^10 convs. RangePartitioner's sampling
+    # seed depends on the runtime RDD id, so recomputed bounds are NOT
+    # stable across driver runs: persist them on first computation
+    # (bounds.json) and reuse verbatim on resume, otherwise DONE partitions
+    # skipped by pid could silently mismatch shifted conv ranges.
+    bounds_file = os.path.join(path, "bounds.json")
+    if os.path.exists(bounds_file):
+        with open(bounds_file) as f:
+            bounds = [json.loads(line) for line in f if line.strip()]
+        if len(bounds) != n_parts and any(
+                row["status"] == "DONE" for row in manifest.values()):
+            raise ValueError(
+                f"resume with n_parts={n_parts} but {path} was staged with "
+                f"{len(bounds)} partitions; reuse the original n_parts or "
+                f"rebuild from scratch")
+    else:
+        rows = (
+            transcripts.select("conv_id").distinct()
+            .repartitionByRange(n_parts, "conv_id")
+            .groupBy(F.spark_partition_id().alias("b"))
+            .agg(F.min("conv_id").alias("lo"), F.max("conv_id").alias("hi"))
+            .orderBy("b").collect()
+        )
+        bounds = [{"b": int(r["b"]), "lo": r["lo"], "hi": r["hi"]} for r in rows]
+        os.makedirs(path, exist_ok=True)
+        tmp = bounds_file + ".tmp"
+        with open(tmp, "w") as f:
+            for b in bounds:
+                f.write(json.dumps(b) + "\n")
+        os.replace(tmp, bounds_file)  # atomic: readers see all bounds or none
+    # Belt-and-braces: bounds recorded in DONE manifest rows must agree with
+    # the persisted ranges — fail loudly rather than resume inconsistently.
+    for b in bounds:
+        row = manifest.get(b["b"])
+        if row and row.get("status") == "DONE" and (
+                row.get("conv_lo") != b["lo"] or row.get("conv_hi") != b["hi"]):
+            raise ValueError(
+                f"partition {b['b']} was staged for conv range "
+                f"[{row.get('conv_lo')}, {row.get('conv_hi')}] but bounds.json "
+                f"says [{b['lo']}, {b['hi']}] — refusing to resume")
     for r in bounds:
         pid = int(r["b"])
         if manifest.get(pid, {}).get("status") == "DONE":
