@@ -77,8 +77,14 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
     extras["index_build_turns_per_sec"] = round(n_turns / build_s, 1)
     extras["n_turns"] = n_turns
 
-    # --- engine: query latency (cold pass, then warm pass) ----------------
-    lat_cold, lat_warm = [], []
+    # --- engine: query latency ---------------------------------------------
+    # Cold pass once (first-touch includes cache population), then a
+    # median-of-N warm protocol (VERDICT r2 #2: single-shot timings made
+    # driver runs variance-dominated — medians + IQR make them robust).
+    warm_reps = int(os.environ.get("SPARK_GRAFT_WARM_REPS", "5"))
+    lat_cold = []
+    warm_median: dict[str, float] = {}
+    warm_iqr: dict[str, float] = {}
     for name, (q, mode, prune) in SEARCH_QUERIES.items():
         t0 = time.time()
         search(index, q, k=10, mode=mode, prune_blocks=prune).collect()
@@ -86,12 +92,21 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
         queries[name] = round(dt, 3)
         lat_cold.append(dt)
     for name, (q, mode, prune) in SEARCH_QUERIES.items():
-        t0 = time.time()
-        search(index, q, k=10, mode=mode, prune_blocks=prune).collect()
-        lat_warm.append(time.time() - t0)
-    lat_cold.sort(), lat_warm.sort()
+        reps = []
+        for _ in range(warm_reps):
+            t0 = time.time()
+            search(index, q, k=10, mode=mode, prune_blocks=prune).collect()
+            reps.append(time.time() - t0)
+        reps.sort()
+        warm_median[name] = round(reps[len(reps) // 2], 3)
+        warm_iqr[name] = round(reps[(3 * len(reps)) // 4] - reps[len(reps) // 4], 3)
+    lat_cold.sort()
+    warm_meds = sorted(warm_median.values())
     extras["search_p50_sec"] = round(lat_cold[len(lat_cold) // 2], 3)
-    extras["search_p50_warm_sec"] = round(lat_warm[len(lat_warm) // 2], 3)
+    extras["search_p50_warm_sec"] = round(warm_meds[len(warm_meds) // 2], 3)
+    extras["search_warm_median"] = warm_median
+    extras["search_warm_iqr"] = warm_iqr
+    extras["search_warm_reps"] = warm_reps
 
     # --- table ops over the sf-dir corpus ---------------------------------
     import __spark_entry__ as E
@@ -110,16 +125,35 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
     E._INDEX_CACHE[pkey]["postings"].count()
     E._INDEX_CACHE[pkey]["terms"].count()
     queries["phrase_index_build"] = round(time.time() - t0, 3)
+    # fielded (BM25F) index build timed apart, query latency measured after
+    t0 = time.time()
+    fkey = (sf_dir, "fielded")
+    from searchengine_spark.operators.fielded import build_fielded_index
+    E._INDEX_CACHE[fkey] = build_fielded_index(
+        E._docs_as_transcripts(spark, sf_dir), mode="general")
+    queries["fielded_index_build"] = round(time.time() - t0, 3)
     table_ops = ["t2_t5_tokenize_tf", "a1_term_df", "q6_conjunctive_and",
+                 "q_bm25f_topk", "q_batched_scoped",
                  "q7_bm25_topk", "q2_scoped_bm25_topk", "q_phrase_topk",
                  "a3_statistics_per_collection",
                  "dedup_exact", "dedup_minhash_lsh",
                  "sim_cosine_topk", "text_quality", "text_lang_id",
                  "events_sessionize", "text_token_count_bpe", "sim_neardup_pairs"]
     qmap = E.queries()
+
+    # dedup_minhash_lsh's driver entry is now a QUANTITATIVE GATE (candidate
+    # pairs + two exact-Jaccard ground truths + verification joins) — for
+    # latency, time the raw operator the gate wraps, not the verification.
+    def _minhash_op(spark_, sf_dir_):
+        from searchengine_spark.functions.dedup import minhash_lsh_pairs
+        d = E._docs(spark_, sf_dir_).filter(F.col("doc_id") < 200)
+        return minhash_lsh_pairs(d, n_hashes=32, bands=8)
+
+    bench_fns = dict(qmap)
+    bench_fns["dedup_minhash_lsh"] = _minhash_op
     for name in table_ops:
         t0 = time.time()
-        df = qmap[name](spark, sf_dir)
+        df = bench_fns[name](spark, sf_dir)
         df.count() if name not in ("q7_bm25_topk", "sim_cosine_topk",
                                    "q2_scoped_bm25_topk", "q_phrase_topk") else df.collect()
         queries[name] = round(time.time() - t0, 3)

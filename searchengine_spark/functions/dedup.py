@@ -94,13 +94,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     docs get the all-zero signature. Returns (doc_id, sig array<long>).
     """
     a, b = _affine_params(n_hashes)
+    # Project the base hash ONCE before the aggregate: inlining xxhash64 in
+    # each of the n_hashes min-expressions re-evaluates it per family per row
+    # (no CSE across aggregate expressions) — measured ~40% of the r2
+    # signature-stage regression. Null shingle (empty doc) → null h32 →
+    # every family coalesces to 0 (the all-zero signature).
     ex = df.select(
         F.col(id_col),
         F.explode_outer(shingles_col(F.col(text_col), shingle_n)).alias("sh"))
-    h32 = F.xxhash64("sh").bitwiseAND(F.lit((1 << 32) - 1))
+    # xxhash64 skips null inputs (returns the seed hash), so null-ness must
+    # be made explicit here for the coalesce-to-0 path to see it
+    ex = ex.select(
+        id_col,
+        F.when(F.col("sh").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.xxhash64("sh").bitwiseAND(F.lit((1 << 32) - 1)))
+        .alias("h32"))
     aggs = [
-        F.min(F.when(F.col("sh").isNull(), F.lit(0).cast("long"))
-              .otherwise((h32 * int(a[i]) + int(b[i])) % F.lit(_MERSENNE))).alias(f"_m{i}")
+        F.min(F.coalesce((F.col("h32") * int(a[i]) + int(b[i])) % F.lit(_MERSENNE),
+                         F.lit(0).cast("long"))).alias(f"_m{i}")
         for i in range(n_hashes)]
     mins = ex.groupBy(id_col).agg(*aggs)
     return mins.select(
@@ -176,11 +187,16 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """
     ex = df.select(F.col(id_col),
                    F.explode_outer(tokens_col(F.col(text_col))).alias("tok"))
-    h = F.xxhash64("tok")
+    # project the token hash ONCE — inlined in all 64 bit-sum expressions it
+    # is re-evaluated per bit per row (no CSE across aggregate expressions)
+    ex = ex.select(
+        id_col,
+        F.when(F.col("tok").isNull(), F.lit(None).cast("long"))
+        .otherwise(F.xxhash64("tok")).alias("h"))
     bit_sums = [
-        F.sum(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1).cast("long"))).alias(f"_b{j}")
+        F.sum(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1).cast("long"))).alias(f"_b{j}")
         for j in range(64)]
-    agg = ex.groupBy(id_col).agg(F.count("tok").alias("_n"), *bit_sums)
+    agg = ex.groupBy(id_col).agg(F.count("h").alias("_n"), *bit_sums)
     sig = None
     for j in range(64):
         bit = (F.when(F.col(f"_b{j}") * 2 >= F.col("_n"),

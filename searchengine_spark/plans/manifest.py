@@ -214,10 +214,23 @@ def finalize_index(spark: SparkSession, path: str, mode: str = "general",
 
 def save_index(index: dict, path: str, term_buckets: int = 16) -> None:
     """Persist docs/terms/postings; postings partitioned by term bucket so a
-    query's ``term_id IN (...)`` prunes whole partitions at scan time."""
+    query's ``term_id IN (...)`` prunes whole partitions at scan time; terms
+    partitioned by the term-string page hash so the paged dictionary cache
+    (operators/search.py TERMS_PAGES — dictionaries above TERMS_LOCAL_MAX)
+    fetches one page by pruning directories instead of scanning."""
+    from searchengine_spark.operators.search import _term_page_col
+
     os.makedirs(path, exist_ok=True)
     index["docs"].drop("lemmas", "tt").write.mode("overwrite").parquet(os.path.join(path, "docs"))
-    index["terms"].write.mode("overwrite").parquet(os.path.join(path, "terms"))
+    n_terms = index["stats"].get("n_terms")
+    if n_terms is None:  # upserted indexes don't carry n_terms forward
+        n_terms = index["terms"].count()
+    if n_terms > 100_000:  # page dirs only pay off for big dictionaries
+        (index["terms"].withColumn("term_page", _term_page_col())
+         .write.mode("overwrite").partitionBy("term_page")
+         .parquet(os.path.join(path, "terms")))
+    else:
+        index["terms"].write.mode("overwrite").parquet(os.path.join(path, "terms"))
     (index["postings"]
      .withColumn("term_bucket", (F.col("term_id") % term_buckets).cast("int"))
      .write.mode("overwrite").partitionBy("term_bucket")

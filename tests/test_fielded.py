@@ -1,0 +1,83 @@
+"""BM25F fielded scoring vs an independent pure-Python golden model."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.fielded import bm25f_search, build_fielded_index
+
+SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+DOCS = [
+    "merge scan pipelines run the merge stage nightly and write parquet output",
+    "scan results feed the report generator with aggregated counters daily",
+    "the nightly job does a full table scan before any merge may start here",
+    "unrelated text about gardens and weather patterns over the long winter",
+    "merge conflicts in the scan merge scan merge tooling are resolved by hand",
+]
+
+
+def _mk(spark):
+    rows = [(f"c{i:03d}", 0, "user", t, None, "2026-01-01 00:00:00")
+            for i, t in enumerate(DOCS)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(pdf, schema=SCHEMA)
+
+
+def _toks(s):
+    return [w for w in re.sub(r"[^a-zа-я0-9\s]", " ", s.lower()).split()]
+
+
+def _golden_bm25f(query_terms, k1=1.2, b=0.75, w_title=2.0, w_body=1.0):
+    titles = [_toks(t[:60]) for t in DOCS]
+    bodies = [_toks(t) for t in DOCS]
+    n = len(DOCS)
+    av_t = sum(len(t) for t in titles) / n
+    av_b = sum(len(t) for t in bodies) / n
+    scores = {}
+    for t in query_terms:
+        df = max(sum(t in d for d in titles), sum(t in d for d in bodies))
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for i in range(n):
+            s = (w_title * titles[i].count(t) / (1 - b + b * len(titles[i]) / av_t)
+                 + w_body * bodies[i].count(t) / (1 - b + b * len(bodies[i]) / av_b))
+            if s > 0:
+                scores[i] = scores.get(i, 0.0) + idf * s / (k1 + s)
+    return scores
+
+
+@pytest.fixture(scope="module")
+def findex(spark):
+    return build_fielded_index(_mk(spark), mode="general")
+
+
+def test_bm25f_matches_golden(spark, findex):
+    got = bm25f_search(findex, "merge scan", k=5).collect()
+    want = _golden_bm25f(["merge", "scan"])
+    assert [int(r["conv_id"][1:]) for r in got] == \
+           [i for i, _ in sorted(want.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))]
+    for r in got:
+        assert abs(r["score"] - want[int(r["conv_id"][1:])]) < 1e-9
+
+
+def test_bm25f_title_boost_changes_ranking(spark, findex):
+    """A term in the title (leading 60 chars) must outrank the same term
+    buried in the body, all else near-equal: doc 0 ('merge' twice, once in
+    title) beats doc 2 ('merge' once, beyond the title)."""
+    got = [int(r["conv_id"][1:]) for r in bm25f_search(findex, "merge", k=5).collect()]
+    assert got.index(0) < got.index(2)
+    # and the no-match doc never appears
+    assert 3 not in got
+
+
+def test_bm25f_empty_query(spark, findex):
+    assert bm25f_search(findex, "zzzznotaword", k=5).collect() == []

@@ -7,6 +7,7 @@ compressed-vs-flat equivalence, and block-max pruning exactness.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from searchengine_spark.operators.search import search, search_flat
 from tests.conftest import load_queries
@@ -69,3 +70,67 @@ def test_metadata_projection(index_general, golden_general):
         src = by_key[(r["conv_id"], r["turn_idx"])]
         assert r["role"] == src["role"]
         assert (r["tool"] or None) == (src["tool"] or None)
+
+
+def test_paged_dictionary_resolution(index_general, monkeypatch):
+    """Dictionary sharding above TERMS_LOCAL_MAX (roadmap #5): term
+    resolution goes through the LRU page cache — the first query pays one
+    page-fetch job per cold page, a repeat query sharing those pages pays
+    ZERO, and results are identical to the driver-cached path."""
+    import searchengine_spark.operators.search as S
+
+    idx = dict(index_general)
+    idx["stats"] = dict(index_general["stats"])
+    idx.pop("_terms_pdf", None)
+    idx.pop("_terms_page_cache", None)
+    monkeypatch.setattr(S, "TERMS_LOCAL_MAX", 0)  # force the paged path
+    fetches: list[int] = []
+    orig = S._fetch_terms_page
+
+    def counting(index, page):
+        fetches.append(page)
+        return orig(index, page)
+
+    monkeypatch.setattr(S, "_fetch_terms_page", counting)
+    got1 = S.search(idx, "лес дом", k=5).collect()
+    n_cold = len(fetches)
+    assert n_cold >= 1  # cold pages fetched once
+    got2 = S.search(idx, "лес дом", k=5).collect()
+    assert len(fetches) == n_cold  # warm repeat: zero resolution jobs
+    base = S.search(index_general, "лес дом", k=5).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got2] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in base]
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got1] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in base]
+
+
+def test_paged_dictionary_pruned_on_saved_index(spark, index_general,
+                                                tmp_path_factory, monkeypatch):
+    """A saved big-dictionary index partitions terms by term_page; the page
+    fetch must hit PartitionFilters (directory pruning, not a scan)."""
+    import io
+    from contextlib import redirect_stdout
+
+    import searchengine_spark.operators.search as S
+    from searchengine_spark.plans.manifest import load_index, save_index
+
+    path = str(tmp_path_factory.mktemp("paged_idx"))
+    idx = dict(index_general)
+    idx["stats"] = dict(index_general["stats"])
+    idx["stats"]["n_terms"] = 200_000  # pretend big → page-partitioned save
+    save_index(idx, path)
+    loaded = load_index(spark, path)
+    assert "term_page" in loaded["terms"].columns
+    page = S._term_page("лес")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        loaded["terms"].filter(F.col("term_page") == page).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "term_page" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # and resolution through the paged path matches the direct dictionary
+    monkeypatch.setattr(S, "TERMS_LOCAL_MAX", 0)
+    rows = S._resolve_terms_paged(loaded, ["лес", "дом"], "bm25")
+    direct = {r["term"]: r for r in
+              loaded["terms"].filter(F.col("term").isin(["лес", "дом"])).collect()}
+    assert {r["term_id"] for r in rows} == {r["term_id"] for r in direct.values()}

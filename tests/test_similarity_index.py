@@ -59,6 +59,46 @@ def test_lsh_index_partition_pruning(spark, vecs, tmp_path_factory):
     assert "bucket" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
 
 
+def test_lsh_multiband_index_recall_and_pruning(spark, vecs, tmp_path_factory):
+    """OR-construction: candidates matching ANY band must recover the
+    planted cluster-mates a single table misses, and the (band, bucket)
+    filter must still prune at scan planning."""
+    from searchengine_spark.functions.similarity import lsh_neardup_pairs
+    path = str(tmp_path_factory.mktemp("lsh_mb"))
+    build_lsh_index(vecs, DIM, path, n_planes=6, n_bands=6)
+    ann = load_ann_index(spark, path)
+    q = [float(x) for x in vecs.filter("vec_id = 3").first()["embedding"]]
+    exact = [r["vec_id"] for r in cosine_topk(vecs, q, k=5).collect()]
+    got = [r["vec_id"] for r in lsh_index_topk(ann, q, k=5, multiprobe=1).collect()]
+    # clustered fixture: cluster-mates are high-cos → per-band collision
+    # probability is high and 6 bands make a miss vanishingly unlikely
+    assert len(set(exact) & set(got)) >= 4
+    assert len(got) == len(set(got))  # cross-band duplicates removed
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        lsh_index_topk(ann, q, k=5, multiprobe=1).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "band" in pf and "bucket" in pf
+
+
+def test_lsh_neardup_banded_subset_and_recall(spark, vecs):
+    """Banded near-dup pairs: every pair is an exact pair (identical cos) and
+    recall on the clustered fixture clears the OR-construction bound."""
+    from searchengine_spark.functions.similarity import (
+        cosine_neardup_pairs, lsh_neardup_pairs)
+    exact = cosine_neardup_pairs(vecs, threshold=0.9).persist()
+    lshp = lsh_neardup_pairs(vecs, DIM, threshold=0.9,
+                             n_planes=4, n_bands=16).persist()
+    n_exact, n_lsh = exact.count(), lshp.count()
+    assert lshp.join(exact, ["id_a", "id_b", "cos"], "left_anti").count() == 0
+    assert n_exact > 0
+    assert n_lsh / n_exact >= 0.9  # cos≥0.9 pairs: 1-(1-p^4)^16 ≈ 1
+
+
 def test_ivf_index_recall_and_pruning(spark, vecs, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("ivf_idx"))
     build_ivf_index(vecs, DIM, path, n_centroids=4, iters=2)

@@ -146,3 +146,64 @@ def test_merge_into_path_snapshot_flow(spark, tiny, tmp_path_factory):
            [(r["conv_id"], r["turn_idx"]) for r in want]
     for a, b in zip(got, want):
         assert abs(a["score"] - b["score"]) < 1e-9
+
+
+def test_upsert_chain_bounds_sound_and_tight(spark, corpus_df):
+    """VERDICT r2 #4: over a long chain of micro-batch upserts, the WAND
+    bounds must stay (a) SOUND — every per-term driver bound ≥ the true max
+    doc score under the final stats — and (b) TIGHT — within a small factor
+    of a fresh rebuild's exact bound (formerly the dl→0 fallback loosened
+    forever), and pruned search must stay rank-identical to exhaustive."""
+    import numpy as np
+    from searchengine_spark.operators.indexer import K1, B
+
+    base = corpus_df.filter(F.col("conv_id") < "conv000040")
+    index = build_index(base, mode="general", bucket_range=256, block_size=32)
+    corpus = {(r["conv_id"], int(r["turn_idx"])): r for r in base.collect()}
+    # 5-round upsert chain: each round replaces one turn and inserts one doc
+    for i in range(5):
+        delta_rows = [
+            _row("conv000003", i, f"лес merge ошибка round{i}"),
+            _row(f"zz_up{i:02d}", 0, "timeout scan дом лес"),
+        ]
+        delta = _mk_df(spark, delta_rows)
+        index = upsert_turns(index, delta, bucket_range=256, block_size=32)
+        for r in delta.collect():
+            corpus[(r["conv_id"], int(r["turn_idx"]))] = r
+    assert index["stats"].get("tf_bounds") is True
+
+    mutated = _mk_df(spark, [tuple(r) for r in corpus.values()])
+    rebuilt = build_index(mutated, mode="general", bucket_range=256, block_size=32)
+
+    # (a)+(b): per-term bound quality, exactly as the query path derives it
+    n_docs, avgdl = index["stats"]["n_docs"], index["stats"]["avgdl"]
+    true_max = {}  # term → exact max BM25 score under the FINAL stats
+    flat = (rebuilt["postings_flat"]
+            .join(rebuilt["docs"].select("doc_id", "dl"), "doc_id")
+            .join(rebuilt["terms"].select("term_id", "term", "df"), "term_id"))
+    for r in flat.collect():
+        idf = float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+        s = idf * (r["tf"] * (K1 + 1.0)) / (
+            r["tf"] + K1 * (1.0 - B + B * r["dl"] / avgdl))
+        true_max[r["term"]] = max(true_max.get(r["term"], 0.0), s)
+    dfs = {r["term"]: r["df"] for r in index["terms"].collect()}
+    for r in index["terms"].collect():
+        t = r["term"]
+        if r["max_tf"] is None:
+            continue
+        idf = float(np.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+        bmt, bmd = float(r["max_tf"]), float(r["min_dl"] or 0)
+        bound = idf * bmt * (K1 + 1.0) / (bmt + K1 * (1.0 - B)
+                                          + K1 * B * bmd / avgdl)
+        assert bound >= true_max[t] - 1e-9, f"UNSOUND bound for {t}"
+        assert bound <= true_max[t] * 2.0 + 1e-9, f"loose bound for {t}"
+
+    # rank-identity: pruned == exhaustive on the chained index
+    for q in ("лес ошибку", "timeout merge", "дом"):
+        cols = ["conv_id", "turn_idx", "score"]
+        got = search(index, q, k=10, mode="bm25", prune_blocks=True).select(*cols).collect()
+        want = search(index, q, k=10, mode="bm25", prune_blocks=False).select(*cols).collect()
+        assert [(r["conv_id"], r["turn_idx"]) for r in got] == \
+               [(r["conv_id"], r["turn_idx"]) for r in want]
+        for a, b in zip(got, want):
+            assert abs(a["score"] - b["score"]) < 1e-9
