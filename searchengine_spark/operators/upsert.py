@@ -339,11 +339,26 @@ def upsert_turns(index: dict, delta: DataFrame,
         # null block_min_dl (legacy untouched blocks) must not be skipped by
         # min(): coalesce to 0 = the dl→0 bound, sound for any block
         F.min(F.coalesce(F.col("block_min_dl"), F.lit(0))).alias("min_dl"))
-    final_terms = new_terms.join(term_max, "term_id", "left").persist()
+    final_terms = new_terms.join(term_max, "term_id", "left")
+
+    # Lineage truncation (eager localCheckpoint, not persist): a CHAIN of
+    # in-memory upserts would otherwise nest every prior round's plan inside
+    # the next one — analyzer/optimizer time grows per round until a 5-round
+    # chain takes minutes to PLAN. Checkpointing materializes the outputs
+    # and cuts the logical plan to a leaf, making upsert cost O(round), and
+    # lets every intermediate cache from this round be freed immediately.
+    # (The persisted-snapshot path merge_into_path gets the same effect from
+    # its parquet round-trip — this makes the in-memory contract match.)
+    out_docs = new_docs.localCheckpoint(eager=True)
+    out_postings = new_postings.localCheckpoint(eager=True)
+    out_terms = final_terms.localCheckpoint(eager=True)
+    for scratch in (replaced, delta_ided, old_flat, new_flat, touched,
+                    new_terms, new_postings):
+        scratch.unpersist()
 
     return {"mode": mode, "dictionary": dictionary,
-            "docs": new_docs.persist(), "terms": final_terms,
-            "postings": new_postings, "postings_flat": None, "stats": new_stats}
+            "docs": out_docs, "terms": out_terms,
+            "postings": out_postings, "postings_flat": None, "stats": new_stats}
 
 
 # --------------------------------------------------------------------------

