@@ -84,3 +84,29 @@ def split_blocks(doc_ids: np.ndarray, tfs: np.ndarray, scores: np.ndarray,
         hi = min(lo + block_size, len(doc_ids))
         first, n, d, t = encode_block(doc_ids[lo:hi], tfs[lo:hi])
         yield bid, first, n, d, t, float(scores[lo:hi].max())
+
+
+def decode_doc_ids_batch(first_doc_ids: np.ndarray, ns: np.ndarray,
+                         deltas_buf: bytes) -> np.ndarray:
+    """Reconstruct doc_ids for MANY blocks in one pass.
+
+    ``deltas_buf`` is the concatenation of the blocks' doc_deltas buffers in
+    order; each block i contributes ns[i]-1 deltas (its first doc_id is
+    stored out-of-band in first_doc_ids). One varint_decode + one segmented
+    cumsum replaces a per-block Python loop — decoding a 10^5-posting term
+    is one numpy pass instead of ~10^3 DataFrame constructions.
+    """
+    ns = np.asarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    deltas = varint_decode(deltas_buf).astype(np.int64)
+    starts = np.cumsum(ns) - ns
+    vals = np.empty(total, dtype=np.int64)
+    vals[starts] = np.asarray(first_doc_ids, dtype=np.int64)
+    mask = np.ones(total, dtype=bool)
+    mask[starts] = False
+    vals[mask] = deltas
+    g = np.cumsum(vals)
+    corr = g[starts] - np.asarray(first_doc_ids, dtype=np.int64)
+    return g - np.repeat(corr, ns)

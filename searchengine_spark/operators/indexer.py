@@ -208,7 +208,13 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
     slim numerics. The analysis UDF therefore runs twice (once per cache),
     which measures far cheaper than materializing the fat rows.
     """
-    docs = docs_with_tt.drop("tt").persist()
+    # localCheckpoint(eager=False) instead of persist: same caching (blocks
+    # materialize on first use, en route through tf.count() below), but the
+    # plan becomes a LogicalRDD IMMEDIATELY — the served index's DataFrames
+    # otherwise carry the entire build lineage, and every query re-pays
+    # Catalyst analysis of that tree (measured ~1.5 s/query at sf0.1: the
+    # whole warm-search floor was plan re-analysis, not execution).
+    docs = docs_with_tt.drop("tt").localCheckpoint(eager=False)
 
     # T5 done in the UDF: tf pairs explode without any shuffle; the first
     # shuffle of the build is the (partial+final) df aggregation below.
@@ -312,8 +318,10 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
 
     # A live (unsaved) index is served repeatedly: materialize terms/postings
     # once so per-query jobs scan cached data instead of re-running the whole
-    # analyze→aggregate→encode lineage. Persisted saves get this from parquet.
-    postings = postings.persist()
+    # analyze→aggregate→encode lineage, and TRUNCATE the lineage (checkpoint,
+    # not persist) so per-query Catalyst analysis sees a LogicalRDD leaf
+    # instead of the full build tree. Persisted saves get both from parquet.
+    postings = postings.localCheckpoint(eager=False)
     # Per-term max block score/tf denormalized into the dictionary: the WAND
     # upper bounds (M_t) then come straight from the |q| dictionary rows at
     # query time — no per-query aggregation job over the postings.
@@ -322,7 +330,7 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
         F.max("block_max_tf").alias("max_tf"),
         F.min("block_min_dl").alias("min_dl"))
     terms_out = (terms.select("term", "term_id", "df")
-                 .join(term_max, "term_id", "left").persist())
+                 .join(term_max, "term_id", "left").localCheckpoint(eager=False))
     return {
         "mode": mode,
         "dictionary": dictionary,

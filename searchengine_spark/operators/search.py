@@ -179,29 +179,55 @@ def _resolve_terms_driver(index: dict, qterms: list[str], mode: str):
     return out
 
 
+DECODE_POSTINGS_PER_PARTITION = 50_000  # decode-task sizing (see below)
+
+
 def _decode_blocks(blocks: DataFrame, with_score_params: bool,
-                   n_docs: int, avgdl: float) -> DataFrame:
-    """Vectorized block decode: (term blocks) → (term_id, doc_id, tf, score)."""
+                   n_docs: int, avgdl: float,
+                   sum_df: "int | None" = None) -> DataFrame:
+    """Vectorized block decode: (term blocks) → (term_id, doc_id, tf, score).
+
+    The whole Arrow batch is decoded in ONE numpy pass (segmented varint +
+    segmented cumsum) — a hot term's ~10^3 blocks cost three varint_decode
+    calls, not 10^3 per-block DataFrame constructions (measured 5-8× on the
+    sf0.1 hot-term decode).
+
+    ``sum_df`` (Σ df over the query's terms, known driver-side from the
+    dictionary) sizes the Python stage: after the term filter most source
+    partitions are EMPTY, yet every task still pays a Python-worker
+    round-trip — 64 empty mapInPandas tasks cost more than the decode
+    itself (measured ~0.5 s/query at sf0.1). Coalesce to
+    ceil(sum_df / DECODE_POSTINGS_PER_PARTITION) partitions: a rare term
+    decodes in 1 task, a 10^9-posting term still fans out to 20k tasks
+    (coalesce never exceeds the existing partition count)."""
+    if sum_df is not None:
+        blocks = blocks.coalesce(
+            max(1, -(-int(sum_df) // DECODE_POSTINGS_PER_PARTITION)))
 
     def gen(batches):
-        from searchengine_spark.operators.codec import decode_block
+        from searchengine_spark.operators.codec import (
+            decode_doc_ids_batch, varint_decode)
         for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                doc_ids, tfs = decode_block(row.first_doc_id, row.n, row.doc_deltas, row.tfs)
-                from searchengine_spark.operators.codec import varint_decode
-                dls = varint_decode(row.dls).astype(np.float64)
-                if with_score_params:
-                    idf = float(row.idf)
-                    score = idf * (tfs * (K1 + 1.0)) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-                else:
-                    score = np.zeros(len(doc_ids))
-                outs.append(pd.DataFrame({
-                    "term_id": row.term_id, "doc_id": doc_ids,
-                    "tf": tfs.astype("int64"), "score": score}))
-            yield pd.concat(outs) if outs else pd.DataFrame(
-                {"term_id": pd.Series(dtype="int64"), "doc_id": pd.Series(dtype="int64"),
-                 "tf": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+            if len(pdf) == 0:
+                continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            doc_ids = decode_doc_ids_batch(
+                pdf["first_doc_id"].to_numpy(dtype=np.int64), ns,
+                b"".join(pdf["doc_deltas"]))
+            tfs = varint_decode(b"".join(pdf["tfs"])).astype(np.int64)
+            if with_score_params:
+                dls = varint_decode(b"".join(pdf["dls"])).astype(np.float64)
+                idf = np.repeat(pdf["idf"].to_numpy(dtype=np.float64), ns)
+                tff = tfs.astype(np.float64)
+                score = idf * (tff * (K1 + 1.0)) / (tff + K1 * (1.0 - B + B * dls / avgdl))
+            else:
+                score = np.zeros(len(doc_ids))
+            yield pd.DataFrame({
+                "term_id": np.repeat(pdf["term_id"].to_numpy(dtype=np.int64), ns),
+                "doc_id": doc_ids, "tf": tfs, "score": score})
+        yield pd.DataFrame(
+            {"term_id": pd.Series(dtype="int64"), "doc_id": pd.Series(dtype="int64"),
+             "tf": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
 
     return blocks.mapInPandas(gen, schema="term_id long, doc_id long, tf long, score double")
 
@@ -336,9 +362,12 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
             bpb = -(-br // bs)
             bcol = F.floor(F.col("block_id") / F.lit(bpb))
             blocks = blocks.filter(bcol.between(sc["lo"] // br, sc["hi"] // br))
-    idf_df = F.broadcast(spark.createDataFrame(
-        [(tid, idf) for tid, idf in idf_of.items()], "term_id long, idf double"))
-    blocks = blocks.join(idf_df, "term_id")
+    # idf as a literal-map column, not a broadcast join: |q| entries inline
+    # into codegen, so the per-query plan has no createDataFrame round-trip
+    # and no broadcast exchange (~0.2 s/query of fixed cost at any scale).
+    idf_map = F.create_map(
+        *[x for tid, idf in idf_of.items() for x in (F.lit(tid), F.lit(idf))])
+    blocks = blocks.withColumn("idf", idf_map[F.col("term_id")])
 
     # Upserted indexes flag tf_bounds: stored block_max_score was computed
     # under older (n_docs, avgdl), so derive a stats-INDEPENDENT upper bound
@@ -389,22 +418,59 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
             m_rows = blocks.groupBy("term_id").agg(F.max("block_max_score").alias("m")).collect()
             m_of = {r["term_id"]: r["m"] for r in m_rows}
         m_sum = sum(m_of.values())
-        # phase 1: best block per term → θ = k_eff-th largest partial score
-        w = Window.partitionBy("term_id").orderBy(F.col("block_max_score").desc(), "block_id")
-        top_blocks = blocks.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r")
-        p1_dec = _decode_blocks(top_blocks, True, n_docs, avgdl)
-        if sc is not None:  # θ must come from in-scope docs only
+        # phase 1: best block per term → θ = k_eff-th largest partial score.
+        # The fast path collects ONE block payload per term (≤ ~400 B each)
+        # via a narrow max_by agg — no window shuffle, no mapInPandas worker,
+        # no second groupBy stage — and computes θ driver-side with the same
+        # numpy codec + BM25 formula the executors use. Non-contiguous scopes
+        # need the scope's doc SET to filter θ candidates, so they keep the
+        # distributed phase 1.
+        driver_p1 = sc is None or sc.get("contiguous")
+        if driver_p1:
+            best = blocks.groupBy("term_id").agg(F.max_by(
+                F.struct("first_doc_id", "n", "doc_deltas", "tfs", "dls"),
+                F.struct(F.col("block_max_score"), -F.col("block_id"))).alias("b")
+            ).collect()
+            from searchengine_spark.operators.codec import (
+                decode_doc_ids_batch, varint_decode)
+            all_ids, all_scores = [], []
+            for r in best:
+                b = r["b"]
+                ids = decode_doc_ids_batch(
+                    np.array([b["first_doc_id"]]), np.array([b["n"]]), b["doc_deltas"])
+                tff = varint_decode(b["tfs"]).astype(np.float64)
+                dls = varint_decode(b["dls"]).astype(np.float64)
+                sco = (idf_of[r["term_id"]] * (tff * (K1 + 1.0))
+                       / (tff + K1 * (1.0 - B + B * dls / avgdl)))
+                if sc is not None:  # θ must come from in-scope docs only
+                    m = (ids >= sc["lo"]) & (ids <= sc["hi"])
+                    ids, sco = ids[m], sco[m]
+                all_ids.append(ids)
+                all_scores.append(sco)
+            ids = np.concatenate(all_ids) if all_ids else np.zeros(0, dtype=np.int64)
+            sco = np.concatenate(all_scores) if all_scores else np.zeros(0)
+            _, inv = np.unique(ids, return_inverse=True)
+            sums = np.bincount(inv, weights=sco) if len(ids) else np.zeros(0)
+            theta = float(np.partition(sums, len(sums) - k_eff)[len(sums) - k_eff]) \
+                if len(sums) >= k_eff else 0.0
+        else:
+            w = Window.partitionBy("term_id").orderBy(F.col("block_max_score").desc(), "block_id")
+            top_blocks = blocks.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r")
+            p1_dec = _decode_blocks(top_blocks, True, n_docs, avgdl,
+                                    sum_df=n_q * stats.get("block_size", 128))
             p1_dec = _scope_filter(p1_dec, sc)
-        p1 = p1_dec.groupBy("doc_id").agg(F.sum("score").alias("score")) \
-            .orderBy(F.col("score").desc()).limit(k_eff).collect()
-        theta = min(r["score"] for r in p1) if len(p1) >= k_eff else 0.0
+            p1 = p1_dec.groupBy("doc_id").agg(F.sum("score").alias("score")) \
+                .orderBy(F.col("score").desc()).limit(k_eff).collect()
+            theta = min(r["score"] for r in p1) if len(p1) >= k_eff else 0.0
         if theta > 0:
-            m_df = F.broadcast(spark.createDataFrame(
-                [(tid, float(m)) for tid, m in m_of.items()], "term_id long, _m_self double"))
-            bound_expr = F.col("block_max_score") + F.lit(m_sum) - F.col("_m_self")
-            blocks = blocks.join(m_df, "term_id").filter(bound_expr >= F.lit(theta)).drop("_m_self")
+            # per-term M_t as a literal map (same rationale as idf above)
+            m_map = F.create_map(
+                *[x for tid, m in m_of.items() for x in (F.lit(tid), F.lit(float(m)))])
+            bound_expr = (F.col("block_max_score") + F.lit(m_sum)
+                          - m_map[F.col("term_id")])
+            blocks = blocks.filter(bound_expr >= F.lit(theta))
 
-    decoded = _decode_blocks(blocks, mode == "bm25", n_docs, avgdl)
+    decoded = _decode_blocks(blocks, mode == "bm25", n_docs, avgdl, sum_df=sum_df)
     if sc is not None:
         decoded = _scope_filter(decoded, sc)
         if mode == "ref_compat":
@@ -511,22 +577,25 @@ def phrase_search(index: dict, phrase: str, k: int = 10,
     sc = _scope_info(index, scope) if scope is not None else None
     if scope is not None and sc is None:
         return empty
-    id_of = {}
+    id_of, df_of = {}, {}
     pdf_terms = _terms_local(index)
     if pdf_terms is not None:
         for t in set(qseq):
             if t in pdf_terms.index:
                 id_of[t] = int(pdf_terms.loc[t, "term_id"])
+                df_of[t] = int(pdf_terms.loc[t, "df"])
     else:
         got = index["terms"].filter(F.col("term").isin(sorted(set(qseq)))).collect()
         id_of = {r["term"]: r["term_id"] for r in got}
+        df_of = {r["term"]: r["df"] for r in got}
     if any(t not in id_of for t in qseq):
         return empty  # a phrase term absent from the corpus → no match
     n_q = len(qseq)
     slot_pairs = [(id_of[t], i) for i, t in enumerate(qseq)]
     term_ids = sorted({tid for tid, _ in slot_pairs})
 
-    decoded = _decode_positions(index, term_ids, sc)
+    decoded = _decode_positions(index, term_ids, sc,
+                                sum_df=sum(df_of.values()))
     if sc is not None:
         decoded = _scope_filter(decoded, sc)
 
@@ -579,20 +648,23 @@ def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
     if scope is not None and sc is None:
         return empty
     pdf_terms = _terms_local(index)
-    id_of = {}
+    id_of, df_of = {}, {}
     for t in (qa[0], qb[0]):
         if pdf_terms is not None:
             if t in pdf_terms.index:
                 id_of[t] = int(pdf_terms.loc[t, "term_id"])
+                df_of[t] = int(pdf_terms.loc[t, "df"])
         else:
             rows = index["terms"].filter(F.col("term") == t).collect()
             if rows:
                 id_of[t] = rows[0]["term_id"]
+                df_of[t] = rows[0]["df"]
     if len(id_of) < 2:
         return empty
     ta, tb = id_of[qa[0]], id_of[qb[0]]
 
-    decoded = _decode_positions(index, [ta, tb], sc)
+    decoded = _decode_positions(index, [ta, tb], sc,
+                                sum_df=sum(df_of.values()))
     if sc is not None:
         decoded = _scope_filter(decoded, sc)
     w = max(1, int(max_dist))
@@ -617,9 +689,11 @@ def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
             .orderBy(F.col("n_pairs").desc(), F.col("doc_id").asc()))
 
 
-def _decode_positions(index: dict, term_ids: list[int], sc=None) -> DataFrame:
+def _decode_positions(index: dict, term_ids: list[int], sc=None,
+                      sum_df: "int | None" = None) -> DataFrame:
     """Shared positional decode: blocks of ``term_ids`` → (doc_id, term_id,
-    pos), with term-bucket partition pruning and scope bucket pruning."""
+    pos), with term-bucket partition pruning and scope bucket pruning.
+    ``sum_df`` sizes the Python decode stage (see _decode_blocks)."""
     stats = index["stats"]
     blocks = index["postings"]
     tb = stats.get("term_buckets")
@@ -633,27 +707,36 @@ def _decode_positions(index: dict, term_ids: list[int], sc=None) -> DataFrame:
             bpb = -(-br // bs)
             bcol = F.floor(F.col("block_id") / F.lit(bpb))
             blocks = blocks.filter(bcol.between(sc["lo"] // br, sc["hi"] // br))
+    if sum_df is not None:
+        blocks = blocks.coalesce(
+            max(1, -(-int(sum_df) // DECODE_POSTINGS_PER_PARTITION)))
 
     def gen(batches):
-        from searchengine_spark.operators.codec import decode_block, varint_decode
+        from searchengine_spark.operators.codec import (
+            decode_doc_ids_batch, varint_decode)
         for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                doc_ids, tfs = decode_block(row.first_doc_id, row.n,
-                                            row.doc_deltas, row.tfs)
-                deltas = varint_decode(row.pos).astype(np.int64)
-                starts = np.cumsum(tfs) - tfs
-                glob = np.cumsum(deltas)
-                base0 = np.repeat(glob[starts] - deltas[starts], tfs)
-                outs.append(pd.DataFrame({
-                    "doc_id": np.repeat(doc_ids, tfs),
-                    "term_id": row.term_id,
-                    "pos": (glob - base0).astype("int64"),
-                }))
-            yield (pd.concat(outs) if outs else
-                   pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "term_id": pd.Series(dtype="int64"),
-                                 "pos": pd.Series(dtype="int64")}))
+            if len(pdf) == 0:
+                continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            doc_ids = decode_doc_ids_batch(
+                pdf["first_doc_id"].to_numpy(dtype=np.int64), ns,
+                b"".join(pdf["doc_deltas"]))
+            tfs = varint_decode(b"".join(pdf["tfs"])).astype(np.int64)
+            # position deltas restart per DOC (not per block), so the
+            # segmented cumsum over the concatenated buffers is exact: each
+            # doc's segment correction is local to its own positions.
+            deltas = varint_decode(b"".join(pdf["pos"])).astype(np.int64)
+            starts = np.cumsum(tfs) - tfs
+            glob = np.cumsum(deltas)
+            base0 = np.repeat(glob[starts] - deltas[starts], tfs)
+            yield pd.DataFrame({
+                "doc_id": np.repeat(doc_ids, tfs),
+                "term_id": np.repeat(pdf["term_id"].to_numpy(dtype=np.int64), ns).repeat(tfs),
+                "pos": (glob - base0).astype("int64"),
+            })
+        yield pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "term_id": pd.Series(dtype="int64"),
+                            "pos": pd.Series(dtype="int64")})
 
     return blocks.mapInPandas(gen, schema="doc_id long, term_id long, pos long")
 
@@ -742,7 +825,8 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     # one decode pass over the union of term_ids (scores attached per query
     # after the fan-out join, since idf is (query, term)-independent here —
     # decode emits raw tf, scoring happens JVM-side)
-    decoded = _decode_blocks_with_dl(blocks)
+    uniq_df = {r["term_id"]: r["df"] for trows in per_q.values() for r in trows}
+    decoded = _decode_blocks_with_dl(blocks, sum_df=sum(uniq_df.values()))
     if sc is not None:
         decoded = _scope_filter(decoded, sc)
         if mode == "ref_compat":
@@ -819,25 +903,33 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     return out
 
 
-def _decode_blocks_with_dl(blocks: DataFrame) -> DataFrame:
+def _decode_blocks_with_dl(blocks: DataFrame,
+                           sum_df: "int | None" = None) -> DataFrame:
     """Block decode emitting raw (term_id, doc_id, tf, dl) — scoring left to
-    the JVM side (used by the batched path where idf fans out per query)."""
+    the JVM side (used by the batched path where idf fans out per query).
+    ``sum_df`` sizes the Python decode stage (see _decode_blocks)."""
+    if sum_df is not None:
+        blocks = blocks.coalesce(
+            max(1, -(-int(sum_df) // DECODE_POSTINGS_PER_PARTITION)))
 
     def gen(batches):
-        from searchengine_spark.operators.codec import decode_block, varint_decode
+        from searchengine_spark.operators.codec import (
+            decode_doc_ids_batch, varint_decode)
         for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                doc_ids, tfs = decode_block(row.first_doc_id, row.n, row.doc_deltas, row.tfs)
-                dls = varint_decode(row.dls).astype("int64")
-                outs.append(pd.DataFrame({
-                    "term_id": row.term_id, "doc_id": doc_ids,
-                    "tf": tfs.astype("int64"), "dl": dls}))
-            yield (pd.concat(outs) if outs else
-                   pd.DataFrame({"term_id": pd.Series(dtype="int64"),
-                                 "doc_id": pd.Series(dtype="int64"),
-                                 "tf": pd.Series(dtype="int64"),
-                                 "dl": pd.Series(dtype="int64")}))
+            if len(pdf) == 0:
+                continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({
+                "term_id": np.repeat(pdf["term_id"].to_numpy(dtype=np.int64), ns),
+                "doc_id": decode_doc_ids_batch(
+                    pdf["first_doc_id"].to_numpy(dtype=np.int64), ns,
+                    b"".join(pdf["doc_deltas"])),
+                "tf": varint_decode(b"".join(pdf["tfs"])).astype(np.int64),
+                "dl": varint_decode(b"".join(pdf["dls"])).astype(np.int64)})
+        yield pd.DataFrame({"term_id": pd.Series(dtype="int64"),
+                            "doc_id": pd.Series(dtype="int64"),
+                            "tf": pd.Series(dtype="int64"),
+                            "dl": pd.Series(dtype="int64")})
 
     return blocks.mapInPandas(gen, schema="term_id long, doc_id long, tf long, dl long")
 
