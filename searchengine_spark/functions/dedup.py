@@ -38,11 +38,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles_col(text, n: int = 3):
-    """Word n-gram shingles as strings (sorted-distinct per doc)."""
+    """Word n-gram shingles as strings (distinct per doc).
+
+    Built by zip_with-ing n shifted views of the token array: the lambdas
+    only touch scalar elements, so the tokenizer runs O(n) times per ROW.
+    (The obvious transform(sequence(...), i -> concat_ws(slice(toks, i+1, n)))
+    re-evaluates the captured ``toks`` expression — regexp + split over the
+    full text — once per shingle INDEX: O(|tokens|·|text|) per row, measured
+    10 s vs 1 s for one pass over 5k docs at sf0.1.)
+
+    Trailing windows shorter than n null out via F.concat's null propagation
+    and are filtered, so docs with < n tokens yield an empty array."""
     toks = tokens_col(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.array_distinct(F.filter(sh, lambda s: F.size(F.split(s, " ")) >= n))
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1)))
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.array_distinct(F.filter(acc, lambda s: s.isNotNull()))
 
 
 def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -126,10 +138,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    # band fan-out in ONE projection (no self-join back on id): sig is
+    # already in hand, so explode the band index next to it and slice
     banded = sigs.select(
-        F.col(id_col).alias("id"),
-        F.explode(band_idx).alias("band"),
-    ).join(sigs.select(F.col(id_col).alias("id"), "sig"), "id")
+        F.col(id_col).alias("id"), "sig",
+        F.explode(band_idx).alias("band"))
     banded = banded.withColumn(
         "band_key", F.md5(F.concat_ws(",", F.slice(
             F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band).cast("array<string>"))))

@@ -62,7 +62,10 @@ def build_fielded_index(transcripts: DataFrame,
         fields = {"title": title_col(F.col("text")), "body": F.col("text")}
 
     with_id = dedup_and_assign_doc_ids(transcripts)
-    docs = with_id.persist()
+    # localCheckpoint (not persist): the served index's DataFrames must be
+    # lineage LEAVES, or every query re-pays Catalyst analysis of the whole
+    # build plan (see build_index_from_docs — measured ~1.5 s/query).
+    docs = with_id.localCheckpoint(eager=False)
     n_docs = docs.count()
 
     out_fields: dict[str, dict] = {}
@@ -79,7 +82,8 @@ def build_fielded_index(transcripts: DataFrame,
         from searchengine_spark.operators.indexer import assign_dense_ids
         terms = assign_dense_ids(
             terms.withColumn("_tp", F.substring("term", 1, 1)),
-            key_col="_tp", order_cols=["term"], id_col="term_id").drop("_tp").persist()
+            key_col="_tp", order_cols=["term"],
+            id_col="term_id").drop("_tp").localCheckpoint(eager=False)
         n_terms = terms.count()
         flat = tf.join(
             F.broadcast(terms.select("term", "term_id"))
@@ -111,8 +115,9 @@ def build_fielded_index(transcripts: DataFrame,
         postings = bucketed.groupBy("term_id", "bucket").applyInPandas(
             encode,
             "term_id long, block_id int, first_doc_id long, n int, "
-            "doc_deltas binary, tfs binary, dls binary").persist()
+            "doc_deltas binary, tfs binary, dls binary").localCheckpoint(eager=False)
         postings.count()
+        tf.unpersist()
         out_fields[name] = {"terms": terms, "postings": postings,
                             "avgdl": avgdl, "total_tokens": total_tokens}
 
@@ -122,23 +127,35 @@ def build_fielded_index(transcripts: DataFrame,
                       "block_size": block_size}}
 
 
-def _decode_field_blocks(blocks: DataFrame) -> DataFrame:
+def _decode_field_blocks(blocks: DataFrame,
+                         sum_df: "int | None" = None) -> DataFrame:
+    """Batched block decode (one segmented numpy pass per Arrow batch; see
+    search._decode_blocks for the rationale). ``sum_df`` sizes the Python
+    stage so a small query doesn't pay 64 empty mapInPandas task
+    round-trips."""
+    from searchengine_spark.operators.search import DECODE_POSTINGS_PER_PARTITION
+    if sum_df is not None:
+        blocks = blocks.coalesce(
+            max(1, -(-int(sum_df) // DECODE_POSTINGS_PER_PARTITION)))
+
     def gen(batches):
-        from searchengine_spark.operators.codec import decode_block, varint_decode
+        from searchengine_spark.operators.codec import (
+            decode_doc_ids_batch, varint_decode)
         for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                ids, tfs = decode_block(row.first_doc_id, row.n,
-                                        row.doc_deltas, row.tfs)
-                dls = varint_decode(row.dls).astype("int64")
-                outs.append(pd.DataFrame({
-                    "term_id": row.term_id, "doc_id": ids,
-                    "tf": tfs.astype("int64"), "dl": dls}))
-            yield (pd.concat(outs) if outs else
-                   pd.DataFrame({"term_id": pd.Series(dtype="int64"),
-                                 "doc_id": pd.Series(dtype="int64"),
-                                 "tf": pd.Series(dtype="int64"),
-                                 "dl": pd.Series(dtype="int64")}))
+            if len(pdf) == 0:
+                continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame({
+                "term_id": np.repeat(pdf["term_id"].to_numpy(dtype=np.int64), ns),
+                "doc_id": decode_doc_ids_batch(
+                    pdf["first_doc_id"].to_numpy(dtype=np.int64), ns,
+                    b"".join(pdf["doc_deltas"])),
+                "tf": varint_decode(b"".join(pdf["tfs"])).astype(np.int64),
+                "dl": varint_decode(b"".join(pdf["dls"])).astype(np.int64)})
+        yield pd.DataFrame({"term_id": pd.Series(dtype="int64"),
+                            "doc_id": pd.Series(dtype="int64"),
+                            "tf": pd.Series(dtype="int64"),
+                            "dl": pd.Series(dtype="int64")})
 
     return blocks.mapInPandas(
         gen, schema="term_id long, doc_id long, tf long, dl long")
@@ -200,26 +217,29 @@ def bm25f_search(index: dict, query: str, k: int = 10,
             continue
         tids = [r["term_id"] for r in rows]
         blocks = fl["postings"].filter(F.col("term_id").isin(tids))
-        dec = _decode_field_blocks(blocks)
-        term_map = F.broadcast(spark.createDataFrame(
-            [(r["term_id"], r["term"]) for r in rows], "term_id long, term string"))
+        dec = _decode_field_blocks(
+            blocks, sum_df=sum(r["df_field"] for r in rows))
+        # term string + idf as literal maps (|q| entries inline into
+        # codegen) — no per-query createDataFrame or broadcast exchange
+        term_map = F.create_map(
+            *[x for r in rows for x in (F.lit(r["term_id"]), F.lit(r["term"]))])
         avgdl = max(fl["avgdl"], 1e-9)
         bf, wf = float(b[name]), float(weights.get(name, 1.0))
         tf_norm = (F.col("tf").cast("double")
                    / (F.lit(1.0 - bf) + F.lit(bf / avgdl) * F.col("dl")))
-        parts.append(dec.join(term_map, "term_id")
-                     .select("doc_id", "term",
-                             (F.lit(wf) * tf_norm).alias("wtf")))
+        parts.append(dec.select(
+            "doc_id", term_map[F.col("term_id")].alias("term"),
+            (F.lit(wf) * tf_norm).alias("wtf")))
     if not parts:
         return empty
     allf = parts[0]
     for p in parts[1:]:
         allf = allf.unionByName(p)
 
-    idf_df = F.broadcast(spark.createDataFrame(
-        list(idf_of.items()), "term string, idf double"))
+    idf_map = F.create_map(
+        *[x for t, v in idf_of.items() for x in (F.lit(t), F.lit(v))])
     blended = (allf.groupBy("doc_id", "term").agg(F.sum("wtf").alias("s"))
-               .join(idf_df, "term")
+               .withColumn("idf", idf_map[F.col("term")])
                .withColumn("contrib",
                            F.col("idf") * F.col("s") / (F.lit(float(k1)) + F.col("s"))))
     scored = blended.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
