@@ -6,14 +6,22 @@ run the SAME job on the SAME staged input at local[8] and local[32] — each in
 a fresh JVM subprocess so no cache/JIT leaks between runs — and report
 throughput at both plus efficiency = (turns_per_sec_4N / turns_per_sec_N) / 4.
 
-Usage: python bench_scaling.py [sf] [N]   (default sf=0.1, N=8 → compares
-local[N] vs local[4N])
+Usage: python bench_scaling.py [sf] [N] [pairs]   (default sf=0.1, N=1 →
+compares local[N] vs local[4N])
 
-Pick N so 4N ≤ the PHYSICAL core count: this box advertises 32 vCPUs but
-has ~19 effective cores (SMT), so local[32] is hardware-capped at ~2.4×
-local[8] (max possible efficiency ≈ 0.6 regardless of software). N=2 → 8
-keeps both runs inside real cores and measures the engine, not the SMT
-ceiling.
+Pick N so the 4N arm's TOTAL core demand stays under the box's effective
+capacity. Two effects stack on this host:
+- it advertises 32 vCPUs but delivers ~19 effective cores (SMT), and
+- every build task demands ~2 cores (1 JVM task thread + 1 Python worker
+  for the Arrow/pandas analysis+encode stages) — measured: during the
+  analyze phase a local[8] build drives java ~4 cores + python ~10-12
+  cores ≈ 14-16 total, i.e. AT the capacity ceiling.
+So N=2→8 measures the hypervisor cap, not the engine (r3 measured 0.62
+there, while a pure-JVM codegen probe with no Python workers scales at
+0.86 on the same pairing). N=1→4 keeps both arms' demand (~2 vs ~8
+cores) comfortably inside capacity and isolates ENGINE scaling: r3
+measured 0.833 on the probe pair (local[1] 792.6 s, local[4] 238.0 s,
+sf1.0).
 """
 
 from __future__ import annotations
@@ -73,7 +81,7 @@ def _wait_idle() -> float:
 
 def main():
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     pairs = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     # stage once (shared input for both runs)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

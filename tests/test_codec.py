@@ -6,7 +6,8 @@ import numpy as np
 from hypothesis import given, settings, strategies as st
 
 from searchengine_spark.operators.codec import (
-    decode_block, encode_block, split_blocks, varint_decode, varint_encode)
+    decode_block, decode_doc_ids_batch, encode_block, split_blocks,
+    varint_decode, varint_encode)
 
 
 @given(st.lists(st.integers(min_value=0, max_value=2**62 - 1), max_size=300))
@@ -33,6 +34,30 @@ def test_block_roundtrip(ids):
     got_ids, got_tfs = decode_block(f, n, d, t)
     assert np.array_equal(got_ids, doc_ids)
     assert np.array_equal(got_tfs, tfs)
+
+
+@given(st.lists(st.sets(st.integers(min_value=0, max_value=10**12),
+                        min_size=1, max_size=200),
+                min_size=0, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_decode_doc_ids_batch_matches_per_block(blocks):
+    """Batched segmented decode == per-block decode over ANY block mix
+    (including single-posting blocks, where the deltas buffer is empty)."""
+    firsts, ns, bufs, expected = [], [], [], []
+    for ids in blocks:
+        doc_ids = np.array(sorted(ids), dtype=np.int64)
+        tfs = np.ones(len(doc_ids), dtype=np.int64)
+        f, n, d, _ = encode_block(doc_ids, tfs)
+        firsts.append(f)
+        ns.append(n)
+        bufs.append(d)
+        expected.append(doc_ids)
+    got = decode_doc_ids_batch(
+        np.array(firsts, dtype=np.int64), np.array(ns, dtype=np.int64),
+        b"".join(bufs))
+    want = (np.concatenate(expected) if expected
+            else np.zeros(0, dtype=np.int64))
+    assert np.array_equal(got, want)
 
 
 def test_split_blocks_covers_all_and_max():
