@@ -208,6 +208,20 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
     slim numerics. The analysis UDF therefore runs twice (once per cache),
     which measures far cheaper than materializing the fat rows.
     """
+    # Optional phase log (SPARK_GRAFT_BUILD_PHASE_LOG=1): wall-clock per
+    # build phase on stdout — the scaling-efficiency work needs to see which
+    # phase the serial fraction lives in, and ops want it in prod logs too.
+    import os as _os
+    import time as _time
+    _phase_log = _os.environ.get("SPARK_GRAFT_BUILD_PHASE_LOG")
+    _t0 = [_time.time()]
+
+    def _mark(name: str) -> None:
+        if _phase_log:
+            now = _time.time()
+            print(f"BUILD_PHASE {name} {now - _t0[0]:.2f}s", flush=True)
+            _t0[0] = now
+
     # localCheckpoint(eager=False) instead of persist: same caching (blocks
     # materialize on first use, en route through tf.count() below), but the
     # plan becomes a LogicalRDD IMMEDIATELY — the served index's DataFrames
@@ -236,10 +250,12 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
     # (each recomputing UDF partitions) and leaves the dictionary's size
     # unknown to the join planner — measured ~3× slower.
     tf.count()
+    _mark("analyze_dedup_tf")
     stats_row = docs.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl"),
         F.sum("dl").alias("total_tokens")).collect()[0]
     n_docs, avgdl = int(stats_row["n"]), float(stats_row["avgdl"] or 0.0)
+    _mark("docs_stats")
     df_agg = tf.groupBy("term").agg(F.count("*").alias("df"))  # tf rows unique per (doc,term)
     # dense term_id by term asc: prefix-partitioned two-level prefix sum
     terms = assign_dense_ids(
@@ -247,6 +263,7 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
         key_col="_tp", order_cols=["term"], id_col="term_id",
     ).drop("_tp").persist()
     n_terms = terms.count()
+    _mark("dictionary")
 
     # dictionary-side join: broadcast while the dictionary fits (it is tiny
     # relative to the postings); at 10^8-term scale fall back to a shuffled
@@ -322,6 +339,9 @@ def build_index_from_docs(docs_with_tt: DataFrame, mode: str = "general",
     # not persist) so per-query Catalyst analysis sees a LogicalRDD leaf
     # instead of the full build tree. Persisted saves get both from parquet.
     postings = postings.localCheckpoint(eager=False)
+    if _phase_log:  # eager barrier only when profiling, to attribute encode
+        postings.count()
+        _mark("encode_postings")
     # Per-term max block score/tf denormalized into the dictionary: the WAND
     # upper bounds (M_t) then come straight from the |q| dictionary rows at
     # query time — no per-query aggregation job over the postings.

@@ -743,7 +743,7 @@ def _decode_positions(index: dict, term_ids: list[int], sc=None,
 
 def search_many(index: dict, queries: dict[str, str], k: int = 10,
                 mode: str = "bm25", scope=None,
-                with_snippets: bool = False) -> DataFrame:
+                with_snippets: bool = False, offset: int = 0) -> DataFrame:
     """Batched top-k: score MANY queries in ONE Spark job.
 
     A single-query search costs ~1 fixed-latency job regardless of data;
@@ -768,6 +768,10 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     a shared scan can't skip a block any member query still needs) — the
     batch's win is amortized fixed cost, which dominates exactly in the
     regime where pruning wouldn't.
+
+    ``offset`` paginates every query in the batch identically to
+    ``search(..., offset=)``: ranks offset+1..offset+k are returned with
+    their ABSOLUTE ranks (a query-log replay of page 2 keeps rank 11..20).
     """
     spark = index["docs"].sparkSession
     release_query_caches(index)
@@ -860,12 +864,16 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     agg = scored.groupBy("query_id", "doc_id").agg(
         F.count("*").alias("nt"), F.sum("tf").alias("tf_sum"), F.sum("s").alias("bm25"))
     w_q = Window.partitionBy("query_id")
+    k_tot = int(offset) + k
     if mode == "ref_compat":
         matches = agg.join(nq, "query_id").filter(F.col("nt") == F.col("n_q"))
         ranked = matches.withColumn(
             "rank", F.row_number().over(
                 w_q.orderBy(F.col("tf_sum").desc(), F.col("doc_id").asc()))) \
-            .filter(F.col("rank") <= k)
+            .filter(F.col("rank") <= k_tot)
+        # ref_compat normalizes by the query's GLOBAL max tf_sum — computed
+        # over the page-1..N winners kept so far, which always include the
+        # rank-1 row, so pagination doesn't change the denominator
         ranked = ranked.withColumn(
             "score", F.col("tf_sum").cast("double")
             / F.max(F.col("tf_sum").cast("double")).over(w_q))
@@ -873,7 +881,9 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
         ranked = agg.withColumn("score", F.col("bm25")).withColumn(
             "rank", F.row_number().over(
                 w_q.orderBy(F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()))) \
-            .filter(F.col("rank") <= k)
+            .filter(F.col("rank") <= k_tot)
+    if offset:
+        ranked = ranked.filter(F.col("rank") > int(offset))
 
     docs_meta = index["docs"].select(
         "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",

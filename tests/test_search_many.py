@@ -26,6 +26,24 @@ def test_search_many_matches_single(index_general, index_ref, mode):
             assert g["conv_id"] == s["conv_id"] and g["turn_idx"] == s["turn_idx"]
 
 
+@pytest.mark.parametrize("mode", ["bm25", "ref_compat"])
+def test_search_many_offset_matches_single(index_general, index_ref, mode):
+    """Batched pagination == per-query search(offset=): page 2 of every
+    query in one job, absolute ranks preserved."""
+    index = index_general if mode == "bm25" else index_ref
+    batch = search_many(index, QUERIES, k=5, mode=mode, offset=5).collect()
+    by_q: dict[str, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, qtext in QUERIES.items():
+        single = search(index, qtext, k=5, mode=mode, offset=5).collect()
+        got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in single], (mode, qid)
+        assert all(r["rank"] > 5 for r in got)
+        for g, s in zip(got, single):
+            assert abs(g["score"] - s["score"]) < 1e-9, (mode, qid)
+
+
 def test_search_many_empty_and_unknown(index_general):
     out = search_many(index_general, {"a": "", "b": "zzzznotaword"}, k=5).collect()
     assert out == []
