@@ -216,7 +216,12 @@ def bm25f_search(index: dict, query: str, k: int = 10,
         if not rows:
             continue
         tids = [r["term_id"] for r in rows]
-        blocks = fl["postings"].filter(F.col("term_id").isin(tids))
+        blocks = fl["postings"]
+        tb = index["stats"].get("term_buckets")
+        if tb:  # loaded index: directory-level pruning before the scan
+            blocks = blocks.filter(
+                F.col("term_bucket").isin(sorted({t % tb for t in tids})))
+        blocks = blocks.filter(F.col("term_id").isin(tids))
         dec = _decode_field_blocks(
             blocks, sum_df=sum(r["df_field"] for r in rows))
         # term string + idf as literal maps (|q| entries inline into
@@ -250,3 +255,56 @@ def bm25f_search(index: dict, query: str, k: int = 10,
             .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
                     "score")
             .orderBy(_ord(), F.col("doc_id").asc()))
+
+
+def save_fielded_index(index: dict, path: str, term_buckets: int = 16) -> None:
+    """Persist a fielded index: shared docs + per-field terms/postings.
+
+    Same layout discipline as plans/manifest.save_index: each field's
+    postings are partitioned by ``term_bucket = term_id % term_buckets`` so
+    a query's term_id IN (...) prunes whole directories at scan time; the
+    per-field avgdl/total_tokens ride in stats.json."""
+    import json as _json
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    index["docs"].write.mode("overwrite").parquet(_os.path.join(path, "docs"))
+    field_stats = {}
+    for name, fl in index["fields"].items():
+        base = _os.path.join(path, "fields", name)
+        fl["terms"].write.mode("overwrite").parquet(_os.path.join(base, "terms"))
+        (fl["postings"]
+         .withColumn("term_bucket", (F.col("term_id") % term_buckets).cast("int"))
+         .write.mode("overwrite").partitionBy("term_bucket")
+         .option("compression", "zstd")
+         .parquet(_os.path.join(base, "postings")))
+        field_stats[name] = {"avgdl": fl["avgdl"],
+                             "total_tokens": fl["total_tokens"]}
+    with open(_os.path.join(path, "stats.json"), "w") as f:
+        _json.dump({**index["stats"], "mode": index["mode"],
+                    "dictionary": index.get("dictionary", "fixture"),
+                    "term_buckets": term_buckets,
+                    "field_stats": field_stats}, f)
+
+
+def load_fielded_index(spark, path: str) -> dict:
+    """Load a saved fielded index; bm25f_search prunes each field's postings
+    scan by term_bucket (PartitionFilters) + term_id pushdown."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "stats.json")) as f:
+        stats = _json.load(f)
+    mode = stats.pop("mode")
+    dictionary = stats.pop("dictionary", "fixture")
+    field_stats = stats.pop("field_stats")
+    fields = {}
+    for name, fs in field_stats.items():
+        base = _os.path.join(path, "fields", name)
+        fields[name] = {
+            "terms": spark.read.parquet(_os.path.join(base, "terms")),
+            "postings": spark.read.parquet(_os.path.join(base, "postings")),
+            "avgdl": fs["avgdl"], "total_tokens": fs["total_tokens"]}
+    return {"mode": mode, "dictionary": dictionary,
+            "docs": spark.read.parquet(_os.path.join(path, "docs")),
+            "fields": fields, "stats": stats}

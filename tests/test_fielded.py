@@ -81,3 +81,21 @@ def test_bm25f_title_boost_changes_ranking(spark, findex):
 
 def test_bm25f_empty_query(spark, findex):
     assert bm25f_search(findex, "zzzznotaword", k=5).collect() == []
+
+
+def test_bm25f_save_load_round_trip(spark, findex, tmp_path):
+    """Saved+loaded fielded index returns identical rows, and the loaded
+    query plan prunes the per-field postings scan by term_bucket."""
+    from searchengine_spark.operators.fielded import (
+        load_fielded_index, save_fielded_index)
+    path = str(tmp_path / "fidx")
+    save_fielded_index(findex, path, term_buckets=8)
+    loaded = load_fielded_index(spark, path)
+    want = bm25f_search(findex, "merge scan", k=5).collect()
+    got = bm25f_search(loaded, "merge scan", k=5).collect()
+    assert [(r["conv_id"], round(r["score"], 9)) for r in got] == \
+           [(r["conv_id"], round(r["score"], 9)) for r in want]
+    # partition pruning reaches the scan: PartitionFilters on term_bucket
+    plan = bm25f_search(loaded, "merge scan", k=5)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan
