@@ -4,12 +4,9 @@
   built-ins (F.zip_with dot product in whole-stage codegen), the correctness
   baseline. Distributed top-k via TakeOrderedAndProject; at 100 TB this is
   one scan, no shuffle.
-- ``lsh_bucket_topk``: random-hyperplane LSH scale path — sign-bucket the
-  corpus once (seeded projection matrix, Arrow-batched numpy matmul), probe
-  only the query's bucket (+ optional multi-probe neighbors). Approximate;
-  returns the exact cosine within the probed buckets.
-- ``ivf_topk``: IVF-style two-stage — coarse centroids (seeded kmeans-lite
-  over a sample), search only the closest ``n_probe`` partitions.
+- ``lsh_bucket_topk`` / ``ivf_topk``: in-memory TEST BASELINES that
+  re-bucket / re-assign the corpus per query — parity references for the
+  persisted path below, never the serving call (see each docstring).
 
 Persisted scale path (r1 VERDICT finding: the in-memory variants re-bucket
 the corpus per query): ``build_lsh_index`` / ``build_ivf_index`` compute the
