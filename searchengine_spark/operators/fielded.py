@@ -45,6 +45,35 @@ def title_col(text: Column, n_chars: int = 60) -> Column:
     return F.substring(text, 1, n_chars)
 
 
+_FIELD_BLOCK_SCHEMA = ("term_id long, block_id int, first_doc_id long, n int, "
+                       "doc_deltas binary, tfs binary, dls binary")
+
+
+def _make_field_encoder(block_size: int, blocks_per_bucket: int):
+    """Block encoder for one (term_id, bucket) group of a field's postings —
+    shared by the builder and the upsert rewrite so touched groups re-encode
+    byte-identically to a fresh build of the same rows."""
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        from searchengine_spark.operators.codec import encode_block, varint_encode
+        term_id = int(pdf["term_id"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        ids = pdf["doc_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        tfs = pdf["tf"].to_numpy()[order]
+        dls = pdf["dl"].to_numpy()[order]
+        out = []
+        for j, lo in enumerate(range(0, len(ids), block_size)):
+            hi = min(lo + block_size, len(ids))
+            first, n, d, t = encode_block(ids[lo:hi], tfs[lo:hi])
+            out.append((term_id, bucket * blocks_per_bucket + j, first, n,
+                        d, t, varint_encode(dls[lo:hi].astype("uint64"))))
+        return pd.DataFrame(out, columns=[
+            "term_id", "block_id", "first_doc_id", "n", "doc_deltas",
+            "tfs", "dls"])
+    return encode
+
+
 def build_fielded_index(transcripts: DataFrame,
                         fields: dict[str, Column] | None = None,
                         mode: str = "general", dictionary: str = "fixture",
@@ -93,29 +122,9 @@ def build_fielded_index(transcripts: DataFrame,
             "bucket", (F.col("doc_id") / F.lit(bucket_range)).cast("int"))
         blocks_per_bucket = -(-bucket_range // block_size)
 
-        def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-            from searchengine_spark.operators.codec import encode_block, varint_encode
-            term_id = int(pdf["term_id"].iloc[0])
-            bucket = int(pdf["bucket"].iloc[0])
-            ids = pdf["doc_id"].to_numpy()
-            order = np.argsort(ids, kind="stable")
-            ids = ids[order]
-            tfs = pdf["tf"].to_numpy()[order]
-            dls = pdf["dl"].to_numpy()[order]
-            out = []
-            for j, lo in enumerate(range(0, len(ids), block_size)):
-                hi = min(lo + block_size, len(ids))
-                first, n, d, t = encode_block(ids[lo:hi], tfs[lo:hi])
-                out.append((term_id, bucket * blocks_per_bucket + j, first, n,
-                            d, t, varint_encode(dls[lo:hi].astype("uint64"))))
-            return pd.DataFrame(out, columns=[
-                "term_id", "block_id", "first_doc_id", "n", "doc_deltas",
-                "tfs", "dls"])
-
         postings = bucketed.groupBy("term_id", "bucket").applyInPandas(
-            encode,
-            "term_id long, block_id int, first_doc_id long, n int, "
-            "doc_deltas binary, tfs binary, dls binary").localCheckpoint(eager=False)
+            _make_field_encoder(block_size, blocks_per_bucket),
+            _FIELD_BLOCK_SCHEMA).localCheckpoint(eager=False)
         postings.count()
         tf.unpersist()
         out_fields[name] = {"terms": terms, "postings": postings,
@@ -285,6 +294,177 @@ def save_fielded_index(index: dict, path: str, term_buckets: int = 16) -> None:
                     "dictionary": index.get("dictionary", "fixture"),
                     "term_buckets": term_buckets,
                     "field_stats": field_stats}, f)
+
+
+def upsert_fielded(index: dict, delta: DataFrame,
+                   fields: dict[str, Column] | None = None,
+                   max_delta_fraction: float | None = None) -> dict:
+    """S6 incremental upsert for a FIELDED index: merge a micro-batch of
+    turns, rewriting only the touched (term_id, bucket) posting groups of
+    each field (same merge semantics as ``operators.upsert.upsert_turns``;
+    reference: services/IndexingPageServiceImpl.java:37-135 single-page
+    re-index, generalized per field).
+
+    ``fields`` must be the SAME field-name → text-Column mapping the index
+    was built with (Column expressions are not serializable, so unlike
+    mode/dictionary they cannot ride in stats; the default title/body layout
+    needs no argument). Field names are validated against the index; exprs
+    are the caller's contract.
+
+    Simpler than the main-index upsert because fielded postings carry no
+    WAND bound columns (bm25f_search decodes all |q|·|fields| lists) and no
+    positions: no bound re-derivation, no tf_bounds flag. Per-field
+    avgdl/total_tokens are maintained exactly from the delta's dl sums, so
+    post-upsert scores equal a fresh rebuild's (up to doc_id tie order —
+    genuinely NEW keys append after max(doc_id) in delta key order).
+    """
+    from searchengine_spark.operators.indexer import dedup_turns
+    from searchengine_spark.operators.upsert import (
+        KEY, MAX_DELTA_ABS, MAX_DELTA_FRACTION)
+    from pyspark.sql import Window
+
+    spark = index["docs"].sparkSession
+    mode = index.get("mode", "general")
+    dictionary = index.get("dictionary", "fixture")
+    stats = index["stats"]
+    bucket_range = stats.get("bucket_range", 1 << 16)
+    block_size = stats.get("block_size", BLOCK_SIZE)
+    bpb = -(-bucket_range // block_size)
+    if fields is None:
+        fields = {"title": title_col(F.col("text")), "body": F.col("text")}
+    if set(fields) != set(index["fields"]):
+        raise ValueError(
+            f"field names {sorted(fields)} != index fields "
+            f"{sorted(index['fields'])}; pass the build-time field mapping")
+
+    delta = dedup_turns(delta)
+    n_delta = delta.count()
+    if max_delta_fraction is None:
+        max_delta_fraction = MAX_DELTA_FRACTION
+    limit = min(MAX_DELTA_ABS,
+                max(100_000, int(stats["n_docs"] * max_delta_fraction)))
+    if n_delta > limit:
+        raise ValueError(
+            f"delta has {n_delta} rows > {limit}; upsert_fielded is for "
+            f"micro-batches — rebuild with build_fielded_index for bulk "
+            f"loads, or raise max_delta_fraction explicitly")
+
+    docs = index["docs"]
+    keys = delta.select(*KEY)
+
+    # --- shared docs merge (replaced keys keep doc_id, new keys append) ----
+    replaced = docs.join(F.broadcast(keys), KEY, "inner").persist()
+    row0 = docs.agg(F.max("doc_id")).collect()[0][0]
+    max_doc_id = row0 if row0 is not None else -1
+    old_ids = replaced.select(*KEY, "doc_id")
+    delta_ided = delta.join(F.broadcast(old_ids), KEY, "left")
+    w_new = Window.orderBy(*KEY)
+    delta_ided = delta_ided.withColumn(
+        "doc_id",
+        F.coalesce(F.col("doc_id"),
+                   F.lit(max_doc_id) + F.dense_rank().over(w_new)).cast("long"),
+    ).persist()
+    survivors = docs.join(F.broadcast(keys), KEY, "left_anti")
+    new_docs = survivors.unionByName(delta_ided.select(*survivors.columns))
+    n_new = int(delta_ided.agg(
+        F.sum(F.when(F.col("doc_id") > max_doc_id, 1).otherwise(0))
+    ).collect()[0][0] or 0)
+    n_docs = stats["n_docs"] + n_new
+    replaced_ids = F.broadcast(replaced.select("doc_id").distinct())
+
+    out_fields: dict[str, dict] = {}
+    scratch = [replaced, delta_ided]
+    for name, expr in fields.items():
+        fl = index["fields"][name]
+        old_an = replaced.drop("tt", "dl") \
+            .withColumn("tt", analyze_tf_col(expr, mode, dictionary)) \
+            .withColumn("dl", F.col("tt.dl"))
+        new_an = delta_ided.drop("tt", "dl") \
+            .withColumn("tt", analyze_tf_col(expr, mode, dictionary)) \
+            .withColumn("dl", F.col("tt.dl"))
+        old_flat = tf_pairs(old_an).persist()
+        new_flat = tf_pairs(new_an).persist()
+        scratch += [old_flat, new_flat]
+        tok_old = int(old_an.agg(F.sum("dl")).collect()[0][0] or 0)
+        tok_new = int(new_an.agg(F.sum("dl")).collect()[0][0] or 0)
+        total_tokens = fl["total_tokens"] + tok_new - tok_old
+        avgdl = total_tokens / n_docs if n_docs else 0.0
+
+        # per-field df delta; existing term_ids unchanged, fresh ids appended
+        # driver-side in sorted-term order (delta vocabulary is micro-batch-
+        # sized by the guard above — no full-dictionary window)
+        ddf = (new_flat.groupBy("term").agg(F.count("*").alias("_plus"))
+               .join(old_flat.groupBy("term").agg(F.count("*").alias("_minus")),
+                     "term", "full")
+               .select("term", (F.coalesce("_plus", F.lit(0))
+                                - F.coalesce("_minus", F.lit(0))).alias("_ddf")))
+        terms = fl["terms"]  # (term, df_field, term_id)
+        t0 = terms.agg(F.max("term_id")).collect()[0][0]
+        max_term_id = t0 if t0 is not None else -1
+        existing = (terms.join(F.broadcast(ddf), "term", "left")
+                    .withColumn("df_field", (F.col("df_field")
+                                             + F.coalesce("_ddf", F.lit(0))).cast("long"))
+                    .filter(F.col("df_field") > 0)
+                    .select("term", "df_field", "term_id"))
+        fresh_rows = (ddf.join(terms.select("term"), "term", "left_anti")
+                      .filter(F.col("_ddf") > 0).collect())
+        if fresh_rows:
+            fresh = spark.createDataFrame(
+                [(r["term"], int(r["_ddf"]), max_term_id + i + 1)
+                 for i, r in enumerate(sorted(fresh_rows, key=lambda r: r["term"]))],
+                schema="term string, df_field long, term_id long")
+            new_terms = existing.unionByName(fresh).persist()
+        else:
+            new_terms = existing.persist()
+        new_terms.count()
+        scratch.append(new_terms)
+
+        # touched (term_id, bucket) groups: every group an old posting of a
+        # delta-key doc lives in (OLD term_ids — covers df→0 terms, whose
+        # rows all vanish with the replaced doc_ids) ∪ every group an insert
+        # lands in (new mapping; fresh term_ids have no old blocks)
+        bucket_of = (F.col("doc_id") / F.lit(bucket_range)).cast("int")
+        old_map = terms.select("term", "term_id")
+        touched = (old_flat.join(old_map, "term")
+                   .select("term_id", bucket_of.alias("bucket"))
+                   .unionByName(
+                       new_flat.join(new_terms.select("term", "term_id"), "term")
+                       .select("term_id", bucket_of.alias("bucket")))
+                   .distinct().persist())
+        scratch.append(touched)
+
+        postings = fl["postings"].select(
+            "term_id", "block_id", "first_doc_id", "n",
+            "doc_deltas", "tfs", "dls")
+        with_bucket = postings.withColumn(
+            "bucket", (F.col("block_id") / F.lit(bpb)).cast("int"))
+        touched_b = F.broadcast(touched)
+        old_touched = with_bucket.join(touched_b, ["term_id", "bucket"], "inner")
+        untouched = with_bucket.join(touched_b, ["term_id", "bucket"],
+                                     "left_anti").drop("bucket")
+
+        decoded = _decode_field_blocks(old_touched.drop("bucket"))
+        kept = decoded.join(replaced_ids, "doc_id", "left_anti")
+        ins = (new_flat.join(new_terms.select("term", "term_id"), "term")
+               .select("term_id", "doc_id", "tf", "dl"))
+        merged = (kept.unionByName(ins)
+                  .withColumn("bucket", bucket_of))
+        rewritten = merged.groupBy("term_id", "bucket").applyInPandas(
+            _make_field_encoder(block_size, bpb), _FIELD_BLOCK_SCHEMA)
+        new_postings = untouched.unionByName(rewritten)
+
+        out_fields[name] = {
+            "terms": new_terms.localCheckpoint(eager=True),
+            "postings": new_postings.localCheckpoint(eager=True),
+            "avgdl": avgdl, "total_tokens": total_tokens}
+
+    out_docs = new_docs.localCheckpoint(eager=True)
+    for df in scratch:
+        df.unpersist()
+    return {"mode": mode, "dictionary": dictionary, "docs": out_docs,
+            "fields": out_fields,
+            "stats": {"n_docs": n_docs, "bucket_range": bucket_range,
+                      "block_size": block_size}}
 
 
 def load_fielded_index(spark, path: str) -> dict:

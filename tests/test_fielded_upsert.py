@@ -1,0 +1,117 @@
+"""Fielded (BM25F) incremental upsert == fresh rebuild of the merged corpus.
+
+Covers: modified existing turn (df shifts both ways), brand-new turns,
+a term whose df drops to 0 (dictionary row deleted, postings gone), and
+the persisted path (save → load → upsert → search).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.fielded import (
+    bm25f_search, build_fielded_index, load_fielded_index,
+    save_fielded_index, upsert_fielded)
+
+SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+BASE = [
+    ("c000", 0, "merge scan pipelines run the merge stage nightly and write output"),
+    ("c001", 0, "scan results feed the report generator with aggregated counters"),
+    ("c002", 0, "the nightly job does a full table scan before any merge may start"),
+    ("c003", 0, "unrelated text about gardens and weather patterns over the winter"),
+    ("c004", 0, "zanzibar appears only here so its df goes to zero when replaced"),
+]
+
+DELTA = [
+    # replaces c004: kills "zanzibar" (df -> 0), adds "merge" occurrences
+    ("c004", 0, "merge merge tooling notes replace the old exotic text"),
+    # replaces c001: drops "scan", keeps the rest
+    ("c001", 0, "results feed the report generator with aggregated counters"),
+    # brand-new turns
+    ("c005", 0, "fresh conversation about scan schedulers and merge windows"),
+    ("c006", 0, "gardens gardens gardens and one lonely scan at the end"),
+]
+
+
+def _df(spark, rows):
+    pdf = pd.DataFrame(
+        [(c, i, "user", t, None, "2026-01-01 00:00:00") for c, i, t in rows],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(pdf, schema=SCHEMA)
+
+
+def _merged_rows():
+    keys = {(c, i) for c, i, _ in DELTA}
+    return [r for r in BASE if (r[0], r[1]) not in keys] + DELTA
+
+
+def _search_set(index, query, k=20):
+    return {(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+            for r in bm25f_search(index, query, k=k).collect()}
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    base = build_fielded_index(_df(spark, BASE))
+    up = upsert_fielded(base, _df(spark, DELTA))
+    rebuilt = build_fielded_index(_df(spark, _merged_rows()))
+    return up, rebuilt
+
+
+def test_terms_match_rebuild(pair):
+    up, rebuilt = pair
+    for name in ("title", "body"):
+        got = {r["term"]: r["df_field"]
+               for r in up["fields"][name]["terms"].collect()}
+        want = {r["term"]: r["df_field"]
+                for r in rebuilt["fields"][name]["terms"].collect()}
+        assert got == want, f"field {name} dictionary diverged"
+        assert "zanzibar" not in got
+
+
+def test_stats_match_rebuild(pair):
+    up, rebuilt = pair
+    assert up["stats"]["n_docs"] == rebuilt["stats"]["n_docs"] == 7
+    for name in ("title", "body"):
+        assert up["fields"][name]["total_tokens"] == \
+            rebuilt["fields"][name]["total_tokens"]
+        assert up["fields"][name]["avgdl"] == pytest.approx(
+            rebuilt["fields"][name]["avgdl"])
+
+
+@pytest.mark.parametrize("query", ["merge scan", "gardens", "report counters"])
+def test_search_matches_rebuild(pair, query):
+    up, rebuilt = pair
+    assert _search_set(up, query) == _search_set(rebuilt, query)
+
+
+def test_dead_term_unsearchable(pair):
+    up, _ = pair
+    assert bm25f_search(up, "zanzibar", k=5).count() == 0
+
+
+def test_upsert_loaded_index(spark, tmp_path):
+    base = build_fielded_index(_df(spark, BASE))
+    path = str(tmp_path / "fidx")
+    save_fielded_index(base, path)
+    loaded = load_fielded_index(spark, path)
+    up = upsert_fielded(loaded, _df(spark, DELTA))
+    rebuilt = build_fielded_index(_df(spark, _merged_rows()))
+    assert _search_set(up, "merge scan") == _search_set(rebuilt, "merge scan")
+    # and the upserted index round-trips through save/load again
+    path2 = str(tmp_path / "fidx2")
+    save_fielded_index(up, path2)
+    again = load_fielded_index(spark, path2)
+    assert _search_set(again, "merge scan") == _search_set(rebuilt, "merge scan")
+
+
+def test_field_name_mismatch_rejected(spark):
+    base = build_fielded_index(_df(spark, BASE))
+    with pytest.raises(ValueError, match="field names"):
+        upsert_fielded(base, _df(spark, DELTA),
+                       fields={"only_body": F.col("text")})
