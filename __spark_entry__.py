@@ -265,6 +265,29 @@ def _q_upsert_term_df(spark, sf_dir):
     return upserted["terms"].select("term", "df")
 
 
+def _q_upsert_fielded_df(spark, sf_dir):
+    """S6 upsert of a FIELDED (BM25F) index: merge the same 3-row delta and
+    return the maintained title-field dictionary (term, df). The upsert
+    rewrites only touched (term_id, bucket) groups per field; df/avgdl are
+    maintained exactly (operators/fielded.py upsert_fielded)."""
+    from searchengine_spark.operators.fielded import (
+        build_fielded_index, upsert_fielded)
+    key = (sf_dir, "fielded")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_fielded_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general")
+    rows = [(f"doc{did:08d}", 0, "user", text, None)
+            for did, text in UPSERT_REPLACE.items()]
+    rows.append(("zzz_upsert_new", 0, "user", UPSERT_NEW_TEXT, None))
+    delta = spark.createDataFrame(
+        [(c, t, r, x, tool, "2026-02-01 00:00:00") for c, t, r, x, tool in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    upserted = upsert_fielded(_INDEX_CACHE[key], delta)
+    return upserted["fields"]["title"]["terms"].select(
+        "term", F.col("df_field").alias("df"))
+
+
 def _q_metadata_projection(spark, sf_dir):
     """Q9: join top-k winners back to the source table for metadata + the
     title analog (reference extracts <title> per hit; plain text falls back
@@ -585,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_batched_scoped": _q_batched_scoped,
         "q_bm25f_topk": _q_bm25f_topk,
         "s6_upsert_term_df": _q_upsert_term_df,
+        "s6_upsert_fielded_df": _q_upsert_fielded_df,
         "a3_statistics": _q_statistics,
         "a3_statistics_per_collection": _q_statistics_per_collection,
         "dedup_exact": _q_dedup_exact,
@@ -848,6 +872,18 @@ def oracle_sql() -> dict[str, str]:
             toks as (select doc_id, unnest(list_filter(string_split_regex(
               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
               x -> x <> '')) as term from docs)
+            select term, cast(count(distinct doc_id) as bigint) as df
+            from toks group by term""",
+        "s6_upsert_fielded_df": """
+            with docs as (
+              select doc_id, text from documents where doc_id not in (7, 11)
+              union all select 7, 'replacement text about spark merge operations'
+              union all select 11, 'another replacement mentioning hash scan pipelines'
+              union all select 10000001, 'entirely new document exercising upsert insert path'
+            ),
+            toks as (select doc_id, unnest(list_filter(string_split_regex(
+              regexp_replace(lower(substr(text, 1, 60)), '[^a-z0-9 ]', ' ', 'g'),
+              ' +'), x -> x <> '')) as term from docs)
             select term, cast(count(distinct doc_id) as bigint) as df
             from toks group by term""",
         "q9_metadata_projection": f"""

@@ -467,6 +467,29 @@ def upsert_fielded(index: dict, delta: DataFrame,
                       "block_size": block_size}}
 
 
+def merge_fielded_into_path(spark, root: str, delta: DataFrame,
+                            fields: dict[str, Column] | None = None) -> str:
+    """MERGE delta into the CURRENT fielded snapshot under ``root``; writes a
+    new snapshot dir and flips CURRENT atomically (same commit protocol as
+    operators.upsert.merge_into_path — the parquet stand-in for an Iceberg
+    snapshot commit). Returns the new snapshot dir."""
+    import os as _os
+
+    from searchengine_spark.operators.upsert import commit_snapshot, read_current
+
+    cur = read_current(root)
+    if cur is None:
+        raise ValueError(f"no CURRENT snapshot under {root}")
+    index = load_fielded_index(spark, cur)
+    merged = upsert_fielded(index, delta, fields=fields)
+    n = len([d for d in _os.listdir(root) if d.startswith("snap-")])
+    snap = f"snap-{n:05d}"
+    save_fielded_index(merged, _os.path.join(root, snap),
+                       term_buckets=index["stats"].get("term_buckets", 16))
+    commit_snapshot(root, snap)
+    return _os.path.join(root, snap)
+
+
 def load_fielded_index(spark, path: str) -> dict:
     """Load a saved fielded index; bm25f_search prunes each field's postings
     scan by term_bucket (PartitionFilters) + term_id pushdown."""

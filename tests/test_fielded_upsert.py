@@ -110,6 +110,21 @@ def test_upsert_loaded_index(spark, tmp_path):
     assert _search_set(again, "merge scan") == _search_set(rebuilt, "merge scan")
 
 
+def test_merge_fielded_snapshot_flow(spark, tmp_path):
+    from searchengine_spark.operators.fielded import merge_fielded_into_path
+    from searchengine_spark.operators.upsert import commit_snapshot, read_current
+
+    root = str(tmp_path / "froot")
+    base = build_fielded_index(_df(spark, BASE))
+    save_fielded_index(base, f"{root}/snap-00000")
+    commit_snapshot(root, "snap-00000")
+    new_dir = merge_fielded_into_path(spark, root, _df(spark, DELTA))
+    assert read_current(root) == new_dir
+    loaded = load_fielded_index(spark, new_dir)
+    rebuilt = build_fielded_index(_df(spark, _merged_rows()))
+    assert _search_set(loaded, "merge scan") == _search_set(rebuilt, "merge scan")
+
+
 def test_field_name_mismatch_rejected(spark):
     base = build_fielded_index(_df(spark, BASE))
     with pytest.raises(ValueError, match="field names"):
