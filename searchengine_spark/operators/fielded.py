@@ -173,14 +173,24 @@ def _decode_field_blocks(blocks: DataFrame,
 def bm25f_search(index: dict, query: str, k: int = 10,
                  weights: dict[str, float] | None = None,
                  b: dict[str, float] | None = None,
-                 k1: float = K1) -> DataFrame:
+                 k1: float = K1, scope=None) -> DataFrame:
     """BM25F top-k over a fielded index. Returns
     (doc_id, conv_id, turn_idx, role, tool, ts, score).
 
     idf uses the field-UNION document frequency (docs containing the term in
     ANY field), computed driver-side from the per-field dictionaries —
-    |q|·|fields| dictionary rows, no extra Spark job against data."""
-    from searchengine_spark.operators.search import _query_terms, _ord
+    |q|·|fields| dictionary rows, no extra Spark job against data.
+
+    ``scope`` (reference ``GET /api/search?site=``, the main path's
+    collection scoping): a conv_id prefix string or a Column predicate over
+    docs. Candidates are restricted to the scope while idf/avgdl stay
+    index-wide — the standard filtered-search semantics, matching
+    ``search(..., scope=)`` in BM25 mode. Conv-prefix scopes are contiguous
+    doc_id ranges (dense ids in (conv_id, turn_idx) order), so the filter is
+    a codegen range check plus bucket-level block pruning BEFORE any decode;
+    arbitrary predicates fall back to a semi-join (broadcast when small)."""
+    from searchengine_spark.operators.search import (
+        _query_terms, _ord, _scope_filter, _scope_info)
 
     spark = index["docs"].sparkSession
     n_docs = index["stats"]["n_docs"]
@@ -195,6 +205,9 @@ def bm25f_search(index: dict, query: str, k: int = 10,
         [], "doc_id long, conv_id string, turn_idx int, role string, "
             "tool string, ts timestamp, score double")
     if not qterms:
+        return empty
+    sc = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc is None:
         return empty
 
     # per-field term resolution (id spaces are per-field)
@@ -231,6 +244,17 @@ def bm25f_search(index: dict, query: str, k: int = 10,
             blocks = blocks.filter(
                 F.col("term_bucket").isin(sorted({t % tb for t in tids})))
         blocks = blocks.filter(F.col("term_id").isin(tids))
+        if sc is not None:
+            # bucket-level pruning: block_id // blocks_per_bucket covers
+            # doc_ids [bucket*range, (bucket+1)*range) — only buckets
+            # intersecting the scope's [lo, hi] range are decoded at all
+            br = index["stats"].get("bucket_range")
+            bs = index["stats"].get("block_size", BLOCK_SIZE)
+            if br:
+                bpb = -(-br // bs)
+                bcol = F.floor(F.col("block_id") / F.lit(bpb))
+                blocks = blocks.filter(
+                    bcol.between(sc["lo"] // br, sc["hi"] // br))
         dec = _decode_field_blocks(
             blocks, sum_df=sum(r["df_field"] for r in rows))
         # term string + idf as literal maps (|q| entries inline into
@@ -249,6 +273,8 @@ def bm25f_search(index: dict, query: str, k: int = 10,
     allf = parts[0]
     for p in parts[1:]:
         allf = allf.unionByName(p)
+    if sc is not None:
+        allf = _scope_filter(allf, sc)
 
     idf_map = F.create_map(
         *[x for t, v in idf_of.items() for x in (F.lit(t), F.lit(v))])

@@ -83,6 +83,39 @@ def test_bm25f_empty_query(spark, findex):
     assert bm25f_search(findex, "zzzznotaword", k=5).collect() == []
 
 
+def test_bm25f_scoped_contiguous(spark, findex):
+    """Scoped BM25F == full ranking filtered to the scope (idf/avgdl stay
+    index-wide — same filtered-search semantics as the main path's scoped
+    BM25). conv_id <= 'c002' is a contiguous doc_id range, exercising the
+    range-check + bucket-prune path."""
+    full = bm25f_search(findex, "merge scan", k=5).collect()
+    want = [(r["conv_id"], round(r["score"], 9)) for r in full
+            if r["conv_id"] <= "c002"]
+    got = bm25f_search(findex, "merge scan", k=5,
+                       scope=F.col("conv_id") <= "c002").collect()
+    assert [(r["conv_id"], round(r["score"], 9)) for r in got] == want
+    assert want  # non-vacuous
+
+
+def test_bm25f_scoped_noncontiguous_and_prefix(spark, findex):
+    """Non-contiguous predicate scope (semi-join fallback) and a prefix
+    string scope that covers everything."""
+    full = bm25f_search(findex, "merge scan", k=5).collect()
+    keep = {"c000", "c002", "c004"}
+    want = [(r["conv_id"], round(r["score"], 9)) for r in full
+            if r["conv_id"] in keep]
+    got = bm25f_search(findex, "merge scan", k=5,
+                       scope=F.col("conv_id").isin(*sorted(keep))).collect()
+    assert [(r["conv_id"], round(r["score"], 9)) for r in got] == want
+    allg = bm25f_search(findex, "merge scan", k=5, scope="c00").collect()
+    assert [(r["conv_id"], round(r["score"], 9)) for r in allg] == \
+           [(r["conv_id"], round(r["score"], 9)) for r in full]
+
+
+def test_bm25f_scoped_empty(spark, findex):
+    assert bm25f_search(findex, "merge scan", k=5, scope="zzz").collect() == []
+
+
 def test_bm25f_save_load_round_trip(spark, findex, tmp_path):
     """Saved+loaded fielded index returns identical rows, and the loaded
     query plan prunes the per-field postings scan by term_bucket."""
