@@ -181,6 +181,23 @@ def _q_phrase_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), "n_matches")
 
 
+def _q_batched_phrase(spark, sf_dir):
+    """Batched phrase queries: TWO phrases matched in one Spark job over the
+    positional index (one decode pass over the union of phrase vocabularies,
+    per-phrase slot alignment, window ranking) — rows identical to
+    per-phrase phrase_search."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.search import phrase_search_many
+    key = (sf_dir, "positional")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    out = phrase_search_many(
+        _INDEX_CACHE[key], {"pa": " ".join(BM25_Q), "pb": "hash join"}, k=K)
+    return out.select("query_id", _orig_doc_id(), "n_matches")
+
+
 BATCH_Q2 = ["hash", "scan"]
 
 
@@ -619,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_scoped_bm25_topk": _q_scoped_bm25_topk,
         "q2_scoped_ref_topk": _q_scoped_ref_topk,
         "q_phrase_topk": _q_phrase_topk,
+        "q_batched_phrase": _q_batched_phrase,
         "q_near_topk": _q_near_topk,
         "q_batched_bm25": _q_batched_bm25,
         "q_batched_scoped": _q_batched_scoped,
@@ -711,6 +729,29 @@ order by round(s, 9) desc, doc_id asc limit {k} offset {offset}
 """
 
 
+def _phrase_sql(terms: list[str], k: int) -> str:
+    """Exact-phrase oracle: token positions via parallel unnest (zips
+    positionally in DuckDB), slot alignment by base = pos - qidx, a doc
+    matches at base iff all |phrase| distinct slots appear there."""
+    vals = ", ".join(f"('{t}', {i})" for i, t in enumerate(terms))
+    return f"""
+with arrs as (select doc_id, list_filter(string_split_regex(
+    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+    x -> x <> '') as arr from documents),
+tp as (select doc_id, unnest(arr) as term,
+       unnest(range(len(arr))) as pos from arrs),
+q as (select * from (values {vals}) as t(term, qidx)),
+al as (select tp.doc_id, tp.pos - q.qidx as base, q.qidx
+       from tp join q using (term)),
+b as (select doc_id, base from al group by doc_id, base
+      having count(distinct qidx) = {len(terms)}),
+m as (select doc_id, cast(count(*) as bigint) as n_matches
+      from b group by doc_id)
+select doc_id, n_matches from m
+order by n_matches desc, doc_id asc limit {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     and3 = ", ".join(f"'{t}'" for t in AND3)
     lookup = ", ".join(f"'{t}'" for t in sorted(set(AND3 + BM25_Q)))
@@ -799,21 +840,13 @@ def oracle_sql() -> dict[str, str]:
               having count(*) = (select count(*) from qt))
             select doc_id, round(tf_sum / (select max(tf_sum) from m), 6) as score
             from m order by tf_sum desc, doc_id asc limit {K}""",
-        "q_phrase_topk": f"""
-            with arrs as (select doc_id, list_filter(string_split_regex(
-                regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
-                x -> x <> '') as arr from documents),
-            tp as (select doc_id, unnest(arr) as term,
-                   unnest(range(len(arr))) as pos from arrs),
-            q as (select * from (values ('scan', 0), ('merge', 1)) as t(term, qidx)),
-            al as (select tp.doc_id, tp.pos - q.qidx as base, q.qidx
-                   from tp join q using (term)),
-            b as (select doc_id, base from al group by doc_id, base
-                  having count(distinct qidx) = 2),
-            m as (select doc_id, cast(count(*) as bigint) as n_matches
-                  from b group by doc_id)
-            select doc_id, n_matches from m
-            order by n_matches desc, doc_id asc limit {K}""",
+        "q_phrase_topk": _phrase_sql(list(BM25_Q), K),
+        "q_batched_phrase": f"""
+            with a as ({_phrase_sql(list(BM25_Q), K)}),
+                 b as ({_phrase_sql(["hash", "join"], K)})
+            select 'pa' as query_id, doc_id, n_matches from a
+            union all
+            select 'pb' as query_id, doc_id, n_matches from b""",
         "q_batched_bm25": f"""
             with a as ({_bm25_sql(BM25_Q, K)}),
                  b as ({_bm25_sql(BATCH_Q2, K)})

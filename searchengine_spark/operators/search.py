@@ -617,6 +617,97 @@ def phrase_search(index: dict, phrase: str, k: int = 10,
             .orderBy(F.col("n_matches").desc(), F.col("doc_id").asc()))
 
 
+def phrase_search_many(index: dict, phrases: dict[str, str], k: int = 10,
+                       scope=None) -> DataFrame:
+    """Batched exact-phrase queries over a POSITIONAL index: score MANY
+    phrases in ONE Spark job (the phrase analog of ``search_many`` — a
+    query-log replay of phrase queries otherwise pays one fixed-latency job
+    per phrase).
+
+    One positional decode pass over the UNION of all phrases' term_ids,
+    then the per-phrase slot alignment fans out through a broadcast
+    (query_id, term_id, qidx) map: a doc matches phrase q at ``base`` iff
+    all |q| distinct slots appear at that base —
+    ``groupBy(query_id, doc_id, base) → countDistinct(qidx) == n_q``.
+    Returns (query_id, rank, doc_id, conv_id, turn_idx, role, tool, ts,
+    n_matches), rank 1..k per query, identical rows to per-query
+    ``phrase_search``. Phrases with an absent term return no rows (the
+    single-query semantics); ``scope`` is shared by the whole batch, same
+    semantics and bucket pruning as ``phrase_search(..., scope=)``.
+    """
+    spark = index["docs"].sparkSession
+    stats = index["stats"]
+    if not stats.get("positions"):
+        raise ValueError("phrase_search_many requires build_index(with_positions=True)")
+    amode = index.get("mode", "general")
+    dictionary = index.get("dictionary", "fixture")
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, doc_id long, conv_id string, "
+            "turn_idx int, role string, tool string, ts timestamp, "
+            "n_matches long")
+    sc = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc is None:
+        return empty
+
+    # analyze every phrase; resolve the union vocabulary in ONE pass
+    seq_of = {qid: analyze_text(p, amode, dictionary=dictionary)
+              for qid, p in phrases.items()}
+    vocab = sorted({t for seq in seq_of.values() for t in seq})
+    if not vocab:
+        return empty
+    id_of, df_of = {}, {}
+    pdf_terms = _terms_local(index)
+    if pdf_terms is not None:
+        for t in vocab:
+            if t in pdf_terms.index:
+                id_of[t] = int(pdf_terms.loc[t, "term_id"])
+                df_of[t] = int(pdf_terms.loc[t, "df"])
+    else:
+        for r in index["terms"].filter(F.col("term").isin(vocab)).collect():
+            id_of[r["term"]] = r["term_id"]
+            df_of[r["term"]] = r["df"]
+    # a phrase with any absent term can never match — drop it up front
+    per_q = {qid: seq for qid, seq in seq_of.items()
+             if seq and all(t in id_of for t in seq)}
+    if not per_q:
+        return empty
+    slot_rows = [(qid, id_of[t], i)
+                 for qid, seq in per_q.items() for i, t in enumerate(seq)]
+    term_ids = sorted({tid for _, tid, _ in slot_rows})
+
+    tid_set = set(term_ids)
+    decoded = _decode_positions(index, term_ids, sc,
+                                sum_df=sum(df for t, df in df_of.items()
+                                           if id_of.get(t) in tid_set))
+    if sc is not None:
+        decoded = _scope_filter(decoded, sc)
+
+    slots = F.broadcast(spark.createDataFrame(
+        slot_rows, "query_id string, term_id long, qidx int"))
+    nq = F.broadcast(spark.createDataFrame(
+        [(qid, len(seq)) for qid, seq in per_q.items()],
+        "query_id string, n_q int"))
+    aligned = (decoded.join(slots, "term_id")
+               .select("query_id", "doc_id",
+                       (F.col("pos") - F.col("qidx")).alias("base"), "qidx"))
+    bases = (aligned.groupBy("query_id", "doc_id", "base")
+             .agg(F.countDistinct("qidx").alias("nslots"))
+             .join(nq, "query_id")
+             .filter((F.col("nslots") == F.col("n_q")) & (F.col("base") >= 0)))
+    matches = bases.groupBy("query_id", "doc_id").agg(
+        F.count("*").alias("n_matches"))
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("n_matches").desc(), F.col("doc_id").asc())
+    ranked = (matches.withColumn("rank", F.row_number().over(w_q))
+              .filter(F.col("rank") <= k))
+    docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
+                                     "tool", "ts")
+    return (docs_meta.join(F.broadcast(ranked), "doc_id")
+            .select("query_id", "rank", "doc_id", "conv_id", "turn_idx",
+                    "role", "tool", "ts", "n_matches")
+            .orderBy("query_id", "rank"))
+
+
 def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
                 k: int = 10, scope=None) -> DataFrame:
     """Two-term proximity query over a POSITIONAL index: docs where an

@@ -73,6 +73,46 @@ def test_phrase_topk_ordering(pos_index, corpus_pdf):
     assert len(rows) <= 3
 
 
+def test_phrase_search_many_matches_per_query(pos_index):
+    """Batched phrase search == per-query phrase_search for every member,
+    with 1..k ranks; a phrase containing an absent term contributes no rows
+    (the single-query semantics)."""
+    from searchengine_spark.operators.search import phrase_search_many
+    phrases = {"p1": "ошибка сервер", "p2": "поиск запрос",
+               "p3": "merge retry", "p4": "абракадабрище ошибка"}
+    got = phrase_search_many(pos_index, phrases, k=10).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert "p4" not in by_q
+    for qid, phrase in phrases.items():
+        exp = phrase_search(pos_index, phrase, k=10).collect()
+        rows = by_q.get(qid, [])
+        assert [(r["doc_id"], r["n_matches"]) for r in rows] == \
+               [(r["doc_id"], r["n_matches"]) for r in exp], (qid, phrase)
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_phrase_search_many_scoped(pos_index):
+    """A batch-shared scope (non-contiguous predicate → semi-join path)
+    matches per-query scoped phrase_search."""
+    from searchengine_spark.operators.search import phrase_search_many
+    scope = F.col("doc_id") % 2 == 0
+    phrases = {"p1": "ошибка сервер", "p2": "поиск запрос"}
+    got = phrase_search_many(pos_index, phrases, k=10, scope=scope).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    saw = 0
+    for qid, phrase in phrases.items():
+        exp = phrase_search(pos_index, phrase, k=10, scope=scope).collect()
+        rows = by_q.get(qid, [])
+        assert [(r["doc_id"], r["n_matches"]) for r in rows] == \
+               [(r["doc_id"], r["n_matches"]) for r in exp], (qid, phrase)
+        saw += len(rows)
+    assert saw  # non-vacuous
+
+
 def _golden_near(corpus_pdf, ta, tb, w):
     la, lb = analyze_text(ta, "general")[0], analyze_text(tb, "general")[0]
     out, seen = {}, set()
