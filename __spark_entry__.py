@@ -198,6 +198,24 @@ def _q_batched_phrase(spark, sf_dir):
     return out.select("query_id", _orig_doc_id(), "n_matches")
 
 
+def _q_batched_near(spark, sf_dir):
+    """Batched proximity queries: TWO (term_a, term_b) pairs matched in one
+    Spark job over the positional index (one decode pass over the union of
+    the pairs' terms, bucketized pair join, per-query window ranking) —
+    rows identical to per-query near_search."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.search import near_search_many
+    key = (sf_dir, "positional")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    out = near_search_many(
+        _INDEX_CACHE[key], {"na": ("scan", "hash"), "nb": ("hash", "join")},
+        max_dist=4, k=K)
+    return out.select("query_id", _orig_doc_id(), "n_pairs")
+
+
 BATCH_Q2 = ["hash", "scan"]
 
 
@@ -638,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_topk": _q_phrase_topk,
         "q_batched_phrase": _q_batched_phrase,
         "q_near_topk": _q_near_topk,
+        "q_batched_near": _q_batched_near,
         "q_batched_bm25": _q_batched_bm25,
         "q_batched_scoped": _q_batched_scoped,
         "q_bm25f_topk": _q_bm25f_topk,
@@ -749,6 +768,26 @@ m as (select doc_id, cast(count(*) as bigint) as n_matches
       from b group by doc_id)
 select doc_id, n_matches from m
 order by n_matches desc, doc_id asc limit {k}
+"""
+
+
+def _near_sql(ta: str, tb: str, w: int, k: int) -> str:
+    """Two-term proximity oracle: distinct close (pa, pb) position pairs
+    within ``w`` per doc, ranked by pair count."""
+    return f"""
+with arrs as (select doc_id, list_filter(string_split_regex(
+    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+    x -> x <> '') as arr from documents),
+tp as (select doc_id, unnest(arr) as term,
+       unnest(range(len(arr))) as pos from arrs),
+a as (select doc_id, pos as pa from tp where term = '{ta}'),
+b as (select doc_id, pos as pb from tp where term = '{tb}'),
+p as (select distinct a.doc_id, pa, pb
+      from a join b using (doc_id) where abs(pa - pb) <= {w}),
+m as (select doc_id, cast(count(*) as bigint) as n_pairs
+      from p group by doc_id)
+select doc_id, n_pairs from m
+order by n_pairs desc, doc_id asc limit {k}
 """
 
 
@@ -867,20 +906,13 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, round(score, 6) as score from scored
             where doc_id between 0 and 99
             order by round(score, 9) desc, doc_id asc limit {K}""",
-        "q_near_topk": f"""
-            with arrs as (select doc_id, list_filter(string_split_regex(
-                regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
-                x -> x <> '') as arr from documents),
-            tp as (select doc_id, unnest(arr) as term,
-                   unnest(range(len(arr))) as pos from arrs),
-            a as (select doc_id, pos as pa from tp where term = 'scan'),
-            b as (select doc_id, pos as pb from tp where term = 'hash'),
-            p as (select distinct a.doc_id, pa, pb
-                  from a join b using (doc_id) where abs(pa - pb) <= 4),
-            m as (select doc_id, cast(count(*) as bigint) as n_pairs
-                  from p group by doc_id)
-            select doc_id, n_pairs from m
-            order by n_pairs desc, doc_id asc limit {K}""",
+        "q_near_topk": _near_sql("scan", "hash", 4, K),
+        "q_batched_near": f"""
+            with a as ({_near_sql("scan", "hash", 4, K)}),
+                 b as ({_near_sql("hash", "join", 4, K)})
+            select 'na' as query_id, doc_id, n_pairs from a
+            union all
+            select 'nb' as query_id, doc_id, n_pairs from b""",
         "a3_statistics_per_collection": f"""
             with t as ({_TOKS}),
             d as (select doc_id,

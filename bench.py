@@ -133,8 +133,9 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
         E._docs_as_transcripts(spark, sf_dir), mode="general")
     queries["fielded_index_build"] = round(time.time() - t0, 3)
     table_ops = ["t2_t5_tokenize_tf", "a1_term_df", "q6_conjunctive_and",
-                 "q_bm25f_topk", "q_batched_scoped",
+                 "q_bm25f_topk", "q_bm25f_scoped", "q_batched_scoped",
                  "q7_bm25_topk", "q2_scoped_bm25_topk", "q_phrase_topk",
+                 "q_batched_phrase",
                  "a3_statistics_per_collection",
                  "dedup_exact", "dedup_minhash_lsh",
                  "sim_cosine_topk", "text_quality", "text_lang_id",

@@ -780,6 +780,103 @@ def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
             .orderBy(F.col("n_pairs").desc(), F.col("doc_id").asc()))
 
 
+def near_search_many(index: dict, pairs: dict[str, tuple[str, str]],
+                     max_dist: int = 5, k: int = 10, scope=None) -> DataFrame:
+    """Batched two-term proximity queries: score MANY (term_a, term_b)
+    pairs in ONE Spark job (the proximity analog of ``search_many`` /
+    ``phrase_search_many``).
+
+    One positional decode pass over the union of all pairs' term_ids; each
+    query's a-side and b-side fan out through broadcast (query_id, term_id)
+    maps; the pair join is equi-join on (query_id, doc_id, bucket) with the
+    b-side fanned to the 3 adjacent ``pos // max_dist`` buckets — never a
+    per-doc cartesian, same plan shape as single-query ``near_search``.
+    ``max_dist`` is shared by the batch (it defines the bucket width).
+    Returns (query_id, rank, doc_id, conv_id, turn_idx, role, tool, ts,
+    n_pairs), rank 1..k per query, identical rows to per-query
+    ``near_search``; queries with an absent term return no rows.
+    """
+    spark = index["docs"].sparkSession
+    stats = index["stats"]
+    if not stats.get("positions"):
+        raise ValueError("near_search_many requires build_index(with_positions=True)")
+    amode = index.get("mode", "general")
+    dictionary = index.get("dictionary", "fixture")
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, doc_id long, conv_id string, "
+            "turn_idx int, role string, tool string, ts timestamp, "
+            "n_pairs long")
+    sc = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc is None:
+        return empty
+
+    lem_of: dict[str, tuple[str, str]] = {}
+    for qid, (ta, tb) in pairs.items():
+        qa = analyze_text(ta, amode, dictionary=dictionary)
+        qb = analyze_text(tb, amode, dictionary=dictionary)
+        if len(qa) != 1 or len(qb) != 1 or qa[0] == qb[0]:
+            raise ValueError(
+                f"near_search_many query {qid!r} needs two distinct "
+                f"single-term arguments")
+        lem_of[qid] = (qa[0], qb[0])
+    vocab = sorted({t for ab in lem_of.values() for t in ab})
+    if not vocab:
+        return empty
+    id_of, df_of = {}, {}
+    pdf_terms = _terms_local(index)
+    if pdf_terms is not None:
+        for t in vocab:
+            if t in pdf_terms.index:
+                id_of[t] = int(pdf_terms.loc[t, "term_id"])
+                df_of[t] = int(pdf_terms.loc[t, "df"])
+    else:
+        for r in index["terms"].filter(F.col("term").isin(vocab)).collect():
+            id_of[r["term"]] = r["term_id"]
+            df_of[r["term"]] = r["df"]
+    per_q = {qid: ab for qid, ab in lem_of.items()
+             if ab[0] in id_of and ab[1] in id_of}
+    if not per_q:
+        return empty
+    term_ids = sorted({id_of[t] for ab in per_q.values() for t in ab})
+    tid_set = set(term_ids)
+
+    decoded = _decode_positions(index, term_ids, sc,
+                                sum_df=sum(df for t, df in df_of.items()
+                                           if id_of.get(t) in tid_set))
+    if sc is not None:
+        decoded = _scope_filter(decoded, sc)
+
+    amap = F.broadcast(spark.createDataFrame(
+        [(qid, id_of[ab[0]]) for qid, ab in per_q.items()],
+        "query_id string, term_id long"))
+    bmap = F.broadcast(spark.createDataFrame(
+        [(qid, id_of[ab[1]]) for qid, ab in per_q.items()],
+        "query_id string, term_id long"))
+    w = max(1, int(max_dist))
+    bucketed = decoded.withColumn("b", F.floor(F.col("pos") / F.lit(w)))
+    a = bucketed.join(amap, "term_id").select(
+        "query_id", "doc_id", F.col("pos").alias("pa"), F.col("b").alias("ba"))
+    b = (bucketed.join(bmap, "term_id")
+         .select("query_id", "doc_id", F.col("pos").alias("pb"),
+                 F.explode(F.array(F.col("b") - 1, F.col("b"),
+                                   F.col("b") + 1)).alias("ba")))
+    close = (a.join(b, ["query_id", "doc_id", "ba"])
+             .filter(F.abs(F.col("pa") - F.col("pb")) <= w)
+             .select("query_id", "doc_id", "pa", "pb").distinct())
+    matches = close.groupBy("query_id", "doc_id").agg(
+        F.count("*").alias("n_pairs"))
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("n_pairs").desc(), F.col("doc_id").asc())
+    ranked = (matches.withColumn("rank", F.row_number().over(w_q))
+              .filter(F.col("rank") <= k))
+    docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
+                                     "tool", "ts")
+    return (docs_meta.join(F.broadcast(ranked), "doc_id")
+            .select("query_id", "rank", "doc_id", "conv_id", "turn_idx",
+                    "role", "tool", "ts", "n_pairs")
+            .orderBy("query_id", "rank"))
+
+
 def _decode_positions(index: dict, term_ids: list[int], sc=None,
                       sum_df: "int | None" = None) -> DataFrame:
     """Shared positional decode: blocks of ``term_ids`` → (doc_id, term_id,

@@ -142,6 +142,28 @@ def test_near_search_matches_golden(pos_index, corpus_pdf, ta, tb, w):
     assert got == exp, (ta, tb, w, got, exp)
 
 
+def test_near_search_many_matches_per_query(pos_index):
+    """Batched proximity == per-query near_search for every member, with
+    1..k ranks; a pair with an absent term contributes no rows."""
+    from searchengine_spark.operators.search import near_search, near_search_many
+    batch = {"n1": ("ошибка", "сервер"), "n2": ("поиск", "запрос"),
+             "n3": ("абракадабрище", "ошибка")}
+    got = near_search_many(pos_index, batch, max_dist=3, k=10).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert "n3" not in by_q
+    saw = 0
+    for qid, (ta, tb) in batch.items():
+        exp = near_search(pos_index, ta, tb, max_dist=3, k=10).collect()
+        rows = by_q.get(qid, [])
+        assert [(r["doc_id"], r["n_pairs"]) for r in rows] == \
+               [(r["doc_id"], r["n_pairs"]) for r in exp], (qid, ta, tb)
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        saw += len(rows)
+    assert saw  # non-vacuous
+
+
 def test_positional_save_load_round_trip(pos_index, corpus_pdf, spark,
                                          tmp_path_factory):
     from searchengine_spark.plans.manifest import load_index, save_index
