@@ -286,6 +286,23 @@ def _q_bm25f_scoped(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_batched_bm25f(spark, sf_dir):
+    """Batched BM25F: TWO fielded queries scored in one Spark job (one
+    decode pass per field over the union of the batch's term_ids, per-query
+    fan-out + window ranking) — rows identical to per-query bm25f_search."""
+    from searchengine_spark.operators.fielded import (
+        bm25f_search_many, build_fielded_index)
+    key = (sf_dir, "fielded")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_fielded_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general")
+    out = bm25f_search_many(
+        _INDEX_CACHE[key],
+        {"qa": " ".join(BM25_Q), "qb": " ".join(BATCH_Q2)}, k=K)
+    return out.select("query_id", _orig_doc_id(),
+                      F.round("score", 6).alias("score"))
+
+
 def _q_snippets(spark, sf_dir):
     """Q10 snippets: highlighted sentence fragment for each top-k hit."""
     from searchengine_spark.operators.search import search
@@ -661,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_batched_scoped": _q_batched_scoped,
         "q_bm25f_topk": _q_bm25f_topk,
         "q_bm25f_scoped": _q_bm25f_scoped,
+        "q_batched_bm25f": _q_batched_bm25f,
         "s6_upsert_term_df": _q_upsert_term_df,
         "s6_upsert_fielded_df": _q_upsert_fielded_df,
         "a3_statistics": _q_statistics,
@@ -771,6 +789,54 @@ order by n_matches desc, doc_id asc limit {k}
 """
 
 
+def _bm25f_sql(terms: list[str], k: int, where: str = "") -> str:
+    """BM25F oracle: title (substr 60) w=2, body w=1, b=0.75 per field,
+    k1=1.2, idf over max-field df (== field union for the nested title
+    layout; the engine documents the same max-df contract). ``where``
+    filters the SCORED set (idf/avgdl stay corpus-wide) — the engine's
+    filtered-search semantics for ``bm25f_search(..., scope=)``."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    wc = f"where {where}" if where else ""
+    return f"""
+with tt as (select doc_id, unnest(list_filter(string_split_regex(
+       regexp_replace(lower(substr(text, 1, 60)), '[^a-z0-9 ]', ' ', 'g'),
+       ' +'), x -> x <> '')) as term from documents),
+tb as ({_TOKS}),
+tf_t as (select doc_id, term, count(*) as tf from tt group by doc_id, term),
+tf_b as (select doc_id, term, count(*) as tf from tb group by doc_id, term),
+dl_t as (select doc_id, count(*) as dl from tt group by doc_id),
+dl_b as (select doc_id, count(*) as dl from tb group by doc_id),
+n as (select count(*) as n from documents),
+av_t as (select sum(dl) * 1.0 / (select n from n) as a from dl_t),
+av_b as (select sum(dl) * 1.0 / (select n from n) as a from dl_b),
+df_t as (select term, count(*) as df from tf_t group by term),
+df_b as (select term, count(*) as df from tf_b group by term),
+dfu as (select coalesce(df_t.term, df_b.term) as term,
+               greatest(coalesce(df_t.df, 0), coalesce(df_b.df, 0)) as df
+        from df_t full join df_b on df_t.term = df_b.term),
+pairs as (
+  select coalesce(a.doc_id, b.doc_id) as doc_id,
+         coalesce(a.term, b.term) as term,
+         2.0 * coalesce(a.tf, 0)
+           / (0.25 + 0.75 * coalesce(lt.dl, 0) / (select a from av_t))
+         + 1.0 * coalesce(b.tf, 0)
+           / (0.25 + 0.75 * coalesce(lb.dl, 0) / (select a from av_b))
+         as s
+  from (select * from tf_t where term in ({tl})) a
+  full join (select * from tf_b where term in ({tl})) b
+    on a.doc_id = b.doc_id and a.term = b.term
+  left join dl_t lt on lt.doc_id = coalesce(a.doc_id, b.doc_id)
+  left join dl_b lb on lb.doc_id = coalesce(a.doc_id, b.doc_id)),
+scored as (
+  select p.doc_id,
+         sum(ln(1.0 + ((select n from n) - dfu.df + 0.5)
+                / (dfu.df + 0.5)) * p.s / (1.2 + p.s)) as score
+  from pairs p join dfu using (term) group by p.doc_id)
+select doc_id, round(score, 6) as score from scored {wc}
+order by round(score, 9) desc, doc_id asc limit {k}
+"""
+
+
 def _near_sql(ta: str, tb: str, w: int, k: int) -> str:
     """Two-term proximity oracle: distinct close (pa, pb) position pairs
     within ``w`` per doc, ranked by pair count."""
@@ -794,46 +860,6 @@ order by n_pairs desc, doc_id asc limit {k}
 def oracle_sql() -> dict[str, str]:
     and3 = ", ".join(f"'{t}'" for t in AND3)
     lookup = ", ".join(f"'{t}'" for t in sorted(set(AND3 + BM25_Q)))
-    # BM25F: title (substr 60) w=2, body w=1, b=0.75 per field, k1=1.2,
-    # idf over max-field df (== field union for the nested title layout;
-    # the engine documents the same max-df contract). Shared by the plain
-    # and scoped top-k oracles — scoping filters the SCORED set (idf/avgdl
-    # stay corpus-wide), exactly the engine's filtered-search semantics.
-    bm25f_cte = f"""
-            with tt as (select doc_id, unnest(list_filter(string_split_regex(
-                   regexp_replace(lower(substr(text, 1, 60)), '[^a-z0-9 ]', ' ', 'g'),
-                   ' +'), x -> x <> '')) as term from documents),
-            tb as ({_TOKS}),
-            tf_t as (select doc_id, term, count(*) as tf from tt group by doc_id, term),
-            tf_b as (select doc_id, term, count(*) as tf from tb group by doc_id, term),
-            dl_t as (select doc_id, count(*) as dl from tt group by doc_id),
-            dl_b as (select doc_id, count(*) as dl from tb group by doc_id),
-            n as (select count(*) as n from documents),
-            av_t as (select sum(dl) * 1.0 / (select n from n) as a from dl_t),
-            av_b as (select sum(dl) * 1.0 / (select n from n) as a from dl_b),
-            df_t as (select term, count(*) as df from tf_t group by term),
-            df_b as (select term, count(*) as df from tf_b group by term),
-            dfu as (select coalesce(df_t.term, df_b.term) as term,
-                           greatest(coalesce(df_t.df, 0), coalesce(df_b.df, 0)) as df
-                    from df_t full join df_b on df_t.term = df_b.term),
-            pairs as (
-              select coalesce(a.doc_id, b.doc_id) as doc_id,
-                     coalesce(a.term, b.term) as term,
-                     2.0 * coalesce(a.tf, 0)
-                       / (0.25 + 0.75 * coalesce(lt.dl, 0) / (select a from av_t))
-                     + 1.0 * coalesce(b.tf, 0)
-                       / (0.25 + 0.75 * coalesce(lb.dl, 0) / (select a from av_b))
-                     as s
-              from (select * from tf_t where term in ('scan', 'merge')) a
-              full join (select * from tf_b where term in ('scan', 'merge')) b
-                on a.doc_id = b.doc_id and a.term = b.term
-              left join dl_t lt on lt.doc_id = coalesce(a.doc_id, b.doc_id)
-              left join dl_b lb on lb.doc_id = coalesce(a.doc_id, b.doc_id)),
-            scored as (
-              select p.doc_id,
-                     sum(ln(1.0 + ((select n from n) - dfu.df + 0.5)
-                            / (dfu.df + 0.5)) * p.s / (1.2 + p.s)) as score
-              from pairs p join dfu using (term) group by p.doc_id)"""
     return {
         "t2_t5_tokenize_tf": _TF,
         "a1_term_df": _DF,
@@ -898,14 +924,16 @@ def oracle_sql() -> dict[str, str]:
             select 'qa' as query_id, doc_id, score from a
             union all
             select 'qb' as query_id, doc_id, score from b""",
-        "q_bm25f_topk": f"""{bm25f_cte}
-            select doc_id, round(score, 6) as score from scored
-            order by round(score, 9) desc, doc_id asc limit {K}""",
+        "q_bm25f_topk": _bm25f_sql(list(BM25_Q), K),
         # fielded scoping: conv prefix 'doc000000' == doc_id 0..99
-        "q_bm25f_scoped": f"""{bm25f_cte}
-            select doc_id, round(score, 6) as score from scored
-            where doc_id between 0 and 99
-            order by round(score, 9) desc, doc_id asc limit {K}""",
+        "q_bm25f_scoped": _bm25f_sql(list(BM25_Q), K,
+                                     where="doc_id between 0 and 99"),
+        "q_batched_bm25f": f"""
+            with a as ({_bm25f_sql(list(BM25_Q), K)}),
+                 b as ({_bm25f_sql(list(BATCH_Q2), K)})
+            select 'qa' as query_id, doc_id, score from a
+            union all
+            select 'qb' as query_id, doc_id, score from b""",
         "q_near_topk": _near_sql("scan", "hash", 4, K),
         "q_batched_near": f"""
             with a as ({_near_sql("scan", "hash", 4, K)}),

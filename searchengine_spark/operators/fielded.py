@@ -292,6 +292,127 @@ def bm25f_search(index: dict, query: str, k: int = 10,
             .orderBy(_ord(), F.col("doc_id").asc()))
 
 
+def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
+                      weights: dict[str, float] | None = None,
+                      b: dict[str, float] | None = None,
+                      k1: float = K1, scope=None) -> DataFrame:
+    """Batched BM25F: score MANY queries in ONE Spark job (the fielded
+    analog of ``search_many`` — a query-log replay otherwise pays one
+    fixed-latency job per query).
+
+    One decode pass PER FIELD over the union of all queries' term_ids; the
+    per-query fan-out joins a broadcast (query_id, term) map after the
+    field rows are tagged with their term string, so the blend-then-saturate
+    aggregation runs keyed by (query_id, doc_id, term) — rows identical to
+    per-query ``bm25f_search``, rank 1..k per query. ``scope`` is shared by
+    the batch, same semantics as ``bm25f_search(..., scope=)``.
+    Returns (query_id, rank, doc_id, conv_id, turn_idx, role, tool, ts,
+    score)."""
+    from searchengine_spark.operators.search import (
+        _query_terms, _scope_filter, _scope_info)
+    from pyspark.sql import Window
+
+    spark = index["docs"].sparkSession
+    n_docs = index["stats"]["n_docs"]
+    fields = index["fields"]
+    if weights is None:
+        weights = {"title": 2.0, "body": 1.0}
+    if b is None:
+        b = {name: DEFAULT_B for name in fields}
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, doc_id long, conv_id string, "
+            "turn_idx int, role string, tool string, ts timestamp, "
+            "score double")
+    per_q = {qid: _query_terms(q, index.get("mode", "general"),
+                               index.get("dictionary", "fixture"))
+             for qid, q in queries.items()}
+    per_q = {qid: ts for qid, ts in per_q.items() if ts}
+    if not per_q:
+        return empty
+    sc = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc is None:
+        return empty
+    vocab = sorted({t for ts in per_q.values() for t in ts})
+
+    # one dictionary lookup per field over the UNION vocabulary
+    per_field_rows: dict[str, list] = {}
+    for name, fl in fields.items():
+        per_field_rows[name] = fl["terms"].filter(
+            F.col("term").isin(vocab)).collect()
+    df_union: dict[str, int] = {}
+    for rows in per_field_rows.values():
+        for r in rows:
+            df_union[r["term"]] = max(df_union.get(r["term"], 0), r["df_field"])
+    if not df_union:
+        return empty
+    idf_of = {t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+              for t, d in df_union.items()}
+
+    parts = []
+    for name, fl in fields.items():
+        rows = per_field_rows[name]
+        if not rows:
+            continue
+        tids = [r["term_id"] for r in rows]
+        blocks = fl["postings"]
+        tb = index["stats"].get("term_buckets")
+        if tb:
+            blocks = blocks.filter(
+                F.col("term_bucket").isin(sorted({t % tb for t in tids})))
+        blocks = blocks.filter(F.col("term_id").isin(tids))
+        if sc is not None:
+            br = index["stats"].get("bucket_range")
+            bs = index["stats"].get("block_size", BLOCK_SIZE)
+            if br:
+                bpb = -(-br // bs)
+                bcol = F.floor(F.col("block_id") / F.lit(bpb))
+                blocks = blocks.filter(
+                    bcol.between(sc["lo"] // br, sc["hi"] // br))
+        dec = _decode_field_blocks(
+            blocks, sum_df=sum(r["df_field"] for r in rows))
+        term_map = F.create_map(
+            *[x for r in rows for x in (F.lit(r["term_id"]), F.lit(r["term"]))])
+        avgdl = max(fl["avgdl"], 1e-9)
+        bf, wf = float(b[name]), float(weights.get(name, 1.0))
+        tf_norm = (F.col("tf").cast("double")
+                   / (F.lit(1.0 - bf) + F.lit(bf / avgdl) * F.col("dl")))
+        parts.append(dec.select(
+            "doc_id", term_map[F.col("term_id")].alias("term"),
+            (F.lit(wf) * tf_norm).alias("wtf")))
+    if not parts:
+        return empty
+    allf = parts[0]
+    for p in parts[1:]:
+        allf = allf.unionByName(p)
+    if sc is not None:
+        allf = _scope_filter(allf, sc)
+
+    qmap = F.broadcast(spark.createDataFrame(
+        sorted({(qid, t) for qid, ts in per_q.items() for t in ts}),
+        "query_id string, term string"))
+    fanned = allf.join(qmap, "term")
+    idf_map = F.create_map(
+        *[x for t, v in idf_of.items() for x in (F.lit(t), F.lit(v))])
+    blended = (fanned.groupBy("query_id", "doc_id", "term")
+               .agg(F.sum("wtf").alias("s"))
+               .withColumn("idf", idf_map[F.col("term")])
+               .withColumn("contrib",
+                           F.col("idf") * F.col("s")
+                           / (F.lit(float(k1)) + F.col("s"))))
+    scored = blended.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score"))
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
+    ranked = (scored.withColumn("rank", F.row_number().over(w_q))
+              .filter(F.col("rank") <= k))
+    docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
+                                     "tool", "ts")
+    return (docs_meta.join(F.broadcast(ranked), "doc_id")
+            .select("query_id", "rank", "doc_id", "conv_id", "turn_idx",
+                    "role", "tool", "ts", "score")
+            .orderBy("query_id", "rank"))
+
+
 def save_fielded_index(index: dict, path: str, term_buckets: int = 16) -> None:
     """Persist a fielded index: shared docs + per-field terms/postings.
 

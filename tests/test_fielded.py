@@ -116,6 +116,33 @@ def test_bm25f_scoped_empty(spark, findex):
     assert bm25f_search(findex, "merge scan", k=5, scope="zzz").collect() == []
 
 
+def test_bm25f_search_many_matches_per_query(spark, findex):
+    """Batched BM25F == per-query bm25f_search for every member, with 1..k
+    ranks; an all-absent query contributes no rows. Scoped batch matches
+    scoped per-query search."""
+    from searchengine_spark.operators.fielded import bm25f_search_many
+    batch = {"qa": "merge scan", "qb": "merge", "qc": "zzzznotaword"}
+    got = bm25f_search_many(findex, batch, k=5).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert "qc" not in by_q
+    for qid, q in batch.items():
+        exp = bm25f_search(findex, q, k=5).collect()
+        rows = by_q.get(qid, [])
+        assert [(r["conv_id"], round(r["score"], 9)) for r in rows] == \
+               [(r["conv_id"], round(r["score"], 9)) for r in exp], (qid, q)
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # shared scope (non-contiguous predicate → semi-join path)
+    scope = F.col("conv_id").isin("c000", "c002", "c004")
+    gsc = bm25f_search_many(findex, {"qa": "merge scan"}, k=5,
+                            scope=scope).collect()
+    esc = bm25f_search(findex, "merge scan", k=5, scope=scope).collect()
+    assert [(r["conv_id"], round(r["score"], 9)) for r in gsc] == \
+           [(r["conv_id"], round(r["score"], 9)) for r in esc]
+    assert esc  # non-vacuous
+
+
 def test_bm25f_save_load_round_trip(spark, findex, tmp_path):
     """Saved+loaded fielded index returns identical rows, and the loaded
     query plan prunes the per-field postings scan by term_bucket."""
