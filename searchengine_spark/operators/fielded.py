@@ -170,68 +170,39 @@ def _decode_field_blocks(blocks: DataFrame,
         gen, schema="term_id long, doc_id long, tf long, dl long")
 
 
-def bm25f_search(index: dict, query: str, k: int = 10,
-                 weights: dict[str, float] | None = None,
-                 b: dict[str, float] | None = None,
-                 k1: float = K1, scope=None) -> DataFrame:
-    """BM25F top-k over a fielded index. Returns
-    (doc_id, conv_id, turn_idx, role, tool, ts, score).
+def _fielded_candidate_rows(index: dict, vocab: list[str], sc,
+                            weights: dict[str, float],
+                            b: dict[str, float]):
+    """Shared candidate stage for the single and batched BM25F paths:
+    resolve ``vocab`` against every field's dictionary, decode the matching
+    postings (term_bucket pruning + scope bucket-level block pruning before
+    any decode), norm per field in codegen, and restrict to the scope.
 
-    idf uses the field-UNION document frequency (docs containing the term in
-    ANY field), computed driver-side from the per-field dictionaries —
-    |q|·|fields| dictionary rows, no extra Spark job against data.
+    Returns ``(allf, idf_of)`` where ``allf`` is (doc_id, term, wtf) rows
+    across all fields and ``idf_of`` maps term → field-union idf, or
+    ``(None, None)`` when nothing resolves.
 
-    ``scope`` (reference ``GET /api/search?site=``, the main path's
-    collection scoping): a conv_id prefix string or a Column predicate over
-    docs. Candidates are restricted to the scope while idf/avgdl stay
-    index-wide — the standard filtered-search semantics, matching
-    ``search(..., scope=)`` in BM25 mode. Conv-prefix scopes are contiguous
-    doc_id ranges (dense ids in (conv_id, turn_idx) order), so the filter is
-    a codegen range check plus bucket-level block pruning BEFORE any decode;
-    arbitrary predicates fall back to a semi-join (broadcast when small)."""
-    from searchengine_spark.operators.search import (
-        _query_terms, _ord, _scope_filter, _scope_info)
+    Field-union df: |docs with t in any field| is NOT stored — one tiny
+    distinct-count job over the decoded doc sets would cost a pass, so use
+    the max field df as the union LOWER bound when fields nest (exact for
+    the default title⊆body layout); for disjoint fields the caller accepts
+    max-df idf (conservative: overestimates idf ≤ ln2)."""
+    from searchengine_spark.operators.search import _scope_filter
 
-    spark = index["docs"].sparkSession
-    n_docs = index["stats"]["n_docs"]
     fields = index["fields"]
-    if weights is None:
-        weights = {"title": 2.0, "body": 1.0}
-    if b is None:
-        b = {name: DEFAULT_B for name in fields}
-    qterms = _query_terms(query, index.get("mode", "general"),
-                          index.get("dictionary", "fixture"))
-    empty = spark.createDataFrame(
-        [], "doc_id long, conv_id string, turn_idx int, role string, "
-            "tool string, ts timestamp, score double")
-    if not qterms:
-        return empty
-    sc = _scope_info(index, scope) if scope is not None else None
-    if scope is not None and sc is None:
-        return empty
-
+    n_docs = index["stats"]["n_docs"]
     # per-field term resolution (id spaces are per-field)
-    per_field_rows: dict[str, list] = {}
-    for name, fl in fields.items():
-        per_field_rows[name] = fl["terms"].filter(
-            F.col("term").isin(qterms)).collect()
-    # field-union df per term: |docs with t in any field|. Title ⊆ body in
-    # the default layout, but compute it properly: union df is NOT stored —
-    # one tiny distinct-count job over the query terms' decoded doc sets
-    # would cost a pass, so use the max field df as the union LOWER bound
-    # when fields nest (exact for the default title⊆body layout) and
-    # document the contract: fields must either nest or the caller accepts
-    # max-df idf (conservative: overestimates idf ≤ ln2 for disjoint fields).
+    per_field_rows = {name: fl["terms"].filter(F.col("term").isin(vocab)).collect()
+                      for name, fl in fields.items()}
     df_union: dict[str, int] = {}
-    for name, rows in per_field_rows.items():
+    for rows in per_field_rows.values():
         for r in rows:
             df_union[r["term"]] = max(df_union.get(r["term"], 0), r["df_field"])
     if not df_union:
-        return empty
+        return None, None
     idf_of = {t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
               for t, d in df_union.items()}
 
-    # decode each field's postings for its resolved terms, norm per field
     parts = []
     for name, fl in fields.items():
         rows = per_field_rows[name]
@@ -257,8 +228,8 @@ def bm25f_search(index: dict, query: str, k: int = 10,
                     bcol.between(sc["lo"] // br, sc["hi"] // br))
         dec = _decode_field_blocks(
             blocks, sum_df=sum(r["df_field"] for r in rows))
-        # term string + idf as literal maps (|q| entries inline into
-        # codegen) — no per-query createDataFrame or broadcast exchange
+        # term string as a literal map (|q| entries inline into codegen) —
+        # no per-query createDataFrame or broadcast exchange
         term_map = F.create_map(
             *[x for r in rows for x in (F.lit(r["term_id"]), F.lit(r["term"]))])
         avgdl = max(fl["avgdl"], 1e-9)
@@ -269,19 +240,73 @@ def bm25f_search(index: dict, query: str, k: int = 10,
             "doc_id", term_map[F.col("term_id")].alias("term"),
             (F.lit(wf) * tf_norm).alias("wtf")))
     if not parts:
-        return empty
+        return None, None
     allf = parts[0]
     for p in parts[1:]:
         allf = allf.unionByName(p)
     if sc is not None:
         allf = _scope_filter(allf, sc)
+    return allf, idf_of
 
+
+def _blend_and_saturate(allf: DataFrame, idf_of: dict[str, float],
+                        k1: float) -> DataFrame:
+    """Robertson-Zaragoza blend-then-saturate over candidate rows: one
+    groupBy(doc_id, term) field blend, then idf·s/(k1+s) per term. Shared
+    by the single and batched paths — contrib depends only on (doc_id,
+    term), so batching fans out AFTER this aggregation."""
     idf_map = F.create_map(
         *[x for t, v in idf_of.items() for x in (F.lit(t), F.lit(v))])
-    blended = (allf.groupBy("doc_id", "term").agg(F.sum("wtf").alias("s"))
-               .withColumn("idf", idf_map[F.col("term")])
-               .withColumn("contrib",
-                           F.col("idf") * F.col("s") / (F.lit(float(k1)) + F.col("s"))))
+    return (allf.groupBy("doc_id", "term").agg(F.sum("wtf").alias("s"))
+            .withColumn("idf", idf_map[F.col("term")])
+            .withColumn("contrib",
+                        F.col("idf") * F.col("s")
+                        / (F.lit(float(k1)) + F.col("s"))))
+
+
+def bm25f_search(index: dict, query: str, k: int = 10,
+                 weights: dict[str, float] | None = None,
+                 b: dict[str, float] | None = None,
+                 k1: float = K1, scope=None) -> DataFrame:
+    """BM25F top-k over a fielded index. Returns
+    (doc_id, conv_id, turn_idx, role, tool, ts, score).
+
+    idf uses the field-UNION document frequency (docs containing the term in
+    ANY field), computed driver-side from the per-field dictionaries —
+    |q|·|fields| dictionary rows, no extra Spark job against data.
+
+    ``scope`` (reference ``GET /api/search?site=``, the main path's
+    collection scoping): a conv_id prefix string or a Column predicate over
+    docs. Candidates are restricted to the scope while idf/avgdl stay
+    index-wide — the standard filtered-search semantics, matching
+    ``search(..., scope=)`` in BM25 mode. Conv-prefix scopes are contiguous
+    doc_id ranges (dense ids in (conv_id, turn_idx) order), so the filter is
+    a codegen range check plus bucket-level block pruning BEFORE any decode;
+    arbitrary predicates fall back to a semi-join (broadcast when small)."""
+    from searchengine_spark.operators.search import (
+        _query_terms, _ord, _scope_info)
+
+    spark = index["docs"].sparkSession
+    fields = index["fields"]
+    if weights is None:
+        weights = {"title": 2.0, "body": 1.0}
+    if b is None:
+        b = {name: DEFAULT_B for name in fields}
+    qterms = _query_terms(query, index.get("mode", "general"),
+                          index.get("dictionary", "fixture"))
+    empty = spark.createDataFrame(
+        [], "doc_id long, conv_id string, turn_idx int, role string, "
+            "tool string, ts timestamp, score double")
+    if not qterms:
+        return empty
+    sc = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc is None:
+        return empty
+
+    allf, idf_of = _fielded_candidate_rows(index, qterms, sc, weights, b)
+    if allf is None:
+        return empty
+    blended = _blend_and_saturate(allf, idf_of, k1)
     scored = blended.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
     topk = scored.orderBy(_ord(), F.col("doc_id").asc()).limit(k)
     docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
@@ -300,20 +325,19 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
     analog of ``search_many`` — a query-log replay otherwise pays one
     fixed-latency job per query).
 
-    One decode pass PER FIELD over the union of all queries' term_ids; the
-    per-query fan-out joins a broadcast (query_id, term) map after the
-    field rows are tagged with their term string, so the blend-then-saturate
-    aggregation runs keyed by (query_id, doc_id, term) — rows identical to
-    per-query ``bm25f_search``, rank 1..k per query. ``scope`` is shared by
-    the batch, same semantics as ``bm25f_search(..., scope=)``.
+    One decode pass PER FIELD over the union of all queries' term_ids. The
+    blend-then-saturate contrib depends only on (doc_id, term), so the
+    batch aggregates ONCE by (doc_id, term) and only THEN fans out to
+    queries through a broadcast (query_id, term) map — a hot term shared by
+    many queries shuffles its postings once, not once per query. Rows
+    identical to per-query ``bm25f_search``, rank 1..k per query; ``scope``
+    is shared by the batch, same semantics as ``bm25f_search(..., scope=)``.
     Returns (query_id, rank, doc_id, conv_id, turn_idx, role, tool, ts,
     score)."""
-    from searchengine_spark.operators.search import (
-        _query_terms, _scope_filter, _scope_info)
+    from searchengine_spark.operators.search import _query_terms, _scope_info
     from pyspark.sql import Window
 
     spark = index["docs"].sparkSession
-    n_docs = index["stats"]["n_docs"]
     fields = index["fields"]
     if weights is None:
         weights = {"title": 2.0, "body": 1.0}
@@ -334,73 +358,17 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
         return empty
     vocab = sorted({t for ts in per_q.values() for t in ts})
 
-    # one dictionary lookup per field over the UNION vocabulary
-    per_field_rows: dict[str, list] = {}
-    for name, fl in fields.items():
-        per_field_rows[name] = fl["terms"].filter(
-            F.col("term").isin(vocab)).collect()
-    df_union: dict[str, int] = {}
-    for rows in per_field_rows.values():
-        for r in rows:
-            df_union[r["term"]] = max(df_union.get(r["term"], 0), r["df_field"])
-    if not df_union:
+    allf, idf_of = _fielded_candidate_rows(index, vocab, sc, weights, b)
+    if allf is None:
         return empty
-    idf_of = {t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
-              for t, d in df_union.items()}
-
-    parts = []
-    for name, fl in fields.items():
-        rows = per_field_rows[name]
-        if not rows:
-            continue
-        tids = [r["term_id"] for r in rows]
-        blocks = fl["postings"]
-        tb = index["stats"].get("term_buckets")
-        if tb:
-            blocks = blocks.filter(
-                F.col("term_bucket").isin(sorted({t % tb for t in tids})))
-        blocks = blocks.filter(F.col("term_id").isin(tids))
-        if sc is not None:
-            br = index["stats"].get("bucket_range")
-            bs = index["stats"].get("block_size", BLOCK_SIZE)
-            if br:
-                bpb = -(-br // bs)
-                bcol = F.floor(F.col("block_id") / F.lit(bpb))
-                blocks = blocks.filter(
-                    bcol.between(sc["lo"] // br, sc["hi"] // br))
-        dec = _decode_field_blocks(
-            blocks, sum_df=sum(r["df_field"] for r in rows))
-        term_map = F.create_map(
-            *[x for r in rows for x in (F.lit(r["term_id"]), F.lit(r["term"]))])
-        avgdl = max(fl["avgdl"], 1e-9)
-        bf, wf = float(b[name]), float(weights.get(name, 1.0))
-        tf_norm = (F.col("tf").cast("double")
-                   / (F.lit(1.0 - bf) + F.lit(bf / avgdl) * F.col("dl")))
-        parts.append(dec.select(
-            "doc_id", term_map[F.col("term_id")].alias("term"),
-            (F.lit(wf) * tf_norm).alias("wtf")))
-    if not parts:
-        return empty
-    allf = parts[0]
-    for p in parts[1:]:
-        allf = allf.unionByName(p)
-    if sc is not None:
-        allf = _scope_filter(allf, sc)
-
+    blended = _blend_and_saturate(allf, idf_of, k1)
     qmap = F.broadcast(spark.createDataFrame(
         sorted({(qid, t) for qid, ts in per_q.items() for t in ts}),
         "query_id string, term string"))
-    fanned = allf.join(qmap, "term")
-    idf_map = F.create_map(
-        *[x for t, v in idf_of.items() for x in (F.lit(t), F.lit(v))])
-    blended = (fanned.groupBy("query_id", "doc_id", "term")
-               .agg(F.sum("wtf").alias("s"))
-               .withColumn("idf", idf_map[F.col("term")])
-               .withColumn("contrib",
-                           F.col("idf") * F.col("s")
-                           / (F.lit(float(k1)) + F.col("s"))))
-    scored = blended.groupBy("query_id", "doc_id").agg(
-        F.sum("contrib").alias("score"))
+    # fan-out AFTER the blend: |blended| ≈ Σ df rows, each tiny
+    scored = (blended.join(qmap, "term")
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("contrib").alias("score")))
     w_q = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
     ranked = (scored.withColumn("rank", F.row_number().over(w_q))

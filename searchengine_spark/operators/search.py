@@ -539,6 +539,26 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     return out
 
 
+def _resolve_ids_dfs(index: dict, vocab) -> "tuple[dict, dict]":
+    """term → (term_id, df) resolution shared by the positional paths
+    (phrase/near, single and batched): the driver-cached dictionary when it
+    fits locally, else ONE isin-filter collect against the terms table.
+    Returns (id_of, df_of); absent terms are simply missing from both."""
+    vocab = sorted(set(vocab))
+    id_of, df_of = {}, {}
+    pdf_terms = _terms_local(index)
+    if pdf_terms is not None:
+        for t in vocab:
+            if t in pdf_terms.index:
+                id_of[t] = int(pdf_terms.loc[t, "term_id"])
+                df_of[t] = int(pdf_terms.loc[t, "df"])
+    else:
+        for r in index["terms"].filter(F.col("term").isin(vocab)).collect():
+            id_of[r["term"]] = r["term_id"]
+            df_of[r["term"]] = r["df"]
+    return id_of, df_of
+
+
 def phrase_search(index: dict, phrase: str, k: int = 10,
                   scope=None) -> DataFrame:
     """Exact phrase query over a POSITIONAL index
@@ -577,17 +597,7 @@ def phrase_search(index: dict, phrase: str, k: int = 10,
     sc = _scope_info(index, scope) if scope is not None else None
     if scope is not None and sc is None:
         return empty
-    id_of, df_of = {}, {}
-    pdf_terms = _terms_local(index)
-    if pdf_terms is not None:
-        for t in set(qseq):
-            if t in pdf_terms.index:
-                id_of[t] = int(pdf_terms.loc[t, "term_id"])
-                df_of[t] = int(pdf_terms.loc[t, "df"])
-    else:
-        got = index["terms"].filter(F.col("term").isin(sorted(set(qseq)))).collect()
-        id_of = {r["term"]: r["term_id"] for r in got}
-        df_of = {r["term"]: r["df"] for r in got}
+    id_of, df_of = _resolve_ids_dfs(index, qseq)
     if any(t not in id_of for t in qseq):
         return empty  # a phrase term absent from the corpus → no match
     n_q = len(qseq)
@@ -655,17 +665,7 @@ def phrase_search_many(index: dict, phrases: dict[str, str], k: int = 10,
     vocab = sorted({t for seq in seq_of.values() for t in seq})
     if not vocab:
         return empty
-    id_of, df_of = {}, {}
-    pdf_terms = _terms_local(index)
-    if pdf_terms is not None:
-        for t in vocab:
-            if t in pdf_terms.index:
-                id_of[t] = int(pdf_terms.loc[t, "term_id"])
-                df_of[t] = int(pdf_terms.loc[t, "df"])
-    else:
-        for r in index["terms"].filter(F.col("term").isin(vocab)).collect():
-            id_of[r["term"]] = r["term_id"]
-            df_of[r["term"]] = r["df"]
+    id_of, df_of = _resolve_ids_dfs(index, vocab)
     # a phrase with any absent term can never match — drop it up front
     per_q = {qid: seq for qid, seq in seq_of.items()
              if seq and all(t in id_of for t in seq)}
@@ -738,18 +738,7 @@ def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
     sc = _scope_info(index, scope) if scope is not None else None
     if scope is not None and sc is None:
         return empty
-    pdf_terms = _terms_local(index)
-    id_of, df_of = {}, {}
-    for t in (qa[0], qb[0]):
-        if pdf_terms is not None:
-            if t in pdf_terms.index:
-                id_of[t] = int(pdf_terms.loc[t, "term_id"])
-                df_of[t] = int(pdf_terms.loc[t, "df"])
-        else:
-            rows = index["terms"].filter(F.col("term") == t).collect()
-            if rows:
-                id_of[t] = rows[0]["term_id"]
-                df_of[t] = rows[0]["df"]
+    id_of, df_of = _resolve_ids_dfs(index, (qa[0], qb[0]))
     if len(id_of) < 2:
         return empty
     ta, tb = id_of[qa[0]], id_of[qb[0]]
@@ -822,17 +811,7 @@ def near_search_many(index: dict, pairs: dict[str, tuple[str, str]],
     vocab = sorted({t for ab in lem_of.values() for t in ab})
     if not vocab:
         return empty
-    id_of, df_of = {}, {}
-    pdf_terms = _terms_local(index)
-    if pdf_terms is not None:
-        for t in vocab:
-            if t in pdf_terms.index:
-                id_of[t] = int(pdf_terms.loc[t, "term_id"])
-                df_of[t] = int(pdf_terms.loc[t, "df"])
-    else:
-        for r in index["terms"].filter(F.col("term").isin(vocab)).collect():
-            id_of[r["term"]] = r["term_id"]
-            df_of[r["term"]] = r["df"]
+    id_of, df_of = _resolve_ids_dfs(index, vocab)
     per_q = {qid: ab for qid, ab in lem_of.items()
              if ab[0] in id_of and ab[1] in id_of}
     if not per_q:

@@ -94,7 +94,13 @@ def test_bm25f_scoped_contiguous(spark, findex):
     got = bm25f_search(findex, "merge scan", k=5,
                        scope=F.col("conv_id") <= "c002").collect()
     assert [(r["conv_id"], round(r["score"], 9)) for r in got] == want
-    assert want  # non-vacuous
+    assert len(want) > 2  # non-vacuous AND k=2 below truncates in-scope
+    # k SMALLER than the in-scope scoring set: detects scope applied after
+    # (instead of before) the top-k cut — the global top-2 is NOT the
+    # in-scope top-2 here
+    got2 = bm25f_search(findex, "merge scan", k=2,
+                        scope=F.col("conv_id") <= "c002").collect()
+    assert [(r["conv_id"], round(r["score"], 9)) for r in got2] == want[:2]
 
 
 def test_bm25f_scoped_noncontiguous_and_prefix(spark, findex):
@@ -110,6 +116,15 @@ def test_bm25f_scoped_noncontiguous_and_prefix(spark, findex):
     allg = bm25f_search(findex, "merge scan", k=5, scope="c00").collect()
     assert [(r["conv_id"], round(r["score"], 9)) for r in allg] == \
            [(r["conv_id"], round(r["score"], 9)) for r in full]
+    # small k + a keep-set excluding the global winners: the scoped top-1
+    # must be a doc OUTSIDE the global top-k prefix (scope before cut)
+    keep2 = {"c001", "c002"}
+    want2 = [(r["conv_id"], round(r["score"], 9)) for r in full
+             if r["conv_id"] in keep2][:1]
+    got2 = bm25f_search(findex, "merge scan", k=1,
+                        scope=F.col("conv_id").isin(*sorted(keep2))).collect()
+    assert [(r["conv_id"], round(r["score"], 9)) for r in got2] == want2
+    assert want2 and want2[0][0] != full[0]["conv_id"]
 
 
 def test_bm25f_scoped_empty(spark, findex):

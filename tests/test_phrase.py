@@ -79,7 +79,8 @@ def test_phrase_search_many_matches_per_query(pos_index):
     (the single-query semantics)."""
     from searchengine_spark.operators.search import phrase_search_many
     phrases = {"p1": "ошибка сервер", "p2": "поиск запрос",
-               "p3": "merge retry", "p4": "абракадабрище ошибка"}
+               "p3": "merge retry", "p4": "абракадабрище ошибка",
+               "p5": "поиск запрос поиск"}  # duplicate term → two slots
     got = phrase_search_many(pos_index, phrases, k=10).collect()
     by_q: dict[str, list] = {}
     for r in got:
