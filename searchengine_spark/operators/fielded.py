@@ -46,13 +46,19 @@ def title_col(text: Column, n_chars: int = 60) -> Column:
 
 
 _FIELD_BLOCK_SCHEMA = ("term_id long, block_id int, first_doc_id long, n int, "
-                       "doc_deltas binary, tfs binary, dls binary")
+                       "doc_deltas binary, tfs binary, dls binary, "
+                       "block_max_tf long, block_min_dl long")
 
 
 def _make_field_encoder(block_size: int, blocks_per_bucket: int):
     """Block encoder for one (term_id, bucket) group of a field's postings —
     shared by the builder and the upsert rewrite so touched groups re-encode
-    byte-identically to a fresh build of the same rows."""
+    byte-identically to a fresh build of the same rows.
+
+    Each block carries (block_max_tf, block_min_dl): the BM25F tf-part is
+    increasing in tf and decreasing in dl, so the decoupled pair upper-bounds
+    every doc's normalized tf in the block under ANY corpus stats — the same
+    stats-independent bound discipline as the main index's WAND columns."""
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         from searchengine_spark.operators.codec import encode_block, varint_encode
         term_id = int(pdf["term_id"].iloc[0])
@@ -67,10 +73,11 @@ def _make_field_encoder(block_size: int, blocks_per_bucket: int):
             hi = min(lo + block_size, len(ids))
             first, n, d, t = encode_block(ids[lo:hi], tfs[lo:hi])
             out.append((term_id, bucket * blocks_per_bucket + j, first, n,
-                        d, t, varint_encode(dls[lo:hi].astype("uint64"))))
+                        d, t, varint_encode(dls[lo:hi].astype("uint64")),
+                        int(tfs[lo:hi].max()), int(dls[lo:hi].min())))
         return pd.DataFrame(out, columns=[
             "term_id", "block_id", "first_doc_id", "n", "doc_deltas",
-            "tfs", "dls"])
+            "tfs", "dls", "block_max_tf", "block_min_dl"])
     return encode
 
 
@@ -106,7 +113,12 @@ def build_fielded_index(transcripts: DataFrame,
         stats_row = analyzed.agg(F.sum("dl").alias("tok")).collect()[0]
         total_tokens = int(stats_row["tok"] or 0)
         avgdl = total_tokens / n_docs if n_docs else 0.0
-        terms = tf.groupBy("term").agg(F.count("*").alias("df_field")).persist()
+        # per-term (max_tf, min_dl) denormalized for driver-side WAND upper
+        # bounds (stats-independent: valid under any avgdl)
+        terms = tf.groupBy("term").agg(
+            F.count("*").alias("df_field"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl")).persist()
 
         from searchengine_spark.operators.indexer import assign_dense_ids
         terms = assign_dense_ids(
@@ -170,13 +182,145 @@ def _decode_field_blocks(blocks: DataFrame,
         gen, schema="term_id long, doc_id long, tf long, dl long")
 
 
+def _bm25f_keep_set(index: dict, field_blocks: dict, idf_of: dict,
+                    weights: dict[str, float], b: dict[str, float],
+                    k_eff: int, k1: float, sc=None):
+    """Exact block-max WAND for BM25F at (term, doc-bucket) granularity.
+
+    A doc's per-term blend spans MULTIPLE field tables, so skipping one
+    field's block alone would leave a partial (wrong) score. All fields
+    share the doc-range bucket geometry, so the skip unit is the
+    (term, bucket) PAIR across every field: a skipped doc loses the term's
+    contribution entirely, and the standard WAND argument applies —
+    keep (t, B) iff idf_t·sat(Σ_f w_f·ub_f(t,B)) + Σ_{t'≠t} M_{t'} ≥ θ,
+    with ub_f from the stats-independent (block_max_tf, block_min_dl)
+    pair, M_t from the dictionary's per-term (max_tf, min_dl), and θ a
+    LOWER bound on the true k-th score (partial scores of each term's best
+    block, decoded driver-side — any doc's partial ≤ its true score).
+    Every true top-k doc keeps all its blocks (else its own score would
+    contradict the skip inequality), so pruned == exhaustive exactly.
+
+    Returns a (term, bucket) DataFrame to left-semi-join each field's
+    block scan against, or None when pruning is inapplicable (missing
+    bounds on any query term — e.g. a legacy index — or θ == 0)."""
+    from searchengine_spark.operators.codec import (
+        decode_doc_ids_batch, varint_decode)
+
+    stats = index["stats"]
+    br = stats.get("bucket_range")
+    bs = stats.get("block_size", BLOCK_SIZE)
+    if not br:
+        return None
+    if sc is not None and not sc.get("contiguous"):
+        # θ must come from IN-SCOPE docs only; a non-contiguous scope's doc
+        # set lives executor-side, so the driver θ pass can't filter it —
+        # fall back to the exhaustive decode (the scope semi-join still
+        # restricts candidates)
+        return None
+    fields = index["fields"]
+    # per-term, per-field normalized-tf maxima (driver-side, no jobs)
+    tmax: dict[str, dict[str, float]] = {}
+    for name, (blocks, rows) in field_blocks.items():
+        avgdl = max(fields[name]["avgdl"], 1e-9)
+        bf, wf = float(b[name]), float(weights.get(name, 1.0))
+        for r in rows:
+            if r["max_tf"] is None or r["min_dl"] is None:
+                return None  # pre-WAND-column index: bounds unknown
+            v = wf * r["max_tf"] / (1.0 - bf + bf * r["min_dl"] / avgdl)
+            tmax.setdefault(r["term"], {})[name] = v
+
+    def sat(x):
+        return x / (k1 + x)
+
+    m_of = {t: idf_of[t] * sat(sum(fv.values())) for t, fv in tmax.items()}
+    m_sum = sum(m_of.values())
+
+    # θ: decode each term's best block per field driver-side and blend the
+    # partial scores properly (per-(term, doc) field sum → saturate → doc
+    # sum); the k-th largest partial is a sound lower bound on the k-th
+    # true score. One small max_by agg job per field (≤|q| block payloads).
+    acc: dict[tuple, float] = {}
+    for name, (blocks, rows) in field_blocks.items():
+        avgdl = max(fields[name]["avgdl"], 1e-9)
+        bf, wf = float(b[name]), float(weights.get(name, 1.0))
+        ub = (F.col("block_max_tf").cast("double")
+              / (F.lit(1.0 - bf) + F.lit(bf / avgdl) * F.col("block_min_dl")))
+        best = blocks.groupBy("term_id").agg(F.max_by(
+            F.struct("first_doc_id", "n", "doc_deltas", "tfs", "dls"),
+            F.struct(ub, -F.col("block_id"))).alias("bb")).collect()
+        tname = {r["term_id"]: r["term"] for r in rows}
+        for r in best:
+            bb = r["bb"]
+            ids = decode_doc_ids_batch(
+                np.array([bb["first_doc_id"]]), np.array([bb["n"]]),
+                bb["doc_deltas"])
+            tfs = varint_decode(bb["tfs"]).astype(np.float64)
+            dls = varint_decode(bb["dls"]).astype(np.float64)
+            s = wf * tfs / (1.0 - bf + bf * dls / avgdl)
+            if sc is not None:  # θ candidates restricted to the scope
+                m = (ids >= sc["lo"]) & (ids <= sc["hi"])
+                ids, s = ids[m], s[m]
+            t = tname[r["term_id"]]
+            for d, v in zip(ids.tolist(), s.tolist()):
+                acc[(t, int(d))] = acc.get((t, int(d)), 0.0) + v
+    if not acc:
+        return None
+    doc_scores: dict[int, float] = {}
+    for (t, d), s in acc.items():
+        doc_scores[d] = doc_scores.get(d, 0.0) + idf_of[t] * sat(s)
+    vals = sorted(doc_scores.values(), reverse=True)
+    theta = vals[k_eff - 1] if len(vals) >= k_eff else 0.0
+    if theta <= 0:
+        return None
+
+    # distributed keep-set: per-field (term, bucket) bound maxima, full
+    # outer join across fields (absent field ⇒ zero contribution in that
+    # bucket), one codegen filter — the keep-set then left-semi-joins each
+    # field's block scan (AQE broadcasts it when small)
+    bpb = -(-br // bs)
+    metas = []
+    for name, (blocks, rows) in field_blocks.items():
+        avgdl = max(fields[name]["avgdl"], 1e-9)
+        bf, wf = float(b[name]), float(weights.get(name, 1.0))
+        term_map = F.create_map(
+            *[x for r in rows for x in (F.lit(r["term_id"]), F.lit(r["term"]))])
+        ub = (F.lit(wf) * F.col("block_max_tf").cast("double")
+              / (F.lit(1.0 - bf) + F.lit(bf / avgdl) * F.col("block_min_dl")))
+        metas.append(
+            blocks.select(term_map[F.col("term_id")].alias("term"),
+                          F.floor(F.col("block_id") / F.lit(bpb)).alias("bucket"),
+                          ub.alias(f"_ub_{name}"))
+            .groupBy("term", "bucket").agg(F.max(f"_ub_{name}").alias(f"_ub_{name}")))
+    meta = metas[0]
+    for m in metas[1:]:
+        meta = meta.join(m, ["term", "bucket"], "full")
+    ub_sum = None
+    for name in field_blocks:
+        c = F.coalesce(F.col(f"_ub_{name}"), F.lit(0.0))
+        ub_sum = c if ub_sum is None else ub_sum + c
+    idf_map = F.create_map(
+        *[x for t, v in idf_of.items() for x in (F.lit(t), F.lit(v))])
+    m_map = F.create_map(
+        *[x for t, v in m_of.items() for x in (F.lit(t), F.lit(v))])
+    bound = idf_map[F.col("term")] * (ub_sum / (F.lit(float(k1)) + ub_sum))
+    return (meta.filter(bound + F.lit(m_sum) - m_map[F.col("term")]
+                        >= F.lit(float(theta)))
+            .select("term", "bucket"))
+
+
 def _fielded_candidate_rows(index: dict, vocab: list[str], sc,
                             weights: dict[str, float],
-                            b: dict[str, float]):
+                            b: dict[str, float],
+                            prune: "tuple | None" = None):
     """Shared candidate stage for the single and batched BM25F paths:
     resolve ``vocab`` against every field's dictionary, decode the matching
     postings (term_bucket pruning + scope bucket-level block pruning before
     any decode), norm per field in codegen, and restrict to the scope.
+    ``prune``: ``(mode, k_eff, k1)`` — when mode is True, or "auto" and the
+    union posting count clears PRUNE_MIN_POSTINGS (the same cost gate as
+    the main path: the θ pre-pass costs extra jobs that only pay for
+    themselves above it), apply exact (term, bucket) block-max pruning
+    (see ``_bm25f_keep_set``) for a top-``k_eff`` query before decode.
 
     Returns ``(allf, idf_of)`` where ``allf`` is (doc_id, term, wtf) rows
     across all fields and ``idf_of`` maps term → field-union idf, or
@@ -203,7 +347,8 @@ def _fielded_candidate_rows(index: dict, vocab: list[str], sc,
     idf_of = {t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
               for t, d in df_union.items()}
 
-    parts = []
+    # stage 1: per-field filtered block scans (no decode yet)
+    field_blocks: dict[str, tuple] = {}
     for name, fl in fields.items():
         rows = per_field_rows[name]
         if not rows:
@@ -226,6 +371,42 @@ def _fielded_candidate_rows(index: dict, vocab: list[str], sc,
                 bcol = F.floor(F.col("block_id") / F.lit(bpb))
                 blocks = blocks.filter(
                     bcol.between(sc["lo"] // br, sc["hi"] // br))
+        field_blocks[name] = (blocks, rows)
+    if not field_blocks:
+        return None, None
+
+    do_prune = False
+    if prune is not None:
+        mode, k_eff, k1p = prune
+        sum_total = sum(r["df_field"]
+                        for _, rows in field_blocks.values() for r in rows)
+        from searchengine_spark.operators.search import PRUNE_MIN_POSTINGS
+        do_prune = mode is True or (mode == "auto"
+                                    and sum_total >= PRUNE_MIN_POSTINGS)
+    if do_prune:
+        keep = _bm25f_keep_set(index, field_blocks, idf_of, weights, b,
+                               k_eff, k1p, sc=sc)
+        if keep is not None:
+            br = index["stats"].get("bucket_range")
+            bs = index["stats"].get("block_size", BLOCK_SIZE)
+            bpb = -(-br // bs)
+            for name in list(field_blocks):
+                blocks, rows = field_blocks[name]
+                term_map = F.create_map(
+                    *[x for r in rows
+                      for x in (F.lit(r["term_id"]), F.lit(r["term"]))])
+                blocks = (blocks
+                          .withColumn("term", term_map[F.col("term_id")])
+                          .withColumn("bucket",
+                                      F.floor(F.col("block_id") / F.lit(bpb)))
+                          .join(keep, ["term", "bucket"], "left_semi")
+                          .drop("term", "bucket"))
+                field_blocks[name] = (blocks, rows)
+
+    # stage 2: decode + per-field norm
+    parts = []
+    for name, (blocks, rows) in field_blocks.items():
+        fl = fields[name]
         dec = _decode_field_blocks(
             blocks, sum_df=sum(r["df_field"] for r in rows))
         # term string as a literal map (|q| entries inline into codegen) —
@@ -267,9 +448,16 @@ def _blend_and_saturate(allf: DataFrame, idf_of: dict[str, float],
 def bm25f_search(index: dict, query: str, k: int = 10,
                  weights: dict[str, float] | None = None,
                  b: dict[str, float] | None = None,
-                 k1: float = K1, scope=None) -> DataFrame:
+                 k1: float = K1, scope=None,
+                 prune_blocks: "bool | str" = "auto") -> DataFrame:
     """BM25F top-k over a fielded index. Returns
     (doc_id, conv_id, turn_idx, role, tool, ts, score).
+
+    ``prune_blocks``: exact (term, doc-bucket) block-max WAND (see
+    ``_bm25f_keep_set``) — "auto" (default) prunes only when the union
+    posting count clears the same cost gate as the main path, True forces
+    it, False disables. Pruned results are rank- AND score-identical to
+    the exhaustive decode.
 
     idf uses the field-UNION document frequency (docs containing the term in
     ANY field), computed driver-side from the per-field dictionaries —
@@ -303,7 +491,9 @@ def bm25f_search(index: dict, query: str, k: int = 10,
     if scope is not None and sc is None:
         return empty
 
-    allf, idf_of = _fielded_candidate_rows(index, qterms, sc, weights, b)
+    prune = None if prune_blocks is False else (prune_blocks, k, k1)
+    allf, idf_of = _fielded_candidate_rows(index, qterms, sc, weights, b,
+                                           prune=prune)
     if allf is None:
         return empty
     blended = _blend_and_saturate(allf, idf_of, k1)
@@ -513,21 +703,29 @@ def upsert_fielded(index: dict, delta: DataFrame,
                      "term", "full")
                .select("term", (F.coalesce("_plus", F.lit(0))
                                 - F.coalesce("_minus", F.lit(0))).alias("_ddf")))
-        terms = fl["terms"]  # (term, df_field, term_id)
+        terms = fl["terms"]  # (term, df_field, term_id[, max_tf, min_dl])
+        if "max_tf" not in terms.columns:  # index built before WAND columns
+            terms = (terms
+                     .withColumn("max_tf", F.lit(None).cast("long"))
+                     .withColumn("min_dl", F.lit(None).cast("long")))
         t0 = terms.agg(F.max("term_id")).collect()[0][0]
         max_term_id = t0 if t0 is not None else -1
+        # stale (max_tf, min_dl) carried here; recomputed EXACTLY for
+        # touched terms from the rewritten blocks below (untouched terms'
+        # blocks are unchanged, so their stored bounds stay exact)
         existing = (terms.join(F.broadcast(ddf), "term", "left")
                     .withColumn("df_field", (F.col("df_field")
                                              + F.coalesce("_ddf", F.lit(0))).cast("long"))
                     .filter(F.col("df_field") > 0)
-                    .select("term", "df_field", "term_id"))
+                    .select("term", "df_field", "term_id", "max_tf", "min_dl"))
         fresh_rows = (ddf.join(terms.select("term"), "term", "left_anti")
                       .filter(F.col("_ddf") > 0).collect())
         if fresh_rows:
             fresh = spark.createDataFrame(
-                [(r["term"], int(r["_ddf"]), max_term_id + i + 1)
+                [(r["term"], int(r["_ddf"]), max_term_id + i + 1, None, None)
                  for i, r in enumerate(sorted(fresh_rows, key=lambda r: r["term"]))],
-                schema="term string, df_field long, term_id long")
+                schema="term string, df_field long, term_id long, "
+                       "max_tf long, min_dl long")
             new_terms = existing.unionByName(fresh).persist()
         else:
             new_terms = existing.persist()
@@ -548,9 +746,15 @@ def upsert_fielded(index: dict, delta: DataFrame,
                    .distinct().persist())
         scratch.append(touched)
 
-        postings = fl["postings"].select(
+        postings = fl["postings"]
+        legacy_bounds = "block_max_tf" not in postings.columns
+        if legacy_bounds:  # pre-WAND-column index
+            postings = (postings
+                        .withColumn("block_max_tf", F.lit(None).cast("long"))
+                        .withColumn("block_min_dl", F.lit(None).cast("long")))
+        postings = postings.select(
             "term_id", "block_id", "first_doc_id", "n",
-            "doc_deltas", "tfs", "dls")
+            "doc_deltas", "tfs", "dls", "block_max_tf", "block_min_dl")
         with_bucket = postings.withColumn(
             "bucket", (F.col("block_id") / F.lit(bpb)).cast("int"))
         touched_b = F.broadcast(touched)
@@ -567,10 +771,32 @@ def upsert_fielded(index: dict, delta: DataFrame,
         rewritten = merged.groupBy("term_id", "bucket").applyInPandas(
             _make_field_encoder(block_size, bpb), _FIELD_BLOCK_SCHEMA)
         new_postings = untouched.unionByName(rewritten)
+        out_postings = new_postings.localCheckpoint(eager=True)
+
+        # exact per-term WAND bounds for touched terms: term max_tf is the
+        # max over its blocks' block_max_tf (untouched blocks keep theirs),
+        # so one tiny agg over the touched terms' blocks restores exactness
+        # after every upsert — no staleness flag, no loosened fallback.
+        # Legacy (pre-WAND-column) indexes skip this: their untouched
+        # blocks carry null bounds, so a rewritten-blocks-only max would be
+        # an unsound underestimate — bounds stay null, pruning stays off.
+        if legacy_bounds:
+            new_terms_b = new_terms
+        else:
+            tset = touched.select("term_id").distinct()
+            nb = (out_postings.join(F.broadcast(tset), "term_id")
+                  .groupBy("term_id").agg(F.max("block_max_tf").alias("_mt"),
+                                          F.min("block_min_dl").alias("_md")))
+            new_terms_b = (new_terms.join(F.broadcast(nb), "term_id", "left")
+                           .withColumn("max_tf",
+                                       F.coalesce("_mt", F.col("max_tf")))
+                           .withColumn("min_dl",
+                                       F.coalesce("_md", F.col("min_dl")))
+                           .drop("_mt", "_md"))
 
         out_fields[name] = {
-            "terms": new_terms.localCheckpoint(eager=True),
-            "postings": new_postings.localCheckpoint(eager=True),
+            "terms": new_terms_b.localCheckpoint(eager=True),
+            "postings": out_postings,
             "avgdl": avgdl, "total_tokens": total_tokens}
 
     out_docs = new_docs.localCheckpoint(eager=True)

@@ -158,6 +158,87 @@ def test_bm25f_search_many_matches_per_query(spark, findex):
     assert esc  # non-vacuous
 
 
+def _mk_many(spark, n=32):
+    """Skewed corpus: two short hot docs carry huge tf for both query
+    terms; everyone else is a long doc with tf=1 placed past the title
+    window — the regime where block-max pruning has real units to skip."""
+    rows = []
+    for i in range(n):
+        if i < 2:
+            words = ["merge"] * 30 + ["scan"] * 30
+        elif i % 2 == 0:
+            words = ["filler"] * 25 + ["merge"]
+        else:
+            words = ["filler"] * 25 + ["scan"]
+        rows.append((f"c{i:03d}", 0, "user", " ".join(words), None,
+                     "2026-01-01 00:00:00"))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
+                                      "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    return spark.createDataFrame(pdf, schema=SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def findex_many(spark):
+    # tiny geometry → many blocks and many doc buckets, so pruning has
+    # real units to skip
+    return build_fielded_index(_mk_many(spark), mode="general",
+                               bucket_range=4, block_size=2)
+
+
+def test_bm25f_prune_exact(spark, findex_many):
+    """(term, bucket) block-max pruning is EXACT: rank- and score-identical
+    to the exhaustive decode, plain and scoped, across k values."""
+    for q in ("merge scan", "merge", "scan filler"):
+        for k in (1, 3, 5):
+            ex = bm25f_search(findex_many, q, k=k, prune_blocks=False).collect()
+            pr = bm25f_search(findex_many, q, k=k, prune_blocks=True).collect()
+            assert [(r["doc_id"], round(r["score"], 9)) for r in pr] == \
+                   [(r["doc_id"], round(r["score"], 9)) for r in ex], (q, k)
+    scope = F.col("conv_id") <= "c011"
+    ex = bm25f_search(findex_many, "merge scan", k=3, scope=scope,
+                      prune_blocks=False).collect()
+    pr = bm25f_search(findex_many, "merge scan", k=3, scope=scope,
+                      prune_blocks=True).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in pr] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in ex]
+
+
+def test_bm25f_prune_actually_skips(spark, findex_many):
+    """The keep-set is a STRICT subset of the candidate (term, bucket)
+    pairs — pruning does real work, not a no-op."""
+    from searchengine_spark.operators.fielded import _bm25f_keep_set
+    from searchengine_spark.operators.search import _query_terms
+    vocab = _query_terms("merge scan", "general", "fixture")
+    idx = findex_many
+    n_docs = idx["stats"]["n_docs"]
+    import math
+    field_blocks, idf_of = {}, {}
+    for name, fl in idx["fields"].items():
+        rows = fl["terms"].filter(F.col("term").isin(vocab)).collect()
+        tids = [r["term_id"] for r in rows]
+        field_blocks[name] = (fl["postings"].filter(
+            F.col("term_id").isin(tids)), rows)
+        for r in rows:
+            d = r["df_field"]
+            idf_of[r["term"]] = max(
+                idf_of.get(r["term"], 0.0),
+                math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
+    keep = _bm25f_keep_set(idx, field_blocks, idf_of,
+                           {"title": 2.0, "body": 1.0},
+                           {"title": 0.75, "body": 0.75}, 2, 1.2)
+    assert keep is not None
+    bpb = -(-idx["stats"]["bucket_range"] // idx["stats"]["block_size"])
+    total = set()
+    for name, (blocks, rows) in field_blocks.items():
+        tname = {r["term_id"]: r["term"] for r in rows}
+        for r in blocks.select("term_id", "block_id").collect():
+            total.add((tname[r["term_id"]], r["block_id"] // bpb))
+    kept = {(r["term"], r["bucket"]) for r in keep.collect()}
+    assert kept < total, (len(kept), len(total))
+
+
 def test_bm25f_save_load_round_trip(spark, findex, tmp_path):
     """Saved+loaded fielded index returns identical rows, and the loaded
     query plan prunes the per-field postings scan by term_bucket."""

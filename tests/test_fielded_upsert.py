@@ -74,6 +74,31 @@ def test_terms_match_rebuild(pair):
         assert "zanzibar" not in got
 
 
+def test_wand_bounds_match_rebuild(pair):
+    """Per-term (max_tf, min_dl) after an upsert equal a fresh rebuild's
+    exactly — touched terms are re-derived from their blocks' maxima, and
+    block bounds are exact in both paths (no staleness, no loosening)."""
+    up, rebuilt = pair
+    for name in ("title", "body"):
+        got = {r["term"]: (r["max_tf"], r["min_dl"])
+               for r in up["fields"][name]["terms"].collect()}
+        want = {r["term"]: (r["max_tf"], r["min_dl"])
+                for r in rebuilt["fields"][name]["terms"].collect()}
+        assert got == want, f"field {name} WAND bounds diverged"
+        assert all(mt is not None and md is not None
+                   for mt, md in got.values())
+        # block-level bounds agree with the dictionary-level roll-up
+        blk = {r["term_id"]: (r["_mt"], r["_md"])
+               for r in up["fields"][name]["postings"]
+               .groupBy("term_id")
+               .agg(F.max("block_max_tf").alias("_mt"),
+                    F.min("block_min_dl").alias("_md")).collect()}
+        ids = {r["term"]: r["term_id"]
+               for r in up["fields"][name]["terms"].collect()}
+        for t, b in got.items():
+            assert blk[ids[t]] == b, (name, t)
+
+
 def test_stats_match_rebuild(pair):
     up, rebuilt = pair
     assert up["stats"]["n_docs"] == rebuilt["stats"]["n_docs"] == 7
