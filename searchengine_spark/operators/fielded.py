@@ -449,9 +449,14 @@ def bm25f_search(index: dict, query: str, k: int = 10,
                  weights: dict[str, float] | None = None,
                  b: dict[str, float] | None = None,
                  k1: float = K1, scope=None,
-                 prune_blocks: "bool | str" = "auto") -> DataFrame:
+                 prune_blocks: "bool | str" = "auto",
+                 offset: int = 0) -> DataFrame:
     """BM25F top-k over a fielded index. Returns
     (doc_id, conv_id, turn_idx, role, tool, ts, score).
+
+    ``offset`` paginates like the main path's Q11: retrieve offset+k
+    winners (still TakeOrderedAndProject, no global sort), drop the first
+    ``offset`` by rank.
 
     ``prune_blocks``: exact (term, doc-bucket) block-max WAND (see
     ``_bm25f_keep_set``) — "auto" (default) prunes only when the union
@@ -491,14 +496,20 @@ def bm25f_search(index: dict, query: str, k: int = 10,
     if scope is not None and sc is None:
         return empty
 
-    prune = None if prune_blocks is False else (prune_blocks, k, k1)
+    k_eff = offset + k  # pagination retrieves offset+k winners, slices after
+    prune = None if prune_blocks is False else (prune_blocks, k_eff, k1)
     allf, idf_of = _fielded_candidate_rows(index, qterms, sc, weights, b,
                                            prune=prune)
     if allf is None:
         return empty
     blended = _blend_and_saturate(allf, idf_of, k1)
     scored = blended.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
-    topk = scored.orderBy(_ord(), F.col("doc_id").asc()).limit(k)
+    topk = scored.orderBy(_ord(), F.col("doc_id").asc()).limit(k_eff)
+    if offset:
+        from pyspark.sql import Window
+        w_pg = Window.orderBy(_ord(), F.col("doc_id").asc())
+        topk = (topk.withColumn("_rk", F.row_number().over(w_pg))
+                .filter(F.col("_rk") > offset).drop("_rk"))
     docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
                                      "tool", "ts")
     return (docs_meta.join(F.broadcast(topk), "doc_id")

@@ -131,6 +131,17 @@ def test_bm25f_scoped_empty(spark, findex):
     assert bm25f_search(findex, "merge scan", k=5, scope="zzz").collect() == []
 
 
+def test_bm25f_offset_pagination(spark, findex_many):
+    """Page 2 == rows k..2k of the full ranking, with and without
+    pruning."""
+    full = bm25f_search(findex_many, "merge scan", k=8).collect()
+    for pb in (False, True):
+        page2 = bm25f_search(findex_many, "merge scan", k=4, offset=4,
+                             prune_blocks=pb).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in page2] == \
+               [(r["doc_id"], round(r["score"], 9)) for r in full[4:8]], pb
+
+
 def test_bm25f_search_many_matches_per_query(spark, findex):
     """Batched BM25F == per-query bm25f_search for every member, with 1..k
     ranks; an all-absent query contributes no rows. Scoped batch matches
