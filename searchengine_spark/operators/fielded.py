@@ -37,6 +37,14 @@ from searchengine_spark.operators.indexer import (
 
 DEFAULT_B = 0.75
 
+# "auto" pruning gate for BM25F, measured (BENCH.md §1, fielded-WAND probe):
+# the fielded θ pre-pass costs one max_by collect per FIELD plus a keep-set
+# join (~0.55 s fixed at sf0.1 local[32]), vs the main path's single cheap
+# driver pass — at 195k postings (hot two-term query, 246k docs) exhaustive
+# decode still wins by ~0.6 s. Decode cost grows linearly with Σdf while
+# the θ cost stays fixed, so the crossover sits near 10^6 postings.
+FIELDED_PRUNE_MIN_POSTINGS = 1_000_000
+
 
 def title_col(text: Column, n_chars: int = 60) -> Column:
     """The reference's title analog for plain text: leading ``n_chars``
@@ -317,10 +325,10 @@ def _fielded_candidate_rows(index: dict, vocab: list[str], sc,
     postings (term_bucket pruning + scope bucket-level block pruning before
     any decode), norm per field in codegen, and restrict to the scope.
     ``prune``: ``(mode, k_eff, k1)`` — when mode is True, or "auto" and the
-    union posting count clears PRUNE_MIN_POSTINGS (the same cost gate as
-    the main path: the θ pre-pass costs extra jobs that only pay for
-    themselves above it), apply exact (term, bucket) block-max pruning
-    (see ``_bm25f_keep_set``) for a top-``k_eff`` query before decode.
+    union posting count clears FIELDED_PRUNE_MIN_POSTINGS (measured cost
+    gate: the per-field θ pre-pass only pays for itself above it), apply
+    exact (term, bucket) block-max pruning (see ``_bm25f_keep_set``) for a
+    top-``k_eff`` query before decode.
 
     Returns ``(allf, idf_of)`` where ``allf`` is (doc_id, term, wtf) rows
     across all fields and ``idf_of`` maps term → field-union idf, or
@@ -380,9 +388,8 @@ def _fielded_candidate_rows(index: dict, vocab: list[str], sc,
         mode, k_eff, k1p = prune
         sum_total = sum(r["df_field"]
                         for _, rows in field_blocks.values() for r in rows)
-        from searchengine_spark.operators.search import PRUNE_MIN_POSTINGS
         do_prune = mode is True or (mode == "auto"
-                                    and sum_total >= PRUNE_MIN_POSTINGS)
+                                    and sum_total >= FIELDED_PRUNE_MIN_POSTINGS)
     if do_prune:
         keep = _bm25f_keep_set(index, field_blocks, idf_of, weights, b,
                                k_eff, k1p, sc=sc)
