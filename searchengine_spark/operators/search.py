@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from searchengine_spark.functions.analysis import analyze_text
 from searchengine_spark.operators.indexer import K1, B
+from searchengine_spark.operators.pcache import pcache_split
 
 PRUNE_THRESHOLD = 0.8  # SearchingServiceImpl.java:278 (`percent < 80` keeps)
 PRUNE_MIN_POSTINGS = 100_000  # auto mode: Σdf below this → exhaustive decode
@@ -339,9 +340,18 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
         return empty
     term_ids = [r["term_id"] for r in trows]
     n_q = len(term_ids)
-    sum_df = sum(r["df"] for r in trows)
     idf_of = {r["term_id"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
               for r in trows}
+
+    # Serving-tier postings cache (operators/pcache.py): hot terms' decoded
+    # (doc_id, tf, dl) rows are persisted per term inside the index dict, so
+    # repeat queries skip the block scan and the Python decode stage for
+    # those terms. Cached terms leave the block pipeline below (scan, WAND,
+    # decode) to the remaining "direct" terms; conjunction arity, idf and
+    # per-term WAND maxima M_t stay over ALL terms.
+    cached, direct_rows = pcache_split(index, trows)
+    direct_ids = [r["term_id"] for r in direct_rows]
+    sum_df_direct = sum(r["df"] for r in direct_rows)
 
     blocks = index["postings"]
     # Saved indexes are hash-partitioned by term_bucket = term_id % B
@@ -351,8 +361,8 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     tb = stats.get("term_buckets")
     if tb and "term_bucket" in blocks.columns:
         blocks = blocks.filter(
-            F.col("term_bucket").isin(sorted({tid % tb for tid in term_ids})))
-    blocks = blocks.filter(F.col("term_id").isin(term_ids))
+            F.col("term_bucket").isin(sorted({tid % tb for tid in direct_ids})))
+    blocks = blocks.filter(F.col("term_id").isin(direct_ids))
     if sc is not None:
         # bucket-level block pruning: bucket = block_id // ceil(range/size)
         # covers doc_ids [bucket*range, (bucket+1)*range) — only buckets
@@ -390,11 +400,19 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
 
     # Cost-based pruning ("auto"): WAND phase 1 costs an extra Spark job
     # (schedule + decode best-block-per-term + shuffle) to SAVE decode work
-    # proportional to Σdf. Below ~PRUNE_MIN_POSTINGS postings the exhaustive
-    # decode is cheaper than the extra round-trip; above it pruning wins and
-    # keeps winning as the corpus grows. True/False force either path.
+    # proportional to Σdf — of the DIRECT terms only: cached terms decode
+    # nothing, so they neither count toward the gate nor get pruned (their
+    # rows are always complete, which the exactness argument permits — see
+    # module docstring: skipping applies per-block to direct terms, with
+    # M_t sums over all terms). Legacy indexes without per-term max columns
+    # need a blocks aggregation for M_t that the cache split no longer
+    # covers, so they skip pruning when any term is cached (exact either
+    # way). True/False force either path.
+    has_m = all((r.get("max_tf") is not None) if stats.get("tf_bounds")
+                else (r.get("max_score") is not None) for r in trows)
     do_prune = (prune_blocks is True or
-                (prune_blocks == "auto" and sum_df >= PRUNE_MIN_POSTINGS))
+                (prune_blocks == "auto" and sum_df_direct >= PRUNE_MIN_POSTINGS)) \
+        and bool(direct_ids) and (has_m or cached is None)
 
     if mode == "bm25" and do_prune and n_q > 0:
         # per-term WAND upper bounds M_t, driver-side from the dictionary's
@@ -470,7 +488,26 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
                           - m_map[F.col("term_id")])
             blocks = blocks.filter(bound_expr >= F.lit(theta))
 
-    decoded = _decode_blocks(blocks, mode == "bm25", n_docs, avgdl, sum_df=sum_df)
+    parts = []
+    if direct_ids:
+        parts.append(_decode_blocks(blocks, mode == "bm25", n_docs, avgdl,
+                                    sum_df=sum_df_direct))
+    if cached is not None:
+        # Score cached rows in codegen with the EXACT operation order of the
+        # numpy decode path (_decode_blocks), so cached and uncached scores
+        # are bit-identical doubles (IEEE-754 ops match when association
+        # matches); ref_compat carries score=0.0 like the decode path.
+        tfd = F.col("tf").cast("double")
+        if mode == "bm25":
+            dld = F.col("dl").cast("double")
+            cscore = (idf_map[F.col("term_id")] * (tfd * F.lit(K1 + 1.0))
+                      / (tfd + F.lit(K1)
+                         * (F.lit(1.0 - B) + (F.lit(B) * dld) / F.lit(avgdl))))
+        else:
+            cscore = F.lit(0.0)
+        parts.append(cached.select("term_id", "doc_id", "tf",
+                                   cscore.alias("score")))
+    decoded = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     if sc is not None:
         decoded = _scope_filter(decoded, sc)
         if mode == "ref_compat":
@@ -978,13 +1015,21 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     nq = F.broadcast(spark.createDataFrame(
         [(qid, len(trows)) for qid, trows in per_q.items()], "query_id string, n_q int"))
 
+    # same serving-tier postings cache as single-query search
+    # (operators/pcache.py): cached hot terms skip the shared block scan and
+    # the decode pass below — they re-enter as already-decoded rows
     term_ids = sorted({tid for _, tid, _ in pairs})
+    uniq_df = {r["term_id"]: int(r["df"])
+               for trows in per_q.values() for r in trows}
+    cached, direct_rows = pcache_split(
+        index, [{"term_id": t, "df": d} for t, d in sorted(uniq_df.items())])
+    direct_ids = [r["term_id"] for r in direct_rows]
     blocks = index["postings"]
     tb = stats.get("term_buckets")
     if tb and "term_bucket" in blocks.columns:
         blocks = blocks.filter(
-            F.col("term_bucket").isin(sorted({tid % tb for tid in term_ids})))
-    blocks = blocks.filter(F.col("term_id").isin(term_ids))
+            F.col("term_bucket").isin(sorted({tid % tb for tid in direct_ids})))
+    blocks = blocks.filter(F.col("term_id").isin(direct_ids))
     if sc is not None:
         # same bucket-level block pruning as single-query scoped search
         br, bs = stats.get("bucket_range"), stats.get("block_size")
@@ -993,11 +1038,18 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
             bcol = F.floor(F.col("block_id") / F.lit(bpb))
             blocks = blocks.filter(bcol.between(sc["lo"] // br, sc["hi"] // br))
 
-    # one decode pass over the union of term_ids (scores attached per query
-    # after the fan-out join, since idf is (query, term)-independent here —
-    # decode emits raw tf, scoring happens JVM-side)
-    uniq_df = {r["term_id"]: r["df"] for trows in per_q.values() for r in trows}
-    decoded = _decode_blocks_with_dl(blocks, sum_df=sum(uniq_df.values()))
+    # one decode pass over the union of the DIRECT term_ids (scores attached
+    # per query after the fan-out join, since idf is (query, term)-dependent
+    # — decode emits raw tf, scoring happens JVM-side); cached terms union
+    # in as already-decoded rows with the identical (term_id, doc_id, tf,
+    # dl) schema, so the scoring code downstream is oblivious to the source
+    if direct_ids:
+        decoded = _decode_blocks_with_dl(
+            blocks, sum_df=sum(r["df"] for r in direct_rows))
+        if cached is not None:
+            decoded = decoded.unionByName(cached)
+    else:
+        decoded = cached
     if sc is not None:
         decoded = _scope_filter(decoded, sc)
         if mode == "ref_compat":

@@ -80,6 +80,12 @@ def upsert_turns(index: dict, delta: DataFrame,
     *insertion-ordered*, not globally (conv_id, turn_idx)-sorted — score
     ties on an upserted index may break differently than on a full rebuild
     of the same corpus. Rebuild-equivalence tests must not rely on tie cases.
+
+    The returned dict starts with a COLD postings cache (operators/pcache.py
+    entries belong to the immutable pre-upsert index, so nothing can go
+    stale); when the old dict is being discarded rather than kept for
+    serving, call ``clear_postings_cache(old_index)`` to unpersist its
+    cached terms instead of leaking them until context shutdown.
     """
     spark = index["docs"].sparkSession
     mode = index.get("mode", "general")
