@@ -355,12 +355,42 @@ def _fielded_candidate_rows(index: dict, vocab: list[str], sc,
     idf_of = {t: float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5)))
               for t, d in df_union.items()}
 
-    # stage 1: per-field filtered block scans (no decode yet)
+    # cost gate first (Σ df over ALL fields' resolved terms): when the
+    # fielded WAND engages, the postings cache stands aside — the keep-set's
+    # Σ M_t bound is derived from the rows passed into _bm25f_keep_set, so
+    # splitting terms out would weaken it incorrectly; the two mechanisms
+    # also chase the same decode work, and above the gate WAND's skip is
+    # the scale path.
+    do_prune = False
+    if prune is not None:
+        mode, k_eff, k1p = prune
+        sum_total = sum(r["df_field"]
+                        for rows in per_field_rows.values() for r in rows)
+        do_prune = mode is True or (mode == "auto"
+                                    and sum_total >= FIELDED_PRUNE_MIN_POSTINGS)
+
+    # stage 1: per-field filtered block scans (no decode yet); without the
+    # WAND, hot terms come from the shared postings cache instead
+    # (operators/pcache.py, entries keyed ("f:<field>", term_id) — one LRU
+    # budget across the main and all field tables)
     field_blocks: dict[str, tuple] = {}
+    field_cached: dict[str, "DataFrame"] = {}
     for name, fl in fields.items():
         rows = per_field_rows[name]
         if not rows:
             continue
+        if not do_prune:
+            from searchengine_spark.operators.pcache import pcache_split
+            cached, direct_min = pcache_split(
+                index, [{"term_id": r["term_id"], "df": int(r["df_field"])}
+                        for r in rows],
+                postings=fl["postings"], ns=f"f:{name}")
+            if cached is not None:
+                field_cached[name] = cached
+            direct_tids = {d["term_id"] for d in direct_min}
+            rows = [r for r in rows if r["term_id"] in direct_tids]
+            if not rows:
+                continue
         tids = [r["term_id"] for r in rows]
         blocks = fl["postings"]
         tb = index["stats"].get("term_buckets")
@@ -380,16 +410,9 @@ def _fielded_candidate_rows(index: dict, vocab: list[str], sc,
                 blocks = blocks.filter(
                     bcol.between(sc["lo"] // br, sc["hi"] // br))
         field_blocks[name] = (blocks, rows)
-    if not field_blocks:
+    if not field_blocks and not field_cached:
         return None, None
 
-    do_prune = False
-    if prune is not None:
-        mode, k_eff, k1p = prune
-        sum_total = sum(r["df_field"]
-                        for _, rows in field_blocks.values() for r in rows)
-        do_prune = mode is True or (mode == "auto"
-                                    and sum_total >= FIELDED_PRUNE_MIN_POSTINGS)
     if do_prune:
         keep = _bm25f_keep_set(index, field_blocks, idf_of, weights, b,
                                k_eff, k1p, sc=sc)
@@ -410,16 +433,26 @@ def _fielded_candidate_rows(index: dict, vocab: list[str], sc,
                           .drop("term", "bucket"))
                 field_blocks[name] = (blocks, rows)
 
-    # stage 2: decode + per-field norm
+    # stage 2: decode + per-field norm (cached terms re-enter here as
+    # already-decoded rows with the identical (term_id, doc_id, tf, dl)
+    # schema — the norm/blend below is oblivious to the source)
     parts = []
-    for name, (blocks, rows) in field_blocks.items():
+    for name in {*field_blocks, *field_cached}:
         fl = fields[name]
-        dec = _decode_field_blocks(
-            blocks, sum_df=sum(r["df_field"] for r in rows))
+        decs = []
+        if name in field_blocks:
+            blocks, rows = field_blocks[name]
+            decs.append(_decode_field_blocks(
+                blocks, sum_df=sum(r["df_field"] for r in rows)))
+        if name in field_cached:
+            decs.append(field_cached[name])
+        dec = decs[0] if len(decs) == 1 else decs[0].unionByName(decs[1])
         # term string as a literal map (|q| entries inline into codegen) —
-        # no per-query createDataFrame or broadcast exchange
+        # no per-query createDataFrame or broadcast exchange; built over the
+        # field's FULL resolved rows (direct + cached)
         term_map = F.create_map(
-            *[x for r in rows for x in (F.lit(r["term_id"]), F.lit(r["term"]))])
+            *[x for r in per_field_rows[name]
+              for x in (F.lit(r["term_id"]), F.lit(r["term"]))])
         avgdl = max(fl["avgdl"], 1e-9)
         bf, wf = float(b[name]), float(weights.get(name, 1.0))
         tf_norm = (F.col("tf").cast("double")

@@ -44,17 +44,16 @@ PCACHE_MIN_DF = 20_000    # don't cache long-tail terms (decode is 1 small task)
 PCACHE_MAX_ROWS = 5_000_000  # LRU budget in decoded postings across all terms
 
 
-def _term_blocks(index: dict, term_id: int) -> DataFrame:
-    """This term's posting blocks, partition-pruned by term_bucket first
+def _term_blocks(postings: DataFrame, tb, term_id: int) -> DataFrame:
+    """One term's posting blocks, partition-pruned by term_bucket first
     (same scan shape as the query path: ≤1 of B directories touched)."""
-    blocks = index["postings"]
-    tb = index["stats"].get("term_buckets")
-    if tb and "term_bucket" in blocks.columns:
-        blocks = blocks.filter(F.col("term_bucket") == term_id % tb)
-    return blocks.filter(F.col("term_id") == term_id)
+    if tb and "term_bucket" in postings.columns:
+        postings = postings.filter(F.col("term_bucket") == term_id % tb)
+    return postings.filter(F.col("term_id") == term_id)
 
 
-def pcache_split(index: dict, trows: list[dict]):
+def pcache_split(index: dict, trows: list[dict],
+                 postings: "DataFrame | None" = None, ns: str = ""):
     """Split resolved dictionary rows into (cached, direct_rows).
 
     ``cached`` is one DataFrame of decoded (term_id, doc_id, tf, dl) rows —
@@ -62,31 +61,39 @@ def pcache_split(index: dict, trows: list[dict]):
     term in ``trows`` (populating misses) — or None when no term is
     eligible. ``direct_rows`` are the dictionary rows the caller must still
     decode through the normal block path.
+
+    ``postings``/``ns`` let other posting tables of the SAME index share
+    the one LRU budget: the fielded path passes each field's postings with
+    ``ns="f:<field>"`` (term_id spaces are per-field, so entries are keyed
+    (ns, term_id)). All tables use the same block codec, so the decode is
+    shared.
     """
     cache = index.setdefault("_pcache", {"entries": OrderedDict(), "rows": 0})
     entries: OrderedDict = cache["entries"]
-    hit_ids, direct = [], []
+    src = postings if postings is not None else index["postings"]
+    tb = index["stats"].get("term_buckets")
+    hit_keys, direct = [], []
     for r in trows:
         df_ = int(r["df"])
         if df_ < PCACHE_MIN_DF or df_ > PCACHE_MAX_ROWS:
             direct.append(r)
             continue
-        tid = r["term_id"]
-        if tid in entries:
-            entries.move_to_end(tid)
+        key = (ns, r["term_id"])
+        if key in entries:
+            entries.move_to_end(key)
         else:
             from searchengine_spark.operators.search import _decode_blocks_with_dl
-            dec = _decode_blocks_with_dl(_term_blocks(index, tid),
+            dec = _decode_blocks_with_dl(_term_blocks(src, tb, r["term_id"]),
                                          sum_df=df_).persist()
-            entries[tid] = {"df": dec, "rows": df_}
+            entries[key] = {"df": dec, "rows": df_}
             cache["rows"] += df_
-        hit_ids.append(tid)
+        hit_keys.append(key)
     # LRU eviction down to budget; the running query's terms are pinned (a
     # query whose own terms exceed the budget runs over-budget once and is
     # trimmed by the next query).
-    in_use = set(hit_ids)
+    in_use = set(hit_keys)
     while cache["rows"] > PCACHE_MAX_ROWS:
-        victim = next((t for t in entries if t not in in_use), None)
+        victim = next((k for k in entries if k not in in_use), None)
         if victim is None:
             break
         ent = entries.pop(victim)
@@ -95,11 +102,11 @@ def pcache_split(index: dict, trows: list[dict]):
             ent["df"].unpersist()
         except Exception:  # noqa: BLE001 — a dead SparkContext is fine here
             pass
-    if not hit_ids:
+    if not hit_keys:
         return None, direct
-    out = entries[hit_ids[0]]["df"]
-    for tid in hit_ids[1:]:
-        out = out.unionByName(entries[tid]["df"])
+    out = entries[hit_keys[0]]["df"]
+    for key in hit_keys[1:]:
+        out = out.unionByName(entries[key]["df"])
     return out, direct
 
 

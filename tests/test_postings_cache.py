@@ -111,18 +111,52 @@ def test_lru_eviction_and_pinning(cold, monkeypatch):
     assert c1 is not None and d1 == []
     pcache_split(index, [{"term_id": 902, "df": 8}])
     ents = index["_pcache"]["entries"]
-    assert list(ents) == [902]  # 901 evicted (LRU); 902 pinned by its query
+    assert list(ents) == [("", 902)]  # 901 evicted (LRU); 902 pinned
     assert index["_pcache"]["rows"] == 8
     # a single query exceeding the budget runs over budget: both its terms
     # are pinned (902 evicted), trimming happens on the NEXT query
     pcache_split(index, [{"term_id": 903, "df": 8}, {"term_id": 904, "df": 8}])
-    assert list(index["_pcache"]["entries"]) == [903, 904]
+    assert list(index["_pcache"]["entries"]) == [("", 903), ("", 904)]
     assert index["_pcache"]["rows"] == 16
     # a term bigger than the whole budget is never cached
     c4, d4 = pcache_split(index, [{"term_id": 905, "df": 99}])
     assert c4 is None and [r["term_id"] for r in d4] == [905]
     # ...and that next query trims the over-budget leftovers it doesn't use
     assert index["_pcache"]["rows"] <= 10
+
+
+def test_fielded_cache_parity(spark, monkeypatch):
+    """bm25f_search with every field term cached == cache-bypassed, exactly
+    (fielded scoring is JVM-side either way, so rows are identical by
+    construction); entries are namespaced per field."""
+    import pandas as pd
+
+    from searchengine_spark.operators.fielded import bm25f_search, build_fielded_index
+
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    docs = ["merge conflict in the scan tool", "scan the merge output twice",
+            "gardens and weather", "merge merge merge storms"]
+    rows = [(f"c{i:03d}", 0, "user", t, None, "2026-01-01 00:00:00")
+            for i, t in enumerate(docs)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
+                                      "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    findex = build_fielded_index(spark.createDataFrame(pdf, schema=schema),
+                                 mode="general")
+    try:
+        monkeypatch.setattr(PC, "PCACHE_MIN_DF", 10**9)
+        base = _rows(bm25f_search(findex, "merge scan", k=4))
+        monkeypatch.setattr(PC, "PCACHE_MIN_DF", 1)
+        populating = _rows(bm25f_search(findex, "merge scan", k=4))
+        hitting = _rows(bm25f_search(findex, "merge scan", k=4))
+        assert populating == base
+        assert hitting == base
+        nss = {k[0] for k in findex["_pcache"]["entries"]}
+        assert nss and all(ns.startswith("f:") for ns in nss)
+    finally:
+        clear_postings_cache(findex)
 
 
 def test_search_many_uses_cache(cold, monkeypatch):
