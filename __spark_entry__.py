@@ -126,6 +126,30 @@ def _q_bm25_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+NOT_T = "hash"  # NOT-clause term (mid-frequency in the documents corpus)
+
+
+def _q_bm25_not_topk(spark, sf_dir):
+    """NOT clause: BM25 top-k for the standard query excluding docs that
+    contain NOT_T — one anti-join over the excluded term's postings; WAND θ
+    comes from post-exclusion candidates so pruning stays exact."""
+    from searchengine_spark.operators.search import search
+    index = _index_for(spark, sf_dir)
+    hits = search(index, " ".join(BM25_Q), k=K, mode="bm25", exclude=NOT_T)
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_facets(spark, sf_dir):
+    """Facet counts over the query's FULL match set (match=any): matching
+    docs grouped by doc_id's last digit — a 10-way facet over this corpus's
+    otherwise-degenerate metadata (role/tool facets are exercised in pytest
+    on the transcript fixtures)."""
+    from searchengine_spark.operators.search import search_facets
+    index = _index_for(spark, sf_dir)
+    return search_facets(index, " ".join(BM25_Q),
+                         by=F.substring(F.col("conv_id"), 11, 1))
+
+
 def _q_bm25_page2(spark, sf_dir):
     """Q11 pagination: second page (offset=K) of the BM25 ranking."""
     from searchengine_spark.operators.search import search
@@ -665,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_conjunctive_and": _q_conjunctive_and,
         "q7_ref_topk": _q_ref_topk,
         "q7_bm25_topk": _q_bm25_topk,
+        "q_bm25_not_topk": _q_bm25_not_topk,
+        "q_facets": _q_facets,
         "q9_metadata_projection": _q_metadata_projection,
         "q10_snippets": _q_snippets,
         "q11_bm25_page2": _q_bm25_page2,
@@ -745,12 +771,19 @@ def _jaccard_truth_sql(id_cap: int, threshold: float) -> str:
         where inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {threshold}"""
 
 
-def _bm25_sql(terms: list[str], k: int, offset: int = 0, scope: str = "") -> str:
+def _bm25_sql(terms: list[str], k: int, offset: int = 0, scope: str = "",
+              exclude: "list[str] | None" = None) -> str:
     """BM25 oracle; ``scope`` is an extra predicate on tf.doc_id (candidates
     scoped, idf/avgdl stay corpus-wide — the engine's filtered-search
-    semantics for ``search(..., scope=)``)."""
+    semantics for ``search(..., scope=)``); ``exclude`` models the NOT
+    clause (drop docs containing ANY excluded term)."""
     tl = ", ".join(f"'{t}'" for t in terms)
     sc = f" and {scope}" if scope else ""
+    xc = ""
+    if exclude:
+        xl = ", ".join(f"'{t}'" for t in exclude)
+        xc = (f" and tf.doc_id not in "
+              f"(select doc_id from tf where term in ({xl}))")
     return f"""
 with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
 stats as (select count(*) as n, avg(dl) as avgdl from dl),
@@ -759,7 +792,7 @@ scored as (
          sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
               * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
   from tf join dfv using (term) join dl using (doc_id) cross join stats
-  where tf.term in ({tl}){sc}
+  where tf.term in ({tl}){sc}{xc}
   group by tf.doc_id)
 select doc_id, round(s, 6) as score from scored
 order by round(s, 9) desc, doc_id asc limit {k} offset {offset}
@@ -887,6 +920,14 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, round(tf_sum / (select max(tf_sum) from m), 6) as score
             from m order by tf_sum desc, doc_id asc limit {K}""",
         "q7_bm25_topk": _bm25_sql(BM25_Q, K),
+        "q_bm25_not_topk": _bm25_sql(BM25_Q, K, exclude=[NOT_T]),
+        "q_facets": f"""
+            with tf as ({_TF}),
+            m as (select distinct doc_id from tf
+                  where term in ({", ".join(f"'{t}'" for t in BM25_Q)}))
+            select cast(doc_id % 10 as varchar) as facet,
+                   cast(count(*) as bigint) as n_docs
+            from m group by 1""",
         "q11_bm25_page2": _bm25_sql(BM25_Q, K, offset=K),
         # scoped search: SCOPE_PREFIX 'doc000001' ≡ doc_id in [100, 199]
         "q2_scoped_bm25_topk": _bm25_sql(

@@ -134,7 +134,8 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
     queries["fielded_index_build"] = round(time.time() - t0, 3)
     table_ops = ["t2_t5_tokenize_tf", "a1_term_df", "q6_conjunctive_and",
                  "q_bm25f_topk", "q_bm25f_scoped", "q_batched_scoped",
-                 "q7_bm25_topk", "q2_scoped_bm25_topk", "q_phrase_topk",
+                 "q7_bm25_topk", "q_bm25_not_topk", "q_facets",
+                 "q2_scoped_bm25_topk", "q_phrase_topk",
                  "q_batched_phrase",
                  "a3_statistics_per_collection",
                  "dedup_exact", "dedup_minhash_lsh",
@@ -155,7 +156,8 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
     for name in table_ops:
         t0 = time.time()
         df = bench_fns[name](spark, sf_dir)
-        df.count() if name not in ("q7_bm25_topk", "sim_cosine_topk",
+        df.count() if name not in ("q7_bm25_topk", "q_bm25_not_topk",
+                                   "sim_cosine_topk",
                                    "q2_scoped_bm25_topk", "q_phrase_topk") else df.collect()
         queries[name] = round(time.time() - t0, 3)
 

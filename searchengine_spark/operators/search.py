@@ -292,9 +292,67 @@ def _scope_filter(decoded: DataFrame, sc: dict) -> DataFrame:
     return decoded.join(sel, "doc_id", "left_semi")
 
 
+def _excluded_doc_ids(index: dict, xrows: list, sc) -> DataFrame:
+    """NOT-term doc set: decode the excluded terms' postings down to one
+    distinct ``doc_id`` column. Hot excluded terms come from the shared
+    postings cache; the rest go through the same bucket-pruned block scan
+    as query terms (scope bucket pruning applies — exclusions outside the
+    scope can't affect in-scope candidates). Persisted because WAND phase 1
+    and the final anti-join both consume it; released by
+    ``release_query_caches`` at the next query."""
+    stats = index["stats"]
+    cached, direct = pcache_split(index, xrows)
+    parts = []
+    if cached is not None:
+        parts.append(cached.select("doc_id"))
+    if direct:
+        ids = [r["term_id"] for r in direct]
+        blocks = index["postings"]
+        tb = stats.get("term_buckets")
+        if tb and "term_bucket" in blocks.columns:
+            blocks = blocks.filter(
+                F.col("term_bucket").isin(sorted({t % tb for t in ids})))
+        blocks = blocks.filter(F.col("term_id").isin(ids))
+        if sc is not None:
+            br, bs = stats.get("bucket_range"), stats.get("block_size")
+            if br and bs:
+                bpb = -(-br // bs)
+                bcol = F.floor(F.col("block_id") / F.lit(bpb))
+                blocks = blocks.filter(
+                    bcol.between(sc["lo"] // br, sc["hi"] // br))
+        dec = _decode_blocks(blocks, False, stats["n_docs"], stats["avgdl"],
+                             sum_df=sum(r["df"] for r in direct))
+        parts.append(dec.select("doc_id"))
+    out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    out = out.distinct().persist()
+    index.setdefault("_query_persists", []).append(out)
+    return out
+
+
+def _resolve_exclusions(index: dict, exclude: "str | None", sc):
+    """Analyze + resolve a NOT clause to its doc-id set (or None).
+
+    Excluded terms use plain dictionary resolution — never the ref_compat
+    80%-df prune: excluding a very common term is exactly when a user
+    reaches for NOT."""
+    if exclude is None:
+        return None
+    xterms = _query_terms(exclude, index.get("mode", "general"),
+                          index.get("dictionary", "fixture"))
+    if not xterms:
+        return None
+    xrows = _resolve_terms_driver(index, xterms, "bm25")
+    if xrows is None:
+        xrows = _resolve_terms_paged(index, xterms, "bm25")
+    if not xrows:
+        return None  # absent terms exclude nothing
+    return _excluded_doc_ids(index, xrows, sc)
+
+
 def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
            prune_blocks: "bool | str" = "auto", with_snippets: bool = False,
-           offset: int = 0, scope=None, with_titles: bool = False) -> DataFrame:
+           offset: int = 0, scope=None, with_titles: bool = False,
+           exclude: "str | None" = None) -> DataFrame:
     """Top-k search over a built index; returns DataFrame
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, snippet]).
 
@@ -311,7 +369,18 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     mode — the 80%-df prune all evaluate WITHIN the scope (the reference's
     per-site lemma frequency), while BM25 idf/avgdl stay index-wide (the
     standard filtered-search semantics). Scoped doc ranges prune whole
-    posting buckets before any decode."""
+    posting buckets before any decode.
+
+    ``exclude`` is a NOT clause (no reference analog — its query language
+    is terms-only): docs containing ANY excluded term are removed from the
+    candidates via one anti-join; excluded terms run through the same
+    analysis chain as the query but are never df-pruned. Corpus-level
+    statistics (idf, the df prunes) are computed before the exclusion —
+    NOT filters candidates, it doesn't reweight terms — while result-set
+    relative scores (ref_compat's tf-sum / max) normalize over the
+    SURVIVING matches. Block-max pruning stays exact: θ must lower-bound
+    the kth surviving score, so with exclusions phase 1 runs distributed
+    with the same anti-join applied to its candidates."""
     spark = index["docs"].sparkSession
     release_query_caches(index)  # scoped caches from PREVIOUS queries
     stats = index["stats"]
@@ -352,6 +421,8 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     cached, direct_rows = pcache_split(index, trows)
     direct_ids = [r["term_id"] for r in direct_rows]
     sum_df_direct = sum(r["df"] for r in direct_rows)
+
+    excl = _resolve_exclusions(index, exclude, sc)
 
     blocks = index["postings"]
     # Saved indexes are hash-partitioned by term_bucket = term_id % B
@@ -442,8 +513,10 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
         # no second groupBy stage — and computes θ driver-side with the same
         # numpy codec + BM25 formula the executors use. Non-contiguous scopes
         # need the scope's doc SET to filter θ candidates, so they keep the
-        # distributed phase 1.
-        driver_p1 = sc is None or sc.get("contiguous")
+        # distributed phase 1 — as do exclusions (θ from a doc that the
+        # anti-join later removes would overestimate the kth surviving
+        # score, making skips unsound).
+        driver_p1 = (sc is None or sc.get("contiguous")) and excl is None
         if driver_p1:
             best = blocks.groupBy("term_id").agg(F.max_by(
                 F.struct("first_doc_id", "n", "doc_deltas", "tfs", "dls"),
@@ -476,7 +549,10 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
             top_blocks = blocks.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r")
             p1_dec = _decode_blocks(top_blocks, True, n_docs, avgdl,
                                     sum_df=n_q * stats.get("block_size", 128))
-            p1_dec = _scope_filter(p1_dec, sc)
+            if sc is not None:
+                p1_dec = _scope_filter(p1_dec, sc)
+            if excl is not None:
+                p1_dec = p1_dec.join(excl, "doc_id", "left_anti")
             p1 = p1_dec.groupBy("doc_id").agg(F.sum("score").alias("score")) \
                 .orderBy(F.col("score").desc()).limit(k_eff).collect()
             theta = min(r["score"] for r in p1) if len(p1) >= k_eff else 0.0
@@ -530,6 +606,11 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
             if len(kept) < n_q:
                 decoded = decoded.filter(F.col("term_id").isin(kept))
                 n_q = len(kept)
+    if excl is not None:
+        # NOT clause: one anti-join removes every doc containing an excluded
+        # term; downstream (conjunction arity, tf-sum max normalization,
+        # top-k) sees only survivors.
+        decoded = decoded.join(excl, "doc_id", "left_anti")
     agg = decoded.groupBy("doc_id").agg(
         F.count("*").alias("nt"), F.sum("tf").alias("tf_sum"), F.sum("score").alias("bm25"))
 
@@ -574,6 +655,91 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
             snippet_col(F.col("text"), query, index.get("mode", "general"),
                         index.get("dictionary", "fixture"))).drop("text")
     return out
+
+
+def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
+                  scope=None, exclude: "str | None" = None,
+                  require_all: "bool | None" = None) -> DataFrame:
+    """Facet counts over the query's FULL match set (no top-k): how many
+    matching docs per value of a docs-table attribute — the aggregation
+    panel every search UI renders next to the hit list. No reference
+    analog (its API returns flat hits only,
+    reference: controllers/ApiController.java:55-58); this is the standard
+    extension a transcript corpus needs (matches by role, by tool, by
+    conversation prefix).
+
+    ``by`` is a docs column name or a Column expression over the docs
+    table; the facet value is cast to string for a stable output schema.
+    ``require_all`` True demands ALL query terms per doc (Q6 semantics);
+    default follows the mode (ref_compat → all, bm25 → any).
+    ``scope``/``exclude`` compose exactly as in ``search``. Terms resolve
+    under the mode's GLOBAL dictionary rules (ref_compat's 80%-df prune
+    included; the per-scope df variant is a ``search``-only refinement).
+    Returns (facet, n_docs) ordered by n_docs desc, facet asc.
+
+    Plan shape: the same bucket-pruned block scan + single decode pass as
+    ``search`` (counting needs every matching posting, so there is no WAND
+    phase — this is a count query, not a top-k), a doc-level arity agg, an
+    anti-join for NOT, then one join to docs for the facet attribute and a
+    narrow groupBy(facet) count. Shuffle count is fixed (doc agg + facet
+    agg + one join) regardless of corpus size."""
+    spark = index["docs"].sparkSession
+    release_query_caches(index)
+    stats = index["stats"]
+    qterms = _query_terms(query, index.get("mode", "general"),
+                          index.get("dictionary", "fixture"))
+    empty = spark.createDataFrame([], "facet string, n_docs long")
+    if not qterms:
+        return empty
+    sc = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc is None:
+        return empty
+    trows = _resolve_terms_driver(index, qterms, mode)
+    if trows is None:
+        trows = _resolve_terms_paged(index, qterms, mode)
+    if len(trows) == 0:
+        return empty
+    n_q = len(trows)
+
+    cached, direct_rows = pcache_split(index, trows)
+    direct_ids = [r["term_id"] for r in direct_rows]
+    excl = _resolve_exclusions(index, exclude, sc)
+
+    parts = []
+    if direct_ids:
+        blocks = index["postings"]
+        tb = stats.get("term_buckets")
+        if tb and "term_bucket" in blocks.columns:
+            blocks = blocks.filter(F.col("term_bucket").isin(
+                sorted({tid % tb for tid in direct_ids})))
+        blocks = blocks.filter(F.col("term_id").isin(direct_ids))
+        if sc is not None:
+            br, bs = stats.get("bucket_range"), stats.get("block_size")
+            if br and bs:
+                bpb = -(-br // bs)
+                bcol = F.floor(F.col("block_id") / F.lit(bpb))
+                blocks = blocks.filter(
+                    bcol.between(sc["lo"] // br, sc["hi"] // br))
+        dec = _decode_blocks(blocks, False, stats["n_docs"], stats["avgdl"],
+                             sum_df=sum(r["df"] for r in direct_rows))
+        parts.append(dec.select("term_id", "doc_id"))
+    if cached is not None:
+        parts.append(cached.select("term_id", "doc_id"))
+    decoded = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    if sc is not None:
+        decoded = _scope_filter(decoded, sc)
+    if excl is not None:
+        decoded = decoded.join(excl, "doc_id", "left_anti")
+    agg = decoded.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    req_all = require_all if require_all is not None else (mode == "ref_compat")
+    if req_all:
+        agg = agg.filter(F.col("nt") == F.lit(n_q))
+    facet_col = F.col(by) if isinstance(by, str) else by
+    docs_f = index["docs"].select(
+        "doc_id", facet_col.cast("string").alias("facet"))
+    return (docs_f.join(agg.select("doc_id"), "doc_id")
+            .groupBy("facet").agg(F.count("*").alias("n_docs"))
+            .orderBy(F.col("n_docs").desc(), F.col("facet").asc()))
 
 
 def _resolve_ids_dfs(index: dict, vocab) -> "tuple[dict, dict]":
