@@ -254,6 +254,19 @@ def _q_batched_bm25(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+def _q_batched_not(spark, sf_dir):
+    """Batched NOT clause: per-query exclusions ride the shared decode pass
+    and one (query_id, doc_id) anti-join — rows identical to per-query
+    search(..., exclude=)."""
+    from searchengine_spark.operators.search import search_many
+    index = _index_for(spark, sf_dir)
+    out = search_many(index, {"qa": " ".join(BM25_Q), "qb": " ".join(BATCH_Q2)},
+                      k=K, mode="bm25",
+                      exclude={"qa": NOT_T, "qb": "merge"})
+    return out.select("query_id", _orig_doc_id(),
+                      F.round("score", 6).alias("score"))
+
+
 def _q_batched_scoped(spark, sf_dir):
     """Batched top-k restricted to one collection scope (query-log replay
     over the reference's per-site search): one decode pass for both queries,
@@ -307,6 +320,20 @@ def _q_bm25f_scoped(spark, sf_dir):
             _docs_as_transcripts(spark, sf_dir), mode="general")
     hits = bm25f_search(_INDEX_CACHE[key], " ".join(BM25_Q), k=K,
                         scope="doc000000")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_bm25f_not(spark, sf_dir):
+    """Fielded NOT clause: BM25F top-k excluding docs that contain NOT_T in
+    ANY field (title nests inside body in this layout, so the oracle's
+    body-token check is the exact any-field condition)."""
+    from searchengine_spark.operators.fielded import bm25f_search, build_fielded_index
+    key = (sf_dir, "fielded")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_fielded_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general")
+    hits = bm25f_search(_INDEX_CACHE[key], " ".join(BM25_Q), k=K,
+                        exclude=NOT_T)
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
@@ -701,9 +728,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_near_topk": _q_near_topk,
         "q_batched_near": _q_batched_near,
         "q_batched_bm25": _q_batched_bm25,
+        "q_batched_not": _q_batched_not,
         "q_batched_scoped": _q_batched_scoped,
         "q_bm25f_topk": _q_bm25f_topk,
         "q_bm25f_scoped": _q_bm25f_scoped,
+        "q_bm25f_not": _q_bm25f_not,
         "q_batched_bm25f": _q_batched_bm25f,
         "s6_upsert_term_df": _q_upsert_term_df,
         "s6_upsert_fielded_df": _q_upsert_fielded_df,
@@ -959,6 +988,12 @@ def oracle_sql() -> dict[str, str]:
             select 'qa' as query_id, doc_id, score from a
             union all
             select 'qb' as query_id, doc_id, score from b""",
+        "q_batched_not": f"""
+            with a as ({_bm25_sql(BM25_Q, K, exclude=[NOT_T])}),
+                 b as ({_bm25_sql(BATCH_Q2, K, exclude=["merge"])})
+            select 'qa' as query_id, doc_id, score from a
+            union all
+            select 'qb' as query_id, doc_id, score from b""",
         "q_batched_scoped": f"""
             with a as ({_bm25_sql(BM25_Q, K, scope="tf.doc_id between 100 and 199")}),
                  b as ({_bm25_sql(BATCH_Q2, K, scope="tf.doc_id between 100 and 199")})
@@ -969,6 +1004,10 @@ def oracle_sql() -> dict[str, str]:
         # fielded scoping: conv prefix 'doc000000' == doc_id 0..99
         "q_bm25f_scoped": _bm25f_sql(list(BM25_Q), K,
                                      where="doc_id between 0 and 99"),
+        "q_bm25f_not": _bm25f_sql(
+            list(BM25_Q), K,
+            where=f"doc_id not in (select doc_id from tb "
+                  f"where term = '{NOT_T}')"),
         "q_batched_bm25f": f"""
             with a as ({_bm25f_sql(list(BM25_Q), K)}),
                  b as ({_bm25f_sql(list(BATCH_Q2), K)})

@@ -485,12 +485,64 @@ def _blend_and_saturate(allf: DataFrame, idf_of: dict[str, float],
                         / (F.lit(float(k1)) + F.col("s"))))
 
 
+def _fielded_excluded_docs(index: dict, exclude: str, sc) -> "DataFrame | None":
+    """NOT-term doc set over ALL fields: a doc is banned when ANY field
+    contains an excluded term. Hot terms come from the shared postings
+    cache (per-field namespaces); the rest decode through the same
+    bucket-pruned scan as query terms. Persisted (two consumers would be
+    possible; released by ``release_query_caches`` at the next query)."""
+    from searchengine_spark.operators.pcache import pcache_split
+    from searchengine_spark.operators.search import _query_terms
+    xterms = _query_terms(exclude, index.get("mode", "general"),
+                          index.get("dictionary", "fixture"))
+    if not xterms:
+        return None
+    stats = index["stats"]
+    parts = []
+    for name, fl in index["fields"].items():
+        rows = fl["terms"].filter(F.col("term").isin(xterms)).collect()
+        if not rows:
+            continue
+        cached, direct = pcache_split(
+            index, [{"term_id": r["term_id"], "df": int(r["df_field"])}
+                    for r in rows],
+            postings=fl["postings"], ns=f"f:{name}")
+        if cached is not None:
+            parts.append(cached.select("doc_id"))
+        if direct:
+            tids = sorted(d["term_id"] for d in direct)
+            blocks = fl["postings"]
+            tb = stats.get("term_buckets")
+            if tb and "term_bucket" in blocks.columns:
+                blocks = blocks.filter(
+                    F.col("term_bucket").isin(sorted({t % tb for t in tids})))
+            blocks = blocks.filter(F.col("term_id").isin(tids))
+            if sc is not None:
+                br, bs = stats.get("bucket_range"), stats.get("block_size")
+                if br and bs:
+                    bpb = -(-br // bs)
+                    bcol = F.floor(F.col("block_id") / F.lit(bpb))
+                    blocks = blocks.filter(
+                        bcol.between(sc["lo"] // br, sc["hi"] // br))
+            dec = _decode_field_blocks(
+                blocks, sum_df=sum(int(d["df"]) for d in direct))
+            parts.append(dec.select("doc_id"))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out = out.distinct().persist()
+    index.setdefault("_query_persists", []).append(out)
+    return out
+
+
 def bm25f_search(index: dict, query: str, k: int = 10,
                  weights: dict[str, float] | None = None,
                  b: dict[str, float] | None = None,
                  k1: float = K1, scope=None,
                  prune_blocks: "bool | str" = "auto",
-                 offset: int = 0) -> DataFrame:
+                 offset: int = 0, exclude: "str | None" = None) -> DataFrame:
     """BM25F top-k over a fielded index. Returns
     (doc_id, conv_id, turn_idx, role, tool, ts, score).
 
@@ -515,10 +567,19 @@ def bm25f_search(index: dict, query: str, k: int = 10,
     ``search(..., scope=)`` in BM25 mode. Conv-prefix scopes are contiguous
     doc_id ranges (dense ids in (conv_id, turn_idx) order), so the filter is
     a codegen range check plus bucket-level block pruning BEFORE any decode;
-    arbitrary predicates fall back to a semi-join (broadcast when small)."""
-    from searchengine_spark.operators.search import (
-        _query_terms, _ord, _scope_info)
+    arbitrary predicates fall back to a semi-join (broadcast when small).
 
+    ``exclude`` is the NOT clause (same semantics as ``search(...,
+    exclude=)``): docs containing an excluded term in ANY field are
+    anti-joined out before the top-k. A NOT clause disables the fielded
+    WAND (θ derived from a doc the anti-join later removes would
+    overestimate the kth surviving score — the main path re-derives θ
+    post-exclusion, the fielded pre-pass cannot), so NOT queries take the
+    exhaustive decode; they stay rank-identical to manual filtering."""
+    from searchengine_spark.operators.search import (
+        _query_terms, _ord, _scope_info, release_query_caches)
+
+    release_query_caches(index)  # NOT-clause persists from PREVIOUS queries
     spark = index["docs"].sparkSession
     fields = index["fields"]
     if weights is None:
@@ -536,14 +597,19 @@ def bm25f_search(index: dict, query: str, k: int = 10,
     if scope is not None and sc is None:
         return empty
 
+    excl = (_fielded_excluded_docs(index, exclude, sc)
+            if exclude is not None else None)
     k_eff = offset + k  # pagination retrieves offset+k winners, slices after
-    prune = None if prune_blocks is False else (prune_blocks, k_eff, k1)
+    prune = (None if (prune_blocks is False or excl is not None)
+             else (prune_blocks, k_eff, k1))
     allf, idf_of = _fielded_candidate_rows(index, qterms, sc, weights, b,
                                            prune=prune)
     if allf is None:
         return empty
     blended = _blend_and_saturate(allf, idf_of, k1)
     scored = blended.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    if excl is not None:
+        scored = scored.join(excl, "doc_id", "left_anti")
     topk = scored.orderBy(_ord(), F.col("doc_id").asc()).limit(k_eff)
     if offset:
         from pyspark.sql import Window

@@ -1113,7 +1113,8 @@ def _decode_positions(index: dict, term_ids: list[int], sc=None,
 
 def search_many(index: dict, queries: dict[str, str], k: int = 10,
                 mode: str = "bm25", scope=None,
-                with_snippets: bool = False, offset: int = 0) -> DataFrame:
+                with_snippets: bool = False, offset: int = 0,
+                exclude: "dict[str, str] | str | None" = None) -> DataFrame:
     """Batched top-k: score MANY queries in ONE Spark job.
 
     A single-query search costs ~1 fixed-latency job regardless of data;
@@ -1142,6 +1143,14 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     ``offset`` paginates every query in the batch identically to
     ``search(..., offset=)``: ranks offset+1..offset+k are returned with
     their ABSOLUTE ranks (a query-log replay of page 2 keeps rank 11..20).
+
+    ``exclude`` is the batched NOT clause: a dict (query_id → NOT terms)
+    or one string shared by the whole batch. Excluded terms ride the SAME
+    union decode pass as query terms (no extra scan), then one anti-join
+    on (query_id, doc_id) removes each query's banned docs before ranking
+    — so ref_compat's tf-sum max normalizes over the survivors, matching
+    single-query ``search(..., exclude=)`` row-for-row. Excluded terms are
+    never df-pruned (single-query semantics).
     """
     spark = index["docs"].sparkSession
     release_query_caches(index)
@@ -1181,12 +1190,37 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     nq = F.broadcast(spark.createDataFrame(
         [(qid, len(trows)) for qid, trows in per_q.items()], "query_id string, n_q int"))
 
+    # batched NOT clause: resolve each query's excluded terms (plain
+    # resolution — never df-pruned) into (query_id, term_id) pairs; their
+    # postings join the shared decode union below
+    x_pairs: list[tuple[str, int]] = []
+    x_df: dict[int, int] = {}
+    if exclude is not None:
+        xcl = ({qid: exclude for qid in per_q}
+               if isinstance(exclude, str) else exclude)
+        for qid, xtext in xcl.items():
+            if qid not in per_q:
+                continue
+            xterms = _query_terms(xtext, amode,
+                                  index.get("dictionary", "fixture"))
+            if not xterms:
+                continue
+            xrows = _resolve_terms_driver(index, xterms, "bm25")
+            if xrows is None:
+                xrows = _resolve_terms_paged(index, xterms, "bm25")
+            for r in xrows:
+                x_pairs.append((qid, r["term_id"]))
+                x_df[r["term_id"]] = int(r["df"])
+    xmap = (F.broadcast(spark.createDataFrame(
+        x_pairs, "query_id string, term_id long")) if x_pairs else None)
+
     # same serving-tier postings cache as single-query search
     # (operators/pcache.py): cached hot terms skip the shared block scan and
     # the decode pass below — they re-enter as already-decoded rows
     term_ids = sorted({tid for _, tid, _ in pairs})
     uniq_df = {r["term_id"]: int(r["df"])
                for trows in per_q.values() for r in trows}
+    uniq_df.update({t: d for t, d in x_df.items() if t not in uniq_df})
     cached, direct_rows = pcache_split(
         index, [{"term_id": t, "df": d} for t, d in sorted(uniq_df.items())])
     direct_ids = [r["term_id"] for r in direct_rows]
@@ -1218,6 +1252,12 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
         decoded = cached
     if sc is not None:
         decoded = _scope_filter(decoded, sc)
+    # batched NOT: each query's banned doc set from the shared decode
+    # (excluded-term rows never reach scoring — qmap holds scoring pairs
+    # only; a term excluded by one query can still score another's)
+    banned = (decoded.join(xmap, "term_id").select("query_id", "doc_id")
+              .distinct() if xmap is not None else None)
+    if sc is not None:
         if mode == "ref_compat":
             # per-SCOPE df prune + per-query arity adjustment (the batched
             # analog of single-query scoped ref_compat): one tiny agg job
@@ -1248,6 +1288,9 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
 
     agg = scored.groupBy("query_id", "doc_id").agg(
         F.count("*").alias("nt"), F.sum("tf").alias("tf_sum"), F.sum("s").alias("bm25"))
+    if banned is not None:
+        # before ranking, so ref_compat's max-normalization sees survivors
+        agg = agg.join(banned, ["query_id", "doc_id"], "left_anti")
     w_q = Window.partitionBy("query_id")
     k_tot = int(offset) + k
     if mode == "ref_compat":

@@ -128,6 +128,39 @@ def test_exclude_with_scope(index_general, golden_general):
     _assert_rank_identical(got, expected, "scope+not")
 
 
+def test_search_many_exclude_parity(index_general):
+    """Batched per-query NOT == per-query search(..., exclude=), row for
+    row (the batched contract)."""
+    from searchengine_spark.operators.search import search_many
+    batch = {"a": "лес дом", "b": "ошибка лес"}
+    excl = {"a": "вода", "b": "дом"}
+    out = search_many(index_general, batch, k=K, mode="bm25", exclude=excl)
+    rows = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+            for r in out.collect()}
+    for qid, qtext in batch.items():
+        single = _topk(search(index_general, qtext, k=K, mode="bm25",
+                              exclude=excl[qid]))
+        got = [rows[(qid, i + 1)] for i in range(len(single))]
+        _assert_rank_identical(got, single, ("many-not", qid))
+        assert len([key for key in rows if key[0] == qid]) == len(single)
+
+
+def test_search_many_exclude_shared_ref(index_ref):
+    """One shared NOT string applies to every batch member; ref_compat
+    normalization is over each query's survivors."""
+    from searchengine_spark.operators.search import search_many
+    batch = {"a": "лес дом", "b": "ошибка лес"}
+    out = search_many(index_ref, batch, k=K, mode="ref_compat",
+                      exclude="вода")
+    rows = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+            for r in out.collect()}
+    for qid, qtext in batch.items():
+        single = _topk(search(index_ref, qtext, k=K, mode="ref_compat",
+                              exclude="вода"))
+        got = [rows[(qid, i + 1)] for i in range(len(single))]
+        _assert_rank_identical(got, single, ("many-not-ref", qid))
+
+
 # ---------------------------------------------------------------------------
 # facets
 # ---------------------------------------------------------------------------

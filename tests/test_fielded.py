@@ -216,6 +216,37 @@ def test_bm25f_prune_exact(spark, findex_many):
            [(r["doc_id"], round(r["score"], 9)) for r in ex]
 
 
+def test_bm25f_exclude(spark, findex):
+    """NOT clause == full ranking minus docs containing the excluded term
+    in any field (scores unchanged — NOT filters, it doesn't reweight);
+    an absent NOT term is a no-op."""
+    full = bm25f_search(findex, "merge scan", k=5).collect()
+    # 'nightly' appears in docs 0 and 2 only
+    want = [(r["conv_id"], round(r["score"], 9)) for r in full
+            if int(r["conv_id"][1:]) not in (0, 2)]
+    got = bm25f_search(findex, "merge scan", k=5, exclude="nightly").collect()
+    assert [(r["conv_id"], round(r["score"], 9)) for r in got] == want
+    assert want  # non-vacuous
+    noop = bm25f_search(findex, "merge scan", k=5,
+                        exclude="zzzznotaword").collect()
+    assert [(r["conv_id"], round(r["score"], 9)) for r in noop] == \
+           [(r["conv_id"], round(r["score"], 9)) for r in full]
+
+
+def test_bm25f_exclude_disables_prune_exactly(spark, findex_many):
+    """exclude + forced prune == exclude + exhaustive (a NOT clause turns
+    the fielded WAND off; results must be identical either way)."""
+    a = bm25f_search(findex_many, "merge scan", k=8, prune_blocks=True,
+                     exclude="filler")
+    b = bm25f_search(findex_many, "merge scan", k=8, prune_blocks=False,
+                     exclude="filler")
+    ra = [(r["doc_id"], round(r["score"], 9)) for r in a.collect()]
+    rb = [(r["doc_id"], round(r["score"], 9)) for r in b.collect()]
+    assert ra == rb
+    # only the two hot docs lack 'filler'
+    assert {d for d, _ in ra} == {0, 1}
+
+
 def test_bm25f_prune_actually_skips(spark, findex_many):
     """The keep-set is a STRICT subset of the candidate (term, bucket)
     pairs — pruning does real work, not a no-op."""
