@@ -354,6 +354,24 @@ def _q_batched_bm25f(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+def _q_batched_bm25f_not(spark, sf_dir):
+    """Batched fielded NOT: per-query exclusions ride the same per-field
+    union decode; one (query_id, doc_id) anti-join — rows identical to
+    per-query bm25f_search(..., exclude=)."""
+    from searchengine_spark.operators.fielded import (
+        bm25f_search_many, build_fielded_index)
+    key = (sf_dir, "fielded")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_fielded_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general")
+    out = bm25f_search_many(
+        _INDEX_CACHE[key],
+        {"qa": " ".join(BM25_Q), "qb": " ".join(BATCH_Q2)}, k=K,
+        exclude={"qa": NOT_T, "qb": "merge"})
+    return out.select("query_id", _orig_doc_id(),
+                      F.round("score", 6).alias("score"))
+
+
 def _q_snippets(spark, sf_dir):
     """Q10 snippets: highlighted sentence fragment for each top-k hit."""
     from searchengine_spark.operators.search import search
@@ -734,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25f_scoped": _q_bm25f_scoped,
         "q_bm25f_not": _q_bm25f_not,
         "q_batched_bm25f": _q_batched_bm25f,
+        "q_batched_bm25f_not": _q_batched_bm25f_not,
         "s6_upsert_term_df": _q_upsert_term_df,
         "s6_upsert_fielded_df": _q_upsert_fielded_df,
         "a3_statistics": _q_statistics,
@@ -1011,6 +1030,16 @@ def oracle_sql() -> dict[str, str]:
         "q_batched_bm25f": f"""
             with a as ({_bm25f_sql(list(BM25_Q), K)}),
                  b as ({_bm25f_sql(list(BATCH_Q2), K)})
+            select 'qa' as query_id, doc_id, score from a
+            union all
+            select 'qb' as query_id, doc_id, score from b""",
+        "q_batched_bm25f_not": f"""
+            with a as ({_bm25f_sql(list(BM25_Q), K,
+                        where=f"doc_id not in (select doc_id from tb "
+                              f"where term = '{NOT_T}')")}),
+                 b as ({_bm25f_sql(list(BATCH_Q2), K,
+                        where="doc_id not in (select doc_id from tb "
+                              "where term = 'merge')")})
             select 'qa' as query_id, doc_id, score from a
             union all
             select 'qb' as query_id, doc_id, score from b""",

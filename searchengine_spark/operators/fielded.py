@@ -627,7 +627,8 @@ def bm25f_search(index: dict, query: str, k: int = 10,
 def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       weights: dict[str, float] | None = None,
                       b: dict[str, float] | None = None,
-                      k1: float = K1, scope=None) -> DataFrame:
+                      k1: float = K1, scope=None,
+                      exclude: "dict[str, str] | str | None" = None) -> DataFrame:
     """Batched BM25F: score MANY queries in ONE Spark job (the fielded
     analog of ``search_many`` — a query-log replay otherwise pays one
     fixed-latency job per query).
@@ -639,6 +640,17 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
     many queries shuffles its postings once, not once per query. Rows
     identical to per-query ``bm25f_search``, rank 1..k per query; ``scope``
     is shared by the batch, same semantics as ``bm25f_search(..., scope=)``.
+
+    ``exclude`` is the batched NOT clause (dict query_id → NOT terms, or
+    one string shared by the batch; same any-field ban semantics as
+    ``bm25f_search(..., exclude=)``). Excluded terms join the SAME
+    per-field union decode as query terms — they reach scoring only
+    through the scoring-pairs map, so a term excluded by one query can
+    still score another's — and one anti-join on (query_id, doc_id)
+    removes each query's banned docs before ranking. BM25F has no
+    survivor-dependent normalization, so this is row-identical to
+    per-query ``bm25f_search(..., exclude=)``.
+
     Returns (query_id, rank, doc_id, conv_id, turn_idx, role, tool, ts,
     score)."""
     from searchengine_spark.operators.search import _query_terms, _scope_info
@@ -663,7 +675,21 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
     sc = _scope_info(index, scope) if scope is not None else None
     if scope is not None and sc is None:
         return empty
-    vocab = sorted({t for ts in per_q.values() for t in ts})
+    # batched NOT clause: per-query excluded terms ride the union vocab
+    # (one decode pass per field covers scoring AND exclusion terms)
+    x_of: dict[str, list[str]] = {}
+    if exclude is not None:
+        xcl = ({qid: exclude for qid in per_q}
+               if isinstance(exclude, str) else exclude)
+        for qid, xtext in xcl.items():
+            if qid not in per_q:
+                continue
+            xts = _query_terms(xtext, index.get("mode", "general"),
+                               index.get("dictionary", "fixture"))
+            if xts:
+                x_of[qid] = xts
+    vocab = sorted({t for ts in per_q.values() for t in ts}
+                   | {t for ts in x_of.values() for t in ts})
 
     allf, idf_of = _fielded_candidate_rows(index, vocab, sc, weights, b)
     if allf is None:
@@ -676,6 +702,15 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
     scored = (blended.join(qmap, "term")
               .groupBy("query_id", "doc_id")
               .agg(F.sum("contrib").alias("score")))
+    if x_of:
+        # a blended row exists for every (doc, term) occurrence in any
+        # field (tf ≥ 1 → wtf > 0), so this is the exact any-field ban set
+        xmap = F.broadcast(spark.createDataFrame(
+            sorted({(qid, t) for qid, ts in x_of.items() for t in ts}),
+            "query_id string, term string"))
+        banned = (blended.join(xmap, "term")
+                  .select("query_id", "doc_id").distinct())
+        scored = scored.join(banned, ["query_id", "doc_id"], "left_anti")
     w_q = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
     ranked = (scored.withColumn("rank", F.row_number().over(w_q))

@@ -169,6 +169,35 @@ def test_bm25f_search_many_matches_per_query(spark, findex):
     assert esc  # non-vacuous
 
 
+def test_bm25f_search_many_exclude_parity(spark, findex):
+    """Batched per-query NOT == per-query bm25f_search(..., exclude=) row
+    for row; a term excluded by one query still scores another's; a
+    shared-string NOT applies batch-wide."""
+    from searchengine_spark.operators.fielded import bm25f_search_many
+    batch = {"qa": "merge scan", "qb": "scan nightly"}
+    excl = {"qa": "nightly", "qb": "conflicts"}
+    got = bm25f_search_many(findex, batch, k=5, exclude=excl).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, q in batch.items():
+        exp = bm25f_search(findex, q, k=5, exclude=excl[qid]).collect()
+        rows = by_q.get(qid, [])
+        assert [(r["conv_id"], round(r["score"], 9)) for r in rows] == \
+               [(r["conv_id"], round(r["score"], 9)) for r in exp], qid
+        assert exp  # non-vacuous
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # qa excludes 'nightly' yet qb scores it: qb must still rank docs 0/2
+    assert any(r["conv_id"] in ("c000", "c002") for r in by_q["qb"])
+    # shared NOT string
+    gsh = bm25f_search_many(findex, batch, k=5, exclude="merge").collect()
+    for qid, q in batch.items():
+        exp = bm25f_search(findex, q, k=5, exclude="merge").collect()
+        rows = [r for r in gsh if r["query_id"] == qid]
+        assert [(r["conv_id"], round(r["score"], 9)) for r in rows] == \
+               [(r["conv_id"], round(r["score"], 9)) for r in exp], qid
+
+
 def _mk_many(spark, n=32):
     """Skewed corpus: two short hot docs carry huge tf for both query
     terms; everyone else is a long doc with tf=1 placed past the title
