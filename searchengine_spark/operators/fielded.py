@@ -542,9 +542,18 @@ def bm25f_search(index: dict, query: str, k: int = 10,
                  b: dict[str, float] | None = None,
                  k1: float = K1, scope=None,
                  prune_blocks: "bool | str" = "auto",
-                 offset: int = 0, exclude: "str | None" = None) -> DataFrame:
+                 offset: int = 0, exclude: "str | None" = None,
+                 with_snippets: bool = False,
+                 with_titles: bool = False) -> DataFrame:
     """BM25F top-k over a fielded index. Returns
-    (doc_id, conv_id, turn_idx, role, tool, ts, score).
+    (doc_id, conv_id, turn_idx, role, tool, ts, score[, title][, snippet]).
+
+    ``with_titles`` / ``with_snippets`` mirror the main path's Q9/Q10
+    surface (reference services/SearchingServiceImpl.java:159-169 and the
+    snippet builder): both run over the k winner rows only — the docs text
+    column is joined broadcast-side after the top-k, so the hit list pays
+    one Arrow pass over k rows, never a corpus scan. Snippets expand the
+    query through the index's own dictionary.
 
     ``offset`` paginates like the main path's Q11: retrieve offset+k
     winners (still TakeOrderedAndProject, no global sort), drop the first
@@ -590,7 +599,9 @@ def bm25f_search(index: dict, query: str, k: int = 10,
                           index.get("dictionary", "fixture"))
     empty = spark.createDataFrame(
         [], "doc_id long, conv_id string, turn_idx int, role string, "
-            "tool string, ts timestamp, score double")
+            "tool string, ts timestamp, score double"
+            + (", title string" if with_titles else "")
+            + (", snippet string" if with_snippets else ""))
     if not qterms:
         return empty
     sc = _scope_info(index, scope) if scope is not None else None
@@ -616,19 +627,34 @@ def bm25f_search(index: dict, query: str, k: int = 10,
         w_pg = Window.orderBy(_ord(), F.col("doc_id").asc())
         topk = (topk.withColumn("_rk", F.row_number().over(w_pg))
                 .filter(F.col("_rk") > offset).drop("_rk"))
+    need_text = with_snippets or with_titles
     docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
-                                     "tool", "ts")
-    return (docs_meta.join(F.broadcast(topk), "doc_id")
-            .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-                    "score")
-            .orderBy(_ord(), F.col("doc_id").asc()))
+                                     "tool", "ts",
+                                     *(["text"] if need_text else []))
+    out = (docs_meta.join(F.broadcast(topk), "doc_id")
+           .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                   "score", *(["text"] if need_text else []))
+           .orderBy(_ord(), F.col("doc_id").asc()))
+    if with_titles:
+        from searchengine_spark.functions.text import extract_title
+        out = out.withColumn("title", extract_title(F.col("text")))
+        if not with_snippets:
+            out = out.drop("text")
+    if with_snippets:
+        from searchengine_spark.functions.snippets import snippet_col
+        out = out.withColumn(
+            "snippet",
+            snippet_col(F.col("text"), query, index.get("mode", "general"),
+                        index.get("dictionary", "fixture"))).drop("text")
+    return out
 
 
 def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       weights: dict[str, float] | None = None,
                       b: dict[str, float] | None = None,
                       k1: float = K1, scope=None,
-                      exclude: "dict[str, str] | str | None" = None) -> DataFrame:
+                      exclude: "dict[str, str] | str | None" = None,
+                      with_snippets: bool = False) -> DataFrame:
     """Batched BM25F: score MANY queries in ONE Spark job (the fielded
     analog of ``search_many`` — a query-log replay otherwise pays one
     fixed-latency job per query).
@@ -651,8 +677,12 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
     survivor-dependent normalization, so this is row-identical to
     per-query ``bm25f_search(..., exclude=)``.
 
+    ``with_snippets`` highlights each hit with ITS OWN query's expanded
+    word set in one Arrow pass over the k·|queries| winner rows (same
+    contract as ``search_many(..., with_snippets=)``).
+
     Returns (query_id, rank, doc_id, conv_id, turn_idx, role, tool, ts,
-    score)."""
+    score[, snippet])."""
     from searchengine_spark.operators.search import _query_terms, _scope_info
     from pyspark.sql import Window
 
@@ -665,7 +695,8 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
     empty = spark.createDataFrame(
         [], "query_id string, rank int, doc_id long, conv_id string, "
             "turn_idx int, role string, tool string, ts timestamp, "
-            "score double")
+            "score double"
+            + (", snippet string" if with_snippets else ""))
     per_q = {qid: _query_terms(q, index.get("mode", "general"),
                                index.get("dictionary", "fixture"))
              for qid, q in queries.items()}
@@ -716,11 +747,33 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
     ranked = (scored.withColumn("rank", F.row_number().over(w_q))
               .filter(F.col("rank") <= k))
     docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
-                                     "tool", "ts")
-    return (docs_meta.join(F.broadcast(ranked), "doc_id")
-            .select("query_id", "rank", "doc_id", "conv_id", "turn_idx",
-                    "role", "tool", "ts", "score")
-            .orderBy("query_id", "rank"))
+                                     "tool", "ts",
+                                     *(["text"] if with_snippets else []))
+    out = (docs_meta.join(F.broadcast(ranked), "doc_id")
+           .select("query_id", "rank", "doc_id", "conv_id", "turn_idx",
+                   "role", "tool", "ts", "score",
+                   *(["text"] if with_snippets else []))
+           .orderBy("query_id", "rank"))
+    if with_snippets:
+        # per-query highlight words through the index's dictionary, one
+        # Arrow pass over the k·|queries| winner rows (the main batched
+        # path's exact contract)
+        from searchengine_spark.functions.snippets import (
+            expand_query_words, make_snippet)
+        amode = index.get("mode", "general")
+        dictionary = index.get("dictionary", "fixture")
+        words_of = {qid: expand_query_words(queries[qid], amode, dictionary)
+                    for qid in per_q}
+
+        @F.pandas_udf("string")
+        def snip(texts: pd.Series, qids: pd.Series) -> pd.Series:
+            return pd.Series([make_snippet(t, words_of.get(q, []))
+                              for t, q in zip(texts, qids)])
+
+        out = out.withColumn("snippet",
+                             snip(F.col("text"), F.col("query_id"))) \
+                 .drop("text")
+    return out
 
 
 def save_fielded_index(index: dict, path: str, term_buckets: int = 16) -> None:

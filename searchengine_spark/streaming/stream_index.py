@@ -48,9 +48,15 @@ def _commit_with_batch(root: str, snapshot: str, batch_id: int) -> None:
     os.replace(tmp, os.path.join(root, "CURRENT"))
 
 
-def merge_batch(root: str):
+def merge_batch(root: str, fielded: bool = False, fields=None):
     """foreachBatch callback: MERGE one micro-batch into the CURRENT
-    snapshot, idempotent on replayed batch ids."""
+    snapshot, idempotent on replayed batch ids.
+
+    ``fielded=True`` maintains a BM25F index (fields/<name>/ layout) via
+    ``merge_fielded_into_path``; ``fields`` is the same field-name →
+    text-Column mapping the index was built with (Column exprs are not
+    serializable, so they ride the closure, not the snapshot — the
+    default title/body layout needs no argument)."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         ptr = _pointer(root)
@@ -59,27 +65,35 @@ def merge_batch(root: str):
             return  # checkpoint replay of an already-committed batch
         if batch_df.isEmpty():
             return
-        from searchengine_spark.operators.upsert import merge_into_path
         spark = batch_df.sparkSession
-        new_dir = merge_into_path(spark, root, batch_df)
+        if fielded:
+            from searchengine_spark.operators.fielded import (
+                merge_fielded_into_path)
+            new_dir = merge_fielded_into_path(spark, root, batch_df,
+                                              fields=fields)
+        else:
+            from searchengine_spark.operators.upsert import merge_into_path
+            new_dir = merge_into_path(spark, root, batch_df)
         _commit_with_batch(root, os.path.basename(new_dir), batch_id)
 
     return apply
 
 
 def stream_index_turns(spark: SparkSession, source_dir: str, root: str,
-                       checkpoint_dir: str, available_now: bool = True):
+                       checkpoint_dir: str, available_now: bool = True,
+                       fielded: bool = False, fields=None):
     """Maintain the index under ``root`` from parquet drops in ``source_dir``.
 
     ``available_now=True`` drains everything currently available then stops
     (test/backfill mode); False runs continuously. Swap the file source for
     ``format("kafka")``/Iceberg CDC in production — the sink is unchanged.
+    ``fielded``/``fields`` select the BM25F merge path (see merge_batch).
     """
     stream = (spark.readStream.schema(TURN_SCHEMA)
               .option("maxFilesPerTrigger", 4)
               .parquet(source_dir))
     writer = (stream.writeStream
-              .foreachBatch(merge_batch(root))
+              .foreachBatch(merge_batch(root, fielded=fielded, fields=fields))
               .option("checkpointLocation", checkpoint_dir)
               .outputMode("update"))
     if available_now:

@@ -169,6 +169,28 @@ def test_bm25f_search_many_matches_per_query(spark, findex):
     assert esc  # non-vacuous
 
 
+def test_bm25f_snippets_and_titles(spark, findex):
+    """with_snippets / with_titles mirror the main path's Q9/Q10: ranks
+    and scores unchanged, title is the leading text window, snippet
+    highlights a query surface form."""
+    plain = bm25f_search(findex, "merge scan", k=5).collect()
+    rich = bm25f_search(findex, "merge scan", k=5,
+                        with_snippets=True, with_titles=True).collect()
+    assert [(r["conv_id"], round(r["score"], 9)) for r in rich] == \
+           [(r["conv_id"], round(r["score"], 9)) for r in plain]
+    assert plain  # non-vacuous
+    for r in rich:
+        assert r["title"] and DOCS[int(r["conv_id"][1:])].startswith(
+            r["title"].split()[0])
+        assert "<b>" in r["snippet"]
+        assert "<b>merge</b>" in r["snippet"] or "<b>scan</b>" in r["snippet"]
+    # empty-result schema carries the extra columns
+    none = bm25f_search(findex, "zzzznotaword", k=5,
+                        with_snippets=True, with_titles=True)
+    assert none.columns[-2:] == ["title", "snippet"]
+    assert none.count() == 0
+
+
 def test_bm25f_search_many_exclude_parity(spark, findex):
     """Batched per-query NOT == per-query bm25f_search(..., exclude=) row
     for row; a term excluded by one query still scores another's; a
@@ -196,6 +218,22 @@ def test_bm25f_search_many_exclude_parity(spark, findex):
         rows = [r for r in gsh if r["query_id"] == qid]
         assert [(r["conv_id"], round(r["score"], 9)) for r in rows] == \
                [(r["conv_id"], round(r["score"], 9)) for r in exp], qid
+
+
+def test_bm25f_search_many_snippets(spark, findex):
+    """Batched fielded snippets: each hit highlighted with ITS OWN query's
+    words; ranks/scores unchanged vs the plain batch."""
+    from searchengine_spark.operators.fielded import bm25f_search_many
+    batch = {"qa": "merge", "qb": "nightly"}
+    plain = bm25f_search_many(findex, batch, k=5).collect()
+    rich = bm25f_search_many(findex, batch, k=5, with_snippets=True).collect()
+    assert [(r["query_id"], r["rank"], r["conv_id"], round(r["score"], 9))
+            for r in rich] == \
+           [(r["query_id"], r["rank"], r["conv_id"], round(r["score"], 9))
+            for r in plain]
+    for r in rich:
+        want = "merge" if r["query_id"] == "qa" else "nightly"
+        assert f"<b>{want}</b>" in r["snippet"], (r["query_id"], r["snippet"])
 
 
 def _mk_many(spark, n=32):

@@ -87,6 +87,56 @@ def test_stream_restart_is_idempotent(spark, tmp_path_factory):
     assert read_current(root) == first  # no duplicate snapshot
 
 
+def test_stream_merge_fielded_matches_rebuild(spark, tmp_path_factory):
+    """Streaming maintenance of a FIELDED (BM25F) index: two micro-batches
+    merged through stream_index_turns(fielded=True) == a from-scratch
+    fielded rebuild over the mutated corpus (df parity per field, BM25F
+    rank+score parity)."""
+    from searchengine_spark.operators.fielded import (
+        bm25f_search, build_fielded_index, load_fielded_index,
+        save_fielded_index)
+
+    base_rows = [_row("c0", 0, "alpha beta"), _row("c0", 1, "beta gamma"),
+                 _row("c1", 0, "gamma delta alpha")]
+    drop1 = [_row("c2", 0, "epsilon beta"), _row("c0", 1, "zeta zeta")]
+    drop2 = [_row("c3", 0, "alpha epsilon")]
+
+    root = str(tmp_path_factory.mktemp("fstream_root"))
+    src = str(tmp_path_factory.mktemp("fstream_src"))
+    ckpt = str(tmp_path_factory.mktemp("fstream_ckpt"))
+
+    base = build_fielded_index(_mk_df(spark, base_rows), mode="general")
+    save_fielded_index(base, f"{root}/snap-00000")
+    commit_snapshot(root, "snap-00000")
+
+    _mk_df(spark, drop1).write.parquet(f"{src}/d1")
+    _mk_df(spark, drop2).write.parquet(f"{src}/d2")
+    q = stream_index_turns(spark, f"{src}/*", root, ckpt,
+                           available_now=True, fielded=True)
+    q.awaitTermination(120)
+
+    mutated = {(r[0], r[1]): r for r in base_rows}
+    for r in drop1 + drop2:
+        mutated[(r[0], r[1])] = r
+    rebuilt = build_fielded_index(_mk_df(spark, list(mutated.values())),
+                                  mode="general")
+
+    final = load_fielded_index(spark, read_current(root))
+    for name in rebuilt["fields"]:
+        up = {r["term"]: r["df_field"]
+              for r in final["fields"][name]["terms"].collect()}
+        rb = {r["term"]: r["df_field"]
+              for r in rebuilt["fields"][name]["terms"].collect()}
+        assert up == rb, name
+    got = bm25f_search(final, "alpha epsilon", k=10).collect()
+    want = bm25f_search(rebuilt, "alpha epsilon", k=10).collect()
+    assert [(r["conv_id"], r["turn_idx"]) for r in got] == \
+           [(r["conv_id"], r["turn_idx"]) for r in want]
+    assert got  # non-vacuous
+    for a, b in zip(got, want):
+        assert abs(a["score"] - b["score"]) < 1e-9
+
+
 def test_streaming_stats_windowed(spark, tmp_path_factory):
     src = str(tmp_path_factory.mktemp("stats_src"))
     rows = [_row("c0", 0, "aa", "2026-01-01 00:00:10", "user"),
