@@ -150,6 +150,18 @@ def _q_facets(spark, sf_dir):
                          by=F.substring(F.col("conv_id"), 11, 1))
 
 
+def _q_facets_multi(spark, sf_dir):
+    """Multi-dimension facet panel in ONE job: the same match set counted
+    by doc_id's last digit AND its tens digit (dict form, expression
+    dims) — one decode, one explode, one aggregation."""
+    from searchengine_spark.operators.search import search_facets
+    index = _index_for(spark, sf_dir)
+    return search_facets(
+        index, " ".join(BM25_Q),
+        by={"last": F.substring(F.col("conv_id"), 11, 1),
+            "tens": F.substring(F.col("conv_id"), 10, 1)})
+
+
 def _q_bm25_page2(spark, sf_dir):
     """Q11 pagination: second page (offset=K) of the BM25 ranking."""
     from searchengine_spark.operators.search import search
@@ -736,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_bm25_topk": _q_bm25_topk,
         "q_bm25_not_topk": _q_bm25_not_topk,
         "q_facets": _q_facets,
+        "q_facets_multi": _q_facets_multi,
         "q9_metadata_projection": _q_metadata_projection,
         "q10_snippets": _q_snippets,
         "q11_bm25_page2": _q_bm25_page2,
@@ -976,6 +989,15 @@ def oracle_sql() -> dict[str, str]:
             select cast(doc_id % 10 as varchar) as facet,
                    cast(count(*) as bigint) as n_docs
             from m group by 1""",
+        "q_facets_multi": f"""
+            with tf as ({_TF}),
+            m as (select distinct doc_id from tf
+                  where term in ({", ".join(f"'{t}'" for t in BM25_Q)}))
+            select 'last' as dim, cast(doc_id % 10 as varchar) as facet,
+                   cast(count(*) as bigint) as n_docs from m group by 2
+            union all
+            select 'tens' as dim, cast((doc_id // 10) % 10 as varchar) as facet,
+                   cast(count(*) as bigint) as n_docs from m group by 2""",
         "q11_bm25_page2": _bm25_sql(BM25_Q, K, offset=K),
         # scoped search: SCOPE_PREFIX 'doc000001' ≡ doc_id in [100, 199]
         "q2_scoped_bm25_topk": _bm25_sql(

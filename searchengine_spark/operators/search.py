@@ -670,12 +670,19 @@ def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
 
     ``by`` is a docs column name or a Column expression over the docs
     table; the facet value is cast to string for a stable output schema.
+    MULTI-dimension panels pass a list of column names or a dict
+    dim-name → column/expression: every dimension is counted in the SAME
+    job — one decode of the match set, one join to docs, one explode to
+    (dim, facet) pairs, one aggregation — instead of |dims| facet jobs
+    (the multi-panel sidebar every search UI renders). Multi output is
+    (dim, facet, n_docs) ordered by dim asc, n_docs desc, facet asc.
     ``require_all`` True demands ALL query terms per doc (Q6 semantics);
     default follows the mode (ref_compat → all, bm25 → any).
     ``scope``/``exclude`` compose exactly as in ``search``. Terms resolve
     under the mode's GLOBAL dictionary rules (ref_compat's 80%-df prune
     included; the per-scope df variant is a ``search``-only refinement).
-    Returns (facet, n_docs) ordered by n_docs desc, facet asc.
+    Single-dimension output is (facet, n_docs) ordered by n_docs desc,
+    facet asc.
 
     Plan shape: the same bucket-pruned block scan + single decode pass as
     ``search`` (counting needs every matching posting, so there is no WAND
@@ -686,9 +693,22 @@ def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
     spark = index["docs"].sparkSession
     release_query_caches(index)
     stats = index["stats"]
+    # multi-dimension form: {dim name → column/expr}; list items must be
+    # column NAMES (a bare Column in a list has no name to label its panel)
+    dims = None
+    if isinstance(by, dict):
+        dims = {str(n): (F.col(c) if isinstance(c, str) else c)
+                for n, c in by.items()}
+    elif isinstance(by, (list, tuple)):
+        if not all(isinstance(c, str) for c in by):
+            raise TypeError("search_facets(by=[...]) takes column names; "
+                            "pass a dict {name: Column} for expressions")
+        dims = {c: F.col(c) for c in by}
     qterms = _query_terms(query, index.get("mode", "general"),
                           index.get("dictionary", "fixture"))
-    empty = spark.createDataFrame([], "facet string, n_docs long")
+    empty = spark.createDataFrame(
+        [], ("dim string, facet string, n_docs long" if dims is not None
+             else "facet string, n_docs long"))
     if not qterms:
         return empty
     sc = _scope_info(index, scope) if scope is not None else None
@@ -734,6 +754,18 @@ def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
     req_all = require_all if require_all is not None else (mode == "ref_compat")
     if req_all:
         agg = agg.filter(F.col("nt") == F.lit(n_q))
+    if dims is not None:
+        # all panels from ONE match set: explode each matched doc into
+        # |dims| (dim, facet) rows, then a single narrow aggregation
+        pair = F.explode(F.array(*[
+            F.struct(F.lit(n).alias("dim"),
+                     c.cast("string").alias("facet"))
+            for n, c in dims.items()])).alias("p")
+        matched = index["docs"].join(agg.select("doc_id"), "doc_id")
+        return (matched.select(pair).select("p.dim", "p.facet")
+                .groupBy("dim", "facet").agg(F.count("*").alias("n_docs"))
+                .orderBy(F.col("dim").asc(), F.col("n_docs").desc(),
+                         F.col("facet").asc()))
     facet_col = F.col(by) if isinstance(by, str) else by
     docs_f = index["docs"].select(
         "doc_id", facet_col.cast("string").alias("facet"))

@@ -220,3 +220,32 @@ def test_facets_expression_scope_exclude(index_general, golden_general):
 
 def test_facets_empty_query(index_general):
     assert search_facets(index_general, "и в на").count() == 0
+
+
+def test_facets_multi_dimension(index_general, golden_general):
+    """Multi-panel facets in ONE job == each single-dimension panel; dict
+    form takes expressions; list form rejects bare Columns."""
+    out = search_facets(index_general, "лес дом", by=["role", "tool"])
+    assert out.columns == ["dim", "facet", "n_docs"]
+    rows = out.collect()
+    for dim in ("role", "tool"):
+        got = {r["facet"]: r["n_docs"] for r in rows if r["dim"] == dim}
+        expected = _golden_facets(golden_general, "лес дом", dim, False)
+        assert got == expected, dim
+    assert rows  # non-vacuous
+    # dict form with an expression dimension + composition with NOT
+    out2 = search_facets(
+        index_general, "лес дом",
+        by={"conv8": F.substring(F.col("conv_id"), 1, 8), "role": "role"},
+        exclude="вода")
+    got_role = {r["facet"]: r["n_docs"] for r in out2.collect()
+                if r["dim"] == "role"}
+    exp_role = _golden_facets(golden_general, "лес дом", "role", False,
+                              exclude="вода")
+    assert got_role == exp_role
+    with pytest.raises(TypeError):
+        search_facets(index_general, "лес дом", by=[F.col("role")])
+    # multi empty-query schema
+    assert search_facets(index_general, "и в на",
+                         by=["role", "tool"]).columns == \
+        ["dim", "facet", "n_docs"]
