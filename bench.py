@@ -133,8 +133,10 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
         E._docs_as_transcripts(spark, sf_dir), mode="general")
     queries["fielded_index_build"] = round(time.time() - t0, 3)
     table_ops = ["t2_t5_tokenize_tf", "a1_term_df", "q6_conjunctive_and",
-                 "q_bm25f_topk", "q_bm25f_scoped", "q_batched_scoped",
-                 "q7_bm25_topk", "q_bm25_not_topk", "q_facets",
+                 "q_bm25f_topk", "q_bm25f_scoped", "q_bm25f_not",
+                 "q_batched_bm25f", "q_batched_scoped",
+                 "q7_bm25_topk", "q_bm25_not_topk", "q_batched_not",
+                 "q_facets", "q_facets_multi",
                  "q2_scoped_bm25_topk", "q_phrase_topk",
                  "q_batched_phrase",
                  "a3_statistics_per_collection",
