@@ -217,6 +217,22 @@ def _q_phrase_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), "n_matches")
 
 
+def _q_phrase_not(spark, sf_dir):
+    """Phrase NOT: the same phrase top-k minus docs containing NOT_T
+    anywhere (one anti-join over the excluded term's postings; match
+    counts unchanged)."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.search import phrase_search
+    key = (sf_dir, "positional")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    hits = phrase_search(_INDEX_CACHE[key], " ".join(BM25_Q), k=K,
+                         exclude=NOT_T)
+    return hits.select(_orig_doc_id(), "n_matches")
+
+
 def _q_batched_phrase(spark, sf_dir):
     """Batched phrase queries: TWO phrases matched in one Spark job over the
     positional index (one decode pass over the union of phrase vocabularies,
@@ -755,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_scoped_bm25_topk": _q_scoped_bm25_topk,
         "q2_scoped_ref_topk": _q_scoped_ref_topk,
         "q_phrase_topk": _q_phrase_topk,
+        "q_phrase_not": _q_phrase_not,
         "q_batched_phrase": _q_batched_phrase,
         "q_near_topk": _q_near_topk,
         "q_batched_near": _q_batched_near,
@@ -860,11 +877,14 @@ order by round(s, 9) desc, doc_id asc limit {k} offset {offset}
 """
 
 
-def _phrase_sql(terms: list[str], k: int) -> str:
+def _phrase_sql(terms: list[str], k: int, exclude: str = "") -> str:
     """Exact-phrase oracle: token positions via parallel unnest (zips
     positionally in DuckDB), slot alignment by base = pos - qidx, a doc
-    matches at base iff all |phrase| distinct slots appear there."""
+    matches at base iff all |phrase| distinct slots appear there.
+    ``exclude`` bans docs containing that token anywhere (NOT clause)."""
     vals = ", ".join(f"('{t}', {i})" for i, t in enumerate(terms))
+    wc = (f"where doc_id not in (select doc_id from tp "
+          f"where term = '{exclude}')" if exclude else "")
     return f"""
 with arrs as (select doc_id, list_filter(string_split_regex(
     regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
@@ -878,7 +898,7 @@ b as (select doc_id, base from al group by doc_id, base
       having count(distinct qidx) = {len(terms)}),
 m as (select doc_id, cast(count(*) as bigint) as n_matches
       from b group by doc_id)
-select doc_id, n_matches from m
+select doc_id, n_matches from m {wc}
 order by n_matches desc, doc_id asc limit {k}
 """
 
@@ -1017,6 +1037,7 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, round(tf_sum / (select max(tf_sum) from m), 6) as score
             from m order by tf_sum desc, doc_id asc limit {K}""",
         "q_phrase_topk": _phrase_sql(list(BM25_Q), K),
+        "q_phrase_not": _phrase_sql(list(BM25_Q), K, exclude=NOT_T),
         "q_batched_phrase": f"""
             with a as ({_phrase_sql(list(BM25_Q), K)}),
                  b as ({_phrase_sql(["hash", "join"], K)})

@@ -349,6 +349,69 @@ def _resolve_exclusions(index: dict, exclude: "str | None", sc):
     return _excluded_doc_ids(index, xrows, sc)
 
 
+def _banned_pairs(index: dict, exclude, qids, sc) -> "DataFrame | None":
+    """Batched NOT clause → (query_id, doc_id) ban pairs.
+
+    ``exclude`` is a dict (query_id → NOT terms) or one string shared by
+    every query in ``qids``. All queries' excluded term_ids decode in ONE
+    non-positional pass (hot terms from the postings cache, the rest
+    through the bucket-pruned block scan; scope bucket pruning applies —
+    out-of-scope exclusions can't affect in-scope candidates), then a
+    broadcast (query_id, term_id) map fans the doc sets out per query.
+    Excluded terms use plain resolution — never df-pruned. Used by the
+    batched phrase/near paths; ``search_many`` rides its own union decode
+    instead (its scoring pass already decodes these blocks)."""
+    spark = index["docs"].sparkSession
+    amode = index.get("mode", "general")
+    xcl = ({qid: exclude for qid in qids}
+           if isinstance(exclude, str) else exclude)
+    x_pairs: list[tuple[str, int]] = []
+    x_df: dict[int, int] = {}
+    for qid, xtext in xcl.items():
+        if qid not in qids:
+            continue
+        xterms = _query_terms(xtext, amode,
+                              index.get("dictionary", "fixture"))
+        if not xterms:
+            continue
+        xrows = _resolve_terms_driver(index, xterms, "bm25")
+        if xrows is None:
+            xrows = _resolve_terms_paged(index, xterms, "bm25")
+        for r in xrows:
+            x_pairs.append((qid, r["term_id"]))
+            x_df[r["term_id"]] = int(r["df"])
+    if not x_pairs:
+        return None
+    stats = index["stats"]
+    cached, direct = pcache_split(
+        index, [{"term_id": t, "df": d} for t, d in sorted(x_df.items())])
+    parts = []
+    if cached is not None:
+        parts.append(cached.select("term_id", "doc_id"))
+    if direct:
+        ids = [r["term_id"] for r in direct]
+        blocks = index["postings"]
+        tb = stats.get("term_buckets")
+        if tb and "term_bucket" in blocks.columns:
+            blocks = blocks.filter(
+                F.col("term_bucket").isin(sorted({t % tb for t in ids})))
+        blocks = blocks.filter(F.col("term_id").isin(ids))
+        if sc is not None:
+            br, bs = stats.get("bucket_range"), stats.get("block_size")
+            if br and bs:
+                bpb = -(-br // bs)
+                bcol = F.floor(F.col("block_id") / F.lit(bpb))
+                blocks = blocks.filter(
+                    bcol.between(sc["lo"] // br, sc["hi"] // br))
+        dec = _decode_blocks(blocks, False, stats["n_docs"], stats["avgdl"],
+                             sum_df=sum(r["df"] for r in direct))
+        parts.append(dec.select("term_id", "doc_id"))
+    out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    xmap = F.broadcast(spark.createDataFrame(
+        x_pairs, "query_id string, term_id long"))
+    return out.join(xmap, "term_id").select("query_id", "doc_id").distinct()
+
+
 def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
            prune_blocks: "bool | str" = "auto", with_snippets: bool = False,
            offset: int = 0, scope=None, with_titles: bool = False,
@@ -795,7 +858,7 @@ def _resolve_ids_dfs(index: dict, vocab) -> "tuple[dict, dict]":
 
 
 def phrase_search(index: dict, phrase: str, k: int = 10,
-                  scope=None) -> DataFrame:
+                  scope=None, exclude: "str | None" = None) -> DataFrame:
     """Exact phrase query over a POSITIONAL index
     (``build_index(with_positions=True)``).
 
@@ -815,7 +878,13 @@ def phrase_search(index: dict, phrase: str, k: int = 10,
     phrase matches modulo stopword removal — the standard analyzed-phrase
     semantics. Duplicate phrase terms are handled (each occurrence is its
     own slot).
+
+    ``exclude`` is the NOT clause (same semantics as ``search(...,
+    exclude=)``): docs containing an excluded term anywhere are anti-joined
+    out before the top-k — match counts are unchanged, banned docs just
+    drop from the ranking.
     """
+    release_query_caches(index)  # NOT-clause persists from PREVIOUS queries
     spark = index["docs"].sparkSession
     stats = index["stats"]
     if not stats.get("positions"):
@@ -853,6 +922,9 @@ def phrase_search(index: dict, phrase: str, k: int = 10,
              .agg(F.countDistinct("qidx").alias("nslots"))
              .filter((F.col("nslots") == n_q) & (F.col("base") >= 0)))
     matches = bases.groupBy("doc_id").agg(F.count("*").alias("n_matches"))
+    excl = _resolve_exclusions(index, exclude, sc)
+    if excl is not None:
+        matches = matches.join(excl, "doc_id", "left_anti")
     topk = matches.orderBy(F.col("n_matches").desc(), F.col("doc_id").asc()).limit(k)
     docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
                                      "tool", "ts")
@@ -863,7 +935,9 @@ def phrase_search(index: dict, phrase: str, k: int = 10,
 
 
 def phrase_search_many(index: dict, phrases: dict[str, str], k: int = 10,
-                       scope=None) -> DataFrame:
+                       scope=None,
+                       exclude: "dict[str, str] | str | None" = None
+                       ) -> DataFrame:
     """Batched exact-phrase queries over a POSITIONAL index: score MANY
     phrases in ONE Spark job (the phrase analog of ``search_many`` — a
     query-log replay of phrase queries otherwise pays one fixed-latency job
@@ -878,8 +952,13 @@ def phrase_search_many(index: dict, phrases: dict[str, str], k: int = 10,
     n_matches), rank 1..k per query, identical rows to per-query
     ``phrase_search``. Phrases with an absent term return no rows (the
     single-query semantics); ``scope`` is shared by the whole batch, same
-    semantics and bucket pruning as ``phrase_search(..., scope=)``.
+    semantics and bucket pruning as ``phrase_search(..., scope=)``;
+    ``exclude`` is the batched NOT clause (dict query_id → NOT terms or
+    one shared string): all queries' excluded term_ids decode in one
+    non-positional pass, one (query_id, doc_id) anti-join before ranking
+    (see ``_banned_pairs``).
     """
+    release_query_caches(index)
     spark = index["docs"].sparkSession
     stats = index["stats"]
     if not stats.get("positions"):
@@ -931,6 +1010,11 @@ def phrase_search_many(index: dict, phrases: dict[str, str], k: int = 10,
              .filter((F.col("nslots") == F.col("n_q")) & (F.col("base") >= 0)))
     matches = bases.groupBy("query_id", "doc_id").agg(
         F.count("*").alias("n_matches"))
+    if exclude is not None:
+        banned = _banned_pairs(index, exclude, set(per_q), sc)
+        if banned is not None:
+            matches = matches.join(banned, ["query_id", "doc_id"],
+                                   "left_anti")
     w_q = Window.partitionBy("query_id").orderBy(
         F.col("n_matches").desc(), F.col("doc_id").asc())
     ranked = (matches.withColumn("rank", F.row_number().over(w_q))
@@ -944,7 +1028,8 @@ def phrase_search_many(index: dict, phrases: dict[str, str], k: int = 10,
 
 
 def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
-                k: int = 10, scope=None) -> DataFrame:
+                k: int = 10, scope=None,
+                exclude: "str | None" = None) -> DataFrame:
     """Two-term proximity query over a POSITIONAL index: docs where an
     occurrence of ``term_a`` and one of ``term_b`` lie within ``max_dist``
     positions (either order), ranked by the number of such close pairs.
@@ -955,8 +1040,10 @@ def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
     3 adjacent buckets (never a per-doc cartesian), followed by the exact
     |pa - pb| ≤ max_dist check in codegen. At 100× data the join stays
     bucket-local. Returns (doc_id, conv_id, turn_idx, role, tool, ts,
-    n_pairs) top-k by (n_pairs desc, doc_id asc).
+    n_pairs) top-k by (n_pairs desc, doc_id asc). ``exclude`` anti-joins
+    out docs containing a NOT term (same semantics as ``search``).
     """
+    release_query_caches(index)
     spark = index["docs"].sparkSession
     stats = index["stats"]
     if not stats.get("positions"):
@@ -995,6 +1082,9 @@ def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
              .filter(F.abs(F.col("pa") - F.col("pb")) <= w)
              .select("doc_id", "pa", "pb").distinct())
     matches = pairs.groupBy("doc_id").agg(F.count("*").alias("n_pairs"))
+    excl = _resolve_exclusions(index, exclude, sc)
+    if excl is not None:
+        matches = matches.join(excl, "doc_id", "left_anti")
     topk = matches.orderBy(F.col("n_pairs").desc(), F.col("doc_id").asc()).limit(k)
     docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
                                      "tool", "ts")
@@ -1005,7 +1095,9 @@ def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
 
 
 def near_search_many(index: dict, pairs: dict[str, tuple[str, str]],
-                     max_dist: int = 5, k: int = 10, scope=None) -> DataFrame:
+                     max_dist: int = 5, k: int = 10, scope=None,
+                     exclude: "dict[str, str] | str | None" = None
+                     ) -> DataFrame:
     """Batched two-term proximity queries: score MANY (term_a, term_b)
     pairs in ONE Spark job (the proximity analog of ``search_many`` /
     ``phrase_search_many``).
@@ -1019,7 +1111,10 @@ def near_search_many(index: dict, pairs: dict[str, tuple[str, str]],
     Returns (query_id, rank, doc_id, conv_id, turn_idx, role, tool, ts,
     n_pairs), rank 1..k per query, identical rows to per-query
     ``near_search``; queries with an absent term return no rows.
+    ``exclude`` is the batched NOT clause, same contract as
+    ``phrase_search_many(..., exclude=)``.
     """
+    release_query_caches(index)
     spark = index["docs"].sparkSession
     stats = index["stats"]
     if not stats.get("positions"):
@@ -1079,6 +1174,11 @@ def near_search_many(index: dict, pairs: dict[str, tuple[str, str]],
              .select("query_id", "doc_id", "pa", "pb").distinct())
     matches = close.groupBy("query_id", "doc_id").agg(
         F.count("*").alias("n_pairs"))
+    if exclude is not None:
+        banned = _banned_pairs(index, exclude, set(per_q), sc)
+        if banned is not None:
+            matches = matches.join(banned, ["query_id", "doc_id"],
+                                   "left_anti")
     w_q = Window.partitionBy("query_id").orderBy(
         F.col("n_pairs").desc(), F.col("doc_id").asc())
     ranked = (matches.withColumn("rank", F.row_number().over(w_q))

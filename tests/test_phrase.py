@@ -165,6 +165,96 @@ def test_near_search_many_matches_per_query(pos_index):
     assert saw  # non-vacuous
 
 
+# --- NOT-clause tests on a purpose-built corpus (the fixture transcripts
+# have ≤1 doc per test phrase, so an exclusion there can't bite partially) —
+XDOCS = [
+    "alpha beta gamma alpha beta",             # 2 phrase matches, has gamma
+    "alpha beta delta",                        # 1 match, no gamma
+    "alpha beta alpha beta alpha beta gamma",  # 3 matches, has gamma
+    "alpha delta beta",                        # 0 phrase matches
+    "alpha beta epsilon",                      # 1 match, no gamma
+]
+
+
+@pytest.fixture(scope="module")
+def xpos_index(spark):
+    import pandas as pd
+    from searchengine_spark.operators.indexer import build_index
+    rows = [(f"x{i:03d}", 0, "user", t, None, "2026-01-01 00:00:00")
+            for i, t in enumerate(XDOCS)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
+                                      "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    sdf = spark.createDataFrame(
+        pdf, schema="conv_id string, turn_idx int, role string, text string,"
+                    " tool string, ts timestamp")
+    return build_index(sdf, mode="general", bucket_range=256, block_size=32,
+                       with_positions=True)
+
+
+def test_phrase_exclude(xpos_index):
+    """Phrase NOT == full phrase result minus docs containing the excluded
+    term anywhere; match counts unchanged; absent NOT term is a no-op."""
+    full = {r["conv_id"]: r["n_matches"]
+            for r in phrase_search(xpos_index, "alpha beta", k=10).collect()}
+    assert full == {"x000": 2, "x001": 1, "x002": 3, "x004": 1}
+    got = {r["conv_id"]: r["n_matches"]
+           for r in phrase_search(xpos_index, "alpha beta", k=10,
+                                  exclude="gamma").collect()}
+    assert got == {"x001": 1, "x004": 1}
+    noop = {r["conv_id"]: r["n_matches"]
+            for r in phrase_search(xpos_index, "alpha beta", k=10,
+                                   exclude="zzznotaword").collect()}
+    assert noop == full
+
+
+def test_phrase_search_many_exclude(xpos_index):
+    """Batched phrase NOT == per-query phrase_search(..., exclude=); a
+    term excluded by one query can still appear in another's hits."""
+    from searchengine_spark.operators.search import phrase_search_many
+    phrases = {"p1": "alpha beta", "p2": "beta delta"}
+    excl = {"p1": "gamma", "p2": "epsilon"}
+    got = phrase_search_many(xpos_index, phrases, k=10,
+                             exclude=excl).collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    saw = 0
+    for qid, phrase in phrases.items():
+        exp = phrase_search(xpos_index, phrase, k=10,
+                            exclude=excl[qid]).collect()
+        rows = by_q.get(qid, [])
+        assert [(r["doc_id"], r["n_matches"]) for r in rows] == \
+               [(r["doc_id"], r["n_matches"]) for r in exp], qid
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        saw += len(rows)
+    assert saw  # non-vacuous
+    # p1's NOT (gamma) bit: x000/x002 gone from p1 only; p2 ("beta delta",
+    # NOT epsilon) matches x001 alone — x003's "delta beta" is reversed
+    assert {r["conv_id"] for r in by_q["p1"]} == {"x001", "x004"}
+    assert {r["conv_id"] for r in by_q["p2"]} == {"x001"}
+
+
+def test_near_search_many_exclude(xpos_index):
+    """Batched proximity NOT (shared string) == per-query near_search(...,
+    exclude=); the ban actually removes docs."""
+    from searchengine_spark.operators.search import near_search, near_search_many
+    batch = {"n1": ("alpha", "beta"), "n2": ("beta", "delta")}
+    got = near_search_many(xpos_index, batch, max_dist=2, k=10,
+                           exclude="gamma").collect()
+    by_q: dict[str, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, (ta, tb) in batch.items():
+        exp = near_search(xpos_index, ta, tb, max_dist=2, k=10,
+                          exclude="gamma").collect()
+        rows = by_q.get(qid, [])
+        assert [(r["doc_id"], r["n_pairs"]) for r in rows] == \
+               [(r["doc_id"], r["n_pairs"]) for r in exp], qid
+    assert {r["conv_id"] for r in by_q["n1"]} == {"x001", "x003", "x004"}
+
+
 def test_positional_save_load_round_trip(pos_index, corpus_pdf, spark,
                                          tmp_path_factory):
     from searchengine_spark.plans.manifest import load_index, save_index
