@@ -654,7 +654,8 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       b: dict[str, float] | None = None,
                       k1: float = K1, scope=None,
                       exclude: "dict[str, str] | str | None" = None,
-                      with_snippets: bool = False) -> DataFrame:
+                      with_snippets: bool = False,
+                      offset: int = 0) -> DataFrame:
     """Batched BM25F: score MANY queries in ONE Spark job (the fielded
     analog of ``search_many`` — a query-log replay otherwise pays one
     fixed-latency job per query).
@@ -679,7 +680,9 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
 
     ``with_snippets`` highlights each hit with ITS OWN query's expanded
     word set in one Arrow pass over the k·|queries| winner rows (same
-    contract as ``search_many(..., with_snippets=)``).
+    contract as ``search_many(..., with_snippets=)``). ``offset``
+    paginates every query in the batch identically to ``search_many(...,
+    offset=)`` — ranks offset+1..offset+k with their ABSOLUTE ranks.
 
     Returns (query_id, rank, doc_id, conv_id, turn_idx, role, tool, ts,
     score[, snippet])."""
@@ -745,7 +748,9 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
     w_q = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
     ranked = (scored.withColumn("rank", F.row_number().over(w_q))
-              .filter(F.col("rank") <= k))
+              .filter(F.col("rank") <= int(offset) + k))
+    if offset:
+        ranked = ranked.filter(F.col("rank") > int(offset))
     docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
                                      "tool", "ts",
                                      *(["text"] if with_snippets else []))

@@ -858,7 +858,8 @@ def _resolve_ids_dfs(index: dict, vocab) -> "tuple[dict, dict]":
 
 
 def phrase_search(index: dict, phrase: str, k: int = 10,
-                  scope=None, exclude: "str | None" = None) -> DataFrame:
+                  scope=None, exclude: "str | None" = None,
+                  offset: int = 0) -> DataFrame:
     """Exact phrase query over a POSITIONAL index
     (``build_index(with_positions=True)``).
 
@@ -882,7 +883,9 @@ def phrase_search(index: dict, phrase: str, k: int = 10,
     ``exclude`` is the NOT clause (same semantics as ``search(...,
     exclude=)``): docs containing an excluded term anywhere are anti-joined
     out before the top-k — match counts are unchanged, banned docs just
-    drop from the ranking.
+    drop from the ranking. ``offset`` paginates like the main path's Q11:
+    retrieve offset+k winners (still TakeOrderedAndProject), drop the
+    first ``offset`` by rank.
     """
     release_query_caches(index)  # NOT-clause persists from PREVIOUS queries
     spark = index["docs"].sparkSession
@@ -925,7 +928,12 @@ def phrase_search(index: dict, phrase: str, k: int = 10,
     excl = _resolve_exclusions(index, exclude, sc)
     if excl is not None:
         matches = matches.join(excl, "doc_id", "left_anti")
-    topk = matches.orderBy(F.col("n_matches").desc(), F.col("doc_id").asc()).limit(k)
+    topk = (matches.orderBy(F.col("n_matches").desc(), F.col("doc_id").asc())
+            .limit(int(offset) + k))
+    if offset:
+        w_pg = Window.orderBy(F.col("n_matches").desc(), F.col("doc_id").asc())
+        topk = (topk.withColumn("_rk", F.row_number().over(w_pg))
+                .filter(F.col("_rk") > int(offset)).drop("_rk"))
     docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
                                      "tool", "ts")
     return (docs_meta.join(F.broadcast(topk), "doc_id")
@@ -936,8 +944,8 @@ def phrase_search(index: dict, phrase: str, k: int = 10,
 
 def phrase_search_many(index: dict, phrases: dict[str, str], k: int = 10,
                        scope=None,
-                       exclude: "dict[str, str] | str | None" = None
-                       ) -> DataFrame:
+                       exclude: "dict[str, str] | str | None" = None,
+                       offset: int = 0) -> DataFrame:
     """Batched exact-phrase queries over a POSITIONAL index: score MANY
     phrases in ONE Spark job (the phrase analog of ``search_many`` — a
     query-log replay of phrase queries otherwise pays one fixed-latency job
@@ -956,7 +964,9 @@ def phrase_search_many(index: dict, phrases: dict[str, str], k: int = 10,
     ``exclude`` is the batched NOT clause (dict query_id → NOT terms or
     one shared string): all queries' excluded term_ids decode in one
     non-positional pass, one (query_id, doc_id) anti-join before ranking
-    (see ``_banned_pairs``).
+    (see ``_banned_pairs``). ``offset`` paginates every query identically
+    to ``search_many(..., offset=)`` — ranks offset+1..offset+k with
+    their ABSOLUTE ranks.
     """
     release_query_caches(index)
     spark = index["docs"].sparkSession
@@ -1018,7 +1028,9 @@ def phrase_search_many(index: dict, phrases: dict[str, str], k: int = 10,
     w_q = Window.partitionBy("query_id").orderBy(
         F.col("n_matches").desc(), F.col("doc_id").asc())
     ranked = (matches.withColumn("rank", F.row_number().over(w_q))
-              .filter(F.col("rank") <= k))
+              .filter(F.col("rank") <= int(offset) + k))
+    if offset:
+        ranked = ranked.filter(F.col("rank") > int(offset))
     docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
                                      "tool", "ts")
     return (docs_meta.join(F.broadcast(ranked), "doc_id")
@@ -1029,7 +1041,7 @@ def phrase_search_many(index: dict, phrases: dict[str, str], k: int = 10,
 
 def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
                 k: int = 10, scope=None,
-                exclude: "str | None" = None) -> DataFrame:
+                exclude: "str | None" = None, offset: int = 0) -> DataFrame:
     """Two-term proximity query over a POSITIONAL index: docs where an
     occurrence of ``term_a`` and one of ``term_b`` lie within ``max_dist``
     positions (either order), ranked by the number of such close pairs.
@@ -1041,7 +1053,8 @@ def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
     |pa - pb| ≤ max_dist check in codegen. At 100× data the join stays
     bucket-local. Returns (doc_id, conv_id, turn_idx, role, tool, ts,
     n_pairs) top-k by (n_pairs desc, doc_id asc). ``exclude`` anti-joins
-    out docs containing a NOT term (same semantics as ``search``).
+    out docs containing a NOT term (same semantics as ``search``);
+    ``offset`` paginates identically to ``phrase_search(..., offset=)``.
     """
     release_query_caches(index)
     spark = index["docs"].sparkSession
@@ -1085,7 +1098,12 @@ def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
     excl = _resolve_exclusions(index, exclude, sc)
     if excl is not None:
         matches = matches.join(excl, "doc_id", "left_anti")
-    topk = matches.orderBy(F.col("n_pairs").desc(), F.col("doc_id").asc()).limit(k)
+    topk = (matches.orderBy(F.col("n_pairs").desc(), F.col("doc_id").asc())
+            .limit(int(offset) + k))
+    if offset:
+        w_pg = Window.orderBy(F.col("n_pairs").desc(), F.col("doc_id").asc())
+        topk = (topk.withColumn("_rk", F.row_number().over(w_pg))
+                .filter(F.col("_rk") > int(offset)).drop("_rk"))
     docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
                                      "tool", "ts")
     return (docs_meta.join(F.broadcast(topk), "doc_id")
@@ -1096,8 +1114,8 @@ def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
 
 def near_search_many(index: dict, pairs: dict[str, tuple[str, str]],
                      max_dist: int = 5, k: int = 10, scope=None,
-                     exclude: "dict[str, str] | str | None" = None
-                     ) -> DataFrame:
+                     exclude: "dict[str, str] | str | None" = None,
+                     offset: int = 0) -> DataFrame:
     """Batched two-term proximity queries: score MANY (term_a, term_b)
     pairs in ONE Spark job (the proximity analog of ``search_many`` /
     ``phrase_search_many``).
@@ -1111,8 +1129,8 @@ def near_search_many(index: dict, pairs: dict[str, tuple[str, str]],
     Returns (query_id, rank, doc_id, conv_id, turn_idx, role, tool, ts,
     n_pairs), rank 1..k per query, identical rows to per-query
     ``near_search``; queries with an absent term return no rows.
-    ``exclude`` is the batched NOT clause, same contract as
-    ``phrase_search_many(..., exclude=)``.
+    ``exclude``/``offset`` follow the same contracts as
+    ``phrase_search_many``.
     """
     release_query_caches(index)
     spark = index["docs"].sparkSession
@@ -1182,7 +1200,9 @@ def near_search_many(index: dict, pairs: dict[str, tuple[str, str]],
     w_q = Window.partitionBy("query_id").orderBy(
         F.col("n_pairs").desc(), F.col("doc_id").asc())
     ranked = (matches.withColumn("rank", F.row_number().over(w_q))
-              .filter(F.col("rank") <= k))
+              .filter(F.col("rank") <= int(offset) + k))
+    if offset:
+        ranked = ranked.filter(F.col("rank") > int(offset))
     docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
                                      "tool", "ts")
     return (docs_meta.join(F.broadcast(ranked), "doc_id")

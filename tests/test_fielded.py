@@ -236,6 +236,20 @@ def test_bm25f_search_many_snippets(spark, findex):
         assert f"<b>{want}</b>" in r["snippet"], (r["query_id"], r["snippet"])
 
 
+def test_bm25f_search_many_offset(spark, findex):
+    """Batched fielded pagination: page 2 carries ABSOLUTE ranks and
+    matches the single-query offset slice."""
+    from searchengine_spark.operators.fielded import bm25f_search_many
+    full = bm25f_search(findex, "merge scan", k=5).collect()
+    page2 = bm25f_search_many(findex, {"qa": "merge scan"}, k=2,
+                              offset=2).collect()
+    assert [(r["rank"], r["conv_id"], round(r["score"], 9))
+            for r in page2] == \
+           [(i + 3, full[i + 2]["conv_id"], round(full[i + 2]["score"], 9))
+            for i in range(len(page2))]
+    assert page2  # non-vacuous
+
+
 def _mk_many(spark, n=32):
     """Skewed corpus: two short hot docs carry huge tf for both query
     terms; everyone else is a long doc with tf=1 placed past the title

@@ -255,6 +255,29 @@ def test_near_search_many_exclude(xpos_index):
     assert {r["conv_id"] for r in by_q["n1"]} == {"x001", "x003", "x004"}
 
 
+def test_phrase_near_pagination(xpos_index):
+    """offset slices the same global ranking: page1 + page2 == full top-4,
+    single and batched, with ABSOLUTE ranks in the batched form."""
+    from searchengine_spark.operators.search import (
+        near_search, phrase_search_many)
+    full = phrase_search(xpos_index, "alpha beta", k=4).collect()
+    p1 = phrase_search(xpos_index, "alpha beta", k=2).collect()
+    p2 = phrase_search(xpos_index, "alpha beta", k=2, offset=2).collect()
+    assert [(r["conv_id"], r["n_matches"]) for r in p1 + p2] == \
+           [(r["conv_id"], r["n_matches"]) for r in full]
+    assert len(full) == 4  # non-vacuous
+    nfull = near_search(xpos_index, "alpha", "beta", max_dist=2, k=4).collect()
+    np2 = near_search(xpos_index, "alpha", "beta", max_dist=2, k=2,
+                      offset=2).collect()
+    assert [(r["conv_id"], r["n_pairs"]) for r in np2] == \
+           [(r["conv_id"], r["n_pairs"]) for r in nfull[2:4]]
+    bp2 = phrase_search_many(xpos_index, {"p1": "alpha beta"}, k=2,
+                             offset=2).collect()
+    assert [(r["rank"], r["conv_id"]) for r in bp2] == \
+           [(i + 3, full[i + 2]["conv_id"]) for i in range(len(bp2))]
+    assert bp2  # non-vacuous
+
+
 def test_positional_save_load_round_trip(pos_index, corpus_pdf, spark,
                                          tmp_path_factory):
     from searchengine_spark.plans.manifest import load_index, save_index
