@@ -1,0 +1,159 @@
+"""Unified query-string language over a built index.
+
+One string expresses everything the engine's query families offer for
+ranked retrieval:
+
+    query_search(index, 'merge "lock contention" -deadlock')
+
+- bare words            → ranked terms (BM25 / ref_compat, the main path)
+- "quoted words"        → phrase clauses: the doc MUST contain the exact
+                          analyzed phrase (positional match, a hard filter)
+- -word / -"quoted..."  → NOT clauses: docs containing the term / the
+                          exact phrase are removed from the candidates
+
+Scoring: BM25 (or ref_compat) over ALL positive terms — bare words plus
+the words inside positive phrase clauses — so a phrase contributes its
+constituents' tf like any bag-of-words match, while the phrase itself
+additionally constrains candidates to docs where the words appear
+adjacent, in order (the standard "phrase as filter + ranked query"
+semantics; the reference's query language is terms-only,
+services/SearchingServiceImpl.java:203-235, so the grammar here is an
+extension, not a parity item).
+
+Execution is pure composition — no new distributed machinery:
+
+- each positive phrase resolves to its (doc_id) match set via the shared
+  positional matcher (``_phrase_match_docs``: one decode pass + one
+  aggregation per phrase); multiple phrases intersect via left-semi joins
+- the intersected set rides the main path's ``scope=`` as an explicit
+  doc-set DataFrame (``_scope_info`` accepts one), so candidate
+  filtering, the per-scope conjunction and exact-WAND θ handling are the
+  battle-tested scoped machinery
+- NOT terms ride ``search(..., exclude=)`` unchanged; NOT phrases become
+  a banned doc-set DataFrame merged in through ``search(...,
+  exclude_docs=)`` — one anti-join either way, WAND stays exact (phase 1
+  runs distributed with the same anti-join)
+
+At 100× data every piece keeps its existing plan shape: phrase matching
+is bucket-pruned positional decode, the doc-set scope is a broadcast
+semi-join below SCOPE_BROADCAST_MAX and a shuffle semi-join above, and
+the ranked pass is the same WAND-pruned single job as plain ``search``.
+
+A query with phrase clauses (positive or negative) requires a positional
+index (``build_index(with_positions=True)``); a terms-only string runs on
+any index and is exactly ``search``.
+"""
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from searchengine_spark.operators.search import (
+    _phrase_match_docs, _scope_info, release_query_caches, search)
+
+# -"quoted phrase" | "quoted phrase" | -word | word   (a lone '-' or empty
+# quotes parse to nothing; quotes never nest — the lexer is a single scan)
+_TOKEN = re.compile(r'(-?)"([^"]*)"|(-?)(\S+)')
+
+
+def parse_query(qstr: str) -> dict:
+    """Lex a query string into its clause lists.
+
+    Returns {"terms": [...], "phrases": [...], "not_terms": [...],
+    "not_phrases": [...]} of raw (un-analyzed) strings — analysis happens
+    downstream in each clause's own path so the grammar stays
+    analyzer-agnostic. A quoted clause with one word degrades to a plain
+    term clause (a one-word "phrase" constrains nothing beyond term
+    presence, which the ranked/NOT paths already express without a
+    positional decode)."""
+    out = {"terms": [], "phrases": [], "not_terms": [], "not_phrases": []}
+    for m in _TOKEN.finditer(qstr):
+        if m.group(2) is not None:
+            neg, body = m.group(1) == "-", m.group(2).strip()
+            if not body:
+                continue
+            single = len(body.split()) == 1
+            key = ("not_terms" if neg else "terms") if single else \
+                  ("not_phrases" if neg else "phrases")
+            out[key].append(body)
+        else:
+            neg, word = m.group(3) == "-", m.group(4)
+            if word == "-" or not word:
+                continue
+            out["not_terms" if neg else "terms"].append(word)
+    return out
+
+
+def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
+                 scope=None, offset: int = 0, with_snippets: bool = False,
+                 with_titles: bool = False,
+                 prune_blocks: "bool | str" = "auto") -> DataFrame:
+    """Ranked search driven by the query-string grammar (module
+    docstring). Returns the same shape as ``search``:
+    (doc_id, conv_id, turn_idx, role, tool, ts, score[, title][, snippet]),
+    top-k by (score desc, doc_id asc), paginated by ``offset`` with
+    absolute-rank page semantics.
+
+    ``scope``/``with_snippets``/``with_titles``/``prune_blocks`` pass
+    through to ``search``; a user scope intersects with the phrase
+    clauses' doc sets (both are candidate restrictions). Snippets
+    highlight every positive word — bare and phrase constituents — since
+    the ranked pass receives them all as its query."""
+    spark = index["docs"].sparkSession
+    q = parse_query(qstr)
+    empty = spark.createDataFrame(
+        [], "doc_id long, conv_id string, turn_idx int, role string, "
+            "tool string, ts timestamp, score double")
+    pos_words = q["terms"] + [w for p in q["phrases"] for w in p.split()]
+    if not pos_words:
+        return empty  # NOT-only / empty queries rank nothing, like search("")
+
+    release_query_caches(index)
+    sc_user = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc_user is None:
+        return empty
+
+    # positive phrase clauses → one intersected candidate doc set; persist
+    # it because _scope_info aggregates it (lo/hi/n) and the ranked pass
+    # semi-joins it — registered in _query_persists AFTER search() builds
+    # its (lazy) plan, so the NEXT query's release frees it, the same
+    # lifetime contract as the scoped ref_compat decode cache.
+    filt = None
+    for p in q["phrases"]:
+        m = _phrase_match_docs(index, p, sc_user)
+        if m is None:
+            return empty  # an unmatchable phrase clause → no results
+        ds = m.select("doc_id")
+        filt = ds if filt is None else filt.join(ds, "doc_id", "left_semi")
+    persists = []
+    eff_scope = scope
+    if filt is not None:
+        # the matcher already applied the user scope (sc_user) to its
+        # decode, so the match set is ⊆ scope — no re-intersection needed
+        filt = filt.persist()
+        persists.append(filt)
+        eff_scope = filt
+
+    # NOT phrases → banned doc set (merged with NOT terms inside search)
+    xdocs = None
+    for p in q["not_phrases"]:
+        m = _phrase_match_docs(index, p, sc_user)
+        if m is None:
+            continue  # an unmatchable NOT phrase bans nothing
+        ds = m.select("doc_id")
+        xdocs = ds if xdocs is None else xdocs.unionByName(ds)
+    if xdocs is not None:
+        xdocs = xdocs.distinct().persist()
+        persists.append(xdocs)
+
+    out = search(index, " ".join(pos_words), k=k, mode=mode,
+                 prune_blocks=prune_blocks, with_snippets=with_snippets,
+                 offset=offset, scope=eff_scope, with_titles=with_titles,
+                 exclude=" ".join(q["not_terms"]) or None,
+                 exclude_docs=xdocs)
+    # search() released the PREVIOUS query's caches at its start; ours must
+    # outlive the returned lazy result's materialization, so hand them to
+    # the next release instead of unpersisting here.
+    index.setdefault("_query_persists", []).extend(persists)
+    return out

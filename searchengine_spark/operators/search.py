@@ -240,21 +240,27 @@ def _scope_info(index: dict, scope) -> "dict | None":
     """Resolve a search scope (reference's ``site=`` analog,
     services/SearchingServiceImpl.java:47-56,237-270) to doc-id bounds.
 
-    ``scope`` is a conv_id prefix string or an arbitrary Column predicate
-    over the docs table. Because built indexes assign dense doc_ids in
-    (conv_id, turn_idx) order, a conv-prefix scope is a CONTIGUOUS doc_id
+    ``scope`` is a conv_id prefix string, an arbitrary Column predicate
+    over the docs table, or a DataFrame with a ``doc_id`` column (an
+    explicit candidate set — e.g. the match set of a phrase clause in
+    ``querylang.query_search``). Because built indexes assign dense doc_ids
+    in (conv_id, turn_idx) order, a conv-prefix scope is a CONTIGUOUS doc_id
     range — detected exactly by count == hi-lo+1 — and then the scope filter
     is a pure codegen range check plus bucket-level block pruning, no join.
-    Non-contiguous scopes (arbitrary predicates, post-upsert indexes) fall
-    back to a semi-join against the scoped doc_id set (broadcast when it
-    fits). Returns None for an empty scope.
+    Non-contiguous scopes (arbitrary predicates, doc-set DataFrames,
+    post-upsert indexes) fall back to a semi-join against the scoped doc_id
+    set (broadcast when it fits). Returns None for an empty scope.
     """
     cache = index.setdefault("_scope_cache", {})
     ckey = scope if isinstance(scope, str) else None
     if ckey is not None and ckey in cache:
         return cache[ckey]
-    pred = F.col("conv_id").startswith(scope) if isinstance(scope, str) else scope
-    sel = index["docs"].filter(pred).select("doc_id")
+    if isinstance(scope, DataFrame):
+        sel = scope.select("doc_id")
+    else:
+        pred = (F.col("conv_id").startswith(scope) if isinstance(scope, str)
+                else scope)
+        sel = index["docs"].filter(pred).select("doc_id")
     row = sel.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"),
                   F.count("*").alias("n")).collect()[0]
     if not row["n"]:
@@ -415,7 +421,8 @@ def _banned_pairs(index: dict, exclude, qids, sc) -> "DataFrame | None":
 def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
            prune_blocks: "bool | str" = "auto", with_snippets: bool = False,
            offset: int = 0, scope=None, with_titles: bool = False,
-           exclude: "str | None" = None) -> DataFrame:
+           exclude: "str | None" = None,
+           exclude_docs: "DataFrame | None" = None) -> DataFrame:
     """Top-k search over a built index; returns DataFrame
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, snippet]).
 
@@ -443,7 +450,13 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     relative scores (ref_compat's tf-sum / max) normalize over the
     SURVIVING matches. Block-max pruning stays exact: θ must lower-bound
     the kth surviving score, so with exclusions phase 1 runs distributed
-    with the same anti-join applied to its candidates."""
+    with the same anti-join applied to its candidates.
+
+    ``exclude_docs`` is a pre-resolved banned doc set (DataFrame with a
+    ``doc_id`` column) merged into the NOT clause's anti-join — the hook
+    ``querylang.query_search`` uses for NOT-phrase clauses, whose doc sets
+    come from positional matching rather than term postings. Same
+    semantics and the same exact-WAND handling as ``exclude``."""
     spark = index["docs"].sparkSession
     release_query_caches(index)  # scoped caches from PREVIOUS queries
     stats = index["stats"]
@@ -463,8 +476,13 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     # conjunction (SearchingServiceImpl.java:203-235 collects only found
     # lemma rows); all-absent → empty result
     # Scoped ref_compat prunes on PER-SCOPE df (the reference's per-site
-    # lemma frequency) further below, not the global df here.
-    resolve_mode = mode if sc is None else "scoped"
+    # lemma frequency) further below, not the global df here. A DataFrame
+    # scope is a pre-resolved CANDIDATE SET (querylang phrase filters), not
+    # a "site": df semantics stay GLOBAL for it — per-set df would be
+    # degenerate (a phrase's constituents have df 1.0 within its own match
+    # set by construction, so the per-scope prune would always empty it).
+    site_scope = sc is not None and not isinstance(scope, DataFrame)
+    resolve_mode = "scoped" if site_scope else mode
     trows = _resolve_terms_driver(index, qterms, resolve_mode)
     if trows is None:  # dictionary too large for the driver → LRU page cache
         trows = _resolve_terms_paged(index, qterms, resolve_mode)
@@ -486,6 +504,9 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     sum_df_direct = sum(r["df"] for r in direct_rows)
 
     excl = _resolve_exclusions(index, exclude, sc)
+    if exclude_docs is not None:
+        xd = exclude_docs.select("doc_id")
+        excl = xd if excl is None else excl.unionByName(xd).distinct()
 
     blocks = index["postings"]
     # Saved indexes are hash-partitioned by term_bucket = term_id % B
@@ -649,7 +670,7 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     decoded = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     if sc is not None:
         decoded = _scope_filter(decoded, sc)
-        if mode == "ref_compat":
+        if mode == "ref_compat" and site_scope:
             # Per-scope 80%-df prune (reference's per-site lemma frequency,
             # SearchingServiceImpl.java:286-298: percent = site_df/site_pages):
             # terms absent in scope drop out of the conjunction; terms with
@@ -857,6 +878,46 @@ def _resolve_ids_dfs(index: dict, vocab) -> "tuple[dict, dict]":
     return id_of, df_of
 
 
+def _phrase_match_docs(index: dict, phrase: str, sc) -> "DataFrame | None":
+    """Positional phrase matching down to its doc set: returns
+    (doc_id, n_matches) for every doc containing the analyzed phrase, or
+    None when the phrase cannot match anything (empty analysis, or a
+    constituent lemma absent from the corpus). The matching core shared by
+    ``phrase_search`` and ``querylang.query_search``'s phrase clauses —
+    one positional decode pass, slot alignment ``base = pos - qidx``, and
+    ``groupBy(doc_id, base) → countDistinct(qidx) == |phrase|``; ``sc``
+    (a ``_scope_info`` result or None) prunes buckets before the decode."""
+    spark = index["docs"].sparkSession
+    if not index["stats"].get("positions"):
+        raise ValueError(
+            "phrase matching requires build_index(with_positions=True)")
+    qseq = analyze_text(phrase, index.get("mode", "general"),
+                        dictionary=index.get("dictionary", "fixture"))
+    if not qseq:
+        return None
+    id_of, df_of = _resolve_ids_dfs(index, qseq)
+    if any(t not in id_of for t in qseq):
+        return None  # a phrase term absent from the corpus → no match
+    n_q = len(qseq)
+    slot_pairs = [(id_of[t], i) for i, t in enumerate(qseq)]
+    term_ids = sorted({tid for tid, _ in slot_pairs})
+
+    decoded = _decode_positions(index, term_ids, sc,
+                                sum_df=sum(df_of.values()))
+    if sc is not None:
+        decoded = _scope_filter(decoded, sc)
+
+    slots = F.broadcast(spark.createDataFrame(
+        slot_pairs, "term_id long, qidx int"))
+    aligned = (decoded.join(slots, "term_id")
+               .select("doc_id", (F.col("pos") - F.col("qidx")).alias("base"),
+                       "qidx"))
+    bases = (aligned.groupBy("doc_id", "base")
+             .agg(F.countDistinct("qidx").alias("nslots"))
+             .filter((F.col("nslots") == n_q) & (F.col("base") >= 0)))
+    return bases.groupBy("doc_id").agg(F.count("*").alias("n_matches"))
+
+
 def phrase_search(index: dict, phrase: str, k: int = 10,
                   scope=None, exclude: "str | None" = None,
                   offset: int = 0) -> DataFrame:
@@ -889,42 +950,15 @@ def phrase_search(index: dict, phrase: str, k: int = 10,
     """
     release_query_caches(index)  # NOT-clause persists from PREVIOUS queries
     spark = index["docs"].sparkSession
-    stats = index["stats"]
-    if not stats.get("positions"):
-        raise ValueError("phrase_search requires build_index(with_positions=True)")
-    amode = index.get("mode", "general")
-    dictionary = index.get("dictionary", "fixture")
-    # phrase analysis keeps ORDER and duplicates: one slot per kept lemma
-    qseq = analyze_text(phrase, amode, dictionary=dictionary)
     empty = spark.createDataFrame(
         [], "doc_id long, conv_id string, turn_idx int, role string, "
             "tool string, ts timestamp, n_matches long")
-    if not qseq:
-        return empty
     sc = _scope_info(index, scope) if scope is not None else None
     if scope is not None and sc is None:
         return empty
-    id_of, df_of = _resolve_ids_dfs(index, qseq)
-    if any(t not in id_of for t in qseq):
-        return empty  # a phrase term absent from the corpus → no match
-    n_q = len(qseq)
-    slot_pairs = [(id_of[t], i) for i, t in enumerate(qseq)]
-    term_ids = sorted({tid for tid, _ in slot_pairs})
-
-    decoded = _decode_positions(index, term_ids, sc,
-                                sum_df=sum(df_of.values()))
-    if sc is not None:
-        decoded = _scope_filter(decoded, sc)
-
-    slots = F.broadcast(spark.createDataFrame(
-        slot_pairs, "term_id long, qidx int"))
-    aligned = (decoded.join(slots, "term_id")
-               .select("doc_id", (F.col("pos") - F.col("qidx")).alias("base"),
-                       "qidx"))
-    bases = (aligned.groupBy("doc_id", "base")
-             .agg(F.countDistinct("qidx").alias("nslots"))
-             .filter((F.col("nslots") == n_q) & (F.col("base") >= 0)))
-    matches = bases.groupBy("doc_id").agg(F.count("*").alias("n_matches"))
+    matches = _phrase_match_docs(index, phrase, sc)
+    if matches is None:
+        return empty
     excl = _resolve_exclusions(index, exclude, sc)
     if excl is not None:
         matches = matches.join(excl, "doc_id", "left_anti")

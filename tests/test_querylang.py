@@ -1,0 +1,158 @@
+"""Query-string grammar: parse_query unit coverage + query_search
+equivalence against compositions of the independently-golden operators
+(search / phrase_search) on the tiny positional corpus from test_phrase."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from searchengine_spark.operators.querylang import parse_query, query_search
+from searchengine_spark.operators.search import phrase_search, search
+
+XDOCS = [
+    "alpha beta gamma alpha beta",             # phrase 2x, has gamma
+    "alpha beta delta",                        # phrase 1x
+    "alpha beta alpha beta alpha beta gamma",  # phrase 3x, has gamma
+    "alpha delta beta",                        # no "alpha beta" phrase
+    "alpha beta epsilon",                      # phrase 1x
+]
+
+
+@pytest.fixture(scope="module")
+def qpos_index(spark):
+    from searchengine_spark.operators.indexer import build_index
+    rows = [(f"x{i:03d}", 0, "user", t, None, "2026-01-01 00:00:00")
+            for i, t in enumerate(XDOCS)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
+                                      "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    sdf = spark.createDataFrame(
+        pdf, schema="conv_id string, turn_idx int, role string, text string,"
+                    " tool string, ts timestamp")
+    return build_index(sdf, mode="general", bucket_range=256, block_size=32,
+                       with_positions=True)
+
+
+# ---------- lexer ----------
+
+def test_parse_query_routing():
+    q = parse_query('merge "lock contention" -deadlock -"stale read" scan')
+    assert q == {"terms": ["merge", "scan"],
+                 "phrases": ["lock contention"],
+                 "not_terms": ["deadlock"],
+                 "not_phrases": ["stale read"]}
+
+
+def test_parse_query_degenerate_quotes():
+    # one-word quotes degrade to term clauses; empty quotes / lone '-' drop
+    q = parse_query('"alpha" -"beta" "" - -x')
+    assert q == {"terms": ["alpha"], "phrases": [],
+                 "not_terms": ["beta", "x"], "not_phrases": []}
+
+
+def test_parse_query_empty():
+    assert parse_query("  ") == {"terms": [], "phrases": [],
+                                 "not_terms": [], "not_phrases": []}
+
+
+# ---------- query_search == operator composition ----------
+
+def _rows(df):
+    return [(r["conv_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+def test_terms_only_is_plain_search(qpos_index):
+    got = _rows(query_search(qpos_index, "alpha gamma", k=10))
+    exp = _rows(search(qpos_index, "alpha gamma", k=10))
+    assert got == exp and got  # non-vacuous
+
+
+def test_not_term_grammar(qpos_index):
+    got = _rows(query_search(qpos_index, "alpha -gamma", k=10))
+    exp = _rows(search(qpos_index, "alpha", k=10, exclude="gamma"))
+    assert got == exp
+    assert {c for c, _ in got} == {"x001", "x003", "x004"}
+
+
+def test_phrase_filter(qpos_index):
+    """'"alpha beta"' ranks by BM25 over {alpha, beta} but keeps only
+    phrase-matching docs — search minus the non-adjacent doc x003."""
+    got = _rows(query_search(qpos_index, '"alpha beta"', k=10))
+    phrase_docs = {r["conv_id"]
+                   for r in phrase_search(qpos_index, "alpha beta",
+                                          k=10).collect()}
+    exp = [(c, s) for c, s in _rows(search(qpos_index, "alpha beta", k=10))
+           if c in phrase_docs]
+    assert got == exp
+    assert {c for c, _ in got} == {"x000", "x001", "x002", "x004"}
+    assert "x003" not in {c for c, _ in got}
+
+
+def test_phrase_plus_terms_scoring(qpos_index):
+    """Bare terms and phrase constituents both feed the ranked pass:
+    'gamma "alpha beta"' scores over {gamma, alpha, beta} within the
+    phrase-matching docs."""
+    got = _rows(query_search(qpos_index, 'gamma "alpha beta"', k=10))
+    phrase_docs = {r["conv_id"]
+                   for r in phrase_search(qpos_index, "alpha beta",
+                                          k=10).collect()}
+    exp = [(c, s)
+           for c, s in _rows(search(qpos_index, "gamma alpha beta", k=10))
+           if c in phrase_docs]
+    assert got == exp and got
+
+
+def test_not_phrase(qpos_index):
+    """-"beta gamma" bans exactly the docs where beta,gamma are adjacent
+    (x000, x002) — NOT the docs merely containing both words."""
+    got = _rows(query_search(qpos_index, 'alpha -"beta gamma"', k=10))
+    exp = [(c, s) for c, s in _rows(search(qpos_index, "alpha", k=10))
+           if c not in {"x000", "x002"}]
+    assert got == exp
+    assert {c for c, _ in got} == {"x001", "x003", "x004"}
+
+
+def test_unmatchable_clauses(qpos_index):
+    # positive phrase with an absent word → empty; NOT phrase with an
+    # absent word → no-op; NOT-only / empty strings → empty
+    assert query_search(qpos_index, 'alpha "beta zzznope"', k=10).count() == 0
+    noop = _rows(query_search(qpos_index, 'alpha -"beta zzznope"', k=10))
+    assert noop == _rows(search(qpos_index, "alpha", k=10))
+    assert query_search(qpos_index, '-alpha -"beta gamma"', k=10).count() == 0
+    assert query_search(qpos_index, "", k=10).count() == 0
+
+
+def test_scope_composes(qpos_index):
+    """A conv-prefix scope intersects with the phrase filter; pagination
+    slices the same global ranking (absolute ranks)."""
+    got = _rows(query_search(qpos_index, '"alpha beta" -epsilon', k=10,
+                             scope="x00"))
+    phrase_docs = {r["conv_id"]
+                   for r in phrase_search(qpos_index, "alpha beta",
+                                          k=10).collect()}
+    exp = [(c, s) for c, s in _rows(search(qpos_index, "alpha beta", k=10,
+                                           exclude="epsilon"))
+           if c in phrase_docs]
+    assert got == exp and got
+    full = _rows(query_search(qpos_index, '"alpha beta"', k=10))
+    p1 = _rows(query_search(qpos_index, '"alpha beta"', k=2))
+    p2 = _rows(query_search(qpos_index, '"alpha beta"', k=2, offset=2))
+    assert p1 + p2 == full[:4] and len(p1 + p2) == 4
+
+
+def test_ref_compat_mode(qpos_index):
+    """ref_compat + phrase filter keeps GLOBAL df semantics: alpha/beta
+    (df 5/5 = 1.0) are pruned by the reference's 80% rule exactly as in
+    plain search — the phrase filter must NOT recompute df within its own
+    match set (where constituents have df 1.0 by construction, which would
+    empty every phrase query). gamma (df 2/5) survives, so the conjunction
+    runs over {gamma} within the phrase-matching docs."""
+    assert search(qpos_index, "alpha beta", k=10,
+                  mode="ref_compat").count() == 0  # the global-prune anchor
+    got = query_search(qpos_index, 'gamma "alpha beta"', k=10,
+                       mode="ref_compat").collect()
+    # gamma docs = {x000, x002}; both phrase-match; equal tf → both 1.0
+    assert {(r["conv_id"], r["score"]) for r in got} == \
+           {("x000", 1.0), ("x002", 1.0)}
