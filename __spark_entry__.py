@@ -233,6 +233,41 @@ def _q_phrase_not(spark, sf_dir):
     return hits.select(_orig_doc_id(), "n_matches")
 
 
+QL_QUERY = 'scan "hash join" -spark'      # terms + phrase filter + NOT term
+QL_NOTPHRASE = 'scan merge -"hash join"'  # ranked terms + NOT-phrase clause
+
+
+def _q_querylang(spark, sf_dir):
+    """Unified query language (operators/querylang.py): bare terms rank via
+    BM25 (phrase constituents included), the quoted phrase is a positional
+    hard filter riding the scoped-search machinery as a doc-set scope, and
+    the -term NOT clause anti-joins — all in one query string."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.querylang import query_search
+    key = (sf_dir, "positional")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    hits = query_search(_INDEX_CACHE[key], QL_QUERY, k=K, mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_querylang_notphrase(spark, sf_dir):
+    """Query language with a NOT-phrase clause: docs containing the exact
+    analyzed phrase are banned from the BM25 ranking (positional match set
+    → one anti-join via search(exclude_docs=))."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.querylang import query_search
+    key = (sf_dir, "positional")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    hits = query_search(_INDEX_CACHE[key], QL_NOTPHRASE, k=K, mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 def _q_batched_phrase(spark, sf_dir):
     """Batched phrase queries: TWO phrases matched in one Spark job over the
     positional index (one decode pass over the union of phrase vocabularies,
@@ -772,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_scoped_ref_topk": _q_scoped_ref_topk,
         "q_phrase_topk": _q_phrase_topk,
         "q_phrase_not": _q_phrase_not,
+        "q_querylang": _q_querylang,
+        "q_querylang_notphrase": _q_querylang_notphrase,
         "q_batched_phrase": _q_batched_phrase,
         "q_near_topk": _q_near_topk,
         "q_batched_near": _q_batched_near,
@@ -900,6 +937,49 @@ m as (select doc_id, cast(count(*) as bigint) as n_matches
       from b group by doc_id)
 select doc_id, n_matches from m {wc}
 order by n_matches desc, doc_id asc limit {k}
+"""
+
+
+def _querylang_sql(terms: list[str], phrase: list[str], k: int,
+                   not_terms: "list[str] | None" = None,
+                   not_phrase: bool = False) -> str:
+    """Query-language oracle: BM25 over ``terms`` (the positive phrase's
+    constituents must already be included by the caller, mirroring
+    query_search's pos_words), with the phrase's positional match set as a
+    candidate filter (or a banned set when ``not_phrase``), and docs
+    containing any of ``not_terms`` removed. idf/dl/avgdl stay corpus-wide
+    (candidate filters don't change collection statistics)."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    vals = ", ".join(f"('{t}', {i})" for i, t in enumerate(phrase))
+    conds = [f"tf.doc_id {'not in' if not_phrase else 'in'} "
+             f"(select doc_id from pm)"]
+    if not_terms:
+        xl = ", ".join(f"'{t}'" for t in not_terms)
+        conds.append(f"tf.doc_id not in "
+                     f"(select doc_id from tf where term in ({xl}))")
+    cond = " and ".join(conds)
+    return f"""
+with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+stats as (select count(*) as n, avg(dl) as avgdl from dl),
+arrs as (select doc_id, list_filter(string_split_regex(
+    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+    x -> x <> '') as arr from documents),
+tp as (select doc_id, unnest(arr) as term,
+       unnest(range(len(arr))) as pos from arrs),
+q as (select * from (values {vals}) as t(term, qidx)),
+al as (select tp.doc_id, tp.pos - q.qidx as base, q.qidx
+       from tp join q using (term)),
+pm as (select doc_id from al group by doc_id, base
+       having count(distinct qidx) = {len(phrase)}),
+scored as (
+  select tf.doc_id,
+         sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+  from tf join dfv using (term) join dl using (doc_id) cross join stats
+  where tf.term in ({tl}) and {cond}
+  group by tf.doc_id)
+select doc_id, round(s, 6) as score from scored
+order by round(s, 9) desc, doc_id asc limit {k}
 """
 
 
@@ -1038,6 +1118,11 @@ def oracle_sql() -> dict[str, str]:
             from m order by tf_sum desc, doc_id asc limit {K}""",
         "q_phrase_topk": _phrase_sql(list(BM25_Q), K),
         "q_phrase_not": _phrase_sql(list(BM25_Q), K, exclude=NOT_T),
+        "q_querylang": _querylang_sql(
+            ["scan", "hash", "join"], ["hash", "join"], K,
+            not_terms=["spark"]),
+        "q_querylang_notphrase": _querylang_sql(
+            list(BM25_Q), ["hash", "join"], K, not_phrase=True),
         "q_batched_phrase": f"""
             with a as ({_phrase_sql(list(BM25_Q), K)}),
                  b as ({_phrase_sql(["hash", "join"], K)})
