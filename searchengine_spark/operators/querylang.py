@@ -8,8 +8,19 @@ ranked retrieval:
 - bare words            → ranked terms (BM25 / ref_compat, the main path)
 - "quoted words"        → phrase clauses: the doc MUST contain the exact
                           analyzed phrase (positional match, a hard filter)
+- "quoted words"~N      → span clauses: all the words within an unordered
+                          window of N positions (tightest-window match via
+                          ``_span_match_docs`` — the ``span_search``
+                          operator as a hard filter)
 - -word / -"quoted..."  → NOT clauses: docs containing the term / the
-                          exact phrase are removed from the candidates
+                          exact phrase (or, with ~N, the span) are removed
+- field:value           → metadata qualifiers over the docs table:
+                          ``site:PREFIX`` (conv_id prefix — the reference's
+                          ``site=``), ``role:VALUE``, ``tool:VALUE``;
+                          ``-field:value`` negates (null-safe, so
+                          ``-tool:bash`` keeps tool-less docs). Qualifiers
+                          AND together and intersect any explicit
+                          ``scope=`` argument.
 
 Scoring: BM25 (or ref_compat) over ALL positive terms — bare words plus
 the words inside positive phrase clauses — so a phrase contributes its
@@ -50,38 +61,49 @@ import re
 from pyspark.sql import DataFrame, functions as F
 
 from searchengine_spark.operators.search import (
-    _phrase_match_docs, _scope_info, release_query_caches, search)
+    _phrase_match_docs, _scope_info, _span_match_docs, release_query_caches,
+    search)
 
-# -"quoted phrase" | "quoted phrase" | -word | word   (a lone '-' or empty
-# quotes parse to nothing; quotes never nest — the lexer is a single scan)
-_TOKEN = re.compile(r'(-?)"([^"]*)"|(-?)(\S+)')
+# -"quoted phrase"[~N] | "quoted phrase"[~N] | -word | word   (a lone '-'
+# or empty quotes parse to nothing; quotes never nest — one-scan lexer)
+_TOKEN = re.compile(r'(-?)"([^"]*)"(?:~(\d+))?|(-?)(\S+)')
+_QUALIFIER = re.compile(r'^(site|role|tool):(.+)$')
 
 
 def parse_query(qstr: str) -> dict:
     """Lex a query string into its clause lists.
 
     Returns {"terms": [...], "phrases": [...], "not_terms": [...],
-    "not_phrases": [...]} of raw (un-analyzed) strings — analysis happens
-    downstream in each clause's own path so the grammar stays
-    analyzer-agnostic. A quoted clause with one word degrades to a plain
-    term clause (a one-word "phrase" constrains nothing beyond term
-    presence, which the ranked/NOT paths already express without a
-    positional decode)."""
-    out = {"terms": [], "phrases": [], "not_terms": [], "not_phrases": []}
+    "not_phrases": [...], "spans": [(words, window), ...], "not_spans":
+    [...], "qualifiers": [(field, value, negated), ...]} of raw
+    (un-analyzed) strings — analysis happens downstream in each clause's
+    own path so the grammar stays analyzer-agnostic. A quoted clause with
+    one word degrades to a plain term clause (a one-word "phrase"/span
+    constrains nothing beyond term presence, which the ranked/NOT paths
+    already express without a positional decode)."""
+    out = {"terms": [], "phrases": [], "not_terms": [], "not_phrases": [],
+           "spans": [], "not_spans": [], "qualifiers": []}
     for m in _TOKEN.finditer(qstr):
         if m.group(2) is not None:
             neg, body = m.group(1) == "-", m.group(2).strip()
             if not body:
                 continue
-            single = len(body.split()) == 1
-            key = ("not_terms" if neg else "terms") if single else \
-                  ("not_phrases" if neg else "phrases")
-            out[key].append(body)
+            if len(body.split()) == 1:  # degenerate quote/span → term
+                out["not_terms" if neg else "terms"].append(body)
+            elif m.group(3) is not None:
+                out["not_spans" if neg else "spans"].append(
+                    (body, int(m.group(3))))
+            else:
+                out["not_phrases" if neg else "phrases"].append(body)
         else:
-            neg, word = m.group(3) == "-", m.group(4)
+            neg, word = m.group(4) == "-", m.group(5)
             if word == "-" or not word:
                 continue
-            out["not_terms" if neg else "terms"].append(word)
+            qm = _QUALIFIER.match(word)
+            if qm:
+                out["qualifiers"].append((qm.group(1), qm.group(2), neg))
+            else:
+                out["not_terms" if neg else "terms"].append(word)
     return out
 
 
@@ -105,9 +127,31 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
     empty = spark.createDataFrame(
         [], "doc_id long, conv_id string, turn_idx int, role string, "
             "tool string, ts timestamp, score double")
-    pos_words = q["terms"] + [w for p in q["phrases"] for w in p.split()]
+    pos_words = (q["terms"] + [w for p in q["phrases"] for w in p.split()]
+                 + [w for p, _ in q["spans"] for w in p.split()])
     if not pos_words:
         return empty  # NOT-only / empty queries rank nothing, like search("")
+
+    # metadata qualifiers → one docs-table predicate, ANDed into the scope
+    # (site: is a conv_id prefix like the reference's site=; role:/tool:
+    # null-safe equality so a negation keeps null-attribute docs)
+    pred = None
+    for field, value, neg in q["qualifiers"]:
+        c = (F.col("conv_id").startswith(value) if field == "site"
+             else F.col(field).eqNullSafe(value))
+        c = ~c if neg else c
+        pred = c if pred is None else pred & c
+    if pred is not None:
+        if scope is None:
+            scope = pred
+        elif isinstance(scope, str):
+            scope = F.col("conv_id").startswith(scope) & pred
+        elif isinstance(scope, DataFrame):
+            scope = (index["docs"]
+                     .join(scope.select("doc_id"), "doc_id", "left_semi")
+                     .filter(pred).select("doc_id"))
+        else:
+            scope = scope & pred
 
     release_query_caches(index)
     sc_user = _scope_info(index, scope) if scope is not None else None
@@ -126,6 +170,12 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
             return empty  # an unmatchable phrase clause → no results
         ds = m.select("doc_id")
         filt = ds if filt is None else filt.join(ds, "doc_id", "left_semi")
+    for p, w in q["spans"]:
+        m = _span_match_docs(index, p, w, sc_user)
+        if m is None:
+            return empty  # an unmatchable span clause → no results
+        ds = m.select("doc_id")
+        filt = ds if filt is None else filt.join(ds, "doc_id", "left_semi")
     persists = []
     eff_scope = scope
     if filt is not None:
@@ -141,6 +191,12 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
         m = _phrase_match_docs(index, p, sc_user)
         if m is None:
             continue  # an unmatchable NOT phrase bans nothing
+        ds = m.select("doc_id")
+        xdocs = ds if xdocs is None else xdocs.unionByName(ds)
+    for p, w in q["not_spans"]:
+        m = _span_match_docs(index, p, w, sc_user)
+        if m is None:
+            continue  # an unmatchable NOT span bans nothing
         ds = m.select("doc_id")
         xdocs = ds if xdocs is None else xdocs.unionByName(ds)
     if xdocs is not None:

@@ -1245,6 +1245,220 @@ def near_search_many(index: dict, pairs: dict[str, tuple[str, str]],
             .orderBy("query_id", "rank"))
 
 
+def _span_match_docs(index: dict, words: str, window: int,
+                     sc) -> "DataFrame | None":
+    """Unordered n-term proximity ("span") matching down to its doc set:
+    (doc_id, span) for every doc whose tightest window containing ALL the
+    analyzed query lemmas is ≤ ``window`` positions wide (span = max - min
+    position of one occurrence per lemma, order-free — Lucene's
+    SpanNearQuery(inOrder=false) analog; ``near_search`` is the 2-term
+    pair-counting special case). None when the query can't match (empty
+    analysis / a lemma absent from the corpus).
+
+    Plan: one positional decode over the query lemmas (term-bucket +
+    scope-bucket pruned), a literal-map term_id→slot projection, then ONE
+    groupBy(doc_id): the exact minimal-window algorithm runs inside
+    codegen as ``aggregate(sort_array(collect_list(pos, slot)))`` with an
+    accumulator of per-slot last-seen positions — the classic one-pass
+    min-cover scan (at each position p of slot s, a candidate window ends
+    at p and starts at min(last-seen); the minimum over the scan is exact).
+    O(P·n) per doc with P = query-term positions in the doc, n = |lemmas|;
+    no pairwise position join, so cost never goes combinatorial in n. One
+    shuffle on doc_id; at 100× data the plan is unchanged.
+    """
+    spark = index["docs"].sparkSession
+    if not index["stats"].get("positions"):
+        raise ValueError(
+            "span matching requires build_index(with_positions=True)")
+    qseq = analyze_text(words, index.get("mode", "general"),
+                        dictionary=index.get("dictionary", "fixture"))
+    lemmas = sorted(set(qseq))
+    if not lemmas:
+        return None
+    id_of, df_of = _resolve_ids_dfs(index, lemmas)
+    if any(t not in id_of for t in lemmas):
+        return None
+    n = len(lemmas)
+    term_ids = sorted(id_of[t] for t in lemmas)
+    slot_of = {tid: i for i, tid in enumerate(term_ids)}
+
+    decoded = _decode_positions(index, term_ids, sc,
+                                sum_df=sum(df_of.values()))
+    if sc is not None:
+        decoded = _scope_filter(decoded, sc)
+    if n == 1:  # degenerate: any occurrence is a width-0 span
+        return (decoded.groupBy("doc_id").agg(F.lit(0).cast("long")
+                                              .alias("span")))
+    slot_map = F.create_map(*[F.lit(x) for tid, s in slot_of.items()
+                              for x in (tid, s)])
+    ev = decoded.select(
+        "doc_id", F.struct(F.col("pos").cast("long").alias("pos"),
+                           slot_map[F.col("term_id")].alias("slot"))
+        .alias("e"))
+    big = F.lit(2 ** 62).cast("long")
+    init = F.struct(
+        F.array_repeat(F.lit(-1).cast("long"), n).alias("last"),
+        big.alias("best"))
+
+    def step(acc, e):
+        last = F.transform(
+            acc["last"],
+            lambda v, i: F.when(i == e["slot"], e["pos"]).otherwise(v))
+        best = F.when(~F.array_contains(last, F.lit(-1).cast("long")),
+                      F.least(acc["best"], e["pos"] - F.array_min(last))
+                      ).otherwise(acc["best"])
+        return F.struct(last.alias("last"), best.alias("best"))
+
+    spans = (ev.groupBy("doc_id")
+             .agg(F.aggregate(F.sort_array(F.collect_list("e")),
+                              init, step, lambda a: a["best"]).alias("span")))
+    return spans.filter(F.col("span") <= int(window))
+
+
+def span_search(index: dict, words: str, window: int = 8, k: int = 10,
+                scope=None, exclude: "str | None" = None,
+                offset: int = 0) -> DataFrame:
+    """Top-k unordered proximity query: docs where all the analyzed lemmas
+    of ``words`` co-occur within a window of ``window`` positions, ranked
+    TIGHTEST-FIRST by (span asc, doc_id asc) — the querylang's '"w1 w2
+    w3"~N' clause as a standalone operator. Returns (doc_id, conv_id,
+    turn_idx, role, tool, ts, span); ``scope``/``exclude``/``offset``
+    behave exactly as in ``phrase_search``."""
+    release_query_caches(index)
+    spark = index["docs"].sparkSession
+    empty = spark.createDataFrame(
+        [], "doc_id long, conv_id string, turn_idx int, role string, "
+            "tool string, ts timestamp, span long")
+    sc = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc is None:
+        return empty
+    matches = _span_match_docs(index, words, window, sc)
+    if matches is None:
+        return empty
+    excl = _resolve_exclusions(index, exclude, sc)
+    if excl is not None:
+        matches = matches.join(excl, "doc_id", "left_anti")
+    topk = (matches.orderBy(F.col("span").asc(), F.col("doc_id").asc())
+            .limit(int(offset) + k))
+    if offset:
+        w_pg = Window.orderBy(F.col("span").asc(), F.col("doc_id").asc())
+        topk = (topk.withColumn("_rk", F.row_number().over(w_pg))
+                .filter(F.col("_rk") > int(offset)).drop("_rk"))
+    docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
+                                     "tool", "ts")
+    return (docs_meta.join(F.broadcast(topk), "doc_id")
+            .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                    "span")
+            .orderBy(F.col("span").asc(), F.col("doc_id").asc()))
+
+
+def span_search_many(index: dict, queries: dict, window: int = 8,
+                     k: int = 10, scope=None,
+                     exclude: "dict[str, str] | str | None" = None,
+                     offset: int = 0) -> DataFrame:
+    """Batched span queries: MANY unordered windowed-proximity queries in
+    ONE Spark job (the span analog of ``phrase_search_many``).
+
+    ``queries`` maps query_id → words string (shared ``window``) or
+    query_id → (words, window) for per-query windows. One positional
+    decode pass over the UNION of the batch's lemmas, a broadcast
+    (query_id, term_id, slot) fan-out, then ONE
+    ``groupBy(query_id, doc_id)`` whose aggregate runs the same one-pass
+    exact minimal-window scan as ``span_search`` — the accumulator array
+    is sized per query from a broadcast (query_id, n_q, window) row, so
+    queries of different arity share the stage. Returns (query_id, rank,
+    doc_id, conv_id, turn_idx, role, tool, ts, span), rank 1..k per query
+    by (span asc, doc_id asc), identical rows to per-query
+    ``span_search``; ``scope``/``exclude``/``offset`` as in
+    ``phrase_search_many``."""
+    release_query_caches(index)
+    spark = index["docs"].sparkSession
+    if not index["stats"].get("positions"):
+        raise ValueError(
+            "span_search_many requires build_index(with_positions=True)")
+    amode = index.get("mode", "general")
+    dictionary = index.get("dictionary", "fixture")
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, doc_id long, conv_id string, "
+            "turn_idx int, role string, tool string, ts timestamp, "
+            "span long")
+    sc = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc is None:
+        return empty
+
+    norm = {qid: (q if isinstance(q, tuple) else (q, window))
+            for qid, q in queries.items()}
+    lemmas_of = {qid: sorted(set(analyze_text(w, amode,
+                                              dictionary=dictionary)))
+                 for qid, (w, _) in norm.items()}
+    vocab = sorted({t for ls in lemmas_of.values() for t in ls})
+    if not vocab:
+        return empty
+    id_of, df_of = _resolve_ids_dfs(index, vocab)
+    per_q = {qid: ls for qid, ls in lemmas_of.items()
+             if ls and all(t in id_of for t in ls)}
+    if not per_q:
+        return empty
+    slot_rows = [(qid, id_of[t], i)
+                 for qid, ls in per_q.items() for i, t in enumerate(ls)]
+    term_ids = sorted({tid for _, tid, _ in slot_rows})
+
+    tid_set = set(term_ids)
+    decoded = _decode_positions(index, term_ids, sc,
+                                sum_df=sum(df for t, df in df_of.items()
+                                           if id_of.get(t) in tid_set))
+    if sc is not None:
+        decoded = _scope_filter(decoded, sc)
+
+    slots = F.broadcast(spark.createDataFrame(
+        slot_rows, "query_id string, term_id long, slot int"))
+    nq = F.broadcast(spark.createDataFrame(
+        [(qid, len(ls), int(norm[qid][1])) for qid, ls in per_q.items()],
+        "query_id string, n_q int, w int"))
+    aligned = (decoded.join(slots, "term_id")
+               .select("query_id", "doc_id",
+                       F.struct(F.col("pos").cast("long").alias("pos"),
+                                F.col("slot")).alias("e")))
+    grouped = (aligned.groupBy("query_id", "doc_id")
+               .agg(F.sort_array(F.collect_list("e")).alias("evs"))
+               .join(nq, "query_id"))
+    big = F.lit(2 ** 62).cast("long")
+    init = F.struct(
+        F.array_repeat(F.lit(-1).cast("long"), F.col("n_q")).alias("last"),
+        big.alias("best"))
+
+    def step(acc, e):
+        last = F.transform(
+            acc["last"],
+            lambda v, i: F.when(i == e["slot"], e["pos"]).otherwise(v))
+        best = F.when(~F.array_contains(last, F.lit(-1).cast("long")),
+                      F.least(acc["best"], e["pos"] - F.array_min(last))
+                      ).otherwise(acc["best"])
+        return F.struct(last.alias("last"), best.alias("best"))
+
+    matches = (grouped.select(
+        "query_id", "doc_id", "w",
+        F.aggregate("evs", init, step, lambda a: a["best"]).alias("span"))
+        .filter(F.col("span") <= F.col("w")).drop("w"))
+    if exclude is not None:
+        banned = _banned_pairs(index, exclude, set(per_q), sc)
+        if banned is not None:
+            matches = matches.join(banned, ["query_id", "doc_id"],
+                                   "left_anti")
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("span").asc(), F.col("doc_id").asc())
+    ranked = (matches.withColumn("rank", F.row_number().over(w_q))
+              .filter(F.col("rank") <= int(offset) + k))
+    if offset:
+        ranked = ranked.filter(F.col("rank") > int(offset))
+    docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx", "role",
+                                     "tool", "ts")
+    return (docs_meta.join(F.broadcast(ranked), "doc_id")
+            .select("query_id", "rank", "doc_id", "conv_id", "turn_idx",
+                    "role", "tool", "ts", "span")
+            .orderBy("query_id", "rank"))
+
+
 def _decode_positions(index: dict, term_ids: list[int], sc=None,
                       sum_df: "int | None" = None) -> DataFrame:
     """Shared positional decode: blocks of ``term_ids`` → (doc_id, term_id,

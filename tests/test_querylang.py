@@ -22,7 +22,11 @@ XDOCS = [
 @pytest.fixture(scope="module")
 def qpos_index(spark):
     from searchengine_spark.operators.indexer import build_index
-    rows = [(f"x{i:03d}", 0, "user", t, None, "2026-01-01 00:00:00")
+    # varied metadata for the qualifier grammar: roles alternate, bash tool
+    # on the even docs x002/x004 (None elsewhere — the null-safe-negation
+    # case)
+    rows = [(f"x{i:03d}", 0, "assistant" if i % 2 else "user", t,
+             "bash" if i in (2, 4) else None, "2026-01-01 00:00:00")
             for i, t in enumerate(XDOCS)]
     pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
                                       "tool", "ts"])
@@ -37,24 +41,39 @@ def qpos_index(spark):
 
 # ---------- lexer ----------
 
+def _base(**kw):
+    out = {"terms": [], "phrases": [], "not_terms": [], "not_phrases": [],
+           "spans": [], "not_spans": [], "qualifiers": []}
+    out.update(kw)
+    return out
+
+
 def test_parse_query_routing():
     q = parse_query('merge "lock contention" -deadlock -"stale read" scan')
-    assert q == {"terms": ["merge", "scan"],
-                 "phrases": ["lock contention"],
-                 "not_terms": ["deadlock"],
-                 "not_phrases": ["stale read"]}
+    assert q == _base(terms=["merge", "scan"],
+                      phrases=["lock contention"],
+                      not_terms=["deadlock"],
+                      not_phrases=["stale read"])
 
 
 def test_parse_query_degenerate_quotes():
     # one-word quotes degrade to term clauses; empty quotes / lone '-' drop
     q = parse_query('"alpha" -"beta" "" - -x')
-    assert q == {"terms": ["alpha"], "phrases": [],
-                 "not_terms": ["beta", "x"], "not_phrases": []}
+    assert q == _base(terms=["alpha"], not_terms=["beta", "x"])
 
 
 def test_parse_query_empty():
-    assert parse_query("  ") == {"terms": [], "phrases": [],
-                                 "not_terms": [], "not_phrases": []}
+    assert parse_query("  ") == _base()
+
+
+def test_parse_query_spans_and_qualifiers():
+    q = parse_query('scan "a b"~4 -"c d"~2 "e"~9 site:x00 -role:assistant '
+                    'tool:bash http://x:y')
+    assert q == _base(terms=["scan", "e", "http://x:y"],
+                      spans=[("a b", 4)], not_spans=[("c d", 2)],
+                      qualifiers=[("site", "x00", False),
+                                  ("role", "assistant", True),
+                                  ("tool", "bash", False)])
 
 
 # ---------- query_search == operator composition ----------
@@ -140,6 +159,57 @@ def test_scope_composes(qpos_index):
     p1 = _rows(query_search(qpos_index, '"alpha beta"', k=2))
     p2 = _rows(query_search(qpos_index, '"alpha beta"', k=2, offset=2))
     assert p1 + p2 == full[:4] and len(p1 + p2) == 4
+
+
+def test_span_clause(qpos_index):
+    """'"alpha gamma"~w' keeps docs whose tightest alpha..gamma window is
+    ≤ w: x000 (alpha@3, gamma@2 → span 1) at w=1; adds x002 (alpha@4,
+    gamma@6 → span 2) at w=2. Scoring == plain search over the
+    constituents restricted to the span-matching docs."""
+    got1 = _rows(query_search(qpos_index, 'beta "alpha gamma"~1', k=10))
+    base = _rows(search(qpos_index, "beta alpha gamma", k=10))
+    assert got1 == [(c, s) for c, s in base if c == "x000"]
+    got2 = {c for c, _ in
+            _rows(query_search(qpos_index, 'beta "alpha gamma"~2', k=10))}
+    assert got2 == {"x000", "x002"}
+
+
+def test_not_span_clause(qpos_index):
+    """-"alpha gamma"~1 bans exactly the tight-window doc x000; the
+    loose-window doc x002 (span 2) stays."""
+    got = _rows(query_search(qpos_index, 'alpha -"alpha gamma"~1', k=10))
+    exp = [(c, s) for c, s in _rows(search(qpos_index, "alpha", k=10))
+           if c != "x000"]
+    assert got == exp and "x002" in {c for c, _ in got}
+
+
+def test_qualifiers(qpos_index):
+    """Metadata qualifiers == search with the equivalent Column scope;
+    negated tool qualifier keeps the tool-less (null) docs."""
+    from pyspark.sql import functions as F
+    got = _rows(query_search(qpos_index, "alpha role:assistant", k=10))
+    exp = _rows(search(qpos_index, "alpha", k=10,
+                       scope=(F.col("role") == "assistant")))
+    assert got == exp and {c for c, _ in got} == {"x001", "x003"}
+    got = _rows(query_search(qpos_index, "alpha -tool:bash", k=10))
+    assert {c for c, _ in got} == {"x000", "x001", "x003"}
+    got = _rows(query_search(qpos_index, "alpha site:x00 tool:bash", k=10))
+    assert {c for c, _ in got} == {"x002", "x004"}
+    # no docs satisfy both → empty, not an error
+    assert query_search(qpos_index,
+                        "alpha role:user role:assistant", k=10).count() == 0
+
+
+def test_qualifier_composes_with_phrase_and_scope(qpos_index):
+    """site: qualifier + explicit scope= + phrase clause all intersect."""
+    got = _rows(query_search(qpos_index, '"alpha beta" role:user', k=10,
+                             scope="x00"))
+    phrase_docs = {r["conv_id"]
+                   for r in phrase_search(qpos_index, "alpha beta",
+                                          k=10).collect()}
+    exp = [(c, s) for c, s in _rows(search(qpos_index, "alpha beta", k=10))
+           if c in phrase_docs and c in {"x000", "x002", "x004"}]
+    assert got == exp and got
 
 
 def test_ref_compat_mode(qpos_index):
