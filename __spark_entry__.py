@@ -235,6 +235,50 @@ def _q_phrase_not(spark, sf_dir):
 
 QL_QUERY = 'scan "hash join" -spark'      # terms + phrase filter + NOT term
 QL_NOTPHRASE = 'scan merge -"hash join"'  # ranked terms + NOT-phrase clause
+QL_QUALIFIED = "scan merge site:doc000001 -spark"  # qualifier + NOT term
+QL_SPAN = 'scan merge "spark hash"~8'     # ranked terms + span clause
+SPAN_Q, SPAN_W = "spark merge hash", 12   # standalone span_search args
+
+
+def _q_span_topk(spark, sf_dir):
+    """Unordered n-term proximity (span_search): docs where all three query
+    lemmas co-occur within SPAN_W positions, ranked tightest-window-first.
+    The minimal-window scan runs in codegen (aggregate over sorted
+    (pos, slot) structs — one positional decode, one shuffle)."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.search import span_search
+    key = (sf_dir, "positional")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    hits = span_search(_INDEX_CACHE[key], SPAN_Q, window=SPAN_W, k=K)
+    return hits.select(_orig_doc_id(), "span")
+
+
+def _q_querylang_qualified(spark, sf_dir):
+    """Query language with a metadata qualifier: site:PREFIX restricts to
+    the conv_id prefix (the reference's site=) as a docs-table predicate
+    ANDed into the scope; -spark bans docs containing the term."""
+    from searchengine_spark.operators.querylang import query_search
+    hits = query_search(_index_for(spark, sf_dir), QL_QUALIFIED, k=K,
+                        mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_querylang_span(spark, sf_dir):
+    """Query language with a span clause: '"spark hash"~8' keeps only docs
+    whose tightest spark..hash window is ≤ 8 positions; ranking is BM25
+    over ALL positive words (scan, merge + the span's constituents)."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.querylang import query_search
+    key = (sf_dir, "positional")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    hits = query_search(_INDEX_CACHE[key], QL_SPAN, k=K, mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
 def _q_querylang(spark, sf_dir):
@@ -266,6 +310,24 @@ def _q_querylang_notphrase(spark, sf_dir):
             with_positions=True)
     hits = query_search(_INDEX_CACHE[key], QL_NOTPHRASE, k=K, mode="bm25")
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_batched_span(spark, sf_dir):
+    """Batched span queries: TWO unordered-window proximity queries (with
+    PER-QUERY windows) matched in one Spark job — one positional decode
+    over the union vocabulary, one groupBy(query_id, doc_id) minimal-window
+    aggregate; rows identical to per-query span_search."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.search import span_search_many
+    key = (sf_dir, "positional")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    out = span_search_many(
+        _INDEX_CACHE[key],
+        {"sa": (SPAN_Q, SPAN_W), "sb": ("scan merge hash", 9)}, k=K)
+    return out.select("query_id", _orig_doc_id(), "span")
 
 
 def _q_batched_phrase(spark, sf_dir):
@@ -809,6 +871,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_not": _q_phrase_not,
         "q_querylang": _q_querylang,
         "q_querylang_notphrase": _q_querylang_notphrase,
+        "q_querylang_qualified": _q_querylang_qualified,
+        "q_querylang_span": _q_querylang_span,
+        "q_span_topk": _q_span_topk,
+        "q_batched_span": _q_batched_span,
         "q_batched_phrase": _q_batched_phrase,
         "q_near_topk": _q_near_topk,
         "q_batched_near": _q_batched_near,
@@ -940,24 +1006,59 @@ order by n_matches desc, doc_id asc limit {k}
 """
 
 
+def _span_pm_ctes(terms: list[str], window: int) -> str:
+    """CTE block ending in ``pm`` = docs whose tightest window containing
+    one occurrence of EVERY term is ≤ ``window`` (n-way positional join —
+    fine at oracle scale; the engine uses a one-pass codegen scan)."""
+    srcs = ",\n".join(
+        f"a{i} as (select doc_id, pos as p{i} from tp where term = '{t}')"
+        for i, t in enumerate(terms))
+    joins = "a0 " + " ".join(f"join a{i} using (doc_id)"
+                             for i in range(1, len(terms)))
+    ps = ", ".join(f"p{i}" for i in range(len(terms)))
+    return f"""{srcs},
+spans as (select doc_id, greatest({ps}) - least({ps}) as s from {joins}),
+pm as (select doc_id from spans group by doc_id having min(s) <= {window})"""
+
+
 def _querylang_sql(terms: list[str], phrase: list[str], k: int,
                    not_terms: "list[str] | None" = None,
-                   not_phrase: bool = False) -> str:
+                   not_phrase: bool = False,
+                   span_window: "int | None" = None,
+                   scope: str = "") -> str:
     """Query-language oracle: BM25 over ``terms`` (the positive phrase's
     constituents must already be included by the caller, mirroring
     query_search's pos_words), with the phrase's positional match set as a
     candidate filter (or a banned set when ``not_phrase``), and docs
-    containing any of ``not_terms`` removed. idf/dl/avgdl stay corpus-wide
-    (candidate filters don't change collection statistics)."""
+    containing any of ``not_terms`` removed. With ``span_window`` the
+    quoted clause is a SPAN ('"..."~N'): pm = docs whose tightest window
+    over the clause words is ≤ N instead of exact adjacency. ``scope`` is
+    an extra predicate on tf.doc_id (site:/role: qualifier analog).
+    idf/dl/avgdl stay corpus-wide (candidate filters don't change
+    collection statistics)."""
     tl = ", ".join(f"'{t}'" for t in terms)
-    vals = ", ".join(f"('{t}', {i})" for i, t in enumerate(phrase))
-    conds = [f"tf.doc_id {'not in' if not_phrase else 'in'} "
-             f"(select doc_id from pm)"]
+    conds = []
+    if phrase:
+        conds.append(f"tf.doc_id {'not in' if not_phrase else 'in'} "
+                     f"(select doc_id from pm)")
     if not_terms:
         xl = ", ".join(f"'{t}'" for t in not_terms)
         conds.append(f"tf.doc_id not in "
                      f"(select doc_id from tf where term in ({xl}))")
-    cond = " and ".join(conds)
+    if scope:
+        conds.append(scope)
+    cond = " and ".join(conds) or "true"
+    if phrase and span_window is not None:
+        pm_block = _span_pm_ctes(phrase, span_window)
+    elif phrase:
+        vals = ", ".join(f"('{t}', {i})" for i, t in enumerate(phrase))
+        pm_block = f"""q as (select * from (values {vals}) as t(term, qidx)),
+al as (select tp.doc_id, tp.pos - q.qidx as base, q.qidx
+       from tp join q using (term)),
+pm as (select doc_id from al group by doc_id, base
+       having count(distinct qidx) = {len(phrase)})"""
+    else:
+        pm_block = "pm as (select null::bigint as doc_id where false)"
     return f"""
 with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
 stats as (select count(*) as n, avg(dl) as avgdl from dl),
@@ -966,11 +1067,7 @@ arrs as (select doc_id, list_filter(string_split_regex(
     x -> x <> '') as arr from documents),
 tp as (select doc_id, unnest(arr) as term,
        unnest(range(len(arr))) as pos from arrs),
-q as (select * from (values {vals}) as t(term, qidx)),
-al as (select tp.doc_id, tp.pos - q.qidx as base, q.qidx
-       from tp join q using (term)),
-pm as (select doc_id from al group by doc_id, base
-       having count(distinct qidx) = {len(phrase)}),
+{pm_block},
 scored as (
   select tf.doc_id,
          sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
@@ -1028,6 +1125,30 @@ scored as (
   from pairs p join dfu using (term) group by p.doc_id)
 select doc_id, round(score, 6) as score from scored {wc}
 order by round(score, 9) desc, doc_id asc limit {k}
+"""
+
+
+def _span_sql(terms: list[str], window: int, k: int) -> str:
+    """Standalone span_search oracle: tightest window per doc via the
+    n-way positional join, ranked (span asc, doc_id asc)."""
+    srcs = ",\n".join(
+        f"a{i} as (select doc_id, pos as p{i} from tp where term = '{t}')"
+        for i, t in enumerate(terms))
+    joins = "a0 " + " ".join(f"join a{i} using (doc_id)"
+                             for i in range(1, len(terms)))
+    ps = ", ".join(f"p{i}" for i in range(len(terms)))
+    return f"""
+with arrs as (select doc_id, list_filter(string_split_regex(
+    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+    x -> x <> '') as arr from documents),
+tp as (select doc_id, unnest(arr) as term,
+       unnest(range(len(arr))) as pos from arrs),
+{srcs},
+spans as (select doc_id, greatest({ps}) - least({ps}) as s from {joins}),
+m as (select doc_id, cast(min(s) as bigint) as span
+      from spans group by doc_id)
+select doc_id, span from m where span <= {window}
+order by span asc, doc_id asc limit {k}
 """
 
 
@@ -1123,6 +1244,19 @@ def oracle_sql() -> dict[str, str]:
             not_terms=["spark"]),
         "q_querylang_notphrase": _querylang_sql(
             list(BM25_Q), ["hash", "join"], K, not_phrase=True),
+        "q_querylang_qualified": _bm25_sql(
+            list(BM25_Q), K, scope="tf.doc_id between 100 and 199",
+            exclude=["spark"]),
+        "q_querylang_span": _querylang_sql(
+            ["scan", "merge", "spark", "hash"], ["spark", "hash"], K,
+            span_window=8),
+        "q_span_topk": _span_sql(SPAN_Q.split(), SPAN_W, K),
+        "q_batched_span": f"""
+            with a as ({_span_sql(SPAN_Q.split(), SPAN_W, K)}),
+                 b as ({_span_sql(["scan", "merge", "hash"], 9, K)})
+            select 'sa' as query_id, doc_id, span from a
+            union all
+            select 'sb' as query_id, doc_id, span from b""",
         "q_batched_phrase": f"""
             with a as ({_phrase_sql(list(BM25_Q), K)}),
                  b as ({_phrase_sql(["hash", "join"], K)})

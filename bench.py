@@ -138,7 +138,7 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "q7_bm25_topk", "q_bm25_not_topk", "q_batched_not",
                  "q_facets", "q_facets_multi",
                  "q2_scoped_bm25_topk", "q_phrase_topk",
-                 "q_batched_phrase",
+                 "q_batched_phrase", "q_querylang", "q_span_topk",
                  "a3_statistics_per_collection",
                  "dedup_exact", "dedup_minhash_lsh",
                  "sim_cosine_topk", "text_quality", "text_lang_id",
