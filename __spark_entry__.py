@@ -570,6 +570,35 @@ def _q_statistics(spark, sf_dir):
         F.sum(token_count(F.col("text"))).alias("n_tokens"))
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (training-data mixing): strata =
+    doc_id%3 buckets standing in for sources, per-stratum keep rates via
+    the portable LCG hash — one codegen filter, reproducible across runs,
+    layouts, and engines (the oracle recomputes the selection in SQL)."""
+    from searchengine_spark.functions.sampling import stratified_sample
+    d = _docs(spark, sf_dir).withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string")))
+    out = stratified_sample(d, {"s0": 0.5, "s1": 0.2}, "source", "doc_id")
+    return out.select("doc_id", "source")
+
+
+def _q_token_budget_mix(spark, sf_dir):
+    """Deterministic token-budget mixing: cap each stratum at a token
+    budget taking docs in hash order (a reproducible shuffle). Engine plan
+    is the bucketed two-phase prefix sum (no stratum on one partition);
+    the oracle is the equivalent naive windowed cumsum."""
+    from searchengine_spark.functions.sampling import token_budget_mix
+    from searchengine_spark.functions.text import tokens_col
+    d = (_docs(spark, sf_dir)
+         .withColumn("source", F.concat(F.lit("s"),
+                                        (F.col("doc_id") % 3).cast("string")))
+         .withColumn("n_tokens", F.size(tokens_col(F.col("text")))))
+    out = token_budget_mix(d, {"s0": 20_000, "s1": 8_000}, "source",
+                           "n_tokens", "doc_id")
+    return out.select("doc_id", "source",
+                      F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
 def _q_dedup_exact(spark, sf_dir):
     """S2/dedup: exact dedup by normalized-text fingerprint."""
     from searchengine_spark.functions.dedup import exact_dedup
@@ -890,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_upsert_fielded_df": _q_upsert_fielded_df,
         "a3_statistics": _q_statistics,
         "a3_statistics_per_collection": _q_statistics_per_collection,
+        "pipeline_stratified_sample": _q_stratified_sample,
+        "pipeline_token_budget_mix": _q_token_budget_mix,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -1387,6 +1418,34 @@ def oracle_sql() -> dict[str, str]:
                    count(t.term) as n_tokens
             from documents d left join ({_TOKS}) t using (doc_id)
             group by d.source""",
+        # sampling thresholds are PRE-TRUNCATED literals (int(frac * 2^31))
+        # because Spark's double→long cast truncates while DuckDB's rounds
+        "pipeline_stratified_sample": """
+            with s as (select doc_id,
+                       's' || cast(doc_id % 3 as varchar) as source,
+                       ((doc_id % 1000000007) * 1103515245 + 12345)
+                         % 2147483648 as h
+                       from documents)
+            select doc_id, source from s
+            where (source = 's0' and h < 1073741824)
+               or (source = 's1' and h < 429496729)""",
+        "pipeline_token_budget_mix": f"""
+            with dl as ({_DL}),
+            base as (select d.doc_id,
+                     's' || cast(d.doc_id % 3 as varchar) as source,
+                     coalesce(dl.dl, 0) as n_tokens,
+                     ((d.doc_id % 1000000007) * 1103515245 + 12345)
+                       % 2147483648 as h
+                     from documents d left join dl on dl.doc_id = d.doc_id),
+            cum as (select doc_id, source, n_tokens,
+                    sum(n_tokens) over (partition by source
+                                        order by h, doc_id
+                                        rows unbounded preceding) as c
+                    from base where source in ('s0', 's1'))
+            select doc_id, source, cast(n_tokens as bigint) as n_tokens
+            from cum
+            where (source = 's0' and c <= 20000)
+               or (source = 's1' and c <= 8000)""",
         "dedup_exact": """
             with fp as (select doc_id,
                         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp

@@ -1,0 +1,123 @@
+"""Deterministic sampling / data-mixing operators for training-data
+pipelines.
+
+A 100 TB pretraining pipeline needs to (a) downsample each source/quality
+stratum at its own rate and (b) cap each stratum at a token budget — and
+both must be DETERMINISTIC: re-running the job, changing the partition
+layout, or re-implementing the selection in another engine must pick the
+SAME rows (Spark's ``sample``/``sampleBy`` are seeded per-partition-split
+and reproduce only under an identical physical layout). Selection here is
+a pure function of the row key:
+
+    h(key) = (((key mod 1_000_000_007) + salt) * 1103515245 + 12345) mod 2^31
+
+— an LCG step over a 31-bit space, chosen over xxhash64/crc32 because it
+is exactly reproducible in ANSI SQL (the DuckDB oracles recompute it
+verbatim; Spark's xxhash64 is not available driver/oracle-side). All
+arithmetic stays within int64 (max operand ≈ 1e9 · 1.1e9 ≈ 1.2e18).
+
+Scale notes: ``stratified_sample`` is one codegen filter — no shuffle, no
+UDF, survives any corpus size. ``token_budget_mix`` needs a per-stratum
+prefix sum over the hash order; a naive window would put each stratum on
+ONE partition, so it runs the indexer's bucketed two-phase plan instead:
+per-(stratum, hash-bucket) token sums (a small agg), a driver-side prefix
+over the ≤ n_buckets ordered buckets to locate each stratum's boundary
+bucket, then an exact windowed cumsum ONLY inside boundary buckets
+(1/n_buckets of each stratum). Wholly-kept buckets pass with a codegen
+range check.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+HASH_SPACE = 2 ** 31
+_P, _A, _C = 1_000_000_007, 1103515245, 12345
+
+
+def det_hash_col(key: Column, salt: int = 0) -> Column:
+    """31-bit deterministic hash of an integer key (module docstring);
+    portable: the same expression evaluates identically in ANSI SQL."""
+    m = F.pmod(key.cast("long"), F.lit(_P)) + F.lit(int(salt))
+    return F.pmod(m * F.lit(_A) + F.lit(_C), F.lit(HASH_SPACE))
+
+
+def stratified_sample(df: DataFrame, fractions: dict, strata_col: str,
+                      key_col: str, salt: int = 0,
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Keep each stratum at its own rate, deterministically: row kept iff
+    h(key) < fraction[stratum] · 2^31. ``fractions`` maps stratum value →
+    [0, 1] rate; strata absent from the map get ``default_fraction``.
+    One codegen filter (literal-map lookup, no join, no shuffle); exact
+    reproducibility across runs, layouts, and engines."""
+    fmap = F.create_map(*[F.lit(x) for v, frac in fractions.items()
+                          for x in (v, float(frac))])
+    frac = F.coalesce(fmap[F.col(strata_col)], F.lit(float(default_fraction)))
+    thresh = (frac * F.lit(float(HASH_SPACE))).cast("long")
+    return df.filter(det_hash_col(F.col(key_col), salt) < thresh)
+
+
+def token_budget_mix(df: DataFrame, budgets: dict, strata_col: str,
+                     token_col: str, key_col: str, salt: int = 0,
+                     n_buckets: int = 1024) -> DataFrame:
+    """Cap each stratum at a token budget, taking rows in deterministic
+    hash order (a reproducible shuffle): for each stratum keep the maximal
+    prefix of rows ordered by (h(key), key) whose running ``token_col``
+    sum stays ≤ budgets[stratum]. Strata absent from ``budgets`` are
+    dropped. Returns the kept rows (original columns).
+
+    Exactly equivalent to a per-stratum ordered cumsum filter, but planned
+    as: (1) one small agg of token sums per (stratum, h(key)//(2^31/B))
+    bucket, (2) a driver-side prefix over each stratum's ≤ B ordered
+    buckets → wholly-kept buckets + the boundary bucket's remaining
+    budget, (3) a codegen filter for whole buckets plus an exact windowed
+    cumsum restricted to boundary buckets (each 1/B of its stratum). No
+    stratum ever lands on a single partition.
+    """
+    bw = HASH_SPACE // int(n_buckets)
+    h = det_hash_col(F.col(key_col), salt)
+    t = df.withColumn("_h", h).withColumn("_b", F.floor(F.col("_h") / bw))
+    sums = (t.groupBy(strata_col, "_b")
+            .agg(F.sum(F.col(token_col).cast("long")).alias("_toks"))
+            .collect())
+    per: dict = {}
+    for r in sums:
+        per.setdefault(r[strata_col], []).append((r["_b"], r["_toks"]))
+    keep_whole = []   # (stratum, max whole bucket)
+    boundary = []     # (stratum, boundary bucket, remaining budget)
+    for s, rows in per.items():
+        if s not in budgets:
+            continue
+        left = int(budgets[s])
+        for b, toks in sorted(rows):
+            if toks <= left:
+                left -= toks
+                keep_whole.append((s, b))
+            else:
+                if left > 0:
+                    boundary.append((s, b, left))
+                break
+    if not keep_whole and not boundary:
+        return df.filter(F.lit(False))
+    # whole buckets: per-stratum contiguous prefixes would allow a range
+    # check, but budget exhaustion can split them — a literal (stratum,
+    # bucket) set is still tiny (≤ |strata|·B) and stays a broadcast join
+    spark = df.sparkSession
+    out_parts = []
+    if keep_whole:
+        wdf = F.broadcast(spark.createDataFrame(
+            keep_whole, f"{strata_col} string, _b long"))
+        out_parts.append(t.join(wdf, [strata_col, "_b"], "left_semi"))
+    if boundary:
+        bdf = F.broadcast(spark.createDataFrame(
+            boundary, f"{strata_col} string, _b long, _left long"))
+        w = (Window.partitionBy(strata_col, "_b")
+             .orderBy(F.col("_h").asc(), F.col(key_col).asc()))
+        bounded = (t.join(bdf, [strata_col, "_b"])
+                   .withColumn("_cum", F.sum(F.col(token_col).cast("long"))
+                               .over(w))
+                   .filter(F.col("_cum") <= F.col("_left"))
+                   .drop("_cum", "_left"))
+        out_parts.append(bounded)
+    out = out_parts[0] if len(out_parts) == 1 else \
+        out_parts[0].unionByName(out_parts[1])
+    return out.select(*df.columns)

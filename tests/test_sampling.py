@@ -1,0 +1,119 @@
+"""Deterministic sampling / data-mixing: golden parity with a pure-Python
+reimplementation of the selection contract, plus layout-independence."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.sampling import (
+    HASH_SPACE, det_hash_col, stratified_sample, token_budget_mix)
+
+_P, _A, _C = 1_000_000_007, 1103515245, 12345
+
+
+def _h(key: int, salt: int = 0) -> int:
+    return (((key % _P) + salt) * _A + _C) % HASH_SPACE
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(20260818)
+    rows = [(i, rng.choice(["web", "code", "chat"]), rng.randint(1, 500))
+            for i in range(400)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "n_tokens"])
+    sdf = spark.createDataFrame(
+        pdf, schema="doc_id long, source string, n_tokens int")
+    return sdf, rows
+
+
+def test_det_hash_matches_python(corpus):
+    sdf, rows = corpus
+    got = {r["doc_id"]: r["h"] for r in
+           sdf.select("doc_id",
+                      det_hash_col(F.col("doc_id"), salt=7).alias("h"))
+           .collect()}
+    assert got == {i: _h(i, 7) for i, _, _ in rows}
+
+
+def test_stratified_sample_exact(corpus):
+    sdf, rows = corpus
+    fr = {"web": 0.25, "code": 0.9}
+    exp = {i for i, s, _ in rows
+           if s in fr and _h(i) < int(fr[s] * HASH_SPACE)}
+    got = {r["doc_id"] for r in
+           stratified_sample(sdf, fr, "source", "doc_id").collect()}
+    assert got == exp and got  # chat defaults to 0.0 → dropped
+    # default_fraction keeps unmapped strata at the given rate
+    got2 = {r["doc_id"] for r in
+            stratified_sample(sdf, fr, "source", "doc_id",
+                              default_fraction=1.0).collect()}
+    assert got2 == exp | {i for i, s, _ in rows if s == "chat"}
+    # layout-independent: same rows after an adversarial repartition
+    got3 = {r["doc_id"] for r in
+            stratified_sample(sdf.repartition(13, "n_tokens"), fr,
+                              "source", "doc_id").collect()}
+    assert got3 == exp
+    # salt changes the sample
+    got4 = {r["doc_id"] for r in
+            stratified_sample(sdf, fr, "source", "doc_id", salt=1).collect()}
+    assert got4 != exp
+
+
+def _golden_mix(rows, budgets, salt=0):
+    keep = set()
+    for s in {s for _, s, _ in rows}:
+        if s not in budgets:
+            continue
+        left = budgets[s]
+        for i, _, tok in sorted((r for r in rows if r[1] == s),
+                                key=lambda r: (_h(r[0], salt), r[0])):
+            if tok <= left:
+                left -= tok
+                keep.add(i)
+            else:
+                break
+    return keep
+
+
+def test_token_budget_mix_golden(corpus):
+    sdf, rows = corpus
+    budgets = {"web": 4_000, "code": 1_500}
+    exp = _golden_mix(rows, budgets)
+    got = {r["doc_id"] for r in
+           token_budget_mix(sdf, budgets, "source", "n_tokens",
+                            "doc_id").collect()}
+    assert got == exp and got
+    # schema untouched, helper columns dropped
+    out = token_budget_mix(sdf, budgets, "source", "n_tokens", "doc_id")
+    assert out.columns == ["doc_id", "source", "n_tokens"]
+    # few buckets → boundary-bucket path exercised hard
+    got2 = {r["doc_id"] for r in
+            token_budget_mix(sdf, budgets, "source", "n_tokens", "doc_id",
+                             n_buckets=4).collect()}
+    assert got2 == exp
+    # per-stratum token sums within budget, and maximal (next row overflows)
+    by_s = {}
+    for i, s, tok in rows:
+        if i in got:
+            by_s[s] = by_s.get(s, 0) + tok
+    for s, b in budgets.items():
+        assert by_s[s] <= b
+
+
+def test_token_budget_mix_edges(corpus):
+    sdf, rows = corpus
+    total_web = sum(t for _, s, t in rows if s == "web")
+    # budget >= stratum total keeps the whole stratum
+    got = {r["doc_id"] for r in
+           token_budget_mix(sdf, {"web": total_web}, "source", "n_tokens",
+                            "doc_id").collect()}
+    assert got == {i for i, s, _ in rows if s == "web"}
+    # zero budget / absent strata → empty
+    assert token_budget_mix(sdf, {"web": 0}, "source", "n_tokens",
+                            "doc_id").count() == 0
+    assert token_budget_mix(sdf, {}, "source", "n_tokens",
+                            "doc_id").count() == 0
