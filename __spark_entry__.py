@@ -527,6 +527,18 @@ def _q_upsert_term_df(spark, sf_dir):
     return upserted["terms"].select("term", "df")
 
 
+def _q_delete_term_df(spark, sf_dir):
+    """Incremental DELETE (the GDPR/unlearn path): remove every doc with
+    doc_id % 50 == 3 from the built index via one touched-block rewrite;
+    return the maintained dictionary (term, df). Oracle = df over the
+    filtered corpus."""
+    from searchengine_spark.operators.upsert import delete_turns
+    index = _index_for(spark, sf_dir)
+    pred = (F.substring("conv_id", 4, 8).cast("long") % 50) == 3
+    deleted = delete_turns(index, pred)
+    return deleted["terms"].select("term", "df")
+
+
 def _q_upsert_fielded_df(spark, sf_dir):
     """S6 upsert of a FIELDED (BM25F) index: merge the same 3-row delta and
     return the maintained title-field dictionary (term, df). The upsert
@@ -916,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_batched_bm25f": _q_batched_bm25f,
         "q_batched_bm25f_not": _q_batched_bm25f_not,
         "s6_upsert_term_df": _q_upsert_term_df,
+        "s7_delete_term_df": _q_delete_term_df,
         "s6_upsert_fielded_df": _q_upsert_fielded_df,
         "a3_statistics": _q_statistics,
         "a3_statistics_per_collection": _q_statistics_per_collection,
@@ -1389,6 +1402,14 @@ def oracle_sql() -> dict[str, str]:
               union all select 11, 'another replacement mentioning hash scan pipelines'
               union all select 10000001, 'entirely new document exercising upsert insert path'
             ),
+            toks as (select doc_id, unnest(list_filter(string_split_regex(
+              regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+              x -> x <> '')) as term from docs)
+            select term, cast(count(distinct doc_id) as bigint) as df
+            from toks group by term""",
+        "s7_delete_term_df": """
+            with docs as (
+              select doc_id, text from documents where doc_id % 50 <> 3),
             toks as (select doc_id, unnest(list_filter(string_split_regex(
               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
               x -> x <> '')) as term from docs)

@@ -61,6 +61,93 @@ MAX_DELTA_FRACTION = 0.25
 MAX_DELTA_ABS = 5_000_000  # ceiling even against a huge corpus
 
 
+def _make_block_decoder(positional: bool):
+    """(mapInPandas fn, schema) decoding posting blocks → flat
+    (term_id, doc_id, tf, dl[, positions]) — shared by upsert and delete."""
+
+    def _decode(batches):
+        import numpy as np
+        from searchengine_spark.operators.codec import decode_block, varint_decode
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids, tfs = decode_block(row.first_doc_id, row.n, row.doc_deltas, row.tfs)
+                dls = varint_decode(row.dls).astype("int64")
+                cols = {"term_id": row.term_id, "doc_id": ids,
+                        "tf": tfs, "dl": dls}
+                if positional:
+                    deltas = varint_decode(row.pos).astype("int64")
+                    starts = np.cumsum(tfs) - tfs
+                    glob = np.cumsum(deltas)
+                    base0 = np.repeat(glob[starts] - deltas[starts], tfs)
+                    cols["positions"] = np.split((glob - base0).astype("int32"),
+                                                 np.cumsum(tfs)[:-1])
+                    cols["positions"] = [a.tolist() for a in cols["positions"]]
+                outs.append(pd.DataFrame(cols))
+            if outs:
+                yield pd.concat(outs)
+            else:
+                empty_cols = {"term_id": pd.Series(dtype="int64"),
+                              "doc_id": pd.Series(dtype="int64"),
+                              "tf": pd.Series(dtype="int64"),
+                              "dl": pd.Series(dtype="int64")}
+                if positional:
+                    empty_cols["positions"] = pd.Series(dtype="object")
+                yield pd.DataFrame(empty_cols)
+
+    dec_schema = "term_id long, doc_id long, tf long, dl long"
+    if positional:
+        dec_schema += ", positions array<int>"
+    return _decode, dec_schema
+
+
+def _make_block_encoder(positional: bool, block_size: int, bpb: int):
+    """(applyInPandas fn, schema) re-encoding one scored (term_id, bucket)
+    group into posting blocks — the builder's exact block layout."""
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        from searchengine_spark.operators.codec import encode_block, varint_encode
+        term_id = int(pdf["term_id"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        ids = pdf["doc_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        tfs = pdf["tf"].to_numpy()[order]
+        dls = pdf["dl"].to_numpy()[order]
+        scores = pdf["score"].to_numpy()[order]
+        if positional:
+            plists = pdf["positions"].to_numpy()[order]
+        out = []
+        for j, lo in enumerate(range(0, len(ids), block_size)):
+            hi = min(lo + block_size, len(ids))
+            first, n, d, t = encode_block(ids[lo:hi], tfs[lo:hi])
+            row = [term_id, bucket * bpb + j, first, n, d, t,
+                   varint_encode(dls[lo:hi].astype("uint64")),
+                   float(scores[lo:hi].max()), int(tfs[lo:hi].max()),
+                   int(dls[lo:hi].min())]
+            if positional:
+                flat = [np.diff(np.asarray(pl, dtype=np.int64), prepend=0)
+                        for pl in plists[lo:hi]]
+                row.append(varint_encode(
+                    (np.concatenate(flat) if flat else
+                     np.empty(0, dtype=np.int64)).astype("uint64")))
+            out.append(tuple(row))
+        cols = ["term_id", "block_id", "first_doc_id", "n", "doc_deltas",
+                "tfs", "dls", "block_max_score", "block_max_tf",
+                "block_min_dl"]
+        if positional:
+            cols.append("pos")
+        return pd.DataFrame(out, columns=cols)
+
+    enc_schema = ("term_id long, block_id int, first_doc_id long, n int, "
+                  "doc_deltas binary, tfs binary, dls binary, "
+                  "block_max_score double, block_max_tf int, block_min_dl int")
+    if positional:
+        enc_schema += ", pos binary"
+    return _encode, enc_schema
+
+
 def upsert_turns(index: dict, delta: DataFrame,
                  bucket_range: int | None = None,
                  block_size: int | None = None,
@@ -239,39 +326,7 @@ def upsert_turns(index: dict, delta: DataFrame,
                                  .drop("bucket")
 
     # decode touched blocks → flat (term_id, doc_id, tf, dl[, positions])
-    def _decode(batches):
-        import numpy as np
-        from searchengine_spark.operators.codec import decode_block, varint_decode
-        for pdf in batches:
-            outs = []
-            for row in pdf.itertuples(index=False):
-                ids, tfs = decode_block(row.first_doc_id, row.n, row.doc_deltas, row.tfs)
-                dls = varint_decode(row.dls).astype("int64")
-                cols = {"term_id": row.term_id, "doc_id": ids,
-                        "tf": tfs, "dl": dls}
-                if positional:
-                    deltas = varint_decode(row.pos).astype("int64")
-                    starts = np.cumsum(tfs) - tfs
-                    glob = np.cumsum(deltas)
-                    base0 = np.repeat(glob[starts] - deltas[starts], tfs)
-                    cols["positions"] = np.split((glob - base0).astype("int32"),
-                                                 np.cumsum(tfs)[:-1])
-                    cols["positions"] = [a.tolist() for a in cols["positions"]]
-                outs.append(pd.DataFrame(cols))
-            if outs:
-                yield pd.concat(outs)
-            else:
-                empty_cols = {"term_id": pd.Series(dtype="int64"),
-                              "doc_id": pd.Series(dtype="int64"),
-                              "tf": pd.Series(dtype="int64"),
-                              "dl": pd.Series(dtype="int64")}
-                if positional:
-                    empty_cols["positions"] = pd.Series(dtype="object")
-                yield pd.DataFrame(empty_cols)
-
-    dec_schema = "term_id long, doc_id long, tf long, dl long"
-    if positional:
-        dec_schema += ", positions array<int>"
+    _decode, dec_schema = _make_block_decoder(positional)
     decoded = old_touched_blocks.drop("bucket").mapInPandas(_decode, dec_schema)
 
     replaced_ids = F.broadcast(replaced.select("doc_id").distinct())
@@ -291,46 +346,7 @@ def upsert_turns(index: dict, delta: DataFrame,
                           * bm25_tf_part(F.col("tf"), F.col("dl"), avgdl))
               .withColumn("bucket", (F.col("doc_id") / F.lit(bucket_range)).cast("int")))
 
-    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-        from searchengine_spark.operators.codec import encode_block, varint_encode
-        term_id = int(pdf["term_id"].iloc[0])
-        bucket = int(pdf["bucket"].iloc[0])
-        ids = pdf["doc_id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        tfs = pdf["tf"].to_numpy()[order]
-        dls = pdf["dl"].to_numpy()[order]
-        scores = pdf["score"].to_numpy()[order]
-        if positional:
-            plists = pdf["positions"].to_numpy()[order]
-        out = []
-        for j, lo in enumerate(range(0, len(ids), block_size)):
-            hi = min(lo + block_size, len(ids))
-            first, n, d, t = encode_block(ids[lo:hi], tfs[lo:hi])
-            row = [term_id, bucket * bpb + j, first, n, d, t,
-                   varint_encode(dls[lo:hi].astype("uint64")),
-                   float(scores[lo:hi].max()), int(tfs[lo:hi].max()),
-                   int(dls[lo:hi].min())]
-            if positional:
-                flat = [np.diff(np.asarray(pl, dtype=np.int64), prepend=0)
-                        for pl in plists[lo:hi]]
-                row.append(varint_encode(
-                    (np.concatenate(flat) if flat else
-                     np.empty(0, dtype=np.int64)).astype("uint64")))
-            out.append(tuple(row))
-        cols = ["term_id", "block_id", "first_doc_id", "n", "doc_deltas",
-                "tfs", "dls", "block_max_score", "block_max_tf",
-                "block_min_dl"]
-        if positional:
-            cols.append("pos")
-        return pd.DataFrame(out, columns=cols)
-
-    enc_schema = ("term_id long, block_id int, first_doc_id long, n int, "
-                  "doc_deltas binary, tfs binary, dls binary, "
-                  "block_max_score double, block_max_tf int, block_min_dl int")
-    if positional:
-        enc_schema += ", pos binary"
+    _encode, enc_schema = _make_block_encoder(positional, block_size, bpb)
     rewritten = scored.groupBy("term_id", "bucket").applyInPandas(_encode, enc_schema)
 
     new_postings = untouched_blocks.unionByName(rewritten).persist()
@@ -365,6 +381,149 @@ def upsert_turns(index: dict, delta: DataFrame,
     return {"mode": mode, "dictionary": dictionary,
             "docs": out_docs, "terms": out_terms,
             "postings": out_postings, "postings_flat": None, "stats": new_stats}
+
+
+def delete_turns(index: dict, keys,
+                 max_delta_fraction: float = MAX_DELTA_FRACTION) -> dict:
+    """Incremental DELETE: remove turns from a built index; returns a new
+    index dict. The reference only deletes as the first half of a page
+    re-index (services/IndexingPageServiceImpl.java:37-135 — df decrement,
+    lemma row dropped at df==0, postings deleted); this exposes that half
+    as its own operator (the GDPR/unlearn path a 100 TB corpus needs:
+    deleting a source must not cost a full rebuild).
+
+    ``keys`` is a DataFrame with (conv_id, turn_idx) or a Column predicate
+    over the docs table. Plan mirrors ``upsert_turns`` with an empty
+    insert set: per-term df decrements (df→0 terms dropped), only the
+    deleted docs' (term_id, bucket) posting groups decode → drop →
+    re-encode under the NEW (n_docs, avgdl); untouched blocks pass through
+    byte-identical and the stats-independent WAND bounds stay exact.
+    doc_ids of survivors are unchanged (the dense space keeps holes —
+    conv-prefix scopes on a post-delete index fall back to the semi-join
+    path, exactly like post-upsert indexes). Same micro-batch guard as
+    upsert: bulk deletions should rebuild instead."""
+    spark = index["docs"].sparkSession
+    mode = index.get("mode", "general")
+    dictionary = index.get("dictionary", "fixture")
+    stats = index["stats"]
+    bucket_range = stats.get("bucket_range", 1 << 16)
+    block_size = stats.get("block_size", BLOCK_SIZE)
+    positional = bool(stats.get("positions"))
+    _an = ((lambda c: analyze_tf_pos_col(c, mode, dictionary)) if positional
+           else (lambda c: analyze_tf_col(c, mode, dictionary)))
+
+    docs = index["docs"]
+    if isinstance(keys, DataFrame):
+        kdf = keys.select(*KEY).distinct()
+    else:
+        kdf = docs.filter(keys).select(*KEY)
+
+    removed = docs.join(F.broadcast(kdf), KEY, "inner")
+    if "tt" not in removed.columns:  # loaded-from-parquet index
+        removed = removed.drop("dl") \
+                         .withColumn("tt", _an(F.col("text"))) \
+                         .withColumn("dl", F.col("tt.dl"))
+    removed = removed.persist()
+    n_removed = removed.count()
+    limit = min(MAX_DELTA_ABS,
+                max(100_000, int(stats["n_docs"] * max_delta_fraction)))
+    if n_removed > limit:
+        removed.unpersist()
+        raise ValueError(
+            f"delete set has {n_removed} rows > {limit}; delete_turns is "
+            f"for micro-batches — rebuild via operators.indexer.build_index "
+            f"on the filtered corpus for bulk deletions, or raise "
+            f"max_delta_fraction explicitly if this size is intended")
+    if n_removed == 0:
+        removed.unpersist()
+        return dict(index, postings_flat=None)
+
+    new_docs = docs.join(F.broadcast(kdf), KEY, "left_anti")
+
+    # --- stats -------------------------------------------------------------
+    r_row = removed.agg(F.count("*").alias("n"),
+                        F.sum("dl").alias("tok")).collect()[0]
+    n_docs = stats["n_docs"] - int(r_row["n"])
+    total_tokens = stats["total_tokens"] - int(r_row["tok"] or 0)
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+    new_stats = {"n_docs": n_docs, "avgdl": avgdl,
+                 "total_tokens": total_tokens, "tf_bounds": True,
+                 "bucket_range": bucket_range, "block_size": block_size,
+                 **({"positions": True} if positional else {})}
+
+    # --- terms: df decrement; df→0 dropped (reference's lemma delete) ------
+    old_flat = tf_pairs(removed).persist()
+    ddf = old_flat.groupBy("term").agg((-F.count("*")).alias("_ddf"))
+    terms = index["terms"]
+    new_terms = (terms.join(F.broadcast(ddf), "term", "left")
+                 .withColumn("df", (F.col("df")
+                                    + F.coalesce("_ddf", F.lit(0)))
+                             .cast("long"))
+                 .filter(F.col("df") > 0)
+                 .select("term", "term_id", "df")
+                 .persist())
+    new_terms.count()
+    dead_terms = (old_flat.select("term").distinct()
+                  .join(new_terms.select("term"), "term", "left_anti")
+                  .join(terms.select("term", "term_id"), "term"))
+
+    # --- postings: rewrite only the deleted docs' (term_id, bucket) groups -
+    touched = (old_flat.join(terms.select("term", "term_id"), "term")
+               .select("term_id", (F.col("doc_id") / F.lit(bucket_range))
+                       .cast("int").alias("bucket"))
+               .distinct().persist())
+    postings_src = index["postings"]
+    if "block_min_dl" not in postings_src.columns:
+        postings_src = postings_src.withColumn(
+            "block_min_dl", F.lit(None).cast("int"))
+    postings = postings_src.select(
+        "term_id", "block_id", "first_doc_id", "n", "doc_deltas", "tfs",
+        "dls", "block_max_score", "block_max_tf", "block_min_dl",
+        *(["pos"] if positional else []))
+    bpb = -(-bucket_range // block_size)
+    touched_b = F.broadcast(touched)
+    is_touched = postings.withColumn(
+        "bucket", (F.col("block_id") / F.lit(bpb)).cast("int"))
+    old_touched_blocks = is_touched.join(touched_b, ["term_id", "bucket"],
+                                         "inner")
+    untouched_blocks = is_touched.join(touched_b, ["term_id", "bucket"],
+                                       "left_anti").drop("bucket")
+
+    _decode, dec_schema = _make_block_decoder(positional)
+    decoded = old_touched_blocks.drop("bucket").mapInPandas(_decode,
+                                                            dec_schema)
+    removed_ids = F.broadcast(removed.select("doc_id").distinct())
+    kept_flat = (decoded.join(removed_ids, "doc_id", "left_anti")
+                 .join(F.broadcast(dead_terms.select("term_id")), "term_id",
+                       "left_anti"))
+
+    df_of = F.broadcast(new_terms.select("term_id", "df"))
+    scored = (kept_flat.join(df_of, "term_id")
+              .withColumn("score", bm25_idf(F.col("df"), n_docs)
+                          * bm25_tf_part(F.col("tf"), F.col("dl"), avgdl))
+              .withColumn("bucket", (F.col("doc_id") / F.lit(bucket_range))
+                          .cast("int")))
+    _encode, enc_schema = _make_block_encoder(positional, block_size, bpb)
+    rewritten = scored.groupBy("term_id", "bucket").applyInPandas(
+        _encode, enc_schema)
+    new_postings = untouched_blocks.unionByName(rewritten).persist()
+
+    term_max = new_postings.groupBy("term_id").agg(
+        F.max("block_max_score").alias("max_score"),
+        F.max("block_max_tf").alias("max_tf"),
+        F.min(F.coalesce(F.col("block_min_dl"), F.lit(0))).alias("min_dl"))
+    final_terms = new_terms.join(term_max, "term_id", "left")
+
+    out_docs = new_docs.localCheckpoint(eager=True)
+    out_postings = new_postings.localCheckpoint(eager=True)
+    out_terms = final_terms.localCheckpoint(eager=True)
+    for scratch in (removed, old_flat, touched, new_terms, new_postings):
+        scratch.unpersist()
+
+    return {"mode": mode, "dictionary": dictionary,
+            "docs": out_docs, "terms": out_terms,
+            "postings": out_postings, "postings_flat": None,
+            "stats": new_stats}
 
 
 # --------------------------------------------------------------------------
@@ -404,5 +563,25 @@ def merge_into_path(spark: SparkSession, root: str, delta: DataFrame) -> str:
     n = len([d for d in os.listdir(root) if d.startswith("snap-")])
     snap = f"snap-{n:05d}"
     save_index(merged, os.path.join(root, snap))
+    commit_snapshot(root, snap)
+    return os.path.join(root, snap)
+
+
+def delete_from_path(spark: SparkSession, root: str, keys) -> str:
+    """DELETE turns from the CURRENT snapshot under ``root`` (the
+    ``merge_into_path`` analog for ``delete_turns``): writes a new
+    snapshot dir and flips CURRENT atomically — the Iceberg
+    ``DELETE FROM`` commit mapped onto the same snapshot protocol.
+    Returns the new snapshot dir."""
+    from searchengine_spark.plans.manifest import load_index, save_index
+
+    cur = read_current(root)
+    if cur is None:
+        raise ValueError(f"no CURRENT snapshot under {root}")
+    index = load_index(spark, cur)
+    pruned = delete_turns(index, keys)
+    n = len([d for d in os.listdir(root) if d.startswith("snap-")])
+    snap = f"snap-{n:05d}"
+    save_index(pruned, os.path.join(root, snap))
     commit_snapshot(root, snap)
     return os.path.join(root, snap)
