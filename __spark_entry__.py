@@ -539,6 +539,79 @@ def _q_delete_term_df(spark, sf_dir):
     return deleted["terms"].select("term", "df")
 
 
+def _chained_compacted_index(spark, sf_dir):
+    """upsert the s6 delta into the built index, then compact with id
+    reassignment — the maintenance round-trip (operators/compact.py)."""
+    key = (sf_dir, "compacted")
+    if key not in _INDEX_CACHE:
+        from searchengine_spark.operators.compact import compact_index
+        from searchengine_spark.operators.upsert import upsert_turns
+        index = _index_for(spark, sf_dir)
+        rows = [(f"doc{did:08d}", 0, "user", text, None)
+                for did, text in UPSERT_REPLACE.items()]
+        rows.append(("zzz_upsert_new", 0, "user", UPSERT_NEW_TEXT, None))
+        delta = spark.createDataFrame(
+            [(c, t, r, x, tool, "2026-02-01 00:00:00")
+             for c, t, r, x, tool in rows],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        _INDEX_CACHE[key] = compact_index(upsert_turns(index, delta),
+                                          reassign_ids=True)
+    return _INDEX_CACHE[key]
+
+
+def _q_compact_term_df(spark, sf_dir):
+    """S8 compaction: the compacted chain's dictionary must still equal df
+    over the modified corpus (compaction rewrites every block from the
+    index itself — no text re-analysis — and must not disturb the terms)."""
+    compacted = _chained_compacted_index(spark, sf_dir)
+    return compacted["terms"].select("term", "df")
+
+
+def _q_compacted_topk(spark, sf_dir):
+    """BM25 top-k through the compacted chain index: stored WAND bounds are
+    exact again (tf_bounds cleared by compact_index) and scores must match
+    the modified corpus' stats exactly."""
+    from searchengine_spark.operators.search import search
+    compacted = _chained_compacted_index(spark, sf_dir)
+    hits = search(compacted, " ".join(BM25_Q), k=K, mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _merged_index_for(spark, sf_dir):
+    """Per-shard build pattern: split the corpus into two contiguous halves
+    by conv_id, build each shard independently, fold with merge_indexes
+    (metadata-only shift of the right shard's blocks — no decode)."""
+    key = (sf_dir, "merged")
+    if key not in _INDEX_CACHE:
+        from searchengine_spark.operators.compact import merge_indexes
+        from searchengine_spark.operators.indexer import build_index
+        t = _docs_as_transcripts(spark, sf_dir)
+        n = _docs(spark, sf_dir).count()
+        cut = f"doc{n // 2:08d}"
+        ia = build_index(t.filter(F.col("conv_id") < cut), mode="general")
+        ib = build_index(t.filter(F.col("conv_id") >= cut), mode="general")
+        _INDEX_CACHE[key] = merge_indexes(ia, ib)
+    return _INDEX_CACHE[key]
+
+
+def _q_merge_term_df(spark, sf_dir):
+    """S9 shard merge: the merged dictionary (shared terms df-summed,
+    right-only terms re-identified) must equal df over the whole corpus."""
+    merged = _merged_index_for(spark, sf_dir)
+    return merged["terms"].select("term", "df")
+
+
+def _q_merged_topk(spark, sf_dir):
+    """BM25 top-k through the merged shard index: df/n_docs/avgdl merge
+    exactly, so scores are identical to a single build over the union."""
+    from searchengine_spark.operators.search import search
+    merged = _merged_index_for(spark, sf_dir)
+    hits = search(merged, " ".join(BM25_Q), k=K, mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 def _q_upsert_fielded_df(spark, sf_dir):
     """S6 upsert of a FIELDED (BM25F) index: merge the same 3-row delta and
     return the maintained title-field dictionary (term, df). The upsert
@@ -930,6 +1003,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_upsert_term_df": _q_upsert_term_df,
         "s7_delete_term_df": _q_delete_term_df,
         "s6_upsert_fielded_df": _q_upsert_fielded_df,
+        "s8_compact_term_df": _q_compact_term_df,
+        "q_compacted_topk": _q_compacted_topk,
+        "s9_merge_term_df": _q_merge_term_df,
+        "q_merged_topk": _q_merged_topk,
         "a3_statistics": _q_statistics,
         "a3_statistics_per_collection": _q_statistics_per_collection,
         "pipeline_stratified_sample": _q_stratified_sample,
@@ -966,6 +1043,13 @@ _TOKS = ("select doc_id, unnest(list_filter(string_split_regex("
 _TF = f"select doc_id, term, count(*) as tf from ({_TOKS}) group by doc_id, term"
 _DF = f"select term, count(*) as df from ({_TF}) group by term"
 _DL = f"select doc_id, count(*) as dl from ({_TOKS}) group by doc_id"
+
+# the corpus after the S6 upsert delta (2 replaced docs + 1 insert) — the
+# ground truth for the upsert/compact chain oracles
+_MOD_DOCS = """select doc_id, text from documents where doc_id not in (7, 11)
+              union all select 7, 'replacement text about spark merge operations'
+              union all select 11, 'another replacement mentioning hash scan pipelines'
+              union all select 10000001, 'entirely new document exercising upsert insert path'"""
 
 
 def _jaccard_truth_sql(id_cap: int, threshold: float) -> str:
@@ -1415,6 +1499,22 @@ def oracle_sql() -> dict[str, str]:
               x -> x <> '')) as term from docs)
             select term, cast(count(distinct doc_id) as bigint) as df
             from toks group by term""",
+        # compaction must leave the chain's dictionary == df over the
+        # modified corpus, and BM25 through the compacted index == BM25
+        # recomputed from the modified corpus (stats maintained exactly)
+        "s8_compact_term_df": f"""
+            with docs as ({_MOD_DOCS}),
+            toks as (select doc_id, unnest(list_filter(string_split_regex(
+              regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+              x -> x <> '')) as term from docs)
+            select term, cast(count(distinct doc_id) as bigint) as df
+            from toks group by term""",
+        "q_compacted_topk": _bm25_sql(BM25_Q, K).replace(
+            "from documents", f"from ({_MOD_DOCS})"),
+        # shard merge: merged dictionary == whole-corpus df; merged BM25 ==
+        # single-build BM25 (df/n_docs/avgdl fold exactly)
+        "s9_merge_term_df": _DF,
+        "q_merged_topk": _bm25_sql(BM25_Q, K),
         "s6_upsert_fielded_df": """
             with docs as (
               select doc_id, text from documents where doc_id not in (7, 11)
