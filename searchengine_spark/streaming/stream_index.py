@@ -41,14 +41,17 @@ def _pointer(root: str) -> dict:
     return {}
 
 
-def _commit_with_batch(root: str, snapshot: str, batch_id: int) -> None:
+def _commit_with_batch(root: str, snapshot: str, batch_id: int,
+                       merges_since_compact: int = 0) -> None:
     tmp = os.path.join(root, "CURRENT.tmp")
     with open(tmp, "w") as f:
-        json.dump({"snapshot": snapshot, "batch_id": batch_id}, f)
+        json.dump({"snapshot": snapshot, "batch_id": batch_id,
+                   "merges_since_compact": merges_since_compact}, f)
     os.replace(tmp, os.path.join(root, "CURRENT"))
 
 
-def merge_batch(root: str, fielded: bool = False, fields=None):
+def merge_batch(root: str, fielded: bool = False, fields=None,
+                compact_every: int | None = None):
     """foreachBatch callback: MERGE one micro-batch into the CURRENT
     snapshot, idempotent on replayed batch ids.
 
@@ -56,7 +59,16 @@ def merge_batch(root: str, fielded: bool = False, fields=None):
     ``merge_fielded_into_path``; ``fields`` is the same field-name →
     text-Column mapping the index was built with (Column exprs are not
     serializable, so they ride the closure, not the snapshot — the
-    default title/body layout needs no argument)."""
+    default title/body layout needs no argument).
+
+    ``compact_every=N`` (main index only) makes the sink log-structured:
+    after every N applied merges it runs ``compact_index(reassign_ids=
+    True)`` on the fresh snapshot — restoring exact stored WAND bounds
+    (merges leave ``tf_bounds`` set), dense (conv_id, turn_idx) doc ids
+    (so conv-prefix scopes get back the contiguous range fast path), and
+    defragmented blocks — and commits the compacted snapshot under the
+    SAME batch_id, so exactly-once replay semantics are untouched. The
+    merge counter rides the commit pointer and so survives restarts."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         ptr = _pointer(root)
@@ -74,26 +86,46 @@ def merge_batch(root: str, fielded: bool = False, fields=None):
         else:
             from searchengine_spark.operators.upsert import merge_into_path
             new_dir = merge_into_path(spark, root, batch_df)
-        _commit_with_batch(root, os.path.basename(new_dir), batch_id)
+        merges = ptr.get("merges_since_compact", 0) + 1
+        if compact_every is not None and merges >= compact_every:
+            from searchengine_spark.operators.compact import compact_index
+            from searchengine_spark.plans.manifest import (
+                load_index, save_index)
+            compacted = compact_index(load_index(spark, new_dir),
+                                      reassign_ids=True)
+            n = len([d for d in os.listdir(root) if d.startswith("snap-")])
+            snap = f"snap-{n:05d}"
+            save_index(compacted, os.path.join(root, snap))
+            _commit_with_batch(root, snap, batch_id, 0)
+        else:
+            _commit_with_batch(root, os.path.basename(new_dir), batch_id,
+                               merges)
 
     return apply
 
 
 def stream_index_turns(spark: SparkSession, source_dir: str, root: str,
                        checkpoint_dir: str, available_now: bool = True,
-                       fielded: bool = False, fields=None):
+                       fielded: bool = False, fields=None,
+                       compact_every: int | None = None):
     """Maintain the index under ``root`` from parquet drops in ``source_dir``.
 
     ``available_now=True`` drains everything currently available then stops
     (test/backfill mode); False runs continuously. Swap the file source for
     ``format("kafka")``/Iceberg CDC in production — the sink is unchanged.
-    ``fielded``/``fields`` select the BM25F merge path (see merge_batch).
+    ``fielded``/``fields`` select the BM25F merge path (see merge_batch);
+    ``compact_every=N`` compacts the snapshot after every N merges (main
+    index only — see merge_batch).
     """
+    if fielded and compact_every is not None:
+        raise ValueError("compact_every applies to the main index only "
+                         "(no fielded compaction path)")
     stream = (spark.readStream.schema(TURN_SCHEMA)
               .option("maxFilesPerTrigger", 4)
               .parquet(source_dir))
     writer = (stream.writeStream
-              .foreachBatch(merge_batch(root, fielded=fielded, fields=fields))
+              .foreachBatch(merge_batch(root, fielded=fielded, fields=fields,
+                                        compact_every=compact_every))
               .option("checkpointLocation", checkpoint_dir)
               .outputMode("update"))
     if available_now:

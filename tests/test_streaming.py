@@ -70,6 +70,69 @@ def test_stream_merge_matches_rebuild(spark, tmp_path_factory):
         assert abs(a["score"] - b["score"]) < 1e-9
 
 
+def test_stream_merge_with_periodic_compaction(spark, tmp_path_factory):
+    """Log-structured sink: compact_every=1 compacts after every applied
+    merge, so the drained index has EXACT stored WAND bounds (no tf_bounds
+    fallback), re-densified ids, and is byte-identical to a fresh rebuild
+    over the mutated corpus — while the batch-id commit protocol stays
+    idempotent (re-run applies nothing)."""
+    base_rows = [_row("c0", 0, "alpha beta"), _row("c0", 1, "beta gamma"),
+                 _row("c1", 0, "gamma delta alpha")]
+    drop1 = [_row("c2", 0, "epsilon beta"), _row("c0", 1, "zeta zeta")]
+    drop2 = [_row("c3", 0, "alpha epsilon")]
+
+    root = str(tmp_path_factory.mktemp("cstream_root"))
+    src = str(tmp_path_factory.mktemp("cstream_src"))
+    ckpt = str(tmp_path_factory.mktemp("cstream_ckpt"))
+
+    base = build_index(_mk_df(spark, base_rows), mode="general",
+                       bucket_range=256, block_size=32)
+    save_index(base, f"{root}/snap-00000")
+    commit_snapshot(root, "snap-00000")
+    _mk_df(spark, drop1).write.parquet(f"{src}/d1")
+    _mk_df(spark, drop2).write.parquet(f"{src}/d2")
+
+    q = stream_index_turns(spark, f"{src}/*", root, ckpt,
+                           available_now=True, compact_every=1)
+    q.awaitTermination(120)
+
+    mutated = {(r[0], r[1]): r for r in base_rows}
+    for r in drop1 + drop2:
+        mutated[(r[0], r[1])] = r
+    rebuilt = build_index(_mk_df(spark, list(mutated.values())),
+                          mode="general", bucket_range=256, block_size=32)
+    final = load_index(spark, read_current(root))
+    assert not final["stats"].get("tf_bounds")  # compaction restored bounds
+
+    def _terms(ix):
+        return sorted((r["term"], r["term_id"], r["df"],
+                       round(r["max_score"], 9), r["max_tf"], r["min_dl"])
+                      for r in ix["terms"].collect())
+
+    def _blocks(ix):
+        return sorted(
+            (r["term_id"], r["block_id"], r["first_doc_id"], r["n"],
+             bytes(r["doc_deltas"]), bytes(r["tfs"]), bytes(r["dls"]),
+             round(r["block_max_score"], 9), r["block_max_tf"],
+             r["block_min_dl"])
+            for r in ix["postings"].select(
+                "term_id", "block_id", "first_doc_id", "n", "doc_deltas",
+                "tfs", "dls", "block_max_score", "block_max_tf",
+                "block_min_dl").collect())
+
+    assert _terms(final) == _terms(rebuilt)
+    assert _blocks(final) == _blocks(rebuilt)
+    # replay safety: draining again (same checkpoint) changes nothing
+    cur = read_current(root)
+    stream_index_turns(spark, f"{src}/*", root, ckpt, available_now=True,
+                       compact_every=1).awaitTermination(120)
+    assert read_current(root) == cur
+    # fielded + compact_every is an explicit error (no fielded compaction)
+    with pytest.raises(ValueError, match="main index only"):
+        stream_index_turns(spark, f"{src}/*", root, ckpt, fielded=True,
+                           compact_every=2)
+
+
 def test_stream_restart_is_idempotent(spark, tmp_path_factory):
     """Re-running the drained stream (same checkpoint) applies nothing new."""
     root = str(tmp_path_factory.mktemp("re_root"))
