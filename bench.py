@@ -108,6 +108,45 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
     extras["search_warm_iqr"] = warm_iqr
     extras["search_warm_reps"] = warm_reps
 
+    # --- maintenance ops on the main index --------------------------------
+    # upsert → compact: the LSM maintenance path. Compaction rewrites every
+    # block from the index itself (no re-analysis), so its wall vs
+    # index_build is the measured cost of restoring exact bounds + dense
+    # ids. Shard builds → merge: the per-shard build pattern; merge is a
+    # metadata-only shift (no block decode), timed apart from the builds.
+    from searchengine_spark.operators.compact import (
+        compact_index, merge_indexes)
+    from searchengine_spark.operators.upsert import upsert_turns
+    delta = spark.createDataFrame(
+        [("zzzz_bench_upsert", 0, "user", "ошибка merge timeout индекс",
+          None, "2026-02-01 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+    t0 = time.time()
+    up = upsert_turns(index, delta)
+    up["postings"].count()
+    queries["maint_upsert"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    comp = compact_index(up, reassign_ids=True)
+    comp["postings"].count()
+    compact_s = time.time() - t0
+    queries["maint_compact"] = round(compact_s, 3)
+    extras["compact_turns_per_sec"] = round(n_turns / compact_s, 1)
+    t0 = time.time()
+    cut = f"conv{max(200, int(120_000 * sf)) // 2:06d}"  # fixtures' n_conv
+    half_a = transcripts.filter(F.col("conv_id") < cut)
+    half_b = transcripts.filter(F.col("conv_id") >= cut)
+    ia = build_index(half_a, mode="general")
+    ia["postings"].count(); ia["terms"].count()
+    ib = build_index(half_b, mode="general")
+    ib["postings"].count(); ib["terms"].count()
+    queries["shard_index_builds"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    merged = merge_indexes(ia, ib, check_disjoint=False)  # disjoint by construction
+    merged["postings"].count()
+    queries["maint_merge"] = round(time.time() - t0, 3)
+
     # --- table ops over the sf-dir corpus ---------------------------------
     import __spark_entry__ as E
     # the documents-corpus index build is a one-time cost — time it apart so

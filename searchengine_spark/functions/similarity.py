@@ -278,6 +278,109 @@ def load_ann_index(spark: SparkSession, path: str) -> dict:
     return meta
 
 
+def upsert_ann_index(spark: SparkSession, path: str,
+                     delta: DataFrame) -> dict:
+    """Append new vectors to a persisted ANN index WITHOUT rebuilding it.
+
+    LSH: the delta is sign-bucketed with the SAME stored planes (seed /
+    n_planes / n_bands from the meta), so appended rows land in exactly the
+    partitions a full rebuild would put them in — the maintained index is
+    layout-identical to a rebuild and queries are unchanged. IVF: the delta
+    is assigned to the EXISTING centroids (the standard IVF maintenance
+    contract — centroids drift only at the next re-train/compaction; recall
+    degrades gracefully, never correctness, since the query probes the same
+    centroids the rows were assigned under).
+
+    One pass over the delta, parquet append into the partitioned layout —
+    no existing file is read or rewritten, so maintenance cost is O(|delta|)
+    regardless of index size. Ids are assumed new (upstream dedup / the
+    exact-dedup operator); replacing an id = delete_ann_ids + upsert.
+    """
+    with open(os.path.join(path, "ann_meta.json")) as f:
+        meta = json.load(f)
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    if meta["kind"] == "lsh":
+        n_bands = meta.get("n_bands", 1)
+        if n_bands <= 1:
+            out = lsh_bucket_ids(delta, meta["dim"], meta["n_planes"],
+                                 vec_col, id_col, meta["seed"])
+            part_cols = ["bucket"]
+        else:
+            banded = lsh_band_buckets(delta, meta["dim"], meta["n_planes"],
+                                      n_bands, vec_col, meta["seed"])
+            out = banded.select(
+                F.col(id_col), F.col(vec_col),
+                F.posexplode("band_buckets").alias("band", "bucket"))
+            part_cols = ["band", "bucket"]
+    elif meta["kind"] == "ivf":
+        cents = np.asarray(meta["centroids"], dtype=float)
+        out = delta.withColumn("centroid", _assign_udf(cents)(F.col(vec_col)))
+        part_cols = ["centroid"]
+    else:
+        raise ValueError(f"unknown ANN index kind {meta['kind']!r}")
+    out.write.mode("append").partitionBy(*part_cols) \
+        .parquet(os.path.join(path, "vectors"))
+    return meta
+
+
+def delete_ann_ids(spark: SparkSession, path: str, ids) -> int:
+    """Remove vectors by id from a persisted ANN index, rewriting ONLY the
+    partitions that contain them (dynamic partition overwrite — the Iceberg
+    ``DELETE FROM`` / partition-rewrite analog). Returns the number of rows
+    removed. ``ids`` is a list of ids or a DataFrame with the id column.
+
+    Partitions whose every row is removed are dropped outright; untouched
+    partitions are never read beyond the id column (column pruning).
+    """
+    import shutil
+
+    with open(os.path.join(path, "ann_meta.json")) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    part_cols = (["centroid"] if meta["kind"] == "ivf"
+                 else (["band", "bucket"] if meta.get("n_bands", 1) > 1
+                       else ["bucket"]))
+    vectors = spark.read.parquet(os.path.join(path, "vectors"))
+    if isinstance(ids, DataFrame):
+        idf = ids.select(id_col)
+    else:
+        idf = spark.createDataFrame([(i,) for i in ids],
+                                    vectors.select(id_col).schema)
+    doomed = vectors.join(F.broadcast(idf), id_col, "left_semi")
+    touched = [tuple(r[c] for c in part_cols)
+               for r in doomed.select(*part_cols).distinct().collect()]
+    n_removed = doomed.count()
+    if not touched:
+        return 0
+    cond = None
+    for t in touched:
+        c = F.lit(True)
+        for col, v in zip(part_cols, t):
+            c = c & (F.col(col) == v)
+        cond = c if cond is None else (cond | c)
+    survivors = (vectors.filter(cond)
+                 .join(F.broadcast(idf), id_col, "left_anti")
+                 .localCheckpoint(eager=True))  # materialize BEFORE overwrite
+    kept_parts = {tuple(r[c] for c in part_cols)
+                  for r in survivors.select(*part_cols).distinct().collect()}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy(*part_cols) \
+            .parquet(os.path.join(path, "vectors"))
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        else:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data — a partition emptied by the delete must be dropped explicitly
+    for t in set(touched) - kept_parts:
+        sub = "/".join(f"{c}={v}" for c, v in zip(part_cols, t))
+        shutil.rmtree(os.path.join(path, "vectors", sub), ignore_errors=True)
+    return n_removed
+
+
 def lsh_index_topk(ann: dict, qvec: list[float], k: int = 10,
                    multiprobe: int = 0) -> DataFrame:
     """Query the persisted LSH index: probes computed driver-side from the

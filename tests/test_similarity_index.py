@@ -129,3 +129,84 @@ def test_kmeans_lloyd_improves_assignment(spark, vecs):
         grp = assign[c * 30:(c + 1) * 30]
         # majority of each planted cluster maps to a single centroid
         assert (grp == np.bincount(grp).argmax()).mean() >= 0.9
+
+
+def test_ann_upsert_lsh_matches_rebuild(spark, vecs, tmp_path_factory):
+    """Appending a delta with the stored planes must give an index
+    layout-identical to rebuilding over the union: same rows per (band,
+    bucket) partition, identical query results."""
+    from searchengine_spark.functions.similarity import upsert_ann_index
+    base = vecs.filter("vec_id < 100")
+    delta = vecs.filter("vec_id >= 100")
+    p_inc = str(tmp_path_factory.mktemp("lsh_inc"))
+    p_all = str(tmp_path_factory.mktemp("lsh_all"))
+    build_lsh_index(base, DIM, p_inc, n_planes=6, n_bands=6)
+    upsert_ann_index(spark, p_inc, delta)
+    build_lsh_index(vecs, DIM, p_all, n_planes=6, n_bands=6)
+    inc = load_ann_index(spark, p_inc)
+    full = load_ann_index(spark, p_all)
+    rows_inc = sorted((r["band"], r["bucket"], r["vec_id"])
+                      for r in inc["vectors"].collect())
+    rows_all = sorted((r["band"], r["bucket"], r["vec_id"])
+                      for r in full["vectors"].collect())
+    assert rows_inc == rows_all
+    q = [float(x) for x in vecs.filter("vec_id = 110").first()["embedding"]]
+    got = [(r["vec_id"], r["cos"])
+           for r in lsh_index_topk(inc, q, k=5, multiprobe=1).collect()]
+    ref = [(r["vec_id"], r["cos"])
+           for r in lsh_index_topk(full, q, k=5, multiprobe=1).collect()]
+    assert got == ref
+    assert got[0][0] == 110  # the upserted vector finds itself
+
+
+def test_ann_upsert_ivf_assigns_to_stored_centroids(spark, vecs,
+                                                    tmp_path_factory):
+    """IVF maintenance: delta rows are assigned under the EXISTING
+    centroids, so a query probing the delta vector's cell finds it."""
+    from searchengine_spark.functions.similarity import upsert_ann_index
+    base = vecs.filter("vec_id < 100")
+    delta = vecs.filter("vec_id >= 100")
+    path = str(tmp_path_factory.mktemp("ivf_inc"))
+    meta0 = build_ivf_index(base, DIM, path, n_centroids=4, iters=2)
+    upsert_ann_index(spark, path, delta)
+    ann = load_ann_index(spark, path)
+    assert ann["centroids"] == meta0["centroids"]  # centroids untouched
+    assert ann["vectors"].count() == vecs.count()
+    # a planted-cluster delta vector is reachable with its cluster's probes
+    q = [float(x) for x in vecs.filter("vec_id = 105").first()["embedding"]]
+    got = [r["vec_id"] for r in ivf_index_topk(ann, q, k=5, n_probe=1).collect()]
+    assert 105 in got
+
+
+def test_ann_delete_rewrites_touched_partitions_only(spark, vecs,
+                                                     tmp_path_factory):
+    """delete_ann_ids removes the rows, leaves untouched partition files
+    alone (same mtimes), and drops fully-emptied partition dirs."""
+    import os
+    from searchengine_spark.functions.similarity import delete_ann_ids
+    path = str(tmp_path_factory.mktemp("ivf_del"))
+    build_ivf_index(vecs, DIM, path, n_centroids=4, iters=2)
+    ann = load_ann_index(spark, path)
+    doomed = [r["vec_id"] for r in
+              ann["vectors"].filter("centroid = 1").limit(5).collect()]
+    vdir = os.path.join(path, "vectors")
+    before = {d: os.path.getmtime(os.path.join(vdir, d))
+              for d in os.listdir(vdir) if d.startswith("centroid=")}
+    n = delete_ann_ids(spark, path, doomed)
+    assert n == len(doomed)
+    ann2 = load_ann_index(spark, path)
+    left = {r["vec_id"] for r in ann2["vectors"].collect()}
+    assert not (set(doomed) & left)
+    assert len(left) == vecs.count() - len(doomed)
+    after = {d: os.path.getmtime(os.path.join(vdir, d))
+             for d in os.listdir(vdir) if d.startswith("centroid=")}
+    untouched = {d for d in before if d != "centroid=1"}
+    assert all(before[d] == after[d] for d in untouched)
+    # empty a whole partition → its dir disappears
+    rest = [r["vec_id"] for r in
+            ann2["vectors"].filter("centroid = 1").collect()]
+    if rest:
+        delete_ann_ids(spark, path, rest)
+        assert not os.path.exists(os.path.join(vdir, "centroid=1"))
+        ann3 = load_ann_index(spark, path)
+        assert ann3["vectors"].filter("centroid = 1").count() == 0
