@@ -579,6 +579,29 @@ def _q_compacted_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_merged_bm25f(spark, sf_dir):
+    """Fielded shard merge: build the corpus as two fielded shard indexes,
+    fold with merge_fielded_indexes (rigid shift per field, no decode) —
+    BM25F through the merged index must equal the single-build ground
+    truth exactly (per-field df/avgdl fold exactly; fielded bounds are
+    stats-independent, so there is no compaction debt)."""
+    from searchengine_spark.operators.compact import merge_fielded_indexes
+    from searchengine_spark.operators.fielded import (
+        bm25f_search, build_fielded_index)
+    key = (sf_dir, "merged_fielded")
+    if key not in _INDEX_CACHE:
+        t = _docs_as_transcripts(spark, sf_dir)
+        n = _docs(spark, sf_dir).count()
+        cut = f"doc{n // 2:08d}"
+        fa = build_fielded_index(t.filter(F.col("conv_id") < cut),
+                                 mode="general")
+        fb = build_fielded_index(t.filter(F.col("conv_id") >= cut),
+                                 mode="general")
+        _INDEX_CACHE[key] = merge_fielded_indexes(fa, fb)
+    hits = bm25f_search(_INDEX_CACHE[key], " ".join(BM25_Q), k=K)
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 def _merged_index_for(spark, sf_dir):
     """Per-shard build pattern: split the corpus into two contiguous halves
     by conv_id, build each shard independently, fold with merge_indexes
@@ -1007,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_compacted_topk": _q_compacted_topk,
         "s9_merge_term_df": _q_merge_term_df,
         "q_merged_topk": _q_merged_topk,
+        "q_merged_bm25f": _q_merged_bm25f,
         "a3_statistics": _q_statistics,
         "a3_statistics_per_collection": _q_statistics_per_collection,
         "pipeline_stratified_sample": _q_stratified_sample,
@@ -1515,6 +1539,7 @@ def oracle_sql() -> dict[str, str]:
         # single-build BM25 (df/n_docs/avgdl fold exactly)
         "s9_merge_term_df": _DF,
         "q_merged_topk": _bm25_sql(BM25_Q, K),
+        "q_merged_bm25f": _bm25f_sql(list(BM25_Q), K),
         "s6_upsert_fielded_df": """
             with docs as (
               select doc_id, text from documents where doc_id not in (7, 11)

@@ -146,6 +146,12 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
     merged = merge_indexes(ia, ib, check_disjoint=False)  # disjoint by construction
     merged["postings"].count()
     queries["maint_merge"] = round(time.time() - t0, 3)
+    # drop the maintenance indexes' references: their eager-checkpointed
+    # blocks (4+ full index copies) otherwise stay cached and pressure the
+    # sections below (ContextCleaner frees the RDD blocks after GC)
+    del up, comp, ia, ib, merged
+    import gc
+    gc.collect()
 
     # --- table ops over the sf-dir corpus ---------------------------------
     import __spark_entry__ as E

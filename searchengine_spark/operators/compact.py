@@ -310,6 +310,143 @@ def merge_indexes(a: dict, b: dict, check_disjoint: bool = True) -> dict:
             "postings_flat": None, "stats": stats}
 
 
+def merge_fielded_indexes(a: dict, b: dict,
+                          check_disjoint: bool = True) -> dict:
+    """Merge two FIELDED (BM25F) indexes built over DISJOINT corpora —
+    the per-shard build pattern for `operators.fielded`.
+
+    Same rigid-shift mechanics as ``merge_indexes`` applied per field
+    (shared doc space ⇒ one bucket-aligned offset moves every field's
+    blocks; NO block decode). Cleaner than the main merge in one way:
+    fielded blocks carry only stats-INDEPENDENT (block_max_tf,
+    block_min_dl) bounds — nothing score-valued goes stale — and per-field
+    df/avgdl/total_tokens fold exactly, so the merged index's BM25F scores
+    equal a combined rebuild's immediately, with no tf_bounds-style flag
+    and no compaction debt.
+    """
+    for field in ("mode", "dictionary"):
+        if a.get(field, None) != b.get(field, None):
+            raise ValueError(
+                f"cannot merge: {field} differs "
+                f"({a.get(field)!r} vs {b.get(field)!r})")
+    sa, sb = a["stats"], b["stats"]
+    geo_a = (sa.get("bucket_range", 1 << 16), sa.get("block_size", BLOCK_SIZE))
+    geo_b = (sb.get("bucket_range", 1 << 16), sb.get("block_size", BLOCK_SIZE))
+    if geo_a != geo_b:
+        raise ValueError(f"cannot merge: geometry differs ({geo_a} vs {geo_b})")
+    if set(a["fields"]) != set(b["fields"]):
+        raise ValueError(
+            f"cannot merge: field names differ "
+            f"({sorted(a['fields'])} vs {sorted(b['fields'])})")
+    bucket_range, block_size = geo_a
+    bpb = -(-bucket_range // block_size)
+
+    docs_a, docs_b = a["docs"], b["docs"]
+    if check_disjoint:
+        n_overlap = (docs_b.select("conv_id", "turn_idx")
+                     .join(docs_a.select("conv_id", "turn_idx"),
+                           ["conv_id", "turn_idx"], "inner").count())
+        if n_overlap:
+            raise ValueError(
+                f"cannot merge: {n_overlap} (conv_id, turn_idx) keys appear "
+                f"in both indexes — merge requires disjoint corpora "
+                f"(upsert_fielded is the overlapping-key path)")
+    max_doc_a = docs_a.agg(F.max("doc_id")).collect()[0][0]
+    max_doc_a = -1 if max_doc_a is None else max_doc_a
+    bucket_shift = max_doc_a // bucket_range + 1
+    off = bucket_shift * bucket_range
+    docs = docs_a.unionByName(
+        docs_b.withColumn("doc_id", (F.col("doc_id") + F.lit(off))
+                          .cast("long")).select(*docs_a.columns)) \
+        .localCheckpoint(eager=True)
+    n_docs = sa["n_docs"] + sb["n_docs"]
+
+    def _fterms(t: DataFrame) -> DataFrame:
+        if "max_tf" not in t.columns:  # index built before WAND columns
+            t = (t.withColumn("max_tf", F.lit(None).cast("long"))
+                 .withColumn("min_dl", F.lit(None).cast("long")))
+        return t.select("term", "term_id", "df_field", "max_tf", "min_dl")
+
+    def _fblocks(p: DataFrame) -> DataFrame:
+        if "block_max_tf" not in p.columns:
+            p = (p.withColumn("block_max_tf", F.lit(None).cast("long"))
+                 .withColumn("block_min_dl", F.lit(None).cast("long")))
+        return p.select("term_id", "block_id", "first_doc_id", "n",
+                        "doc_deltas", "tfs", "dls", "block_max_tf",
+                        "block_min_dl")
+
+    out_fields: dict[str, dict] = {}
+    for name in a["fields"]:
+        fa, fb = a["fields"][name], b["fields"][name]
+        ta = _fterms(fa["terms"])
+        tb = _fterms(fb["terms"])
+        max_term_a = ta.agg(F.max("term_id")).collect()[0][0]
+        max_term_a = -1 if max_term_a is None else max_term_a
+        joined = (ta.select(F.col("term"), F.col("term_id").alias("_id_a"),
+                            F.col("df_field").alias("_df_a"),
+                            F.col("max_tf").alias("_mt_a"),
+                            F.col("min_dl").alias("_md_a"))
+                  .join(tb.select(F.col("term"),
+                                  F.col("term_id").alias("_id_b"),
+                                  F.col("df_field").alias("_df_b"),
+                                  F.col("max_tf").alias("_mt_b"),
+                                  F.col("min_dl").alias("_md_b")),
+                        "term", "full"))
+        b_only = joined.filter(F.col("_id_a").isNull())
+        b_fresh = assign_dense_ids(
+            b_only.withColumn("_tp", F.substring("term", 1, 1)),
+            key_col="_tp", order_cols=["term"], id_col="_nid").drop("_tp")
+        b_fresh = b_fresh.withColumn(
+            "term_id", (F.col("_nid") + F.lit(max_term_a + 1)).cast("long"))
+        # shared/one-sided (max_tf, min_dl) fold exactly: max of maxima,
+        # min of minima; coalesce covers legacy-null bound columns soundly
+        # (null max_tf → query path already treats it as unbounded)
+        terms = (joined.filter(F.col("_id_a").isNotNull())
+                 .select("term", F.col("_id_a").alias("term_id"),
+                         (F.coalesce("_df_a", F.lit(0))
+                          + F.coalesce("_df_b", F.lit(0))).cast("long")
+                         .alias("df_field"),
+                         F.greatest("_mt_a", "_mt_b").alias("max_tf"),
+                         F.least("_md_a", "_md_b").alias("min_dl"))
+                 .unionByName(b_fresh.select(
+                     "term", "term_id",
+                     F.col("_df_b").cast("long").alias("df_field"),
+                     F.col("_mt_b").alias("max_tf"),
+                     F.col("_md_b").alias("min_dl"))))
+        tid_map = (joined.filter(F.col("_id_b").isNotNull())
+                   .filter(F.col("_id_a").isNotNull())
+                   .select(F.col("_id_b").alias("term_id"),
+                           F.col("_id_a").alias("_new_term_id"))
+                   .unionByName(b_fresh.select(
+                       F.col("_id_b").alias("term_id"),
+                       F.col("term_id").alias("_new_term_id"))))
+        pa = _fblocks(fa["postings"])
+        pb_shifted = (_fblocks(fb["postings"])
+                      .withColumn("first_doc_id",
+                                  (F.col("first_doc_id") + F.lit(off))
+                                  .cast("long"))
+                      .withColumn("block_id",
+                                  (F.col("block_id")
+                                   + F.lit(bucket_shift * bpb)).cast("int"))
+                      .join(tid_map, "term_id")
+                      .drop("term_id")
+                      .withColumnRenamed("_new_term_id", "term_id")
+                      .select(*pa.columns))
+        postings = pa.unionByName(pb_shifted).localCheckpoint(eager=True)
+        total_tokens = fa["total_tokens"] + fb["total_tokens"]
+        out_fields[name] = {
+            "terms": terms.localCheckpoint(eager=True),
+            "postings": postings,
+            "avgdl": total_tokens / n_docs if n_docs else 0.0,
+            "total_tokens": total_tokens}
+
+    return {"mode": a.get("mode", "general"),
+            "dictionary": a.get("dictionary", "fixture"),
+            "docs": docs, "fields": out_fields,
+            "stats": {"n_docs": n_docs, "bucket_range": bucket_range,
+                      "block_size": block_size}}
+
+
 # --------------------------------------------------------------------------
 # Snapshot flows (same CURRENT-pointer commit protocol as upsert)
 # --------------------------------------------------------------------------

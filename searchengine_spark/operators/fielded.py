@@ -1018,6 +1018,172 @@ def upsert_fielded(index: dict, delta: DataFrame,
                       "block_size": block_size}}
 
 
+def delete_fielded(index: dict, keys,
+                   fields: dict[str, Column] | None = None,
+                   max_delta_fraction: float | None = None) -> dict:
+    """Incremental DELETE for a FIELDED index (the GDPR/unlearn path,
+    mirroring ``operators.upsert.delete_turns`` per field): remove turns,
+    decrement each field's df (df→0 terms dropped), rewrite only the
+    removed docs' (term_id, bucket) posting groups per field, keep
+    per-field avgdl/total_tokens exact. ``keys`` is a DataFrame with
+    (conv_id, turn_idx) or a Column predicate over the docs table.
+    ``fields`` must be the build-time field mapping (see upsert_fielded).
+    Same micro-batch guard as upsert: bulk deletions should rebuild."""
+    from searchengine_spark.operators.upsert import (
+        KEY, MAX_DELTA_ABS, MAX_DELTA_FRACTION)
+
+    mode = index.get("mode", "general")
+    dictionary = index.get("dictionary", "fixture")
+    stats = index["stats"]
+    bucket_range = stats.get("bucket_range", 1 << 16)
+    block_size = stats.get("block_size", BLOCK_SIZE)
+    bpb = -(-bucket_range // block_size)
+    if fields is None:
+        fields = {"title": title_col(F.col("text")), "body": F.col("text")}
+    if set(fields) != set(index["fields"]):
+        raise ValueError(
+            f"field names {sorted(fields)} != index fields "
+            f"{sorted(index['fields'])}; pass the build-time field mapping")
+
+    docs = index["docs"]
+    if isinstance(keys, DataFrame):
+        kdf = keys.select(*KEY).distinct()
+    else:
+        kdf = docs.filter(keys).select(*KEY)
+    removed = docs.join(F.broadcast(kdf), KEY, "inner").persist()
+    n_removed = removed.count()
+    if max_delta_fraction is None:
+        max_delta_fraction = MAX_DELTA_FRACTION
+    limit = min(MAX_DELTA_ABS,
+                max(100_000, int(stats["n_docs"] * max_delta_fraction)))
+    if n_removed > limit:
+        removed.unpersist()
+        raise ValueError(
+            f"delete set has {n_removed} rows > {limit}; delete_fielded is "
+            f"for micro-batches — rebuild with build_fielded_index on the "
+            f"filtered corpus for bulk deletions, or raise "
+            f"max_delta_fraction explicitly")
+    if n_removed == 0:
+        removed.unpersist()
+        return dict(index)
+    new_docs = docs.join(F.broadcast(kdf), KEY, "left_anti")
+    n_docs = stats["n_docs"] - n_removed
+    removed_ids = F.broadcast(removed.select("doc_id").distinct())
+
+    out_fields: dict[str, dict] = {}
+    scratch = [removed]
+    for name, expr in fields.items():
+        fl = index["fields"][name]
+        old_an = removed.drop("tt", "dl") \
+            .withColumn("tt", analyze_tf_col(expr, mode, dictionary)) \
+            .withColumn("dl", F.col("tt.dl"))
+        old_flat = tf_pairs(old_an).persist()
+        scratch.append(old_flat)
+        tok_old = int(old_an.agg(F.sum("dl")).collect()[0][0] or 0)
+        total_tokens = fl["total_tokens"] - tok_old
+        avgdl = total_tokens / n_docs if n_docs else 0.0
+
+        ddf = old_flat.groupBy("term").agg((-F.count("*")).alias("_ddf"))
+        terms = fl["terms"]
+        if "max_tf" not in terms.columns:  # pre-WAND-column index
+            terms = (terms
+                     .withColumn("max_tf", F.lit(None).cast("long"))
+                     .withColumn("min_dl", F.lit(None).cast("long")))
+        legacy_bounds = "block_max_tf" not in fl["postings"].columns
+        new_terms = (terms.join(F.broadcast(ddf), "term", "left")
+                     .withColumn("df_field",
+                                 (F.col("df_field")
+                                  + F.coalesce("_ddf", F.lit(0))).cast("long"))
+                     .filter(F.col("df_field") > 0)
+                     .select("term", "df_field", "term_id",
+                             "max_tf", "min_dl").persist())
+        new_terms.count()
+        scratch.append(new_terms)
+        dead = (old_flat.select("term").distinct()
+                .join(new_terms.select("term"), "term", "left_anti")
+                .join(terms.select("term", "term_id"), "term"))
+
+        bucket_of = (F.col("doc_id") / F.lit(bucket_range)).cast("int")
+        touched = (old_flat.join(terms.select("term", "term_id"), "term")
+                   .select("term_id", bucket_of.alias("bucket"))
+                   .distinct().persist())
+        scratch.append(touched)
+
+        postings = fl["postings"]
+        if legacy_bounds:
+            postings = (postings
+                        .withColumn("block_max_tf", F.lit(None).cast("long"))
+                        .withColumn("block_min_dl", F.lit(None).cast("long")))
+        postings = postings.select(
+            "term_id", "block_id", "first_doc_id", "n",
+            "doc_deltas", "tfs", "dls", "block_max_tf", "block_min_dl")
+        with_bucket = postings.withColumn(
+            "bucket", (F.col("block_id") / F.lit(bpb)).cast("int"))
+        touched_b = F.broadcast(touched)
+        old_touched = with_bucket.join(touched_b, ["term_id", "bucket"],
+                                       "inner")
+        untouched = with_bucket.join(touched_b, ["term_id", "bucket"],
+                                     "left_anti").drop("bucket")
+        decoded = _decode_field_blocks(old_touched.drop("bucket"))
+        kept = (decoded.join(removed_ids, "doc_id", "left_anti")
+                .join(F.broadcast(dead.select("term_id")), "term_id",
+                      "left_anti")
+                .withColumn("bucket", bucket_of))
+        rewritten = kept.groupBy("term_id", "bucket").applyInPandas(
+            _make_field_encoder(block_size, bpb), _FIELD_BLOCK_SCHEMA)
+        out_postings = untouched.unionByName(rewritten) \
+                                .localCheckpoint(eager=True)
+
+        if legacy_bounds:
+            new_terms_b = new_terms
+        else:
+            tset = touched.select("term_id").distinct()
+            nb = (out_postings.join(F.broadcast(tset), "term_id")
+                  .groupBy("term_id").agg(F.max("block_max_tf").alias("_mt"),
+                                          F.min("block_min_dl").alias("_md")))
+            new_terms_b = (new_terms.join(F.broadcast(nb), "term_id", "left")
+                           .withColumn("max_tf",
+                                       F.coalesce("_mt", F.col("max_tf")))
+                           .withColumn("min_dl",
+                                       F.coalesce("_md", F.col("min_dl")))
+                           .drop("_mt", "_md"))
+        out_fields[name] = {
+            "terms": new_terms_b.localCheckpoint(eager=True),
+            "postings": out_postings,
+            "avgdl": avgdl, "total_tokens": total_tokens}
+
+    out_docs = new_docs.localCheckpoint(eager=True)
+    for df in scratch:
+        df.unpersist()
+    return {"mode": mode, "dictionary": dictionary, "docs": out_docs,
+            "fields": out_fields,
+            "stats": {"n_docs": n_docs, "bucket_range": bucket_range,
+                      "block_size": block_size}}
+
+
+def delete_fielded_from_path(spark, root: str, keys,
+                             fields: dict[str, Column] | None = None) -> str:
+    """DELETE turns from the CURRENT fielded snapshot under ``root`` (the
+    fielded twin of operators.upsert.delete_from_path): writes a new
+    snapshot dir and flips CURRENT atomically. Returns the new dir."""
+    import os as _os
+
+    from searchengine_spark.operators.upsert import (
+        commit_snapshot, read_current)
+
+    cur = read_current(root)
+    if cur is None:
+        raise ValueError(f"no CURRENT snapshot under {root}")
+    index = load_fielded_index(spark, cur)
+    pruned = delete_fielded(index, keys, fields=fields)
+    n = len([d for d in _os.listdir(root) if d.startswith("snap-")])
+    snap = f"snap-{n:05d}"
+    save_fielded_index(pruned, _os.path.join(root, snap),
+                       term_buckets=index["stats"].get("term_buckets", 16))
+    commit_snapshot(root, snap)
+    return _os.path.join(root, snap)
+
+
 def merge_fielded_into_path(spark, root: str, delta: DataFrame,
                             fields: dict[str, Column] | None = None) -> str:
     """MERGE delta into the CURRENT fielded snapshot under ``root``; writes a

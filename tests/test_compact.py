@@ -244,6 +244,55 @@ def test_merge_then_compact_equals_combined_build(spark, rows):
     assert _postings_rows(compacted) == _postings_rows(combined)
 
 
+def test_merge_fielded_matches_combined_build(spark, rows):
+    """Fielded shard merge: per-field dictionaries fold exactly (df_field
+    summed, bounds max/min), blocks rigid-shift without decode, and BM25F
+    ranking is rank- AND score-identical to the combined build immediately
+    (no compaction debt — fielded bounds are stats-independent)."""
+    from searchengine_spark.operators.compact import merge_fielded_indexes
+    from searchengine_spark.operators.fielded import (
+        bm25f_search, build_fielded_index)
+    left, right = _split(rows)
+    fa = build_fielded_index(_mk_df(spark, left), mode="general",
+                             bucket_range=64, block_size=8)
+    fb = build_fielded_index(_mk_df(spark, right), mode="general",
+                             bucket_range=64, block_size=8)
+    merged = merge_fielded_indexes(fa, fb)
+    combined = build_fielded_index(_mk_df(spark, rows), mode="general",
+                                   bucket_range=64, block_size=8)
+    for fname in ("title", "body"):
+        md = {r["term"]: r["df_field"]
+              for r in merged["fields"][fname]["terms"].collect()}
+        cd = {r["term"]: r["df_field"]
+              for r in combined["fields"][fname]["terms"].collect()}
+        assert md == cd
+        assert abs(merged["fields"][fname]["avgdl"]
+                   - combined["fields"][fname]["avgdl"]) < 1e-12
+    assert merged["stats"]["n_docs"] == combined["stats"]["n_docs"]
+    for q in ("alpha", "alpha gamma", "beta delta"):
+        gm = [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+              for r in bm25f_search(merged, q, k=50).collect()]
+        gc = [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+              for r in bm25f_search(combined, q, k=50).collect()]
+        assert gm == gc and gm
+    # left shard's body blocks pass through byte-identical
+    def _rows(ix, fname):
+        return sorted(
+            (r["term_id"], r["block_id"], r["first_doc_id"], r["n"],
+             bytes(r["doc_deltas"]), bytes(r["tfs"]), bytes(r["dls"]))
+            for r in ix["fields"][fname]["postings"].collect())
+    assert set(_rows(fa, "body")) <= set(_rows(merged, "body"))
+    # guards: overlapping corpora & mismatched fields
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="disjoint"):
+        merge_fielded_indexes(fa, fa)
+    fc = build_fielded_index(_mk_df(spark, right), mode="general",
+                             fields={"body": F.col("text")},
+                             bucket_range=64, block_size=8)
+    with _pytest.raises(ValueError, match="field names"):
+        merge_fielded_indexes(fa, fc)
+
+
 def test_merge_guards(spark, rows):
     left, right = _split(rows)
     ia = build_index(_mk_df(spark, left), mode="general",

@@ -155,3 +155,62 @@ def test_field_name_mismatch_rejected(spark):
     with pytest.raises(ValueError, match="field names"):
         upsert_fielded(base, _df(spark, DELTA),
                        fields={"only_body": F.col("text")})
+
+
+def test_delete_fielded_matches_rebuild(spark):
+    """delete_fielded == build_fielded_index over the filtered corpus:
+    per-field df parity (df->0 term dropped), exact avgdl/total_tokens,
+    BM25F rank+score parity, and exact per-term WAND bound columns."""
+    from searchengine_spark.operators.fielded import delete_fielded
+    base = build_fielded_index(_df(spark, BASE),
+                               bucket_range=64, block_size=8)
+    deleted = delete_fielded(base, F.col("conv_id").isin("c003", "c004"))
+    rebuilt = build_fielded_index(
+        _df(spark, [r for r in BASE if r[0] not in ("c003", "c004")]),
+        bucket_range=64, block_size=8)
+    for fname in ("title", "body"):
+        dd = {r["term"]: (r["df_field"], r["max_tf"], r["min_dl"])
+              for r in deleted["fields"][fname]["terms"].collect()}
+        rb = {r["term"]: (r["df_field"], r["max_tf"], r["min_dl"])
+              for r in rebuilt["fields"][fname]["terms"].collect()}
+        assert dd == rb
+        assert "zanzibar" not in dd  # df hit 0 -> dictionary row dropped
+        assert deleted["fields"][fname]["total_tokens"] == \
+            rebuilt["fields"][fname]["total_tokens"]
+        assert abs(deleted["fields"][fname]["avgdl"]
+                   - rebuilt["fields"][fname]["avgdl"]) < 1e-12
+    assert deleted["stats"]["n_docs"] == rebuilt["stats"]["n_docs"]
+    for q in ("merge scan", "gardens", "zanzibar"):
+        assert _search_set(deleted, q) == _search_set(rebuilt, q)
+    # keys-DataFrame form + empty-delete no-op
+    keys = spark.createDataFrame([("c000", 0)],
+                                 "conv_id string, turn_idx int")
+    d2 = delete_fielded(base, keys)
+    assert d2["stats"]["n_docs"] == base["stats"]["n_docs"] - 1
+    d3 = delete_fielded(base, F.col("conv_id") == "nope")
+    assert d3["stats"]["n_docs"] == base["stats"]["n_docs"]
+
+
+def test_delete_fielded_snapshot_flow(spark, tmp_path):
+    """Persisted fielded DELETE: save -> commit -> delete_fielded_from_path
+    -> CURRENT flips -> loaded snapshot matches the in-memory delete."""
+    from searchengine_spark.operators.fielded import (
+        delete_fielded, delete_fielded_from_path)
+    from searchengine_spark.operators.upsert import (
+        commit_snapshot, read_current)
+    base = build_fielded_index(_df(spark, BASE))
+    root = str(tmp_path)
+    save_fielded_index(base, f"{root}/snap-00000")
+    commit_snapshot(root, "snap-00000")
+    new_dir = delete_fielded_from_path(
+        spark, root, F.col("conv_id") == "c003")
+    assert read_current(root) == new_dir
+    loaded = load_fielded_index(spark, new_dir)
+    mem = delete_fielded(base, F.col("conv_id") == "c003")
+    for fname in ("title", "body"):
+        ld = {r["term"]: r["df_field"]
+              for r in loaded["fields"][fname]["terms"].collect()}
+        md = {r["term"]: r["df_field"]
+              for r in mem["fields"][fname]["terms"].collect()}
+        assert ld == md
+    assert _search_set(loaded, "merge scan") == _search_set(mem, "merge scan")
