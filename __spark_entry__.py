@@ -658,6 +658,16 @@ def _q_upsert_fielded_df(spark, sf_dir):
         "term", F.col("df_field").alias("df"))
 
 
+def _q_index_geometry(spark, sf_dir):
+    """A4 (engine extension): physical-layout inspection from postings
+    metadata only — verifies the block layout itself against ground truth
+    (Σ n per term == df; blocks per doc-bucket == ceil(count/block_size))."""
+    from searchengine_spark.operators.indexer import index_geometry
+    index = _index_for(spark, sf_dir)
+    return index_geometry(index).select("term", "df", "n_blocks",
+                                        "n_postings")
+
+
 def _q_metadata_projection(spark, sf_dir):
     """Q9: join top-k winners back to the source table for metadata + the
     title analog (reference extracts <title> per hit; plain text falls back
@@ -1031,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_merge_term_df": _q_merge_term_df,
         "q_merged_topk": _q_merged_topk,
         "q_merged_bm25f": _q_merged_bm25f,
+        "a4_index_geometry": _q_index_geometry,
         "a3_statistics": _q_statistics,
         "a3_statistics_per_collection": _q_statistics_per_collection,
         "pipeline_stratified_sample": _q_stratified_sample,
@@ -1540,6 +1551,17 @@ def oracle_sql() -> dict[str, str]:
         "s9_merge_term_df": _DF,
         "q_merged_topk": _bm25_sql(BM25_Q, K),
         "q_merged_bm25f": _bm25f_sql(list(BM25_Q), K),
+        # layout invariant: blocks per (term, doc-bucket) == ceil(cnt/128)
+        # under the default geometry (bucket_range 65536, block_size 128)
+        "a4_index_geometry": f"""
+            with tf as ({_TF}),
+            tb as (select term, doc_id // 65536 as bucket, count(*) as cnt
+                   from tf group by term, bucket)
+            select term, cast(sum(cnt) as bigint) as df,
+                   cast(sum(cast(ceil(cnt / 128.0) as bigint)) as bigint)
+                     as n_blocks,
+                   cast(sum(cnt) as bigint) as n_postings
+            from tb group by term""",
         "s6_upsert_fielded_df": """
             with docs as (
               select doc_id, text from documents where doc_id not in (7, 11)

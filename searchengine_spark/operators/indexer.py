@@ -394,6 +394,27 @@ def statistics_per_collection(index: dict, prefix_len: int = 9,
         F.countDistinct("term").alias("n_lemmas"))
 
 
+def index_geometry(index: dict) -> DataFrame:
+    """Physical-layout inspection: per-term block/posting/byte counts from
+    the postings METADATA only (no decode) — the observability surface an
+    operator of a 100 TB index reads before deciding to compact, and a
+    structural invariant check: Σn per term == df, n_blocks per
+    (term, bucket) == ceil(postings/block_size).
+
+    Returns (term, term_id, df, n_blocks, n_postings, payload_bytes)
+    where payload_bytes sums the compressed doc_deltas+tfs+dls streams.
+    One metadata aggregation + one dictionary join; scale-safe at any
+    index size.
+    """
+    per_term = index["postings"].groupBy("term_id").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("n").cast("long").alias("n_postings"),
+        F.sum(F.length("doc_deltas") + F.length("tfs")
+              + F.length("dls")).cast("long").alias("payload_bytes"))
+    return (index["terms"].select("term", "term_id", "df")
+            .join(per_term, "term_id", "left"))
+
+
 def statistics(index: dict) -> DataFrame:
     """A3 corpus statistics (reference: services/StatisticsServiceImpl.java:33-101):
     per-role doc counts + lemma totals, plus build metrics."""
