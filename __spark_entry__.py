@@ -297,6 +297,17 @@ def _q_querylang(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_querylang_group(spark, sf_dir):
+    """Query-language OR-group (synonym set): 'merge (scan|hash)' ranks by
+    BM25 over {merge, scan, hash} restricted to docs containing scan OR
+    hash — the group resolves to a docs-containing-any candidate set
+    riding the doc-set scope path (no positional index needed)."""
+    from searchengine_spark.operators.querylang import query_search
+    index = _index_for(spark, sf_dir)
+    hits = query_search(index, "merge (scan|hash)", k=K, mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 def _q_querylang_notphrase(spark, sf_dir):
     """Query language with a NOT-phrase clause: docs containing the exact
     analyzed phrase are banned from the BM25 ranking (positional match set
@@ -1017,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_topk": _q_phrase_topk,
         "q_phrase_not": _q_phrase_not,
         "q_querylang": _q_querylang,
+        "q_querylang_group": _q_querylang_group,
         "q_querylang_notphrase": _q_querylang_notphrase,
         "q_querylang_qualified": _q_querylang_qualified,
         "q_querylang_span": _q_querylang_span,
@@ -1405,6 +1417,12 @@ def oracle_sql() -> dict[str, str]:
         "q_querylang": _querylang_sql(
             ["scan", "hash", "join"], ["hash", "join"], K,
             not_terms=["spark"]),
+        # OR-group: rank over {merge, scan, hash}, candidates restricted to
+        # docs containing scan OR hash
+        "q_querylang_group": _bm25_sql(
+            ["merge", "scan", "hash"], K,
+            scope="tf.doc_id in (select doc_id from tf "
+                  "where term in ('scan', 'hash'))"),
         "q_querylang_notphrase": _querylang_sql(
             list(BM25_Q), ["hash", "join"], K, not_phrase=True),
         "q_querylang_qualified": _bm25_sql(

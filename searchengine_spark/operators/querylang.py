@@ -12,6 +12,14 @@ ranked retrieval:
                           window of N positions (tightest-window match via
                           ``_span_match_docs`` — the ``span_search``
                           operator as a hard filter)
+- (w1|w2|...)           → OR-groups (synonym sets): the doc MUST contain
+                          AT LEAST ONE member; every member also joins the
+                          ranked terms. `(cache|buffer) miss` ranks by
+                          BM25 over {cache, buffer, miss} restricted to
+                          docs mentioning cache or buffer — disjunction as
+                          a candidate constraint over the engine's usual
+                          disjunctive ranking. `-(a|b)` folds to `-a -b`
+                          (banning any-member is exactly NOT per member).
 - -word / -"quoted..."  → NOT clauses: docs containing the term / the
                           exact phrase (or, with ~N, the span) are removed
 - field:value           → metadata qualifiers over the docs table:
@@ -61,12 +69,13 @@ import re
 from pyspark.sql import DataFrame, functions as F
 
 from searchengine_spark.operators.search import (
-    _phrase_match_docs, _scope_info, _span_match_docs, release_query_caches,
-    search)
+    _phrase_match_docs, _resolve_exclusions, _scope_info, _span_match_docs,
+    release_query_caches, search)
 
-# -"quoted phrase"[~N] | "quoted phrase"[~N] | -word | word   (a lone '-'
-# or empty quotes parse to nothing; quotes never nest — one-scan lexer)
-_TOKEN = re.compile(r'(-?)"([^"]*)"(?:~(\d+))?|(-?)(\S+)')
+# -"quoted phrase"[~N] | "quoted phrase"[~N] | -(w1|w2) | (w1|w2) |
+# -word | word   (a lone '-' or empty quotes/parens parse to nothing;
+# quotes and parens never nest — one-scan lexer)
+_TOKEN = re.compile(r'(-?)"([^"]*)"(?:~(\d+))?|(-?)\(([^()]*)\)|(-?)(\S+)')
 _QUALIFIER = re.compile(r'^(site|role|tool):(.+)$')
 
 
@@ -82,7 +91,7 @@ def parse_query(qstr: str) -> dict:
     constrains nothing beyond term presence, which the ranked/NOT paths
     already express without a positional decode)."""
     out = {"terms": [], "phrases": [], "not_terms": [], "not_phrases": [],
-           "spans": [], "not_spans": [], "qualifiers": []}
+           "spans": [], "not_spans": [], "groups": [], "qualifiers": []}
     for m in _TOKEN.finditer(qstr):
         if m.group(2) is not None:
             neg, body = m.group(1) == "-", m.group(2).strip()
@@ -95,8 +104,21 @@ def parse_query(qstr: str) -> dict:
                     (body, int(m.group(3))))
             else:
                 out["not_phrases" if neg else "phrases"].append(body)
+        elif m.group(5) is not None:
+            neg = m.group(4) == "-"
+            members = [w for w in re.split(r"[|\s]+", m.group(5)) if w]
+            if not members:
+                continue
+            if neg:
+                # -(a|b) bans docs containing ANY member — exactly what a
+                # NOT clause per member already means; fold, don't special-case
+                out["not_terms"].extend(members)
+            elif len(members) == 1:  # degenerate group → term
+                out["terms"].append(members[0])
+            else:
+                out["groups"].append(members)
         else:
-            neg, word = m.group(4) == "-", m.group(5)
+            neg, word = m.group(6) == "-", m.group(7)
             if word == "-" or not word:
                 continue
             qm = _QUALIFIER.match(word)
@@ -128,7 +150,8 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
         [], "doc_id long, conv_id string, turn_idx int, role string, "
             "tool string, ts timestamp, score double")
     pos_words = (q["terms"] + [w for p in q["phrases"] for w in p.split()]
-                 + [w for p, _ in q["spans"] for w in p.split()])
+                 + [w for p, _ in q["spans"] for w in p.split()]
+                 + [w for g in q["groups"] for w in g])
     if not pos_words:
         return empty  # NOT-only / empty queries rank nothing, like search("")
 
@@ -163,7 +186,26 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
     # semi-joins it — registered in _query_persists AFTER search() builds
     # its (lazy) plan, so the NEXT query's release frees it, the same
     # lifetime contract as the scoped ref_compat decode cache.
+    # OR-groups → per-group "docs containing ANY member" candidate sets,
+    # intersected with the phrase/span sets below. Resolution reuses the
+    # NOT clause's decoder (_resolve_exclusions is generically "union doc
+    # set of these terms" — bucket-pruned block scan, pcache-aware); it
+    # self-registers persists in _query_persists, which search() would
+    # release at its start, so the whole list is shielded around the
+    # ranked call below.
     filt = None
+    for g in q["groups"]:
+        ds = _resolve_exclusions(index, " ".join(g), sc_user)
+        if ds is None:
+            return empty  # no member in the dictionary → group unsatisfiable
+        if sc_user is not None:
+            # group decode is bucket-range pruned, not row-filtered: apply
+            # the scope exactly before intersecting
+            ds = ds.filter(F.col("doc_id").between(sc_user["lo"],
+                                                   sc_user["hi"]))
+            if not sc_user["contiguous"]:
+                ds = ds.join(sc_user["sel"], "doc_id", "left_semi")
+        filt = ds if filt is None else filt.join(ds, "doc_id", "left_semi")
     for p in q["phrases"]:
         m = _phrase_match_docs(index, p, sc_user)
         if m is None:
@@ -203,13 +245,16 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
         xdocs = xdocs.distinct().persist()
         persists.append(xdocs)
 
+    # search() releases _query_persists at its start; everything this
+    # function resolved (group doc sets registered by _resolve_exclusions,
+    # plus the phrase/ban sets held in `persists`) must outlive the
+    # returned lazy result's materialization — shield the list across the
+    # call and hand the union to the NEXT query's release.
+    held = index.pop("_query_persists", [])
     out = search(index, " ".join(pos_words), k=k, mode=mode,
                  prune_blocks=prune_blocks, with_snippets=with_snippets,
                  offset=offset, scope=eff_scope, with_titles=with_titles,
                  exclude=" ".join(q["not_terms"]) or None,
                  exclude_docs=xdocs)
-    # search() released the PREVIOUS query's caches at its start; ours must
-    # outlive the returned lazy result's materialization, so hand them to
-    # the next release instead of unpersisting here.
-    index.setdefault("_query_persists", []).extend(persists)
+    index.setdefault("_query_persists", []).extend(held + persists)
     return out

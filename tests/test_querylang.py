@@ -43,9 +43,18 @@ def qpos_index(spark):
 
 def _base(**kw):
     out = {"terms": [], "phrases": [], "not_terms": [], "not_phrases": [],
-           "spans": [], "not_spans": [], "qualifiers": []}
+           "spans": [], "not_spans": [], "groups": [], "qualifiers": []}
     out.update(kw)
     return out
+
+
+def test_parse_query_groups():
+    q = parse_query('(cache|buffer) miss -(a|b) (solo) () http://x(y)')
+    assert q == _base(groups=[["cache", "buffer"]],
+                      terms=["miss", "solo", "http://x(y)"],
+                      not_terms=["a", "b"])
+    # whitespace-separated members parse too
+    assert parse_query('(a b c)') == _base(groups=[["a", "b", "c"]])
 
 
 def test_parse_query_routing():
@@ -226,3 +235,41 @@ def test_ref_compat_mode(qpos_index):
     # gamma docs = {x000, x002}; both phrase-match; equal tf → both 1.0
     assert {(r["conv_id"], r["score"]) for r in got} == \
            {("x000", 1.0), ("x002", 1.0)}
+
+
+def test_or_group_filter_and_scoring(qpos_index):
+    """'(gamma|delta) alpha' ranks by BM25 over {gamma, delta, alpha}
+    restricted to docs containing gamma OR delta — the brute-force
+    composition of plain search + a membership filter."""
+    got = _rows(query_search(qpos_index, "(gamma|delta) alpha", k=10))
+    members = {"x000", "x001", "x002", "x003"}  # docs with gamma or delta
+    exp = [(c, s)
+           for c, s in _rows(search(qpos_index, "gamma delta alpha", k=10))
+           if c in members]
+    assert got == exp and got
+    assert "x004" not in {c for c, _ in got}  # epsilon doc: neither member
+
+
+def test_or_group_composes_with_phrase_and_not(qpos_index):
+    """Group ∩ phrase ∩ NOT: '(gamma|epsilon) "alpha beta" -delta' keeps
+    phrase-matching docs having gamma or epsilon, minus delta docs."""
+    got = _rows(query_search(
+        qpos_index, '(gamma|epsilon) "alpha beta" -delta', k=10))
+    phrase_docs = {r["conv_id"] for r in
+                   phrase_search(qpos_index, "alpha beta", k=10).collect()}
+    members = {"x000", "x002", "x004"}  # gamma or epsilon docs
+    exp = [(c, s) for c, s in
+           _rows(search(qpos_index, "gamma epsilon alpha beta", k=10))
+           if c in phrase_docs and c in members and c != "x001"]
+    assert got == exp and got
+    assert {c for c, _ in got} == {"x000", "x002", "x004"}
+
+
+def test_or_group_unmatchable_and_neg(qpos_index):
+    # a group with no member in the dictionary is unsatisfiable
+    assert query_search(qpos_index, "(zzz|qqq) alpha", k=10).count() == 0
+    # -(a|b) == -a -b
+    got = _rows(query_search(qpos_index, "alpha -(gamma|delta)", k=10))
+    exp = _rows(query_search(qpos_index, "alpha -gamma -delta", k=10))
+    assert got == exp
+    assert {c for c, _ in got} == {"x004"}
