@@ -374,13 +374,22 @@ def upsert_turns(index: dict, delta: DataFrame,
     out_docs = new_docs.localCheckpoint(eager=True)
     out_postings = new_postings.localCheckpoint(eager=True)
     out_terms = final_terms.localCheckpoint(eager=True)
+    # delta descriptors for incremental snapshots (plans/manifest.py
+    # save_index_delta): the upserted KEYS and the touched (term_id, bucket)
+    # groups — both micro-batch-sized, checkpointed so they survive the
+    # scratch unpersists below
+    delta_keys = delta_ided.select(*KEY).localCheckpoint(eager=True)
+    delta_touched = touched.localCheckpoint(eager=True)
     for scratch in (replaced, delta_ided, old_flat, new_flat, touched,
                     new_terms, new_postings):
         scratch.unpersist()
 
     return {"mode": mode, "dictionary": dictionary,
             "docs": out_docs, "terms": out_terms,
-            "postings": out_postings, "postings_flat": None, "stats": new_stats}
+            "postings": out_postings, "postings_flat": None,
+            "stats": new_stats,
+            "_delta": {"keys": delta_keys, "touched": delta_touched,
+                       "removed_only": False}}
 
 
 def delete_turns(index: dict, keys,
@@ -517,13 +526,17 @@ def delete_turns(index: dict, keys,
     out_docs = new_docs.localCheckpoint(eager=True)
     out_postings = new_postings.localCheckpoint(eager=True)
     out_terms = final_terms.localCheckpoint(eager=True)
+    delta_keys = removed.select(*KEY).localCheckpoint(eager=True)
+    delta_touched = touched.localCheckpoint(eager=True)
     for scratch in (removed, old_flat, touched, new_terms, new_postings):
         scratch.unpersist()
 
     return {"mode": mode, "dictionary": dictionary,
             "docs": out_docs, "terms": out_terms,
             "postings": out_postings, "postings_flat": None,
-            "stats": new_stats}
+            "stats": new_stats,
+            "_delta": {"keys": delta_keys, "touched": delta_touched,
+                       "removed_only": True}}
 
 
 # --------------------------------------------------------------------------
@@ -550,10 +563,18 @@ def commit_snapshot(root: str, snapshot: str) -> None:
     os.replace(tmp, _current_path(root))
 
 
-def merge_into_path(spark: SparkSession, root: str, delta: DataFrame) -> str:
+def merge_into_path(spark: SparkSession, root: str, delta: DataFrame,
+                    incremental: bool = False) -> str:
     """MERGE delta into the CURRENT snapshot under ``root``; writes a new
-    snapshot dir and flips CURRENT atomically. Returns the new snapshot dir."""
-    from searchengine_spark.plans.manifest import load_index, save_index
+    snapshot dir and flips CURRENT atomically. Returns the new snapshot dir.
+
+    ``incremental=True`` writes a DELTA snapshot (rewritten blocks + delta
+    docs + touched set only — O(|delta|) bytes, the Iceberg-MERGE
+    write-amplification contract) instead of a full copy; ``load_index``
+    resolves the parent chain. Bound chain depth with periodic
+    ``compact_into_path`` (writes a full snapshot, resetting the chain)."""
+    from searchengine_spark.plans.manifest import (
+        load_index, save_index, save_index_delta)
 
     cur = read_current(root)
     if cur is None:
@@ -562,18 +583,24 @@ def merge_into_path(spark: SparkSession, root: str, delta: DataFrame) -> str:
     merged = upsert_turns(index, delta)
     n = len([d for d in os.listdir(root) if d.startswith("snap-")])
     snap = f"snap-{n:05d}"
-    save_index(merged, os.path.join(root, snap))
+    if incremental:
+        save_index_delta(merged, os.path.join(root, snap),
+                         parent=os.path.basename(cur))
+    else:
+        save_index(merged, os.path.join(root, snap))
     commit_snapshot(root, snap)
     return os.path.join(root, snap)
 
 
-def delete_from_path(spark: SparkSession, root: str, keys) -> str:
+def delete_from_path(spark: SparkSession, root: str, keys,
+                     incremental: bool = False) -> str:
     """DELETE turns from the CURRENT snapshot under ``root`` (the
     ``merge_into_path`` analog for ``delete_turns``): writes a new
     snapshot dir and flips CURRENT atomically — the Iceberg
     ``DELETE FROM`` commit mapped onto the same snapshot protocol.
-    Returns the new snapshot dir."""
-    from searchengine_spark.plans.manifest import load_index, save_index
+    Returns the new snapshot dir. ``incremental`` as in merge_into_path."""
+    from searchengine_spark.plans.manifest import (
+        load_index, save_index, save_index_delta)
 
     cur = read_current(root)
     if cur is None:
@@ -582,6 +609,10 @@ def delete_from_path(spark: SparkSession, root: str, keys) -> str:
     pruned = delete_turns(index, keys)
     n = len([d for d in os.listdir(root) if d.startswith("snap-")])
     snap = f"snap-{n:05d}"
-    save_index(pruned, os.path.join(root, snap))
+    if incremental and "_delta" in pruned:
+        save_index_delta(pruned, os.path.join(root, snap),
+                         parent=os.path.basename(cur))
+    else:
+        save_index(pruned, os.path.join(root, snap))
     commit_snapshot(root, snap)
     return os.path.join(root, snap)

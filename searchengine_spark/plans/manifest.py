@@ -242,17 +242,110 @@ def save_index(index: dict, path: str, term_buckets: int = 16) -> None:
                    "term_buckets": term_buckets}, f)
 
 
+def save_index_delta(index: dict, path: str, parent: str,
+                     term_buckets: int = 16) -> None:
+    """Persist an upserted/deleted index as a DELTA snapshot: only the
+    rewritten posting blocks, the delta docs, the (term_id, bucket)
+    touched set, and the (small-relative-to-postings) full dictionary —
+    O(|delta|) bytes instead of a full index copy per micro-batch (the
+    Iceberg-MERGE write-amplification contract; `save_index` is the full
+    rewrite).
+
+    Requires the ``_delta`` descriptor `upsert_turns`/`delete_turns`
+    attach. ``parent`` is the snapshot dir name (relative to the same
+    root) this delta applies on top of; `load_index` resolves the chain.
+    Chains grow read-side plan depth linearly — bound them with periodic
+    `compact_into_path` (or `stream_index_turns(compact_every=)`), which
+    always writes a FULL snapshot and resets the chain."""
+    d = index.get("_delta")
+    if d is None:
+        raise ValueError(
+            "index has no _delta descriptor (not produced by "
+            "upsert_turns/delete_turns) — use save_index for full snapshots")
+    stats = index["stats"]
+    os.makedirs(path, exist_ok=True)
+    keys = d["keys"]
+    keys.write.mode("overwrite").parquet(os.path.join(path, "keys"))
+    if not d["removed_only"]:
+        (index["docs"].join(F.broadcast(keys), ["conv_id", "turn_idx"],
+                            "left_semi")
+         .drop("lemmas", "tt")
+         .write.mode("overwrite").parquet(os.path.join(path, "docs_delta")))
+    d["touched"].write.mode("overwrite") \
+        .parquet(os.path.join(path, "touched"))
+    br = stats.get("bucket_range", 1 << 16)
+    bs = stats.get("block_size")
+    bpb = -(-br // bs)
+    bucket = (F.col("block_id") / F.lit(bpb)).cast("int")
+    (index["postings"].withColumn("bucket", bucket)
+     .join(F.broadcast(d["touched"]), ["term_id", "bucket"], "left_semi")
+     .drop("bucket")
+     .write.mode("overwrite").option("compression", "zstd")
+     .parquet(os.path.join(path, "postings_delta")))
+    index["terms"].write.mode("overwrite") \
+        .parquet(os.path.join(path, "terms"))
+    with open(os.path.join(path, "stats.json"), "w") as f:
+        json.dump({**stats, "mode": index["mode"],
+                   "dictionary": index.get("dictionary", "fixture"),
+                   "term_buckets": term_buckets, "parent": parent,
+                   "removed_only": bool(d["removed_only"])}, f)
+
+
 def load_index(spark: SparkSession, path: str) -> dict:
     with open(os.path.join(path, "stats.json")) as f:
         stats = json.load(f)
     mode = stats.pop("mode")
     dictionary = stats.pop("dictionary", "fixture")
+    parent = stats.pop("parent", None)
+    if parent is None:
+        return {
+            "mode": mode,
+            "dictionary": dictionary,
+            "docs": spark.read.parquet(os.path.join(path, "docs")),
+            "terms": spark.read.parquet(os.path.join(path, "terms")),
+            "postings": spark.read.parquet(os.path.join(path, "postings")),
+            "postings_flat": None,
+            "stats": stats,
+        }
+    # delta snapshot: resolve the parent chain, then overlay this layer —
+    # docs: parent minus the layer's keys, plus the layer's delta rows;
+    # postings: parent minus the touched (term_id, bucket) groups, plus
+    # the rewritten blocks; terms: this layer's full dictionary.
+    removed_only = stats.pop("removed_only", False)
+    base = load_index(spark, os.path.join(os.path.dirname(path), parent))
+    keys = spark.read.parquet(os.path.join(path, "keys"))
+    docs = base["docs"].join(F.broadcast(keys), ["conv_id", "turn_idx"],
+                             "left_anti")
+    if not removed_only:
+        delta_docs = spark.read.parquet(os.path.join(path, "docs_delta"))
+        docs = docs.unionByName(delta_docs.select(*docs.columns))
+    touched = spark.read.parquet(os.path.join(path, "touched"))
+    delta_p = spark.read.parquet(os.path.join(path, "postings_delta"))
+    parent_p = base["postings"].drop("term_bucket")
+    # align legacy parents with the delta's column set (null bounds stay
+    # sound — the query path treats null block_min_dl as the dl→0 bound)
+    for c in delta_p.columns:
+        if c not in parent_p.columns:
+            parent_p = parent_p.withColumn(
+                c, F.lit(None).cast(dict(delta_p.dtypes)[c]))
+    parent_p = parent_p.select(*delta_p.columns)
+    br = stats.get("bucket_range", 1 << 16)
+    bpb = -(-br // stats.get("block_size"))
+    bucket = (F.col("block_id") / F.lit(bpb)).cast("int")
+    postings = (parent_p.withColumn("bucket", bucket)
+                .join(F.broadcast(touched), ["term_id", "bucket"],
+                      "left_anti")
+                .drop("bucket")
+                .unionByName(delta_p))
     return {
         "mode": mode,
         "dictionary": dictionary,
-        "docs": spark.read.parquet(os.path.join(path, "docs")),
+        # lazy checkpoints: a chain's plan is a stack of anti-join+union
+        # layers — truncate it once here so per-query Catalyst analysis
+        # sees leaves, same as a built index
+        "docs": docs.localCheckpoint(eager=False),
         "terms": spark.read.parquet(os.path.join(path, "terms")),
-        "postings": spark.read.parquet(os.path.join(path, "postings")),
+        "postings": postings.localCheckpoint(eager=False),
         "postings_flat": None,
         "stats": stats,
     }

@@ -51,7 +51,8 @@ def _commit_with_batch(root: str, snapshot: str, batch_id: int,
 
 
 def merge_batch(root: str, fielded: bool = False, fields=None,
-                compact_every: int | None = None):
+                compact_every: int | None = None,
+                incremental_snapshots: bool = False):
     """foreachBatch callback: MERGE one micro-batch into the CURRENT
     snapshot, idempotent on replayed batch ids.
 
@@ -68,7 +69,13 @@ def merge_batch(root: str, fielded: bool = False, fields=None,
     (so conv-prefix scopes get back the contiguous range fast path), and
     defragmented blocks — and commits the compacted snapshot under the
     SAME batch_id, so exactly-once replay semantics are untouched. The
-    merge counter rides the commit pointer and so survives restarts."""
+    merge counter rides the commit pointer and so survives restarts.
+
+    ``incremental_snapshots=True`` (main index only) writes each merge as
+    a DELTA snapshot — O(|batch|) bytes instead of a full index copy per
+    micro-batch (plans/manifest.py save_index_delta). Pair it with
+    ``compact_every``: compaction writes a FULL snapshot, bounding the
+    load-time parent-chain depth at N."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         ptr = _pointer(root)
@@ -85,7 +92,8 @@ def merge_batch(root: str, fielded: bool = False, fields=None,
                                               fields=fields)
         else:
             from searchengine_spark.operators.upsert import merge_into_path
-            new_dir = merge_into_path(spark, root, batch_df)
+            new_dir = merge_into_path(spark, root, batch_df,
+                                      incremental=incremental_snapshots)
         merges = ptr.get("merges_since_compact", 0) + 1
         if compact_every is not None and merges >= compact_every:
             from searchengine_spark.operators.compact import compact_index
@@ -107,7 +115,8 @@ def merge_batch(root: str, fielded: bool = False, fields=None,
 def stream_index_turns(spark: SparkSession, source_dir: str, root: str,
                        checkpoint_dir: str, available_now: bool = True,
                        fielded: bool = False, fields=None,
-                       compact_every: int | None = None):
+                       compact_every: int | None = None,
+                       incremental_snapshots: bool = False):
     """Maintain the index under ``root`` from parquet drops in ``source_dir``.
 
     ``available_now=True`` drains everything currently available then stops
@@ -120,12 +129,17 @@ def stream_index_turns(spark: SparkSession, source_dir: str, root: str,
     if fielded and compact_every is not None:
         raise ValueError("compact_every applies to the main index only "
                          "(no fielded compaction path)")
+    if fielded and incremental_snapshots:
+        raise ValueError("incremental_snapshots applies to the main index "
+                         "only (no fielded delta-snapshot path)")
     stream = (spark.readStream.schema(TURN_SCHEMA)
               .option("maxFilesPerTrigger", 4)
               .parquet(source_dir))
     writer = (stream.writeStream
-              .foreachBatch(merge_batch(root, fielded=fielded, fields=fields,
-                                        compact_every=compact_every))
+              .foreachBatch(merge_batch(
+                  root, fielded=fielded, fields=fields,
+                  compact_every=compact_every,
+                  incremental_snapshots=incremental_snapshots))
               .option("checkpointLocation", checkpoint_dir)
               .outputMode("update"))
     if available_now:
