@@ -415,6 +415,28 @@ def _q_batched_scoped(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+def _q_batched_querylang(spark, sf_dir):
+    """Batched query-LANGUAGE replay (query_search_many): FOUR grammar
+    queries — terms+phrase+NOT-term, span clause, OR-group, NOT-phrase —
+    in one amortized plan: ONE positional decode resolves every phrase and
+    span clause in the batch, OR-group doc sets ride the scoring decode,
+    and per-query candidates/bans apply as one (query_id, doc_id)
+    semi-/anti-join; rows identical to per-query query_search."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.querylang import query_search_many
+    key = (sf_dir, "positional")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    out = query_search_many(
+        _INDEX_CACHE[key],
+        {"qa": QL_QUERY, "qb": QL_SPAN, "qc": "merge (scan|hash)",
+         "qd": QL_NOTPHRASE}, k=K, mode="bm25")
+    return out.select("query_id", _orig_doc_id(),
+                      F.round("score", 6).alias("score"))
+
+
 def _q_near_topk(spark, sf_dir):
     """Two-term proximity query over the positional index: docs where
     'scan' and 'hash' occur within 4 positions, ranked by close-pair count."""
@@ -1038,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_near_topk": _q_near_topk,
         "q_batched_near": _q_batched_near,
         "q_batched_bm25": _q_batched_bm25,
+        "q_batched_querylang": _q_batched_querylang,
         "q_batched_not": _q_batched_not,
         "q_batched_scoped": _q_batched_scoped,
         "q_bm25f_topk": _q_bm25f_topk,
@@ -1462,6 +1485,22 @@ def oracle_sql() -> dict[str, str]:
             select 'qa' as query_id, doc_id, score from a
             union all
             select 'qb' as query_id, doc_id, score from b""",
+        "q_batched_querylang": f"""
+            with a as ({_querylang_sql(["scan", "hash", "join"],
+                                       ["hash", "join"], K,
+                                       not_terms=["spark"])}),
+                 b as ({_querylang_sql(["scan", "merge", "spark", "hash"],
+                                       ["spark", "hash"], K,
+                                       span_window=8)}),
+                 c as ({_bm25_sql(["merge", "scan", "hash"], K,
+                                  scope="tf.doc_id in (select doc_id from tf "
+                                        "where term in ('scan', 'hash'))")}),
+                 d as ({_querylang_sql(list(BM25_Q), ["hash", "join"], K,
+                                       not_phrase=True)})
+            select 'qa' as query_id, doc_id, score from a
+            union all select 'qb' as query_id, doc_id, score from b
+            union all select 'qc' as query_id, doc_id, score from c
+            union all select 'qd' as query_id, doc_id, score from d""",
         "q_bm25f_topk": _bm25f_sql(list(BM25_Q), K),
         # fielded scoping: conv prefix 'doc000000' == doc_id 0..99
         "q_bm25f_scoped": _bm25f_sql(list(BM25_Q), K,

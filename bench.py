@@ -183,7 +183,8 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "q7_bm25_topk", "q_bm25_not_topk", "q_batched_not",
                  "q_facets", "q_facets_multi",
                  "q2_scoped_bm25_topk", "q_phrase_topk",
-                 "q_batched_phrase", "q_querylang", "q_span_topk",
+                 "q_batched_phrase", "q_querylang", "q_batched_querylang",
+                 "q_span_topk",
                  "a3_statistics_per_collection",
                  "dedup_exact", "dedup_minhash_lsh",
                  "pipeline_stratified_sample", "pipeline_token_budget_mix",

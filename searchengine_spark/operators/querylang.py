@@ -68,9 +68,11 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 
+from searchengine_spark.functions.analysis import analyze_text
 from searchengine_spark.operators.search import (
-    _phrase_match_docs, _resolve_exclusions, _scope_info, _span_match_docs,
-    release_query_caches, search)
+    _clause_match_pairs, _phrase_match_docs, _query_terms, _resolve_exclusions,
+    _resolve_ids_dfs, _scope_filter, _scope_info, _span_match_docs,
+    release_query_caches, search, search_many)
 
 # -"quoted phrase"[~N] | "quoted phrase"[~N] | -(w1|w2) | (w1|w2) |
 # -word | word   (a lone '-' or empty quotes/parens parse to nothing;
@@ -256,5 +258,204 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
                  offset=offset, scope=eff_scope, with_titles=with_titles,
                  exclude=" ".join(q["not_terms"]) or None,
                  exclude_docs=xdocs)
+    index.setdefault("_query_persists", []).extend(held + persists)
+    return out
+
+
+def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
+                      mode: str = "bm25", scope=None, offset: int = 0,
+                      with_snippets: bool = False) -> DataFrame:
+    """Batched query-LANGUAGE replay: run MANY grammar query strings
+    (module docstring — terms, "phrases", "spans"~N, (or|groups),
+    -NOT clauses, field:qualifiers) with the amortized plan shape of
+    ``search_many``, returning identical rows to per-query
+    ``query_search``: (query_id, rank, doc_id, conv_id, turn_idx, role,
+    tool, ts, score[, snippet]), rank 1..k per query.
+
+    Execution is the batched composition of the single path's pieces:
+
+    - every positional clause in the batch — positive AND negative phrase/
+      span clauses of every query — resolves in ONE positional decode over
+      the union vocabulary (``_clause_match_pairs``);
+    - OR-group doc sets ride ``search_many``'s own scoring decode (group
+      members are ranked terms, so they're already in its union —
+      resolution is a broadcast join, no extra scan);
+    - metadata qualifiers become per-query docs-table doc sets (one
+      filter-union scan for the batch's qualifier-bearing queries);
+    - each restricted query's candidates = docs satisfying ALL its
+      positive clauses, applied inside ``search_many`` as ONE
+      (query_id, doc_id) semi-join before ranking; NOT phrase/span sets
+      ride the batched anti-join as ``exclude_pairs``.
+
+    So a batch of N grammar queries costs one positional decode + one
+    scoring decode + one ranking job, independent of N — versus N
+    ``query_search`` jobs. ``scope`` is shared by the whole batch;
+    ``offset``/``with_snippets`` as in ``search_many``. Per-query empty
+    semantics match the single path: a query with no positive words, an
+    unsatisfiable group, or an unmatchable positive phrase/span clause
+    contributes no rows; an unmatchable NOT clause bans nothing."""
+    spark = index["docs"].sparkSession
+    release_query_caches(index)
+    amode = index.get("mode", "general")
+    dictionary = index.get("dictionary", "fixture")
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, doc_id long, conv_id string, "
+            "turn_idx int, role string, tool string, ts timestamp, "
+            "score double" + (", snippet string" if with_snippets else ""))
+    sc = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc is None:
+        return empty
+    parsed = {qid: parse_query(s) for qid, s in queries.items()}
+
+    # group members resolve with plain resolution across the whole batch
+    # (single-path analog: _resolve_exclusions never df-prunes)
+    member_terms = sorted({t for q in parsed.values() for g in q["groups"]
+                           for t in _query_terms(" ".join(g), amode,
+                                                 dictionary)})
+    id_of, df_of = (_resolve_ids_dfs(index, member_terms)
+                    if member_terms else ({}, {}))
+
+    next_cid = iter(range(10 ** 9))
+    ranked_q: dict[str, str] = {}
+    excl_q: dict[str, str] = {}
+    group_rows: list[tuple] = []          # (qid, cid, term_id, df)
+    phrase_cl: list[tuple] = []           # (qid, cid, seq) — positive
+    span_cl: list[tuple] = []             # (qid, cid, lemmas, w) — positive
+    qual_preds: list[tuple] = []          # (qid, cid, Column)
+    pos_cids: dict[str, list[int]] = {}   # positive positional clause ids
+    neg_cids: set[int] = set()
+    arity: dict[str, int] = {}
+    site_like: set[str] = set()
+    for qid, q in parsed.items():
+        pos_words = (q["terms"]
+                     + [w for p in q["phrases"] for w in p.split()]
+                     + [w for p, _ in q["spans"] for w in p.split()]
+                     + [w for g in q["groups"] for w in g])
+        if not pos_words:
+            continue  # NOT-only / qualifier-only queries rank nothing
+        n_cl, dead, my_pos = 0, False, []
+        for g in q["groups"]:
+            seq = _query_terms(" ".join(g), amode, dictionary)
+            tids = sorted({(id_of[t], df_of[t]) for t in seq if t in id_of})
+            if not tids:
+                dead = True  # no member in the dictionary → unsatisfiable
+                break
+            cid = next(next_cid)
+            group_rows.extend((qid, cid, t, d) for t, d in tids)
+            n_cl += 1
+        if not dead:
+            for p in q["phrases"]:
+                seq = analyze_text(p, amode, dictionary=dictionary)
+                if not seq:
+                    dead = True
+                    break
+                cid = next(next_cid)
+                phrase_cl.append((qid, cid, seq))
+                my_pos.append(cid)
+                n_cl += 1
+        if not dead:
+            for p, w in q["spans"]:
+                lemmas = sorted(set(analyze_text(p, amode,
+                                                 dictionary=dictionary)))
+                if not lemmas:
+                    dead = True
+                    break
+                cid = next(next_cid)
+                span_cl.append((qid, cid, lemmas, int(w)))
+                my_pos.append(cid)
+                n_cl += 1
+        if dead:
+            continue
+        # metadata qualifiers → ONE extra clause (their conjunction)
+        pred = None
+        for field, value, neg in q["qualifiers"]:
+            c = (F.col("conv_id").startswith(value) if field == "site"
+                 else F.col(field).eqNullSafe(value))
+            c = ~c if neg else c
+            pred = c if pred is None else pred & c
+        if pred is not None:
+            cid = next(next_cid)
+            qual_preds.append((qid, cid, pred))
+            n_cl += 1
+            if n_cl == 1:
+                # qualifier-only restriction → site semantics in ref_compat
+                # (single-path analog: the predicate folds into `scope`)
+                site_like.add(qid)
+        # negative positional clauses (unmatchable ones ban nothing)
+        for p in q["not_phrases"]:
+            seq = analyze_text(p, amode, dictionary=dictionary)
+            if seq:
+                cid = next(next_cid)
+                phrase_cl.append((qid, cid, seq))
+                neg_cids.add(cid)
+        for p, w in q["not_spans"]:
+            lemmas = sorted(set(analyze_text(p, amode, dictionary=dictionary)))
+            if lemmas:
+                cid = next(next_cid)
+                span_cl.append((qid, cid, lemmas, int(w)))
+                neg_cids.add(cid)
+        ranked_q[qid] = " ".join(pos_words)
+        if q["not_terms"]:
+            excl_q[qid] = " ".join(q["not_terms"])
+        if n_cl:
+            arity[qid] = n_cl
+        pos_cids[qid] = my_pos
+    if not ranked_q:
+        return empty
+
+    # ONE positional decode for every phrase/span clause in the batch
+    persists = []
+    exclude_pairs = None
+    scope_clauses = None
+    if phrase_cl or span_cl:
+        pairs, matched = _clause_match_pairs(index, phrase_cl, span_cl, sc)
+        # a positive clause that can't match empties its whole query
+        dead_q = {qid for qid, cids in pos_cids.items()
+                  if any(c not in matched for c in cids)}
+        if dead_q:
+            ranked_q = {q: s for q, s in ranked_q.items() if q not in dead_q}
+            excl_q = {q: s for q, s in excl_q.items() if q not in dead_q}
+            arity = {q: n for q, n in arity.items() if q not in dead_q}
+            site_like -= dead_q
+            group_rows = [r for r in group_rows if r[0] not in dead_q]
+            if not ranked_q:
+                return empty
+        if pairs is not None:
+            pairs = pairs.persist()
+            persists.append(pairs)
+            neg = sorted(neg_cids)
+            if neg:
+                exclude_pairs = pairs.filter(F.col("clause").isin(neg)) \
+                    .select("query_id", "doc_id")
+                scope_clauses = pairs.filter(~F.col("clause").isin(neg))
+            else:
+                scope_clauses = pairs
+
+    # qualifier doc sets (intersected with the shared scope, so a
+    # restricted query's candidates stay ⊆ scope like every clause set)
+    qual_df = None
+    for qid, cid, pred in qual_preds:
+        if qid not in ranked_q:
+            continue
+        ds = (index["docs"].filter(pred)
+              .select(F.lit(qid).alias("query_id"),
+                      F.lit(cid).alias("clause"), "doc_id"))
+        qual_df = ds if qual_df is None else qual_df.unionByName(ds)
+    if qual_df is not None:
+        if sc is not None:
+            qual_df = _scope_filter(qual_df, sc)
+        scope_clauses = (qual_df if scope_clauses is None
+                         else scope_clauses.unionByName(qual_df))
+
+    group_rows = [r for r in group_rows if r[0] in ranked_q]
+    held = index.pop("_query_persists", [])
+    out = search_many(index, ranked_q, k=k, mode=mode, scope=scope,
+                      with_snippets=with_snippets, offset=offset,
+                      exclude=excl_q or None,
+                      scope_clauses=scope_clauses,
+                      group_clauses=group_rows or None,
+                      clause_arity=arity or None,
+                      site_like=site_like or None,
+                      exclude_pairs=exclude_pairs)
     index.setdefault("_query_persists", []).extend(held + persists)
     return out

@@ -1459,6 +1459,113 @@ def span_search_many(index: dict, queries: dict, window: int = 8,
             .orderBy("query_id", "rank"))
 
 
+def _clause_match_pairs(index: dict, phrase_clauses: list,
+                        span_clauses: list, sc) -> "tuple":
+    """Batched positional clause matching for the query-language grammar
+    (``querylang.query_search_many``): resolve MANY phrase and span clauses
+    — across a whole query batch, positive and negative alike — to their
+    (query_id, clause, doc_id) match pairs with ONE positional decode over
+    the union vocabulary.
+
+    ``phrase_clauses``: [(query_id, clause, analyzed_seq)] matched with the
+    slot-alignment core of ``phrase_search_many`` (base = pos - qidx, all
+    |seq| distinct slots at one base). ``span_clauses``: [(query_id,
+    clause, sorted_lemmas, window)] matched with the one-pass exact
+    minimal-window core of ``span_search_many``. Clause ids are
+    caller-assigned ints, unique across the batch. Clauses with an
+    analysis-absent term are dropped here; the returned ``matched`` set
+    names the clause ids that made it to matching, so the caller decides
+    whether an unmatched clause empties its query (positive) or is a no-op
+    (NOT clause).
+
+    Returns (pairs, matched): ``pairs`` a DataFrame (query_id string,
+    clause int, doc_id long) of DISTINCT matches (or None when no clause
+    could match), ``matched`` the set of clause ids resolved. ``sc`` (a
+    ``_scope_info`` result or None) bucket-prunes the decode and
+    row-filters it exactly, as in the single-clause matchers."""
+    spark = index["docs"].sparkSession
+    if not index["stats"].get("positions"):
+        raise ValueError(
+            "clause matching requires build_index(with_positions=True)")
+    vocab = sorted({t for _, _, seq in phrase_clauses for t in seq}
+                   | {t for _, _, ls, _ in span_clauses for t in ls})
+    if not vocab:
+        return None, set()
+    id_of, df_of = _resolve_ids_dfs(index, vocab)
+    p_cl = [(qid, cid, seq) for qid, cid, seq in phrase_clauses
+            if all(t in id_of for t in seq)]
+    s_cl = [(qid, cid, ls, w) for qid, cid, ls, w in span_clauses
+            if all(t in id_of for t in ls)]
+    matched = {cid for _, cid, _ in p_cl} | {cid for _, cid, _, _ in s_cl}
+    if not matched:
+        return None, set()
+    term_ids = sorted({id_of[t] for _, _, seq in p_cl for t in seq}
+                      | {id_of[t] for _, _, ls, _ in s_cl for t in ls})
+    tid_set = set(term_ids)
+    decoded = _decode_positions(index, term_ids, sc,
+                                sum_df=sum(df for t, df in df_of.items()
+                                           if id_of.get(t) in tid_set))
+    if sc is not None:
+        decoded = _scope_filter(decoded, sc)
+
+    parts = []
+    if p_cl:
+        slot_rows = [(qid, cid, id_of[t], i)
+                     for qid, cid, seq in p_cl for i, t in enumerate(seq)]
+        slots = F.broadcast(spark.createDataFrame(
+            slot_rows, "query_id string, clause int, term_id long, qidx int"))
+        ncl = F.broadcast(spark.createDataFrame(
+            [(qid, cid, len(seq)) for qid, cid, seq in p_cl],
+            "query_id string, clause int, n_q int"))
+        aligned = (decoded.join(slots, "term_id")
+                   .select("query_id", "clause", "doc_id",
+                           (F.col("pos") - F.col("qidx")).alias("base"),
+                           "qidx"))
+        bases = (aligned.groupBy("query_id", "clause", "doc_id", "base")
+                 .agg(F.countDistinct("qidx").alias("nslots"))
+                 .join(ncl, ["query_id", "clause"])
+                 .filter((F.col("nslots") == F.col("n_q"))
+                         & (F.col("base") >= 0)))
+        parts.append(bases.select("query_id", "clause", "doc_id").distinct())
+    if s_cl:
+        slot_rows = [(qid, cid, id_of[t], i)
+                     for qid, cid, ls, _ in s_cl for i, t in enumerate(ls)]
+        slots = F.broadcast(spark.createDataFrame(
+            slot_rows, "query_id string, clause int, term_id long, slot int"))
+        meta = F.broadcast(spark.createDataFrame(
+            [(qid, cid, len(ls), int(w)) for qid, cid, ls, w in s_cl],
+            "query_id string, clause int, n_q int, w int"))
+        aligned = (decoded.join(slots, "term_id")
+                   .select("query_id", "clause", "doc_id",
+                           F.struct(F.col("pos").cast("long").alias("pos"),
+                                    F.col("slot")).alias("e")))
+        grouped = (aligned.groupBy("query_id", "clause", "doc_id")
+                   .agg(F.sort_array(F.collect_list("e")).alias("evs"))
+                   .join(meta, ["query_id", "clause"]))
+        big = F.lit(2 ** 62).cast("long")
+        init = F.struct(
+            F.array_repeat(F.lit(-1).cast("long"),
+                           F.col("n_q")).alias("last"),
+            big.alias("best"))
+
+        def step(acc, e):
+            last = F.transform(
+                acc["last"],
+                lambda v, i: F.when(i == e["slot"], e["pos"]).otherwise(v))
+            best = F.when(~F.array_contains(last, F.lit(-1).cast("long")),
+                          F.least(acc["best"], e["pos"] - F.array_min(last))
+                          ).otherwise(acc["best"])
+            return F.struct(last.alias("last"), best.alias("best"))
+
+        spans = grouped.select(
+            "query_id", "clause", "doc_id", "w",
+            F.aggregate("evs", init, step, lambda a: a["best"]).alias("span"))
+        parts.append(spans.filter(F.col("span") <= F.col("w"))
+                     .select("query_id", "clause", "doc_id"))
+    pairs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    return pairs, matched
+
+
 def _decode_positions(index: dict, term_ids: list[int], sc=None,
                       sum_df: "int | None" = None) -> DataFrame:
     """Shared positional decode: blocks of ``term_ids`` → (doc_id, term_id,
@@ -1514,7 +1621,12 @@ def _decode_positions(index: dict, term_ids: list[int], sc=None,
 def search_many(index: dict, queries: dict[str, str], k: int = 10,
                 mode: str = "bm25", scope=None,
                 with_snippets: bool = False, offset: int = 0,
-                exclude: "dict[str, str] | str | None" = None) -> DataFrame:
+                exclude: "dict[str, str] | str | None" = None,
+                scope_clauses: "DataFrame | None" = None,
+                group_clauses: "list | None" = None,
+                clause_arity: "dict[str, int] | None" = None,
+                site_like: "set[str] | None" = None,
+                exclude_pairs: "DataFrame | None" = None) -> DataFrame:
     """Batched top-k: score MANY queries in ONE Spark job.
 
     A single-query search costs ~1 fixed-latency job regardless of data;
@@ -1551,24 +1663,73 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     — so ref_compat's tf-sum max normalizes over the survivors, matching
     single-query ``search(..., exclude=)`` row-for-row. Excluded terms are
     never df-pruned (single-query semantics).
+
+    The remaining five hooks carry PER-QUERY candidate restrictions for
+    the batched query-language replay (``querylang.query_search_many``);
+    all default to None and change nothing when absent:
+
+    - ``scope_clauses``: DataFrame (query_id, clause int, doc_id) — each
+      clause's pre-resolved match set (positional phrase/span matches,
+      metadata-qualifier doc sets). A restricted query's candidates are
+      the docs satisfying ALL its clauses.
+    - ``group_clauses``: [(query_id, clause, term_id, df)] — OR-group
+      clauses, satisfied by docs containing ANY of the clause's terms.
+      Their doc sets are resolved from THIS call's union decode (the
+      terms are usually already query terms, so they cost no extra scan);
+      terms missing from the ranked set (ref_compat's global prune) are
+      added to the decode with the given df.
+    - ``clause_arity``: {query_id → total positive clause count}
+      (scope_clauses + group_clauses per query). Queries listed here are
+      "restricted": one countDistinct(clause) == arity aggregation builds
+      each one's candidate set, applied as a (query_id, doc_id) semi-join
+      before ranking. REQUIRED when either clause input is given.
+    - ``site_like``: restricted query_ids whose candidate set carries
+      SITE semantics in ref_compat mode — the per-scope 80%-df prune and
+      conjunction arity are evaluated within the candidate set (the
+      single-query analog: a metadata-qualifier-only ``query_search``
+      folds its predicate into ``scope``, which is a site scope). Other
+      restricted queries keep GLOBAL df semantics (the single-query
+      analog: a DataFrame scope — see ``search``'s site_scope note).
+    - ``exclude_pairs``: DataFrame (query_id, doc_id) of externally
+      resolved bans (NOT-phrase/NOT-span match sets), unioned into the
+      batched NOT anti-join.
+
+    Restricted queries resolve their terms WITHOUT ref_compat's global
+    80% prune only when they're site_like (matching single-query scoped
+    resolution); clause-restricted queries keep the global prune
+    (matching ``search(scope=<DataFrame>)``).
     """
     spark = index["docs"].sparkSession
     release_query_caches(index)
     stats = index["stats"]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     amode = index.get("mode", "general")
+    if (scope_clauses is not None or group_clauses) and not clause_arity:
+        raise ValueError("clause_arity is required with scope_clauses/"
+                         "group_clauses")
+    clause_qids = set(clause_arity or {})
+    site_like = site_like or set()
 
     # resolve every query's terms driver-side (per-scope df pruning for
-    # ref_compat happens later, once the scoped decode exists)
-    resolve_mode = mode if scope is None else "scoped"
+    # ref_compat happens later, once the scoped decode exists). Resolution
+    # semantics per query mirror the single-query analogs: clause-restricted
+    # → search(scope=<DataFrame>) (plain `mode`, so ref_compat's GLOBAL
+    # prune applies); site_like or batch-scoped → "scoped" (prune deferred
+    # to the per-scope df block); otherwise plain `mode`.
     per_q: dict[str, list[dict]] = {}
     for qid, qtext in queries.items():
+        if qid in clause_qids and qid not in site_like:
+            rmode = mode
+        elif qid in site_like or scope is not None:
+            rmode = "scoped"
+        else:
+            rmode = mode
         qterms = _query_terms(qtext, amode, index.get("dictionary", "fixture"))
         if not qterms:
             continue
-        trows = _resolve_terms_driver(index, qterms, resolve_mode)
+        trows = _resolve_terms_driver(index, qterms, rmode)
         if trows is None:
-            trows = _resolve_terms_paged(index, qterms, resolve_mode)
+            trows = _resolve_terms_paged(index, qterms, rmode)
         if trows:
             per_q[qid] = trows
     empty = spark.createDataFrame(
@@ -1621,6 +1782,13 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     uniq_df = {r["term_id"]: int(r["df"])
                for trows in per_q.values() for r in trows}
     uniq_df.update({t: d for t, d in x_df.items() if t not in uniq_df})
+    if group_clauses:
+        # group terms ride this union decode too; usually already present
+        # (group members join the ranked terms), but a term ref_compat's
+        # global prune dropped from the ranked set must still decode for
+        # its clause's doc set
+        for _, _, gtid, gdf in group_clauses:
+            uniq_df.setdefault(gtid, int(gdf))
     cached, direct_rows = pcache_split(
         index, [{"term_id": t, "df": d} for t, d in sorted(uniq_df.items())])
     direct_ids = [r["term_id"] for r in direct_rows]
@@ -1652,35 +1820,109 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
         decoded = cached
     if sc is not None:
         decoded = _scope_filter(decoded, sc)
+    # OR-group clauses resolve from THIS decode (captured lazily here,
+    # before the ref_compat prune narrows `decoded` to ranked survivors)
+    g_pairs = None
+    if group_clauses:
+        gmap = F.broadcast(spark.createDataFrame(
+            [(q, c, t) for q, c, t, _ in group_clauses],
+            "query_id string, clause int, term_id long"))
+        g_pairs = decoded.join(gmap, "term_id").select(
+            "query_id", "clause", "doc_id")
     # batched NOT: each query's banned doc set from the shared decode
     # (excluded-term rows never reach scoring — qmap holds scoring pairs
     # only; a term excluded by one query can still score another's)
     banned = (decoded.join(xmap, "term_id").select("query_id", "doc_id")
               .distinct() if xmap is not None else None)
-    if sc is not None:
-        if mode == "ref_compat":
-            # per-SCOPE df prune + per-query arity adjustment (the batched
-            # analog of single-query scoped ref_compat): one tiny agg job
-            # over the union of the batch's terms
-            decoded = decoded.persist()
-            index.setdefault("_query_persists", []).append(decoded)
+    if exclude_pairs is not None:
+        ep = exclude_pairs.select("query_id", "doc_id")
+        banned = ep if banned is None else banned.unionByName(ep).distinct()
+    # restricted queries' candidate sets: docs satisfying ALL the query's
+    # positive clauses — one countDistinct(clause) == arity aggregation
+    # over the union of clause match pairs; persisted because the site_like
+    # prune jobs and the final semi-join both consume it
+    cand = None
+    if clause_qids:
+        cparts = ([g_pairs] if g_pairs is not None else []) + \
+            ([scope_clauses.select("query_id", "clause", "doc_id")]
+             if scope_clauses is not None else [])
+        if cparts:
+            allcl = cparts[0] if len(cparts) == 1 else \
+                cparts[0].unionByName(cparts[1])
+            ar = F.broadcast(spark.createDataFrame(
+                sorted(clause_arity.items()), "query_id string, n_cl int"))
+            cand = (allcl.distinct()
+                    .groupBy("query_id", "doc_id")
+                    .agg(F.countDistinct("clause").alias("nc"))
+                    .join(ar, "query_id")
+                    .filter(F.col("nc") == F.col("n_cl"))
+                    .select("query_id", "doc_id")
+                    .persist())
+        else:  # arity declared but no clause inputs: nothing satisfies it
+            cand = spark.createDataFrame([], "query_id string, doc_id long")
+        index.setdefault("_query_persists", []).append(cand)
+    # ref_compat df pruning, two per-query variants mirroring the
+    # single-query analogs: batch-scoped unrestricted queries prune on the
+    # SHARED scope's df (search(scope=<site>)); site_like restricted
+    # queries prune within their OWN candidate set (query_search with
+    # qualifiers only, whose predicate folds into a site scope). Clause-
+    # restricted queries already took the global prune at resolution
+    # (search(scope=<DataFrame>) semantics) — never re-pruned here.
+    need_shared = (sc is not None and mode == "ref_compat"
+                   and any(q not in clause_qids for q in per_q))
+    need_site = (mode == "ref_compat"
+                 and any(q in site_like for q in per_q))
+    if need_shared or need_site:
+        decoded = decoded.persist()
+        index.setdefault("_query_persists", []).append(decoded)
+        kept_of: dict[str, set] = {}
+        if need_shared:
             sdf = {r["term_id"]: r["c"] for r in
                    decoded.groupBy("term_id").agg(F.count("*").alias("c")).collect()}
-            kept = {tid for tid in term_ids
-                    if sdf.get(tid, 0) > 0
-                    and sdf[tid] / float(sc["n"]) < PRUNE_THRESHOLD}
-            per_q = {qid: [r for r in trows if r["term_id"] in kept]
-                     for qid, trows in per_q.items()}
-            per_q = {qid: trows for qid, trows in per_q.items() if trows}
-            if not per_q:
-                return empty
-            pairs = [p for p in pairs if p[1] in kept and p[0] in per_q]
-            qmap = F.broadcast(spark.createDataFrame(
-                pairs, "query_id string, term_id long, idf double"))
-            nq = F.broadcast(spark.createDataFrame(
-                [(qid, len(trows)) for qid, trows in per_q.items()],
-                "query_id string, n_q int"))
-            decoded = decoded.filter(F.col("term_id").isin(sorted(kept)))
+            kept_shared = {tid for tid in term_ids
+                           if sdf.get(tid, 0) > 0
+                           and sdf[tid] / float(sc["n"]) < PRUNE_THRESHOLD}
+            for qid in per_q:
+                if qid not in clause_qids:
+                    kept_of[qid] = kept_shared
+        if need_site:
+            # per-(query, term) df within the candidate set + |candidates|
+            # per query: two tiny agg jobs over the batch's site_like part
+            sq = sorted(q for q in per_q if q in site_like)
+            smap = F.broadcast(spark.createDataFrame(
+                [(q, r["term_id"]) for q in sq for r in per_q[q]],
+                "query_id string, term_id long"))
+            scand = cand.filter(F.col("query_id").isin(sq))
+            sdfq = {(r["query_id"], r["term_id"]): r["c"] for r in
+                    decoded.join(smap, "term_id")
+                    .join(scand, ["query_id", "doc_id"], "left_semi")
+                    .groupBy("query_id", "term_id")
+                    .agg(F.count("*").alias("c")).collect()}
+            nfq = {r["query_id"]: r["c"] for r in
+                   scand.groupBy("query_id").agg(F.count("*").alias("c")).collect()}
+            for q in sq:
+                denom = float(nfq.get(q, 0))
+                kept_of[q] = ({r["term_id"] for r in per_q[q]
+                               if sdfq.get((q, r["term_id"]), 0) > 0
+                               and sdfq[(q, r["term_id"])] / denom
+                               < PRUNE_THRESHOLD}
+                              if denom else set())
+        per_q = {qid: ([r for r in trows if r["term_id"] in kept_of[qid]]
+                       if qid in kept_of else trows)
+                 for qid, trows in per_q.items()}
+        per_q = {qid: trows for qid, trows in per_q.items() if trows}
+        if not per_q:
+            return empty
+        pairs = [p for p in pairs
+                 if p[0] in per_q
+                 and (p[0] not in kept_of or p[1] in kept_of[p[0]])]
+        qmap = F.broadcast(spark.createDataFrame(
+            pairs, "query_id string, term_id long, idf double"))
+        nq = F.broadcast(spark.createDataFrame(
+            [(qid, len(trows)) for qid, trows in per_q.items()],
+            "query_id string, n_q int"))
+        decoded = decoded.filter(
+            F.col("term_id").isin(sorted({p[1] for p in pairs})))
     fanned = decoded.join(qmap, "term_id")
     score = F.col("idf") * (F.col("tf") * F.lit(K1 + 1.0)) / (
         F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(float(avgdl))))
@@ -1688,6 +1930,15 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
 
     agg = scored.groupBy("query_id", "doc_id").agg(
         F.count("*").alias("nt"), F.sum("tf").alias("tf_sum"), F.sum("s").alias("bm25"))
+    if cand is not None:
+        # restricted queries keep only their candidate docs; unrestricted
+        # batch members pass through untouched. Before ranking, so
+        # ref_compat's conjunction + max-normalization see candidates only.
+        restricted = sorted(clause_qids)
+        agg_r = (agg.filter(F.col("query_id").isin(restricted))
+                 .join(cand, ["query_id", "doc_id"], "left_semi"))
+        agg = agg.filter(~F.col("query_id").isin(restricted)) \
+            .unionByName(agg_r)
     if banned is not None:
         # before ranking, so ref_compat's max-normalization sees survivors
         agg = agg.join(banned, ["query_id", "doc_id"], "left_anti")
