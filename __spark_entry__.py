@@ -415,6 +415,52 @@ def _q_batched_scoped(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+MLT_DOC = 150        # more-like-this source doc (present at every sf)
+SUGGEST_PREFIX = "s"  # autocomplete probe (6 dictionary terms)
+FUZZY_WORD = "bat"    # misspelling probe (6 terms at dist ≤2 — exercises
+#                       the dist-then-df-then-term tie ordering)
+
+
+def _q_suggest(spark, sf_dir):
+    """Prefix autocomplete (operators/suggest.py): the K most frequent
+    dictionary terms starting with SUGGEST_PREFIX, (term, df) by
+    (df desc, term asc). Dictionary-only — zero postings access; zero
+    Spark jobs on a driver-cached dictionary."""
+    from searchengine_spark.operators.suggest import suggest
+    return suggest(_index_for(spark, sf_dir), SUGGEST_PREFIX, k=K)
+
+
+def _q_suggest_fuzzy(spark, sf_dir):
+    """Fuzzy "did-you-mean" (operators/suggest.py): dictionary terms within
+    2 edits of FUZZY_WORD, (term, dist, df) by (dist asc, df desc,
+    term asc) — one length-banded dictionary scan with early-exit
+    levenshtein, no postings access."""
+    from searchengine_spark.operators.suggest import suggest_corrections
+    return suggest_corrections(_index_for(spark, sf_dir), FUZZY_WORD,
+                               max_dist=2, k=K)
+
+
+def _q_querylang_wildcard(spark, sf_dir):
+    """Query-language wildcard: 'merge sca*' expands sca* against the
+    dictionary (top-16 by df) into an OR-group — BM25 over {merge} ∪ the
+    expansions, candidates restricted to docs containing any expansion."""
+    from searchengine_spark.operators.querylang import query_search
+    hits = query_search(_index_for(spark, sf_dir), "merge sca*", k=K,
+                        mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_more_like_this(spark, sf_dir):
+    """More-like-this (operators/suggest.py): re-analyze doc MLT_DOC,
+    select its 5 most characteristic lemmas by (tf desc, df asc,
+    term asc), BM25-search them with the source doc removed — one docs
+    point lookup + one ordinary ranked query."""
+    from searchengine_spark.operators.suggest import more_like_this
+    hits = more_like_this(_index_for(spark, sf_dir), MLT_DOC, k=K,
+                          n_terms=5)
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 def _q_batched_querylang(spark, sf_dir):
     """Batched query-LANGUAGE replay (query_search_many): FOUR grammar
     queries — terms+phrase+NOT-term, span clause, OR-group, NOT-phrase —
@@ -1061,6 +1107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_batched_near": _q_batched_near,
         "q_batched_bm25": _q_batched_bm25,
         "q_batched_querylang": _q_batched_querylang,
+        "q_suggest": _q_suggest,
+        "q_suggest_fuzzy": _q_suggest_fuzzy,
+        "q_querylang_wildcard": _q_querylang_wildcard,
+        "q_more_like_this": _q_more_like_this,
         "q_batched_not": _q_batched_not,
         "q_batched_scoped": _q_batched_scoped,
         "q_bm25f_topk": _q_bm25f_topk,
@@ -1501,6 +1551,47 @@ def oracle_sql() -> dict[str, str]:
             union all select 'qb' as query_id, doc_id, score from b
             union all select 'qc' as query_id, doc_id, score from c
             union all select 'qd' as query_id, doc_id, score from d""",
+        "q_suggest": f"""
+            select term, cast(df as bigint) as df from ({_DF})
+            where term like '{SUGGEST_PREFIX}%'
+            order by df desc, term asc limit {K}""",
+        "q_suggest_fuzzy": f"""
+            select term, cast(levenshtein('{FUZZY_WORD}', term) as int) as dist,
+                   cast(df as bigint) as df
+            from ({_DF}) where levenshtein('{FUZZY_WORD}', term) <= 2
+            order by dist asc, df desc, term asc limit {K}""",
+        "q_querylang_wildcard": f"""
+            with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+            stats as (select count(*) as n, avg(dl) as avgdl from dl),
+            wq as (select term from ({_DF}) where term like 'sca%'
+                   order by df desc, term asc limit 16),
+            scored as (
+              select tf.doc_id,
+                     sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+              from tf join dfv using (term) join dl using (doc_id) cross join stats
+              where (tf.term = 'merge' or tf.term in (select term from wq))
+                and tf.doc_id in (select doc_id from tf
+                                  where term in (select term from wq))
+              group by tf.doc_id)
+            select doc_id, round(s, 6) as score from scored
+            order by round(s, 9) desc, doc_id asc limit {K}""",
+        "q_more_like_this": f"""
+            with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+            stats as (select count(*) as n, avg(dl) as avgdl from dl),
+            sel as (select tf.term from tf join dfv using (term)
+                    where tf.doc_id = {MLT_DOC}
+                    order by tf.tf desc, dfv.df asc, tf.term asc limit 5),
+            scored as (
+              select tf.doc_id,
+                     sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+              from tf join dfv using (term) join dl using (doc_id) cross join stats
+              where tf.term in (select term from sel)
+                and tf.doc_id <> {MLT_DOC}
+              group by tf.doc_id)
+            select doc_id, round(s, 6) as score from scored
+            order by round(s, 9) desc, doc_id asc limit {K}""",
         "q_bm25f_topk": _bm25f_sql(list(BM25_Q), K),
         # fielded scoping: conv prefix 'doc000000' == doc_id 0..99
         "q_bm25f_scoped": _bm25f_sql(list(BM25_Q), K,

@@ -184,6 +184,7 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "q_facets", "q_facets_multi",
                  "q2_scoped_bm25_topk", "q_phrase_topk",
                  "q_batched_phrase", "q_querylang", "q_batched_querylang",
+                 "q_querylang_wildcard", "q_suggest", "q_more_like_this",
                  "q_span_topk",
                  "a3_statistics_per_collection",
                  "dedup_exact", "dedup_minhash_lsh",

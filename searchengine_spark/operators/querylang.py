@@ -20,6 +20,16 @@ ranked retrieval:
                           a candidate constraint over the engine's usual
                           disjunctive ranking. `-(a|b)` folds to `-a -b`
                           (banning any-member is exactly NOT per member).
+- pre*                  → WILDCARD: expands against the index dictionary
+                          to the top-``WILDCARD_MAX_TERMS`` matching terms
+                          by df (``operators/suggest.expand_wildcard``)
+                          and behaves as that OR-group — docs containing
+                          ANY expansion, every expansion ranked. A
+                          positive wildcard matching nothing is
+                          unsatisfiable (empty result); ``-pre*`` bans
+                          docs containing any expansion (nothing when none
+                          match). Prefix must be ≥2 chars; only a single
+                          trailing ``*`` is recognized.
 - -word / -"quoted..."  → NOT clauses: docs containing the term / the
                           exact phrase (or, with ~N, the span) are removed
 - field:value           → metadata qualifiers over the docs table:
@@ -93,7 +103,8 @@ def parse_query(qstr: str) -> dict:
     constrains nothing beyond term presence, which the ranked/NOT paths
     already express without a positional decode)."""
     out = {"terms": [], "phrases": [], "not_terms": [], "not_phrases": [],
-           "spans": [], "not_spans": [], "groups": [], "qualifiers": []}
+           "spans": [], "not_spans": [], "groups": [], "qualifiers": [],
+           "wildcards": [], "not_wildcards": []}
     for m in _TOKEN.finditer(qstr):
         if m.group(2) is not None:
             neg, body = m.group(1) == "-", m.group(2).strip()
@@ -126,6 +137,10 @@ def parse_query(qstr: str) -> dict:
             qm = _QUALIFIER.match(word)
             if qm:
                 out["qualifiers"].append((qm.group(1), qm.group(2), neg))
+            elif word.endswith("*") and len(word.rstrip("*")) >= 2 \
+                    and "*" not in word.rstrip("*"):
+                out["not_wildcards" if neg else "wildcards"].append(
+                    word.rstrip("*"))
             else:
                 out["not_terms" if neg else "terms"].append(word)
     return out
@@ -151,6 +166,18 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
     empty = spark.createDataFrame(
         [], "doc_id long, conv_id string, turn_idx int, role string, "
             "tool string, ts timestamp, score double")
+    # wildcards expand against the dictionary into OR-groups (kept as a
+    # group even with one expansion — the containment constraint is the
+    # wildcard's semantics); a positive no-match wildcard is
+    # unsatisfiable, a negative one bans nothing
+    from searchengine_spark.operators.suggest import expand_wildcard
+    for p in q["wildcards"]:
+        members = expand_wildcard(index, p)
+        if not members:
+            return empty
+        q["groups"].append(members)
+    for p in q["not_wildcards"]:
+        q["not_terms"].extend(expand_wildcard(index, p))
     pos_words = (q["terms"] + [w for p in q["phrases"] for w in p.split()]
                  + [w for p, _ in q["spans"] for w in p.split()]
                  + [w for g in q["groups"] for w in g])
@@ -306,6 +333,24 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
     if scope is not None and sc is None:
         return empty
     parsed = {qid: parse_query(s) for qid, s in queries.items()}
+
+    # wildcard expansion first — expansions become OR-groups (and NOT
+    # terms), so they must exist before the batch-wide member resolution
+    # below; a positive no-match wildcard kills its query
+    from searchengine_spark.operators.suggest import expand_wildcard
+    wc_dead: set[str] = set()
+    for qid, q in parsed.items():
+        for p in q["wildcards"]:
+            members = expand_wildcard(index, p)
+            if not members:
+                wc_dead.add(qid)
+                break
+            q["groups"].append(members)
+        if qid in wc_dead:
+            continue
+        for p in q["not_wildcards"]:
+            q["not_terms"].extend(expand_wildcard(index, p))
+    parsed = {qid: q for qid, q in parsed.items() if qid not in wc_dead}
 
     # group members resolve with plain resolution across the whole batch
     # (single-path analog: _resolve_exclusions never df-prunes)

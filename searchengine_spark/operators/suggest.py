@@ -1,0 +1,141 @@
+"""Dictionary-assisted query aids: prefix autocomplete ("suggest"),
+fuzzy "did-you-mean" correction, wildcard expansion for the query
+grammar, and more-like-this.
+
+No reference analog — srcCreate/searchEngine exposes flat hit search only
+(controllers/ApiController.java) — these are the standard search-product
+companions to a fulltext index, and all of them read the DICTIONARY (the
+terms table) or ONE document's text, never the postings, so their cost is
+independent of corpus size:
+
+- a 10^12-turn index's dictionary is ~10^8 rows (a few GB in parquet);
+  suggest/correction are one narrow column scan + TakeOrderedAndProject
+  over it — and ZERO Spark jobs when the dictionary is driver-cached
+  (below ``TERMS_LOCAL_MAX``);
+- more-like-this reads one docs-table row (dense doc_ids are written in
+  sorted order, so the point lookup prunes row groups via parquet
+  min/max stats) and then runs one ordinary ranked ``search``.
+
+Prefixes and probe words are normalized with the ANALYZER'S OWN cleaning
+(lowercase + the mode's token pattern) but never lemmatized — a partial
+prefix or a misspelling is exactly what the lemmatizer can't see.
+"""
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from searchengine_spark.functions.analysis import _pattern, analyze_text
+
+
+def _norm_word(word: str, mode: str) -> str:
+    """First token of the analyzer's cleaning pass (no lemmatization)."""
+    parts = re.sub(_pattern(mode), " ", (word or "").lower()).split()
+    return parts[0] if parts else ""
+
+
+def suggest(index: dict, prefix: str, k: int = 10) -> DataFrame:
+    """Prefix autocomplete over the index dictionary: the ``k`` most
+    frequent terms starting with ``prefix``, as (term, df) ordered by
+    (df desc, term asc) — document frequency IS the standard completion
+    ranking signal. Zero Spark jobs on a driver-cached dictionary; one
+    dictionary column scan otherwise."""
+    from searchengine_spark.operators.search import _terms_local
+    spark = index["docs"].sparkSession
+    p = _norm_word(prefix, index.get("mode", "general"))
+    empty = spark.createDataFrame([], "term string, df long")
+    if not p:
+        return empty
+    pdf = _terms_local(index)
+    if pdf is not None:
+        sub = pdf[pdf.index.str.startswith(p)]
+        rows = sorted(((t, int(r)) for t, r in sub["df"].items()),
+                      key=lambda x: (-x[1], x[0]))[:k]
+        return spark.createDataFrame(rows, "term string, df long") \
+            if rows else empty
+    return (index["terms"].filter(F.col("term").startswith(p))
+            .select("term", F.col("df").cast("long").alias("df"))
+            .orderBy(F.col("df").desc(), F.col("term").asc()).limit(k))
+
+
+def suggest_corrections(index: dict, word: str, max_dist: int = 2,
+                        k: int = 10) -> DataFrame:
+    """Fuzzy "did you mean": dictionary terms within ``max_dist`` edits of
+    ``word``, as (term, dist, df) ordered by (dist asc, df desc, term asc)
+    — closest first, most frequent within a distance. A length band
+    (|len(term) − len(word)| ≤ max_dist, a lower bound on edit distance)
+    prunes the scan before the edit-distance evaluation; Spark's
+    ``levenshtein(..., threshold)`` early-exits rows past the bound. One
+    dictionary scan, no postings access."""
+    spark = index["docs"].sparkSession
+    w = _norm_word(word, index.get("mode", "general"))
+    empty = spark.createDataFrame([], "term string, dist int, df long")
+    if not w:
+        return empty
+    dist = F.levenshtein(F.lit(w), F.col("term"), int(max_dist))
+    return (index["terms"]
+            .filter(F.abs(F.length("term") - F.lit(len(w))) <= int(max_dist))
+            .select("term", dist.alias("dist"),
+                    F.col("df").cast("long").alias("df"))
+            .filter((F.col("dist") >= 0) & (F.col("dist") <= int(max_dist)))
+            .orderBy(F.col("dist").asc(), F.col("df").desc(),
+                     F.col("term").asc())
+            .limit(k))
+
+
+# wildcard expansion cap: the grammar's `pre*` becomes an OR-group of at
+# most this many dictionary terms (highest-df first — the expansions that
+# actually retrieve something); a cap is standard (Lucene's
+# maxDeterminizedStates / rewrite caps) and keeps the ranked union bounded
+WILDCARD_MAX_TERMS = 16
+
+
+def expand_wildcard(index: dict, prefix: str,
+                    max_terms: int = WILDCARD_MAX_TERMS) -> list[str]:
+    """``pre*`` → the top-``max_terms`` dictionary terms with that prefix,
+    by (df desc, term asc). Returns [] when nothing matches (the grammar
+    treats a positive no-match wildcard as an unsatisfiable group)."""
+    return [r["term"] for r in suggest(index, prefix, max_terms).collect()]
+
+
+def more_like_this(index: dict, doc_id: int, k: int = 10, n_terms: int = 10,
+                   mode: str = "bm25") -> DataFrame:
+    """Similar-document retrieval: re-analyze the source doc's text with
+    the index's own chain, select its ``n_terms`` most characteristic
+    lemmas by (tf desc, df asc, term asc) — high-frequency-in-doc,
+    rare-in-corpus first; integer keys, so the selection is exactly
+    reproducible — and run an ordinary ranked ``search`` over them with
+    the source doc removed. Returns the same shape as ``search``
+    (doc_id, conv_id, turn_idx, role, tool, ts, score), top-k.
+
+    One docs-table point lookup (row-group pruned via the sorted doc_id
+    column) + one ranked query: more-like-this costs exactly one search
+    at any corpus size."""
+    from searchengine_spark.operators.search import (_resolve_ids_dfs,
+                                                     search)
+    spark = index["docs"].sparkSession
+    empty = spark.createDataFrame(
+        [], "doc_id long, conv_id string, turn_idx int, role string, "
+            "tool string, ts timestamp, score double")
+    row = (index["docs"].filter(F.col("doc_id") == int(doc_id))
+           .select("text").collect())
+    if not row:
+        return empty
+    seq = analyze_text(row[0]["text"], index.get("mode", "general"),
+                       dictionary=index.get("dictionary", "fixture"))
+    if not seq:
+        return empty
+    tf: dict[str, int] = {}
+    for t in seq:
+        tf[t] = tf.get(t, 0) + 1
+    _, df_of = _resolve_ids_dfs(index, sorted(tf))
+    sel = sorted((t for t in tf if t in df_of),
+                 key=lambda t: (-tf[t], df_of[t], t))[:n_terms]
+    if not sel:
+        return empty
+    hits = search(index, " ".join(sel), k=k + 1, mode=mode)
+    return (hits.filter(F.col("doc_id") != int(doc_id))
+            .orderBy(F.round(F.col("score"), 9).desc(),
+                     F.col("doc_id").asc())
+            .limit(k))

@@ -43,9 +43,18 @@ def qpos_index(spark):
 
 def _base(**kw):
     out = {"terms": [], "phrases": [], "not_terms": [], "not_phrases": [],
-           "spans": [], "not_spans": [], "groups": [], "qualifiers": []}
+           "spans": [], "not_spans": [], "groups": [], "qualifiers": [],
+           "wildcards": [], "not_wildcards": []}
     out.update(kw)
     return out
+
+
+def test_parse_query_wildcards():
+    q = parse_query('scan merg* -alp* x* a*b* "be*" *')
+    # ≥2-char prefix + single trailing star only; everything else stays a
+    # term (quotes never wildcard; 'x*' prefix too short; 'a*b*' internal)
+    assert q == _base(terms=["scan", "x*", "a*b*", "be*", "*"],
+                      wildcards=["merg"], not_wildcards=["alp"])
 
 
 def test_parse_query_groups():
