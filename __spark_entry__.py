@@ -461,6 +461,22 @@ def _q_more_like_this(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_querylang_facets(spark, sf_dir):
+    """Facet panel over a grammar query's FULL match set
+    (querylang.query_facets): docs matching any of QL_QUERY's ranked terms
+    within the phrase clause's candidates, minus the NOT term's docs,
+    counted by doc_id's last digit — grammar resolution + one facet job."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.querylang import query_facets
+    key = (sf_dir, "positional")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    return query_facets(_INDEX_CACHE[key], QL_QUERY,
+                        by=F.substring(F.col("conv_id"), 11, 1))
+
+
 def _q_batched_querylang(spark, sf_dir):
     """Batched query-LANGUAGE replay (query_search_many): FOUR grammar
     queries — terms+phrase+NOT-term, span clause, OR-group, NOT-phrase —
@@ -1110,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suggest": _q_suggest,
         "q_suggest_fuzzy": _q_suggest_fuzzy,
         "q_querylang_wildcard": _q_querylang_wildcard,
+        "q_querylang_facets": _q_querylang_facets,
         "q_more_like_this": _q_more_like_this,
         "q_batched_not": _q_batched_not,
         "q_batched_scoped": _q_batched_scoped,
@@ -1551,6 +1568,27 @@ def oracle_sql() -> dict[str, str]:
             union all select 'qb' as query_id, doc_id, score from b
             union all select 'qc' as query_id, doc_id, score from c
             union all select 'qd' as query_id, doc_id, score from d""",
+        "q_querylang_facets": f"""
+            with tf as ({_TF}),
+            arrs as (select doc_id, list_filter(string_split_regex(
+                regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                x -> x <> '') as arr from documents),
+            tp as (select doc_id, unnest(arr) as term,
+                   unnest(range(len(arr))) as pos from arrs),
+            q as (select * from (values ('hash', 0), ('join', 1))
+                  as t(term, qidx)),
+            al as (select tp.doc_id, tp.pos - q.qidx as base, q.qidx
+                   from tp join q using (term)),
+            pm as (select doc_id from al group by doc_id, base
+                   having count(distinct qidx) = 2),
+            m as (select distinct tf.doc_id from tf
+                  where tf.term in ('scan', 'hash', 'join')
+                    and tf.doc_id in (select doc_id from pm)
+                    and tf.doc_id not in (select doc_id from tf
+                                          where term = 'spark'))
+            select cast(doc_id % 10 as varchar) as facet,
+                   cast(count(*) as bigint) as n_docs
+            from m group by 1""",
         "q_suggest": f"""
             select term, cast(df as bigint) as df from ({_DF})
             where term like '{SUGGEST_PREFIX}%'

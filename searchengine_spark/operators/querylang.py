@@ -82,7 +82,7 @@ from searchengine_spark.functions.analysis import analyze_text
 from searchengine_spark.operators.search import (
     _clause_match_pairs, _phrase_match_docs, _query_terms, _resolve_exclusions,
     _resolve_ids_dfs, _scope_filter, _scope_info, _span_match_docs,
-    release_query_caches, search, search_many)
+    release_query_caches, search, search_facets, search_many)
 
 # -"quoted phrase"[~N] | "quoted phrase"[~N] | -(w1|w2) | (w1|w2) |
 # -word | word   (a lone '-' or empty quotes/parens parse to nothing;
@@ -146,26 +146,21 @@ def parse_query(qstr: str) -> dict:
     return out
 
 
-def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
-                 scope=None, offset: int = 0, with_snippets: bool = False,
-                 with_titles: bool = False,
-                 prune_blocks: "bool | str" = "auto") -> DataFrame:
-    """Ranked search driven by the query-string grammar (module
-    docstring). Returns the same shape as ``search``:
-    (doc_id, conv_id, turn_idx, role, tool, ts, score[, title][, snippet]),
-    top-k by (score desc, doc_id asc), paginated by ``offset`` with
-    absolute-rank page semantics.
+def _resolve_grammar(index: dict, qstr: str, scope) -> "dict | None":
+    """Shared clause resolution for the grammar's single-query consumers
+    (``query_search``, ``query_facets``): parse, expand wildcards into
+    OR-groups, fold metadata qualifiers into the scope, resolve every
+    positive clause (group/phrase/span) to ONE intersected candidate doc
+    set and the NOT phrase/span clauses to a banned doc set.
 
-    ``scope``/``with_snippets``/``with_titles``/``prune_blocks`` pass
-    through to ``search``; a user scope intersects with the phrase
-    clauses' doc sets (both are candidate restrictions). Snippets
-    highlight every positive word — bare and phrase constituents — since
-    the ranked pass receives them all as its query."""
-    spark = index["docs"].sparkSession
+    Returns None when the query can match nothing (no positive words, an
+    unsatisfiable group/wildcard, an unmatchable positive clause, or an
+    empty scope), else {"pos_words", "not_terms", "eff_scope",
+    "exclude_docs", "persists"} — ``persists`` are the DataFrames the
+    CALLER must register in ``_query_persists`` after its ranked call
+    (they must outlive the lazy result's materialization; group doc sets
+    registered by ``_resolve_exclusions`` land there the same way)."""
     q = parse_query(qstr)
-    empty = spark.createDataFrame(
-        [], "doc_id long, conv_id string, turn_idx int, role string, "
-            "tool string, ts timestamp, score double")
     # wildcards expand against the dictionary into OR-groups (kept as a
     # group even with one expansion — the containment constraint is the
     # wildcard's semantics); a positive no-match wildcard is
@@ -174,7 +169,7 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
     for p in q["wildcards"]:
         members = expand_wildcard(index, p)
         if not members:
-            return empty
+            return None
         q["groups"].append(members)
     for p in q["not_wildcards"]:
         q["not_terms"].extend(expand_wildcard(index, p))
@@ -182,7 +177,7 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
                  + [w for p, _ in q["spans"] for w in p.split()]
                  + [w for g in q["groups"] for w in g])
     if not pos_words:
-        return empty  # NOT-only / empty queries rank nothing, like search("")
+        return None  # NOT-only / empty queries rank nothing, like search("")
 
     # metadata qualifiers → one docs-table predicate, ANDed into the scope
     # (site: is a conv_id prefix like the reference's site=; role:/tool:
@@ -208,25 +203,17 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
     release_query_caches(index)
     sc_user = _scope_info(index, scope) if scope is not None else None
     if scope is not None and sc_user is None:
-        return empty
+        return None
 
-    # positive phrase clauses → one intersected candidate doc set; persist
-    # it because _scope_info aggregates it (lo/hi/n) and the ranked pass
-    # semi-joins it — registered in _query_persists AFTER search() builds
-    # its (lazy) plan, so the NEXT query's release frees it, the same
-    # lifetime contract as the scoped ref_compat decode cache.
-    # OR-groups → per-group "docs containing ANY member" candidate sets,
-    # intersected with the phrase/span sets below. Resolution reuses the
-    # NOT clause's decoder (_resolve_exclusions is generically "union doc
-    # set of these terms" — bucket-pruned block scan, pcache-aware); it
-    # self-registers persists in _query_persists, which search() would
-    # release at its start, so the whole list is shielded around the
-    # ranked call below.
+    # positive clauses → one intersected candidate doc set; persisted
+    # because _scope_info aggregates it (lo/hi/n) and the ranked pass
+    # semi-joins it. OR-groups resolve through the NOT clause's decoder
+    # (_resolve_exclusions is generically "union doc set of these terms").
     filt = None
     for g in q["groups"]:
         ds = _resolve_exclusions(index, " ".join(g), sc_user)
         if ds is None:
-            return empty  # no member in the dictionary → group unsatisfiable
+            return None  # no member in the dictionary → group unsatisfiable
         if sc_user is not None:
             # group decode is bucket-range pruned, not row-filtered: apply
             # the scope exactly before intersecting
@@ -238,13 +225,13 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
     for p in q["phrases"]:
         m = _phrase_match_docs(index, p, sc_user)
         if m is None:
-            return empty  # an unmatchable phrase clause → no results
+            return None  # an unmatchable phrase clause → no results
         ds = m.select("doc_id")
         filt = ds if filt is None else filt.join(ds, "doc_id", "left_semi")
     for p, w in q["spans"]:
         m = _span_match_docs(index, p, w, sc_user)
         if m is None:
-            return empty  # an unmatchable span clause → no results
+            return None  # an unmatchable span clause → no results
         ds = m.select("doc_id")
         filt = ds if filt is None else filt.join(ds, "doc_id", "left_semi")
     persists = []
@@ -256,7 +243,7 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
         persists.append(filt)
         eff_scope = filt
 
-    # NOT phrases → banned doc set (merged with NOT terms inside search)
+    # NOT phrases/spans → banned doc set (merged with NOT terms downstream)
     xdocs = None
     for p in q["not_phrases"]:
         m = _phrase_match_docs(index, p, sc_user)
@@ -273,31 +260,60 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
     if xdocs is not None:
         xdocs = xdocs.distinct().persist()
         persists.append(xdocs)
+    return {"pos_words": pos_words, "not_terms": q["not_terms"],
+            "eff_scope": eff_scope, "exclude_docs": xdocs,
+            "persists": persists}
 
-    # search() releases _query_persists at its start; everything this
-    # function resolved (group doc sets registered by _resolve_exclusions,
-    # plus the phrase/ban sets held in `persists`) must outlive the
-    # returned lazy result's materialization — shield the list across the
-    # call and hand the union to the NEXT query's release.
+
+def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
+                 scope=None, offset: int = 0, with_snippets: bool = False,
+                 with_titles: bool = False,
+                 prune_blocks: "bool | str" = "auto") -> DataFrame:
+    """Ranked search driven by the query-string grammar (module
+    docstring). Returns the same shape as ``search``:
+    (doc_id, conv_id, turn_idx, role, tool, ts, score[, title][, snippet]),
+    top-k by (score desc, doc_id asc), paginated by ``offset`` with
+    absolute-rank page semantics.
+
+    ``scope``/``with_snippets``/``with_titles``/``prune_blocks`` pass
+    through to ``search``; a user scope intersects with the phrase
+    clauses' doc sets (both are candidate restrictions). Snippets
+    highlight every positive word — bare and phrase constituents — since
+    the ranked pass receives them all as its query."""
+    spark = index["docs"].sparkSession
+    empty = spark.createDataFrame(
+        [], "doc_id long, conv_id string, turn_idx int, role string, "
+            "tool string, ts timestamp, score double")
+    g = _resolve_grammar(index, qstr, scope)
+    if g is None:
+        return empty
+
+    # search() releases _query_persists at its start; everything the
+    # grammar resolution persisted (group doc sets registered by
+    # _resolve_exclusions, plus the candidate/ban sets in g["persists"])
+    # must outlive the returned lazy result's materialization — shield the
+    # list across the call and hand the union to the NEXT query's release.
     held = index.pop("_query_persists", [])
-    out = search(index, " ".join(pos_words), k=k, mode=mode,
+    out = search(index, " ".join(g["pos_words"]), k=k, mode=mode,
                  prune_blocks=prune_blocks, with_snippets=with_snippets,
-                 offset=offset, scope=eff_scope, with_titles=with_titles,
-                 exclude=" ".join(q["not_terms"]) or None,
-                 exclude_docs=xdocs)
-    index.setdefault("_query_persists", []).extend(held + persists)
+                 offset=offset, scope=g["eff_scope"],
+                 with_titles=with_titles,
+                 exclude=" ".join(g["not_terms"]) or None,
+                 exclude_docs=g["exclude_docs"])
+    index.setdefault("_query_persists", []).extend(held + g["persists"])
     return out
 
 
 def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       mode: str = "bm25", scope=None, offset: int = 0,
-                      with_snippets: bool = False) -> DataFrame:
+                      with_snippets: bool = False,
+                      with_titles: bool = False) -> DataFrame:
     """Batched query-LANGUAGE replay: run MANY grammar query strings
     (module docstring — terms, "phrases", "spans"~N, (or|groups),
     -NOT clauses, field:qualifiers) with the amortized plan shape of
     ``search_many``, returning identical rows to per-query
     ``query_search``: (query_id, rank, doc_id, conv_id, turn_idx, role,
-    tool, ts, score[, snippet]), rank 1..k per query.
+    tool, ts, score[, title][, snippet]), rank 1..k per query.
 
     Execution is the batched composition of the single path's pieces:
 
@@ -328,7 +344,9 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
     empty = spark.createDataFrame(
         [], "query_id string, rank int, doc_id long, conv_id string, "
             "turn_idx int, role string, tool string, ts timestamp, "
-            "score double" + (", snippet string" if with_snippets else ""))
+            "score double"
+            + (", title string" if with_titles else "")
+            + (", snippet string" if with_snippets else ""))
     sc = _scope_info(index, scope) if scope is not None else None
     if scope is not None and sc is None:
         return empty
@@ -496,6 +514,7 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
     held = index.pop("_query_persists", [])
     out = search_many(index, ranked_q, k=k, mode=mode, scope=scope,
                       with_snippets=with_snippets, offset=offset,
+                      with_titles=with_titles,
                       exclude=excl_q or None,
                       scope_clauses=scope_clauses,
                       group_clauses=group_rows or None,
@@ -503,4 +522,39 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       site_like=site_like or None,
                       exclude_pairs=exclude_pairs)
     index.setdefault("_query_persists", []).extend(held + persists)
+    return out
+
+
+def query_facets(index: dict, qstr: str, by="role", mode: str = "bm25",
+                 scope=None, require_all: "bool | None" = None) -> DataFrame:
+    """Facet panels over a grammar query's FULL match set — the sidebar
+    aggregation for a query-language query: how many matching docs per
+    value of a docs-table attribute (or several attributes in one job —
+    ``by`` takes everything ``search_facets(by=)`` takes).
+
+    Pure composition: the clauses resolve exactly as in ``query_search``
+    (wildcards → OR-groups, qualifiers → scope predicate, positive
+    phrase/span/group clauses → one intersected candidate doc set, NOT
+    phrase/span clauses → a banned set), then ``search_facets`` counts the
+    ranked words' match set within those candidates minus the bans — the
+    same bucket-pruned single decode pass + two narrow aggregations; no
+    top-k, no WAND. ``require_all``/match semantics follow
+    ``search_facets`` (ref_compat → all terms, bm25 → any). Returns
+    (facet, n_docs) — or (dim, facet, n_docs) for multi-dimension ``by`` —
+    with ``search_facets``'s ordering."""
+    spark = index["docs"].sparkSession
+    multi = isinstance(by, (list, tuple, dict))
+    empty = spark.createDataFrame(
+        [], ("dim string, facet string, n_docs long" if multi
+             else "facet string, n_docs long"))
+    g = _resolve_grammar(index, qstr, scope)
+    if g is None:
+        return empty
+    held = index.pop("_query_persists", [])
+    out = search_facets(index, " ".join(g["pos_words"]), by=by, mode=mode,
+                        scope=g["eff_scope"],
+                        exclude=" ".join(g["not_terms"]) or None,
+                        exclude_docs=g["exclude_docs"],
+                        require_all=require_all)
+    index.setdefault("_query_persists", []).extend(held + g["persists"])
     return out

@@ -743,7 +743,8 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
 
 def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
                   scope=None, exclude: "str | None" = None,
-                  require_all: "bool | None" = None) -> DataFrame:
+                  require_all: "bool | None" = None,
+                  exclude_docs: "DataFrame | None" = None) -> DataFrame:
     """Facet counts over the query's FULL match set (no top-k): how many
     matching docs per value of a docs-table attribute — the aggregation
     panel every search UI renders next to the hit list. No reference
@@ -762,7 +763,10 @@ def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
     (dim, facet, n_docs) ordered by dim asc, n_docs desc, facet asc.
     ``require_all`` True demands ALL query terms per doc (Q6 semantics);
     default follows the mode (ref_compat → all, bm25 → any).
-    ``scope``/``exclude`` compose exactly as in ``search``. Terms resolve
+    ``scope``/``exclude`` compose exactly as in ``search``;
+    ``exclude_docs`` is a pre-resolved banned doc set merged into the NOT
+    anti-join (the hook ``querylang.query_facets`` uses for NOT
+    phrase/span clauses). Terms resolve
     under the mode's GLOBAL dictionary rules (ref_compat's 80%-df prune
     included; the per-scope df variant is a ``search``-only refinement).
     Single-dimension output is (facet, n_docs) ordered by n_docs desc,
@@ -808,6 +812,11 @@ def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
     cached, direct_rows = pcache_split(index, trows)
     direct_ids = [r["term_id"] for r in direct_rows]
     excl = _resolve_exclusions(index, exclude, sc)
+    if exclude_docs is not None:
+        # pre-resolved banned doc set (querylang.query_facets' NOT
+        # phrase/span clauses) — same merge as search(exclude_docs=)
+        xd = exclude_docs.select("doc_id")
+        excl = xd if excl is None else excl.unionByName(xd).distinct()
 
     parts = []
     if direct_ids:
@@ -1622,6 +1631,7 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
                 mode: str = "bm25", scope=None,
                 with_snippets: bool = False, offset: int = 0,
                 exclude: "dict[str, str] | str | None" = None,
+                with_titles: bool = False,
                 scope_clauses: "DataFrame | None" = None,
                 group_clauses: "list | None" = None,
                 clause_arity: "dict[str, int] | None" = None,
@@ -1645,7 +1655,8 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     before decode, and in ref_compat mode the 80%-df prune and conjunction
     arity evaluated on PER-SCOPE df. ``with_snippets`` highlights each hit
     with its OWN query's expanded word set in one Arrow-batched pass over
-    the k·|queries| winner rows.
+    the k·|queries| winner rows; ``with_titles`` adds the Q9 title column
+    (same extractor as single-query ``search``).
 
     Block-max pruning is intentionally off here (bounds are per-query;
     a shared scan can't skip a block any member query still needs) — the
@@ -1735,6 +1746,7 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     empty = spark.createDataFrame(
         [], "query_id string, rank int, doc_id long, conv_id string, turn_idx int, "
             "role string, tool string, ts timestamp, score double"
+            + (", title string" if with_titles else "")
             + (", snippet string" if with_snippets else ""))
     if not per_q:
         return empty
@@ -1964,15 +1976,22 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     if offset:
         ranked = ranked.filter(F.col("rank") > int(offset))
 
+    need_text = with_snippets or with_titles
     docs_meta = index["docs"].select(
         "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-        *(["text"] if with_snippets else []))
+        *(["text"] if need_text else []))
     out = (docs_meta.join(F.broadcast(
                ranked.select("query_id", "rank", "doc_id", "score")), "doc_id")
            .select("query_id", "rank", "doc_id", "conv_id", "turn_idx",
                    "role", "tool", "ts", "score",
-                   *(["text"] if with_snippets else []))
+                   *(["text"] if need_text else []))
            .orderBy("query_id", "rank"))
+    if with_titles:
+        # Q9 title analog, batched (same extractor as single-query search)
+        from searchengine_spark.functions.text import extract_title
+        out = out.withColumn("title", extract_title(F.col("text")))
+        if not with_snippets:
+            out = out.drop("text")
     if with_snippets:
         # per-query highlight words (expanded through the INDEX's dictionary)
         # captured in one Arrow-batched UDF over the k·|queries| winner rows

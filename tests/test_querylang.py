@@ -282,3 +282,43 @@ def test_or_group_unmatchable_and_neg(qpos_index):
     exp = _rows(query_search(qpos_index, "alpha -gamma -delta", k=10))
     assert got == exp
     assert {c for c, _ in got} == {"x004"}
+
+
+# ---------- query_facets (grammar facets) ----------
+
+def _facets(df):
+    cols = df.columns
+    return [tuple(r[c] for c in cols) for r in df.collect()]
+
+
+def test_query_facets_grammar(qpos_index):
+    from searchengine_spark.operators.querylang import query_facets
+    # NOT-phrase: match set {x001,x003,x004} → assistant 2, user 1
+    assert _facets(query_facets(qpos_index, 'alpha -"beta gamma"',
+                                by="role")) == \
+        [("assistant", 2), ("user", 1)]
+    # group ∩ phrase: {x000,x002,x004} → user 3
+    assert _facets(query_facets(qpos_index, '(gamma|epsilon) "alpha beta"',
+                                by="role")) == [("user", 3)]
+    # wildcard group: any-match of {gamma, delta} ∩ delta docs {x001,x003}
+    assert _facets(query_facets(qpos_index, "gamma del*", by="role")) == \
+        [("assistant", 2)]
+
+
+def test_query_facets_multi_and_qualifier(qpos_index):
+    from searchengine_spark.operators.querylang import query_facets
+    got = _facets(query_facets(qpos_index, "alpha tool:bash",
+                               by=["role", "tool"]))
+    assert got == [("role", "user", 2), ("tool", "bash", 2)]
+
+
+def test_query_facets_ref_compat_and_empty(qpos_index):
+    from searchengine_spark.operators.querylang import query_facets
+    # ref_compat: global prune drops alpha/beta; require-all over {gamma}
+    # within the phrase docs → {x000, x002} → user 2
+    assert _facets(query_facets(qpos_index, 'gamma "alpha beta"',
+                                mode="ref_compat", by="role")) == \
+        [("user", 2)]
+    assert query_facets(qpos_index, "-alpha", by="role").count() == 0
+    assert query_facets(qpos_index, 'alpha "beta zzznope"',
+                        by="role").count() == 0

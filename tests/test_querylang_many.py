@@ -35,17 +35,19 @@ QUERIES = {
 }
 
 
+def _opt_cols(df):
+    return [c for c in ("title", "snippet") if c in df.columns]
+
+
 def _single_rows(index, qstr, **kw):
     df = query_search(index, qstr, k=kw.pop("k", 10), **kw)
-    cols = ["doc_id", "score"] + (["snippet"] if "snippet" in df.columns
-                                  else [])
+    cols = ["doc_id", "score"] + _opt_cols(df)
     return [tuple(r[c] for c in cols) for r in df.collect()]
 
 
 def _batched_rows(index, queries, **kw):
     df = query_search_many(index, queries, k=kw.pop("k", 10), **kw)
-    cols = ["doc_id", "score"] + (["snippet"] if "snippet" in df.columns
-                                  else [])
+    cols = ["doc_id", "score"] + _opt_cols(df)
     out: dict[str, list] = {}
     for r in df.orderBy("query_id", "rank").collect():
         out.setdefault(r["query_id"], []).append(
@@ -89,6 +91,12 @@ def test_parity_offset(qpos_index):
 def test_parity_snippets(qpos_index):
     sub = {q: QUERIES[q] for q in ("t1", "p2", "g1", "np")}
     _assert_parity(qpos_index, sub, with_snippets=True)
+
+
+def test_parity_titles(qpos_index):
+    sub = {q: QUERIES[q] for q in ("t1", "p1", "q1", "g1")}
+    _assert_parity(qpos_index, sub, with_titles=True)
+    _assert_parity(qpos_index, sub, with_titles=True, with_snippets=True)
 
 
 def test_all_empty_batch(qpos_index):
