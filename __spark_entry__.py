@@ -875,6 +875,9 @@ SIMHASH_SEP_MARGIN_BITS = 8.0    # mean hamming: random pairs − near-dup pairs
 # the same constructions are ≥0.97 by the collision formula.
 ANN_RECALL_FLOOR_LSH = 0.4
 ANN_RECALL_FLOOR_IVF = 0.5
+# IVF-PQ with re-rank probes the same cells as IVF and repairs the PQ
+# distortion on the shortlist, so its floor matches IVF's
+ANN_RECALL_FLOOR_IVFPQ = 0.5
 LSH_NEARDUP_RECALL_FLOOR = 0.75  # banded 4×16 measures 0.89 / 0.92
 
 
@@ -955,6 +958,15 @@ def _ann_index_for(spark, sf_dir: str, kind: str) -> dict:
             # neighbors (p^8 collapses at cos≈0.3) — B× storage is the
             # standard price for 1-(1-p^r)^B recall
             build_lsh_index(emb, dim, path, n_planes=8, n_bands=8)
+        elif kind == "ivfpq":
+            # same sqrt-cell sizing as IVF; m=8 subspaces × 4-bit codes
+            # → 8 B/vector vs 256 B raw (32×) in the scoring scan
+            from searchengine_spark.functions.similarity import (
+                build_ivfpq_index)
+            n = emb.count()
+            build_ivfpq_index(emb, dim, path,
+                              n_centroids=max(8, int(n ** 0.5)),
+                              m=8, nbits=4, iters=2)
         else:
             # standard IVF sizing: n_centroids ~ sqrt(n). A fixed 16 cells
             # let per-cell population grow linearly with the corpus, and
@@ -1049,6 +1061,36 @@ def _q_sim_ivf_topk(spark, sf_dir):
     ann = ivf_index_topk(idx, qvec, k=K, n_probe=n_probe)
     return _ann_gates(spark, ann, cosine_topk(emb, qvec, k=K), K,
                       ANN_RECALL_FLOOR_IVF)
+
+
+def _q_sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN over the PERSISTED centroid-partitioned index: PQ codes
+    (m=8 × 4 bits — 32× smaller than the raw vectors) scored against a
+    driver-side lookup table reading ONLY the codes column of the probed
+    partitions, then exact-cosine re-rank of the shortlist. Gated on
+    recall@10 vs the exact cosine top-k plus a scores-are-exact check (the
+    approximation may cost recall, never score fidelity)."""
+    from searchengine_spark.functions.similarity import cosine_topk, ivfpq_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    idx = _ann_index_for(spark, sf_dir, "ivfpq")
+    n_probe = max(2, round(0.25 * len(idx["centroids"])))
+    ann = ivfpq_topk(idx, qvec, k=K, n_probe=n_probe, rerank=5 * K).collect()
+    exact = {r["vec_id"]: r["cos"] for r in
+             cosine_topk(emb, qvec, k=K).collect()}
+    recall = (len(set(exact) & {r["vec_id"] for r in ann}) / len(exact)
+              if exact else 1.0)
+    self_hit = bool(ann) and ann[0]["vec_id"] == 0 and ann[0]["cos"] >= 0.999999
+    # re-ranked scores must BE the exact cosine for every overlapping id
+    scores_exact = all(r["cos"] == exact[r["vec_id"]] for r in ann
+                       if r["vec_id"] in exact)
+    return _gate_df(spark, [
+        ("n_returned", float(len(ann))),
+        ("self_hit", 1.0 if self_hit else 0.0),
+        ("recall_ok", 1.0 if recall >= ANN_RECALL_FLOOR_IVFPQ else 0.0),
+        ("scores_exact", 1.0 if scores_exact else 0.0),
+    ])
 
 
 def _q_token_count_bpe(spark, sf_dir):
@@ -1155,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
+        "sim_ivfpq_topk": _q_sim_ivfpq_topk,
         "sim_neardup_pairs": _q_sim_neardup,
         "dedup_clusters": _q_dedup_clusters,
         "sim_lsh_neardup_pairs": _q_sim_lsh_neardup,
@@ -1963,6 +2006,13 @@ def oracle_sql() -> dict[str, str]:
                    as value
             union all select 'self_hit', 1.0
             union all select 'recall_ok', 1.0""",
+        "sim_ivfpq_topk": f"""
+            select 'n_returned' as metric,
+                   cast(least({K}, (select count(*) from embeddings)) as double)
+                   as value
+            union all select 'self_hit', 1.0
+            union all select 'recall_ok', 1.0
+            union all select 'scores_exact', 1.0""",
         "sim_lsh_neardup_pairs": """
             with e as (select vec_id, embedding::DOUBLE[] as v
                        from embeddings where vec_id < 300),

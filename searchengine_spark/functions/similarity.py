@@ -316,6 +316,16 @@ def upsert_ann_index(spark: SparkSession, path: str,
         cents = np.asarray(meta["centroids"], dtype=float)
         out = delta.withColumn("centroid", _assign_udf(cents)(F.col(vec_col)))
         part_cols = ["centroid"]
+    elif meta["kind"] == "ivfpq":
+        # assign under the stored centroids AND encode under the stored
+        # codebooks — appended rows are layout- and code-identical to what
+        # the original build would have produced for them
+        cents = np.asarray(meta["centroids"], dtype=float)
+        books = np.asarray(meta["codebooks"], dtype=float)
+        out = (delta.withColumn("centroid",
+                                _assign_udf(cents)(F.col(vec_col)))
+               .withColumn("codes", _pq_encode_udf(books)(F.col(vec_col))))
+        part_cols = ["centroid"]
     else:
         raise ValueError(f"unknown ANN index kind {meta['kind']!r}")
     out.write.mode("append").partitionBy(*part_cols) \
@@ -337,7 +347,7 @@ def delete_ann_ids(spark: SparkSession, path: str, ids) -> int:
     with open(os.path.join(path, "ann_meta.json")) as f:
         meta = json.load(f)
     id_col = meta["id_col"]
-    part_cols = (["centroid"] if meta["kind"] == "ivf"
+    part_cols = (["centroid"] if meta["kind"] in ("ivf", "ivfpq")
                  else (["band", "bucket"] if meta.get("n_bands", 1) > 1
                        else ["bucket"]))
     vectors = spark.read.parquet(os.path.join(path, "vectors"))
@@ -448,4 +458,136 @@ def ivf_topk(df: DataFrame, qvec: list[float], k: int = 10, n_centroids: int = 1
     probe_ids = np.argsort(-(cents @ q))[:n_probe].tolist()
     assigned = df.withColumn("centroid", assign(F.col(vec_col)))
     cand = assigned.filter(F.col("centroid").isin([int(i) for i in probe_ids]))
+    return cosine_topk(cand, qvec, k, vec_col, id_col)
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: product-quantized codes inside the IVF partitions. The 100 TB
+# memory/IO answer: a dim=64 float vector is 256 B; its PQ code is m bytes
+# (m=8, nbits=4 → 32× smaller). Queries read ONLY the codes column of the
+# probed partitions (parquet column pruning), score codes against a
+# driver-computed lookup table, then re-rank a small candidate set with the
+# exact cosine read for just those rows — the standard IVF-PQ + re-rank
+# pipeline (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011).
+# --------------------------------------------------------------------------
+
+def _pq_train(sample: np.ndarray, m: int, nbits: int, iters: int,
+              seed: int) -> np.ndarray:
+    """Per-subspace k-means codebooks from a (normalized) sample matrix:
+    returns (m, 2^nbits, dim/m). Driver-side numpy Lloyd on the sample —
+    codebook training reads O(sample), never the corpus."""
+    n, dim = sample.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ds, n_codes = dim // m, 2 ** nbits
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, ds))
+    for j in range(m):
+        sub = sample[:, j * ds:(j + 1) * ds]
+        cents = sub[rng.choice(n, size=min(n_codes, n), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(len(cents)):
+                pts = sub[a == c]
+                if len(pts):
+                    cents[c] = pts.mean(0)
+        if len(cents) < n_codes:  # degenerate tiny sample: pad
+            cents = np.vstack([cents,
+                               np.repeat(cents[-1:], n_codes - len(cents), 0)])
+        books[j] = cents
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    m, _, ds = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(float)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                               1e-12)
+        codes = np.empty((len(mat), m), dtype="int32")
+        for j in range(m):
+            sub = mat[:, j * ds:(j + 1) * ds]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = d2.argmin(1)
+        return pd.Series([row.tolist() for row in codes])
+    return enc
+
+
+def build_ivfpq_index(df: DataFrame, dim: int, path: str,
+                      n_centroids: int = 16, m: int = 8, nbits: int = 4,
+                      iters: int = 2, pq_iters: int = 8,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      seed: int = 42, sample_cap: int = 8192) -> dict:
+    """Ingest-time IVF-PQ index: coarse k-means centroids (the same Lloyd
+    build as ``build_ivf_index``) partition the vectors; per-subspace
+    codebooks (trained on a deterministic sample of NORMALIZED vectors)
+    quantize each vector into m small codes stored alongside it. The
+    parquet layout is partitioned by ``centroid`` with columns
+    (id, codes, vector): PQ scoring reads only the codes column — parquet
+    column pruning keeps the scan at ~m bytes/vector — while the re-rank
+    step reads the vector column for just the shortlisted rows. Centroids
+    AND codebooks persist in the meta file, so queries build their lookup
+    tables driver-side with zero jobs."""
+    cents = kmeans_centroids(df, dim, n_centroids, iters, vec_col, id_col,
+                             seed)
+    sample = df.select(vec_col).orderBy(F.col(id_col)).limit(sample_cap) \
+        .collect()
+    mat = np.vstack([np.asarray(r[0], dtype=float) for r in sample])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    books = _pq_train(mat, m, nbits, pq_iters, seed)
+    out = (df.withColumn("centroid", _assign_udf(cents)(F.col(vec_col)))
+           .withColumn("codes", _pq_encode_udf(books)(F.col(vec_col))))
+    out.write.mode("overwrite").partitionBy("centroid") \
+        .parquet(os.path.join(path, "vectors"))
+    meta = {"kind": "ivfpq", "dim": dim, "n_centroids": int(len(cents)),
+            "m": m, "nbits": nbits, "seed": seed,
+            "vec_col": vec_col, "id_col": id_col,
+            "centroids": cents.tolist(), "codebooks": books.tolist()}
+    with open(os.path.join(path, "ann_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivfpq_topk(ann: dict, qvec: list[float], k: int = 10, n_probe: int = 2,
+               rerank: int = 50) -> DataFrame:
+    """Query the persisted IVF-PQ index: rank centroids driver-side, scan
+    only the n_probe closest partitions reading ONLY the codes column,
+    score each code row as Σ_j lut[j][code_j] (lut = per-subspace dot
+    products of the normalized query against the codebook — (m, 2^nbits)
+    floats computed driver-side), shortlist the top ``rerank`` ids, then
+    re-rank them with the exact cosine read from the vector column of the
+    same probed partitions. Returns (id, cos) top-k with EXACT cosines —
+    approximation affects which candidates are considered (recall), never
+    the reported scores. ``rerank=0`` skips the exact pass and reports the
+    PQ approximation as ``cos`` (rounded 6 dp)."""
+    cents = np.asarray(ann["centroids"], dtype=float)
+    books = np.asarray(ann["codebooks"], dtype=float)
+    m = books.shape[0]
+    q = np.asarray(qvec, dtype=float)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    ds = len(q) // m
+    lut = np.stack([books[j] @ q[j * ds:(j + 1) * ds] for j in range(m)])
+    probe_ids = [int(i) for i in np.argsort(-(cents @ q))[:n_probe]]
+    id_col, vec_col = ann["id_col"], ann["vec_col"]
+    probed = ann["vectors"].filter(F.col("centroid").isin(probe_ids))
+
+    @F.pandas_udf(T.DoubleType())
+    def pq_score(codes: pd.Series) -> pd.Series:
+        c = np.vstack(codes.to_numpy())
+        return pd.Series(lut[np.arange(m)[None, :], c].sum(axis=1))
+
+    approx = probed.select(F.col(id_col),
+                           pq_score(F.col("codes")).alias("approx"))
+    if not rerank:
+        return (approx.select(F.col(id_col),
+                              F.round(F.col("approx"), 6).alias("cos"))
+                .orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k))
+    short = [r[id_col] for r in
+             approx.orderBy(F.col("approx").desc(), F.col(id_col).asc())
+             .limit(int(rerank)).collect()]
+    cand = probed.filter(F.col(id_col).isin(short))
     return cosine_topk(cand, qvec, k, vec_col, id_col)

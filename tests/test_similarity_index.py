@@ -210,3 +210,74 @@ def test_ann_delete_rewrites_touched_partitions_only(spark, vecs,
         assert not os.path.exists(os.path.join(vdir, "centroid=1"))
         ann3 = load_ann_index(spark, path)
         assert ann3["vectors"].filter("centroid = 1").count() == 0
+
+
+def test_ivfpq_index_recall_pruning_and_rerank(spark, vecs,
+                                               tmp_path_factory):
+    from searchengine_spark.functions.similarity import (build_ivfpq_index,
+                                                         ivfpq_topk)
+    path = str(tmp_path_factory.mktemp("ivfpq"))
+    build_ivfpq_index(vecs, DIM, path, n_centroids=4, m=4, nbits=4)
+    ann = load_ann_index(spark, path)
+    q = [float(x) for x in vecs.filter("vec_id = 3").first()["embedding"]]
+    exact = {r["vec_id"] for r in cosine_topk(vecs, q, k=5).collect()}
+    got = ivfpq_topk(ann, q, k=5, n_probe=2, rerank=30).collect()
+    # clustered corpus: the query's own cluster lives in one cell → the
+    # probed partitions contain the true neighbors; re-rank restores the
+    # exact ordering, so scores are EXACT cosines and recall is high
+    assert got[0]["vec_id"] == 3 and got[0]["cos"] >= 0.999999
+    recall = len({r["vec_id"] for r in got} & exact) / len(exact)
+    assert recall >= 0.8
+    exact_rows = {r["vec_id"]: r["cos"] for r in
+                  cosine_topk(vecs, q, k=5).collect()}
+    for r in got:  # reported scores are the exact cosine, never the PQ one
+        if r["vec_id"] in exact_rows:
+            assert r["cos"] == exact_rows[r["vec_id"]]
+
+
+def test_ivfpq_scan_reads_codes_not_vectors(spark, vecs, tmp_path_factory):
+    """The PQ scoring scan must read ONLY (id, codes) — parquet column
+    pruning keeps the probed-partition IO at ~m bytes/vector."""
+    from searchengine_spark.functions.similarity import ivfpq_topk
+    import io
+    from contextlib import redirect_stdout
+    path = str(tmp_path_factory.mktemp("ivfpq_prune"))
+    from searchengine_spark.functions.similarity import build_ivfpq_index
+    build_ivfpq_index(vecs, DIM, path, n_centroids=4, m=4, nbits=4)
+    ann = load_ann_index(spark, path)
+    q = [float(x) for x in vecs.filter("vec_id = 3").first()["embedding"]]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        ivfpq_topk(ann, q, k=5, n_probe=2, rerank=0).explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "centroid" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    schema = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "codes" in schema and "embedding" not in schema
+
+
+def test_ivfpq_upsert_codes_match_rebuild(spark, vecs, tmp_path_factory):
+    """Appended rows must carry the codes/centroid a full rebuild would
+    assign them (stored centroids + codebooks)."""
+    from searchengine_spark.functions.similarity import (build_ivfpq_index,
+                                                         upsert_ann_index)
+    base = vecs.filter(F.col("vec_id") < 120)
+    delta = vecs.filter(F.col("vec_id") >= 120)
+    p_inc = str(tmp_path_factory.mktemp("ivfpq_inc"))
+    build_ivfpq_index(base, DIM, p_inc, n_centroids=4, m=4, nbits=4)
+    upsert_ann_index(spark, p_inc, delta)
+    inc = load_ann_index(spark, p_inc)
+    rows = {r["vec_id"]: (r["centroid"], tuple(r["codes"])) for r in
+            inc["vectors"].filter(F.col("vec_id") >= 120).collect()}
+    # re-encode the delta directly under the stored books: must match
+    import numpy as np
+    from searchengine_spark.functions.similarity import (_assign_udf,
+                                                         _pq_encode_udf)
+    cents = np.asarray(inc["centroids"])
+    books = np.asarray(inc["codebooks"])
+    exp = {r["vec_id"]: (r["c"], tuple(r["k"])) for r in
+           delta.select("vec_id",
+                        _assign_udf(cents)(F.col("embedding")).alias("c"),
+                        _pq_encode_udf(books)(F.col("embedding")).alias("k"))
+           .collect()}
+    assert rows == exp and len(rows) == 20
