@@ -1026,6 +1026,20 @@ def _q_dedup_clusters(spark, sf_dir):
     return connected_components(pairs)
 
 
+def _q_dedup_keep_one(spark, sf_dir):
+    """End of the dedup pipeline: near-dup pairs → connected components →
+    materialized deduplicated table (keep the smallest id per component,
+    keep all singletons). Returns the surviving vec_ids; the oracle
+    recomputes the components with a recursive CTE."""
+    from searchengine_spark.functions.dedup import (connected_components,
+                                                    dedup_keep_canonical)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 300)
+    clusters = connected_components(_q_sim_neardup(spark, sf_dir))
+    return dedup_keep_canonical(emb, clusters, id_col="vec_id") \
+        .select("vec_id")
+
+
 def _q_sim_lsh_neardup(spark, sf_dir):
     """LSH-bucketed near-dup pairs, gated against the hash-verified exact
     pairs (sim_neardup_pairs): every LSH pair must BE an exact pair with the
@@ -1200,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_topk": _q_sim_ivfpq_topk,
         "sim_neardup_pairs": _q_sim_neardup,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_keep_one": _q_dedup_keep_one,
         "sim_lsh_neardup_pairs": _q_sim_lsh_neardup,
         "text_token_count_bpe": _q_token_count_bpe,
         "events_sessionize": _q_sessionize_events,
@@ -1929,6 +1944,27 @@ def oracle_sql() -> dict[str, str]:
               union
               select ed.a, reach.r from ed join reach on ed.b = reach.id)
             select id, min(r) as rep from reach group by id""",
+        "dedup_keep_one": """
+            with recursive
+            e as (select vec_id, embedding::DOUBLE[] as v
+                  from embeddings where vec_id < 300),
+            p as (
+              select a.vec_id as id_a, b.vec_id as id_b,
+                     round(list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))), 6) as cos
+              from e a join e b on a.vec_id < b.vec_id),
+            f as (select id_a, id_b from p where cos >= 0.35),
+            ed as (select id_a as a, id_b as b from f
+                   union select id_b, id_a from f),
+            reach(id, r) as (
+              select a, a from ed
+              union
+              select ed.a, reach.r from ed join reach on ed.b = reach.id),
+            rep as (select id, min(r) as rep from reach group by id),
+            victims as (select id from rep where id <> rep)
+            select vec_id from e
+            where vec_id not in (select id from victims)""",
         "text_token_count_bpe": """
             select doc_id,
                    cast(len(regexp_extract_all(text,

@@ -218,3 +218,21 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         sig = bit if sig is None else sig.bitwiseOR(bit)
     sig = F.when(F.col("_n") == 0, F.lit(0).cast("long")).otherwise(sig)
     return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def dedup_keep_canonical(df: DataFrame, clusters: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Materialize the deduplicated corpus: given near-dup ``clusters``
+    ((id, rep) from ``connected_components``), keep exactly ONE doc per
+    component — the representative (smallest id, the deterministic
+    canonical) — plus every doc that appears in no component. The final
+    step of the dedup pipeline (pairs → clusters → deduped table).
+
+    One broadcast-or-shuffle anti-join against the non-representative ids:
+    no per-row Python, no window; at 100 TB the victims set is the only
+    thing shuffled (components are a small fraction of the corpus), and
+    the surviving rows stream straight through. Returns ``df``'s full rows
+    filtered; row order is whatever the source scan yields."""
+    victims = clusters.filter(F.col("id") != F.col("rep")) \
+        .select(F.col("id").alias(id_col))
+    return df.join(victims, id_col, "left_anti")

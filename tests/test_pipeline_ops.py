@@ -77,3 +77,17 @@ def test_lsh_neardup_subset_of_exact(vectors):
                                       n_planes=4).collect()}
     assert lsh <= exact          # verification step guarantees precision
     assert len(lsh) >= len(exact) // 2  # near-identical vectors mostly collide
+
+
+def test_dedup_keep_canonical(spark):
+    from searchengine_spark.functions.dedup import (connected_components,
+                                                    dedup_keep_canonical)
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (2, 6)], "id_a long, id_b long")
+    kept = dedup_keep_canonical(df, connected_components(pairs))
+    # components {0,3,5}→keep 0, {2,6}→keep 2; singletons 1,4,7 kept
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 4, 7]
+    # full rows survive, not just ids
+    assert set(kept.columns) == {"doc_id", "text"}
