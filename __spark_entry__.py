@@ -656,6 +656,50 @@ def _chained_compacted_index(spark, sf_dir):
     return _INDEX_CACHE[key]
 
 
+def _q_time_travel(spark, sf_dir):
+    """Snapshot time travel (the Iceberg VERSION AS OF analog,
+    operators/upsert.py): persist the built index as snap-00000, MERGE the
+    s6 delta as an incremental snapshot (CURRENT → snap-00001), then query
+    BOTH versions from one root — the AS-OF load of snap-00000 must score
+    against the ORIGINAL corpus while CURRENT scores against the modified
+    one. Returns (version, doc_id, score) for the two rankings."""
+    import shutil
+    from searchengine_spark.operators.upsert import (commit_snapshot,
+                                                     load_index_as_of,
+                                                     merge_into_path)
+    from searchengine_spark.plans.manifest import save_index
+    from searchengine_spark.operators.search import search
+    key = (sf_dir, "ttroot")
+    if key not in _INDEX_CACHE:
+        root = f"/root/repo/.tt_cache/{os.path.basename(sf_dir)}"
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        save_index(_index_for(spark, sf_dir), f"{root}/snap-00000")
+        commit_snapshot(root, "snap-00000")
+        rows = [(f"doc{did:08d}", 0, "user", text, None)
+                for did, text in UPSERT_REPLACE.items()]
+        rows.append(("zzz_upsert_new", 0, "user", UPSERT_NEW_TEXT, None))
+        delta = spark.createDataFrame(
+            [(c, t, r, x, tool, "2026-02-01 00:00:00")
+             for c, t, r, x, tool in rows],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        merge_into_path(spark, root, delta, incremental=True)
+        _INDEX_CACHE[key] = root
+    root = _INDEX_CACHE[key]
+    old = load_index_as_of(spark, root, "snap-00000")
+    cur = load_index_as_of(spark, root)  # CURRENT == snap-00001
+    q = " ".join(BM25_Q)
+    a = search(old, q, k=K).select(
+        F.lit("as_of").alias("version"), _orig_doc_id(),
+        F.round("score", 6).alias("score"))
+    b = search(cur, q, k=K).select(
+        F.lit("current").alias("version"), _orig_doc_id(),
+        F.round("score", 6).alias("score"))
+    return a.unionByName(b)
+
+
 def _q_compact_term_df(spark, sf_dir):
     """S8 compaction: the compacted chain's dictionary must still equal df
     over the modified corpus (compaction rewrites every block from the
@@ -1215,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup_pairs": _q_sim_neardup,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_one": _q_dedup_keep_one,
+        "q_time_travel": _q_time_travel,
         "sim_lsh_neardup_pairs": _q_sim_lsh_neardup,
         "text_token_count_bpe": _q_token_count_bpe,
         "events_sessionize": _q_sessionize_events,
@@ -1790,6 +1835,15 @@ def oracle_sql() -> dict[str, str]:
             from toks group by term""",
         "q_compacted_topk": _bm25_sql(BM25_Q, K).replace(
             "from documents", f"from ({_MOD_DOCS})"),
+        # time travel: the AS-OF version answers from the ORIGINAL corpus,
+        # CURRENT (one incremental MERGE later) from the modified one
+        "q_time_travel": f"""
+            with a as ({_bm25_sql(BM25_Q, K)}),
+                 b as ({_bm25_sql(BM25_Q, K).replace(
+                     "from documents", f"from ({_MOD_DOCS})")})
+            select 'as_of' as version, doc_id, score from a
+            union all
+            select 'current' as version, doc_id, score from b""",
         # shard merge: merged dictionary == whole-corpus df; merged BM25 ==
         # single-build BM25 (df/n_docs/avgdl fold exactly)
         "s9_merge_term_df": _DF,

@@ -471,8 +471,8 @@ def compact_into_path(spark: SparkSession, root: str,
                               bucket_range=bucket_range,
                               block_size=block_size,
                               reassign_ids=reassign_ids)
-    n = len([d for d in os.listdir(root) if d.startswith("snap-")])
-    snap = f"snap-{n:05d}"
+    from searchengine_spark.operators.upsert import next_snapshot_name
+    snap = next_snapshot_name(root)
     save_index(compacted, os.path.join(root, snap))
     commit_snapshot(root, snap)
     return os.path.join(root, snap)

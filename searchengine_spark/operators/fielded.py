@@ -1176,8 +1176,8 @@ def delete_fielded_from_path(spark, root: str, keys,
         raise ValueError(f"no CURRENT snapshot under {root}")
     index = load_fielded_index(spark, cur)
     pruned = delete_fielded(index, keys, fields=fields)
-    n = len([d for d in _os.listdir(root) if d.startswith("snap-")])
-    snap = f"snap-{n:05d}"
+    from searchengine_spark.operators.upsert import next_snapshot_name
+    snap = next_snapshot_name(root)
     save_fielded_index(pruned, _os.path.join(root, snap),
                        term_buckets=index["stats"].get("term_buckets", 16))
     commit_snapshot(root, snap)
@@ -1199,8 +1199,8 @@ def merge_fielded_into_path(spark, root: str, delta: DataFrame,
         raise ValueError(f"no CURRENT snapshot under {root}")
     index = load_fielded_index(spark, cur)
     merged = upsert_fielded(index, delta, fields=fields)
-    n = len([d for d in _os.listdir(root) if d.startswith("snap-")])
-    snap = f"snap-{n:05d}"
+    from searchengine_spark.operators.upsert import next_snapshot_name
+    snap = next_snapshot_name(root)
     save_fielded_index(merged, _os.path.join(root, snap),
                        term_buckets=index["stats"].get("term_buckets", 16))
     commit_snapshot(root, snap)

@@ -563,6 +563,103 @@ def commit_snapshot(root: str, snapshot: str) -> None:
     os.replace(tmp, _current_path(root))
 
 
+def next_snapshot_name(root: str) -> str:
+    """Next snapshot dir name: max existing ordinal + 1 (NOT the dir
+    count — after a rollback + expire, count-based naming could reuse a
+    live name and overwrite an immutable snapshot)."""
+    ords = [int(d[5:]) for d in os.listdir(root)
+            if d.startswith("snap-") and d[5:].isdigit()]
+    return f"snap-{(max(ords) + 1 if ords else 0):05d}"
+
+
+def list_snapshots(root: str) -> list[dict]:
+    """Snapshot lineage under ``root``: one row per snapshot dir, ordered
+    by ordinal — (snapshot, kind full|delta, parent, n_docs, bytes,
+    current). The inspection surface for the time-travel API below."""
+    from searchengine_spark.plans.manifest import _dir_bytes
+    cur = read_current(root)
+    out = []
+    for d in sorted(x for x in os.listdir(root) if x.startswith("snap-")):
+        sp = os.path.join(root, d)
+        try:
+            with open(os.path.join(sp, "stats.json")) as f:
+                st = json.load(f)
+        except FileNotFoundError:
+            continue  # partially written snapshot (no commit) — invisible
+        out.append({"snapshot": d,
+                    "kind": "delta" if st.get("parent") else "full",
+                    "parent": st.get("parent"),
+                    "n_docs": st.get("n_docs"),
+                    "bytes": _dir_bytes(sp),
+                    "current": cur == sp})
+    return out
+
+
+def load_index_as_of(spark: SparkSession, root: str,
+                     snapshot: "str | None" = None) -> dict:
+    """Time travel — the Iceberg ``VERSION AS OF`` analog: load the index
+    at a NAMED snapshot (or CURRENT when None). Snapshot dirs are
+    immutable and commits only flip the pointer, so a reader pinned to an
+    old version is never affected by later merges/deletes/compactions;
+    delta snapshots resolve their parent chain exactly as the current
+    reader does."""
+    from searchengine_spark.plans.manifest import load_index
+
+    if snapshot is None:
+        cur = read_current(root)
+        if cur is None:
+            raise ValueError(f"no CURRENT snapshot under {root}")
+        return load_index(spark, cur)
+    sp = os.path.join(root, snapshot)
+    if not os.path.isdir(sp):
+        raise ValueError(f"unknown snapshot {snapshot!r} under {root} "
+                         f"(expired or never committed?)")
+    return load_index(spark, sp)
+
+
+def rollback_to(root: str, snapshot: str) -> str:
+    """Roll CURRENT back to an earlier snapshot — one atomic pointer
+    flip, no data rewritten (the Iceberg rollback). Later snapshots stay
+    on disk (still time-travelable) until ``expire_snapshots`` garbage-
+    collects them; the next commit branches from the rolled-back state
+    under a fresh ordinal."""
+    sp = os.path.join(root, snapshot)
+    if not os.path.isdir(sp) or not os.path.exists(
+            os.path.join(sp, "stats.json")):
+        raise ValueError(f"unknown snapshot {snapshot!r} under {root}")
+    commit_snapshot(root, snapshot)
+    return sp
+
+
+def expire_snapshots(root: str) -> list[str]:
+    """Garbage-collect snapshots unreachable from CURRENT: keep CURRENT
+    and its delta-parent chain (a delta reader needs every ancestor down
+    to the chain's full snapshot); delete everything else — abandoned
+    rollback branches and superseded chains. Returns the removed names.
+    Time travel to an expired snapshot then raises (the
+    ``expire_snapshots`` contract Iceberg users know)."""
+    import shutil
+
+    cur = read_current(root)
+    if cur is None:
+        raise ValueError(f"no CURRENT snapshot under {root}")
+    live = set()
+    node = os.path.basename(cur)
+    while node is not None and node not in live:
+        live.add(node)
+        try:
+            with open(os.path.join(root, node, "stats.json")) as f:
+                node = json.load(f).get("parent")
+        except FileNotFoundError:
+            break
+    removed = []
+    for d in sorted(x for x in os.listdir(root) if x.startswith("snap-")):
+        if d not in live:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            removed.append(d)
+    return removed
+
+
 def merge_into_path(spark: SparkSession, root: str, delta: DataFrame,
                     incremental: bool = False) -> str:
     """MERGE delta into the CURRENT snapshot under ``root``; writes a new
@@ -581,8 +678,7 @@ def merge_into_path(spark: SparkSession, root: str, delta: DataFrame,
         raise ValueError(f"no CURRENT snapshot under {root}")
     index = load_index(spark, cur)
     merged = upsert_turns(index, delta)
-    n = len([d for d in os.listdir(root) if d.startswith("snap-")])
-    snap = f"snap-{n:05d}"
+    snap = next_snapshot_name(root)
     if incremental:
         save_index_delta(merged, os.path.join(root, snap),
                          parent=os.path.basename(cur))
@@ -607,8 +703,7 @@ def delete_from_path(spark: SparkSession, root: str, keys,
         raise ValueError(f"no CURRENT snapshot under {root}")
     index = load_index(spark, cur)
     pruned = delete_turns(index, keys)
-    n = len([d for d in os.listdir(root) if d.startswith("snap-")])
-    snap = f"snap-{n:05d}"
+    snap = next_snapshot_name(root)
     if incremental and "_delta" in pruned:
         save_index_delta(pruned, os.path.join(root, snap),
                          parent=os.path.basename(cur))

@@ -101,8 +101,8 @@ def merge_batch(root: str, fielded: bool = False, fields=None,
                 load_index, save_index)
             compacted = compact_index(load_index(spark, new_dir),
                                       reassign_ids=True)
-            n = len([d for d in os.listdir(root) if d.startswith("snap-")])
-            snap = f"snap-{n:05d}"
+            from searchengine_spark.operators.upsert import next_snapshot_name
+            snap = next_snapshot_name(root)
             save_index(compacted, os.path.join(root, snap))
             _commit_with_batch(root, snap, batch_id, 0)
         else:

@@ -174,3 +174,60 @@ def test_streaming_incremental_snapshots(spark, tmp_path_factory):
     with _pytest.raises(ValueError, match="main index"):
         stream_index_turns(spark, f"{src}/*", root, ckpt, fielded=True,
                            incremental_snapshots=True)
+
+
+def test_time_travel_rollback_and_expire(spark, tmp_path_factory):
+    """Iceberg-style history ops on the snapshot protocol: VERSION AS OF
+    loads pin an immutable version, rollback is a pointer flip, the next
+    commit branches under a fresh ordinal (never reusing a name), and
+    expire_snapshots GC-keeps exactly CURRENT's parent chain."""
+    from searchengine_spark.operators.upsert import (
+        expire_snapshots, list_snapshots, load_index_as_of, rollback_to)
+    import pytest
+    root = str(tmp_path_factory.mktemp("tt_root"))
+    base = build_index(_mk_df(spark, BASE), mode="general",
+                       bucket_range=8, block_size=4)
+    save_index(base, f"{root}/snap-00000")
+    commit_snapshot(root, "snap-00000")
+    before = _ranked(load_index_as_of(spark, root), "alpha omega")
+
+    d1 = [("c00", 1, "user", "alpha omega rewrite one", None,
+           "2026-02-01 00:00:00")]
+    merge_into_path(spark, root, _mk_df(spark, d1), incremental=True)
+    after = _ranked(load_index_as_of(spark, root), "alpha omega")
+    assert after != before
+    # VERSION AS OF: the old snapshot still answers with the old results
+    assert _ranked(load_index_as_of(spark, root, "snap-00000"),
+                   "alpha omega") == before
+
+    snaps = list_snapshots(root)
+    assert [(s["snapshot"], s["kind"], s["current"]) for s in snaps] == \
+        [("snap-00000", "full", False), ("snap-00001", "delta", True)]
+    assert snaps[1]["parent"] == "snap-00000"
+    assert 0 < snaps[1]["bytes"] < snaps[0]["bytes"]
+
+    # rollback: pointer flip only; the abandoned snapshot stays readable
+    rollback_to(root, "snap-00000")
+    assert os.path.basename(read_current(root)) == "snap-00000"
+    assert _ranked(load_index_as_of(spark, root), "alpha omega") == before
+    assert _ranked(load_index_as_of(spark, root, "snap-00001"),
+                   "alpha omega") == after
+
+    # a new commit after rollback branches under a FRESH ordinal
+    d2 = [("c02", 0, "user", "beta beta branched", None,
+           "2026-02-02 00:00:00")]
+    merge_into_path(spark, root, _mk_df(spark, d2), incremental=True)
+    assert os.path.basename(read_current(root)) == "snap-00002"
+    assert _stats_json(f"{root}/snap-00002")["parent"] == "snap-00000"
+
+    # expire: keeps CURRENT's chain {00002, 00000}, drops the abandoned
+    # branch 00001; time travel to it then raises
+    assert expire_snapshots(root) == ["snap-00001"]
+    assert sorted(s["snapshot"] for s in list_snapshots(root)) == \
+        ["snap-00000", "snap-00002"]
+    assert _ranked(load_index_as_of(spark, root), "beta") == \
+        _ranked(load_index_as_of(spark, root, "snap-00002"), "beta")
+    with pytest.raises(ValueError):
+        load_index_as_of(spark, root, "snap-00001")
+    with pytest.raises(ValueError):
+        rollback_to(root, "snap-99999")
