@@ -1228,3 +1228,28 @@ def load_fielded_index(spark, path: str) -> dict:
     return {"mode": mode, "dictionary": dictionary,
             "docs": spark.read.parquet(_os.path.join(path, "docs")),
             "fields": fields, "stats": stats}
+
+
+def load_fielded_index_as_of(spark, root: str,
+                             snapshot: "str | None" = None) -> dict:
+    """Time travel for fielded roots — the fielded twin of
+    ``operators.upsert.load_index_as_of`` (VERSION AS OF): load the
+    fielded index at a NAMED snapshot, or CURRENT when None. Fielded
+    snapshots are always full, so no chain resolution is needed; the
+    generic history ops (``list_snapshots`` / ``rollback_to`` /
+    ``expire_snapshots``) work on fielded roots unchanged — they only
+    read stats.json and the CURRENT pointer."""
+    import os as _os
+
+    from searchengine_spark.operators.upsert import read_current
+
+    if snapshot is None:
+        cur = read_current(root)
+        if cur is None:
+            raise ValueError(f"no CURRENT snapshot under {root}")
+        return load_fielded_index(spark, cur)
+    sp = _os.path.join(root, snapshot)
+    if not _os.path.isdir(sp):
+        raise ValueError(f"unknown snapshot {snapshot!r} under {root} "
+                         f"(expired or never committed?)")
+    return load_fielded_index(spark, sp)

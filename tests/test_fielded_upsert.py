@@ -214,3 +214,44 @@ def test_delete_fielded_snapshot_flow(spark, tmp_path):
               for r in mem["fields"][fname]["terms"].collect()}
         assert ld == md
     assert _search_set(loaded, "merge scan") == _search_set(mem, "merge scan")
+
+
+def test_fielded_time_travel_rollback_expire(spark, tmp_path_factory):
+    """The generic snapshot-history ops work on fielded roots: AS-OF loads
+    pin the old ranking, rollback flips the pointer, expiry GCs the
+    abandoned snapshot."""
+    import os
+    import pytest
+    from searchengine_spark.operators.fielded import (
+        bm25f_search, build_fielded_index, load_fielded_index_as_of,
+        merge_fielded_into_path, save_fielded_index)
+    from searchengine_spark.operators.upsert import (
+        commit_snapshot, expire_snapshots, list_snapshots, read_current,
+        rollback_to)
+    root = str(tmp_path_factory.mktemp("f_tt"))
+    base = build_fielded_index(_df(spark, BASE), mode="general")
+    save_fielded_index(base, f"{root}/snap-00000")
+    commit_snapshot(root, "snap-00000")
+
+    def ranked(idx):
+        return [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+                for r in bm25f_search(idx, "merge scan", k=20).collect()]
+
+    before = ranked(load_fielded_index_as_of(spark, root))
+    merge_fielded_into_path(
+        spark, root,
+        _df(spark, [("c000", 0, "merge merge merge rewritten heavily")]))
+    after = ranked(load_fielded_index_as_of(spark, root))
+    assert after != before
+    assert ranked(load_fielded_index_as_of(spark, root, "snap-00000")) \
+        == before
+    snaps = list_snapshots(root)
+    assert [s["snapshot"] for s in snaps] == ["snap-00000", "snap-00001"]
+    assert all(s["kind"] == "full" for s in snaps)
+    rollback_to(root, "snap-00000")
+    assert os.path.basename(read_current(root)) == "snap-00000"
+    # fielded snapshots are full -> only CURRENT itself is live
+    assert expire_snapshots(root) == ["snap-00001"]
+    assert ranked(load_fielded_index_as_of(spark, root)) == before
+    with pytest.raises(ValueError):
+        load_fielded_index_as_of(spark, root, "snap-00001")
