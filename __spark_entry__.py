@@ -513,6 +513,29 @@ def _q_near_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), "n_pairs")
 
 
+def _q_querylang_bm25f(spark, sf_dir):
+    """Query language ranked by BM25F (querylang.query_search_bm25f):
+    QL_QUERY's phrase clause resolves on the positional MAIN index, its
+    NOT term anti-joins, and the ranked pass runs the fielded
+    title(2×)/body scorer over the shared doc_id space."""
+    from searchengine_spark.operators.fielded import build_fielded_index
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.querylang import query_search_bm25f
+    pkey = (sf_dir, "positional")
+    if pkey not in _INDEX_CACHE:
+        _INDEX_CACHE[pkey] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    fkey = (sf_dir, "fielded")
+    if fkey not in _INDEX_CACHE:
+        from searchengine_spark.operators.fielded import build_fielded_index
+        _INDEX_CACHE[fkey] = build_fielded_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general")
+    hits = query_search_bm25f(_INDEX_CACHE[pkey], _INDEX_CACHE[fkey],
+                              QL_QUERY, k=K)
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 def _q_bm25f_topk(spark, sf_dir):
     """Fielded scoring (BM25F, Robertson & Zaragoza): title (leading 60
     chars, the reference's title analog) weighted 2×, body 1×, per-field
@@ -1227,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suggest_fuzzy": _q_suggest_fuzzy,
         "q_querylang_wildcard": _q_querylang_wildcard,
         "q_querylang_facets": _q_querylang_facets,
+        "q_querylang_bm25f": _q_querylang_bm25f,
         "q_more_like_this": _q_more_like_this,
         "q_batched_not": _q_batched_not,
         "q_batched_scoped": _q_batched_scoped,
@@ -1733,6 +1757,23 @@ def oracle_sql() -> dict[str, str]:
               group by tf.doc_id)
             select doc_id, round(s, 6) as score from scored
             order by round(s, 9) desc, doc_id asc limit {K}""",
+        "q_querylang_bm25f": _bm25f_sql(
+            ["scan", "hash", "join"], K,
+            where="""doc_id in (
+                with arrs as (select doc_id, list_filter(string_split_regex(
+                    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                    ' +'), x -> x <> '') as arr from documents),
+                tp as (select doc_id, unnest(arr) as term,
+                       unnest(range(len(arr))) as pos from arrs),
+                q as (select * from (values ('hash', 0), ('join', 1))
+                      as t(term, qidx)),
+                al as (select tp.doc_id, tp.pos - q.qidx as base, q.qidx
+                       from tp join q using (term)),
+                pm as (select doc_id from al group by doc_id, base
+                       having count(distinct qidx) = 2)
+                select doc_id from pm)
+              and doc_id not in (select doc_id from tb
+                                 where term = 'spark')"""),
         "q_bm25f_topk": _bm25f_sql(list(BM25_Q), K),
         # fielded scoping: conv prefix 'doc000000' == doc_id 0..99
         "q_bm25f_scoped": _bm25f_sql(list(BM25_Q), K,

@@ -544,7 +544,8 @@ def bm25f_search(index: dict, query: str, k: int = 10,
                  prune_blocks: "bool | str" = "auto",
                  offset: int = 0, exclude: "str | None" = None,
                  with_snippets: bool = False,
-                 with_titles: bool = False) -> DataFrame:
+                 with_titles: bool = False,
+                 exclude_docs: "DataFrame | None" = None) -> DataFrame:
     """BM25F top-k over a fielded index. Returns
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, title][, snippet]).
 
@@ -610,6 +611,12 @@ def bm25f_search(index: dict, query: str, k: int = 10,
 
     excl = (_fielded_excluded_docs(index, exclude, sc)
             if exclude is not None else None)
+    if exclude_docs is not None:
+        # pre-resolved banned doc set (querylang.query_search_bm25f's NOT
+        # phrase/span clauses) — same merge and the same WAND-disabling
+        # rationale as the term NOT clause
+        xd = exclude_docs.select("doc_id")
+        excl = xd if excl is None else excl.unionByName(xd).distinct()
     k_eff = offset + k  # pagination retrieves offset+k winners, slices after
     prune = (None if (prune_blocks is False or excl is not None)
              else (prune_blocks, k_eff, k1))

@@ -558,3 +558,47 @@ def query_facets(index: dict, qstr: str, by="role", mode: str = "bm25",
                         require_all=require_all)
     index.setdefault("_query_persists", []).extend(held + g["persists"])
     return out
+
+
+def query_search_bm25f(index: dict, fielded: dict, qstr: str, k: int = 10,
+                       scope=None, offset: int = 0,
+                       weights: "dict[str, float] | None" = None,
+                       with_snippets: bool = False,
+                       with_titles: bool = False) -> DataFrame:
+    """Grammar-driven search RANKED BY BM25F — the query language with the
+    fielded scorer (title/role/tool-weighted) instead of flat BM25.
+
+    ``index`` is the (positional) MAIN index: every clause resolves on it
+    exactly as in ``query_search`` (wildcards → OR-groups via its
+    dictionary, phrase/span matching on its positional postings, group
+    doc sets from its postings, qualifiers → scope predicate). ``fielded``
+    is the BM25F index built over the SAME corpus — both assign dense
+    doc_ids over (conv_id, turn_idx), so the two share a doc_id space and
+    the clause candidate set rides ``bm25f_search(scope=<doc set>)``
+    unchanged; NOT phrase/span sets ride its ``exclude_docs`` anti-join,
+    NOT terms its ``exclude``. Returns ``bm25f_search``'s shape
+    (doc_id, conv_id, turn_idx, role, tool, ts, score[, title]
+    [, snippet]), top-k by (score desc, doc_id asc)."""
+    from searchengine_spark.operators.fielded import bm25f_search
+    spark = fielded["docs"].sparkSession
+    empty = spark.createDataFrame(
+        [], "doc_id long, conv_id string, turn_idx int, role string, "
+            "tool string, ts timestamp, score double"
+            + (", title string" if with_titles else "")
+            + (", snippet string" if with_snippets else ""))
+    g = _resolve_grammar(index, qstr, scope)
+    if g is None:
+        return empty
+    # shield the grammar's persists (registered in the MAIN index dict)
+    # across the fielded call; the fielded search only releases the
+    # FIELDED dict's caches, but the main dict's next query must not free
+    # these before this result materializes either
+    held = index.pop("_query_persists", [])
+    out = bm25f_search(fielded, " ".join(g["pos_words"]), k=k,
+                       weights=weights, scope=g["eff_scope"],
+                       offset=offset, with_snippets=with_snippets,
+                       with_titles=with_titles,
+                       exclude=" ".join(g["not_terms"]) or None,
+                       exclude_docs=g["exclude_docs"])
+    index.setdefault("_query_persists", []).extend(held + g["persists"])
+    return out

@@ -322,3 +322,60 @@ def test_query_facets_ref_compat_and_empty(qpos_index):
     assert query_facets(qpos_index, "-alpha", by="role").count() == 0
     assert query_facets(qpos_index, 'alpha "beta zzznope"',
                         by="role").count() == 0
+
+
+# ---------- query_search_bm25f (grammar over the fielded scorer) ----------
+
+@pytest.fixture(scope="module")
+def qpos_fielded(spark):
+    from searchengine_spark.operators.fielded import build_fielded_index
+    rows = [(f"x{i:03d}", 0, "assistant" if i % 2 else "user", t,
+             "bash" if i in (2, 4) else None, "2026-01-01 00:00:00")
+            for i, t in enumerate(XDOCS)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
+                                      "tool", "ts"])
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    sdf = spark.createDataFrame(
+        pdf, schema="conv_id string, turn_idx int, role string, text string,"
+                    " tool string, ts timestamp")
+    return build_fielded_index(sdf, mode="general")
+
+
+def test_query_search_bm25f_composition(qpos_index, qpos_fielded):
+    """Grammar clauses resolve on the main positional index; ranking is
+    BM25F — equal to bm25f_search over the positive words restricted to
+    the clause candidates."""
+    from searchengine_spark.operators.fielded import bm25f_search
+    from searchengine_spark.operators.querylang import query_search_bm25f
+    got = _rows(query_search_bm25f(qpos_index, qpos_fielded,
+                                   'gamma "alpha beta"', k=10))
+    phrase_docs = {r["conv_id"] for r in
+                   phrase_search(qpos_index, "alpha beta", k=10).collect()}
+    exp = [(c, s) for c, s in
+           _rows(bm25f_search(qpos_fielded, "gamma alpha beta", k=10))
+           if c in phrase_docs]
+    assert got == exp and got
+
+
+def test_query_search_bm25f_not_and_qualifier(qpos_index, qpos_fielded):
+    from searchengine_spark.operators.fielded import bm25f_search
+    from searchengine_spark.operators.querylang import query_search_bm25f
+    # NOT phrase bans the adjacency docs {x000, x002} only
+    got = _rows(query_search_bm25f(qpos_index, qpos_fielded,
+                                   'alpha -"beta gamma"', k=10))
+    exp = [(c, s) for c, s in
+           _rows(bm25f_search(qpos_fielded, "alpha", k=10))
+           if c not in {"x000", "x002"}]
+    assert got == exp and {c for c, _ in got} == {"x001", "x003", "x004"}
+    # qualifier → scope predicate over the fielded docs
+    got = _rows(query_search_bm25f(qpos_index, qpos_fielded,
+                                   "alpha tool:bash", k=10))
+    assert {c for c, _ in got} == {"x002", "x004"}
+    # wildcard group + empty cases
+    got = {c for c, _ in _rows(query_search_bm25f(
+        qpos_index, qpos_fielded, "gamma del*", k=10))}
+    assert got == {"x001", "x003"}
+    assert query_search_bm25f(qpos_index, qpos_fielded,
+                              'alpha "beta zzznope"').count() == 0
+    assert query_search_bm25f(qpos_index, qpos_fielded, "-alpha").count() == 0
