@@ -2069,3 +2069,104 @@ def search_flat(index: dict, query: str, k: int = 10, mode: str = "ref_compat") 
             "s", bm25_idf(F.col("df"), stats["n_docs"]) * bm25_tf_part(F.col("tf"), F.col("dl"), stats["avgdl"]))
         m = scored.groupBy("doc_id").agg(F.sum("s").alias("score"))
     return m.select("doc_id", "score").orderBy(_ord(), F.col("doc_id").asc()).limit(k)
+
+
+def explain_query(index: dict, query: str, k: int = 10, mode: str = "bm25",
+                  scope=None, prune_blocks: "bool | str" = "auto") -> dict:
+    """Serving-side query-strategy report — what a ``search`` call with
+    these arguments WILL do, computed driver-side without running it
+    (dictionary lookups only; zero Spark jobs on a driver-cached
+    dictionary, at most the resolution/scope jobs ``search`` itself would
+    pay). The debugging companion to ``.explain()``: Spark shows the
+    physical plan, this shows the ENGINE's choices feeding it.
+
+    Returns a plain dict:
+    - ``terms``: per analyzed term — term, term_id, df, cached (served
+      from the postings cache), pruned (ref_compat 80% rule), idf;
+    - ``sum_df`` (direct postings to decode), ``cached_rows``;
+    - ``term_buckets_probed`` of ``term_buckets`` (partition pruning);
+    - ``wand``: whether block-max pruning will engage, why/why not
+      (forced / below cost gate / ref_compat / legacy bounds), and which
+      θ phase-1 path runs (driver max_by collect vs distributed);
+    - ``scope``: kind (contiguous range / semi-join), doc bounds, size;
+    - ``bounds``: "stored_exact" or "tf_bounds" (stats-independent
+      derived bounds after upserts).
+    """
+    stats = index["stats"]
+    amode = index.get("mode", "general")
+    qterms = _query_terms(query, amode, index.get("dictionary", "fixture"))
+    sc = _scope_info(index, scope) if scope is not None else None
+    site_scope = sc is not None and not isinstance(scope, DataFrame)
+    resolve_mode = "scoped" if site_scope else mode
+    trows = _resolve_terms_driver(index, qterms, resolve_mode)
+    if trows is None:
+        trows = _resolve_terms_paged(index, qterms, resolve_mode)
+    resolved = {r["term_id"] for r in trows}
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    pruned_terms = []
+    if mode == "ref_compat":
+        plain = _resolve_terms_driver(index, qterms, "scoped")
+        if plain is None:
+            plain = _resolve_terms_paged(index, qterms, "scoped")
+        pruned_terms = [r for r in plain if r["term_id"] not in resolved]
+    cached, direct_rows = pcache_split(index, trows)
+    cached_ids = {r["term_id"] for r in trows} - {r["term_id"]
+                                                  for r in direct_rows}
+    term_report = []
+    id2term = {}
+    pdf = _terms_local(index)
+    for t in qterms:
+        if pdf is not None and t in pdf.index:
+            id2term[int(pdf.loc[t, "term_id"])] = t
+    for r in trows + pruned_terms:
+        term_report.append({
+            "term": id2term.get(r["term_id"]),
+            "term_id": r["term_id"], "df": r["df"],
+            "cached": r["term_id"] in cached_ids,
+            "pruned": r["term_id"] not in resolved,
+            "idf": (float(np.log(1.0 + (n_docs - r["df"] + 0.5)
+                                 / (r["df"] + 0.5)))
+                    if r["term_id"] in resolved else None)})
+    sum_df_direct = sum(r["df"] for r in direct_rows)
+    tb = stats.get("term_buckets")
+    direct_ids = [r["term_id"] for r in direct_rows]
+    has_m = all((r.get("max_tf") is not None) if stats.get("tf_bounds")
+                else (r.get("max_score") is not None) for r in trows)
+    will_prune = (prune_blocks is True or
+                  (prune_blocks == "auto"
+                   and sum_df_direct >= PRUNE_MIN_POSTINGS)) \
+        and bool(direct_ids) and (has_m or cached is None) \
+        and mode == "bm25" and len(trows) > 0
+    if mode != "bm25":
+        wand_why = "ref_compat mode (conjunctive path, no WAND)"
+    elif not direct_ids:
+        wand_why = "all terms cached — nothing to decode or skip"
+    elif prune_blocks is False:
+        wand_why = "disabled by prune_blocks=False"
+    elif prune_blocks == "auto" and sum_df_direct < PRUNE_MIN_POSTINGS:
+        wand_why = (f"below cost gate (sum_df {sum_df_direct} < "
+                    f"{PRUNE_MIN_POSTINGS})")
+    elif not (has_m or cached is None):
+        wand_why = "legacy index bounds + cached terms — skipped for exactness"
+    else:
+        wand_why = "engaged (exact block-max pruning)"
+    return {
+        "query": query, "mode": mode, "analyzed": qterms,
+        "terms": term_report,
+        "sum_df_direct": sum_df_direct,
+        "cached_terms": len(cached_ids),
+        "term_buckets_probed": (len({tid % tb for tid in direct_ids})
+                                if tb else None),
+        "term_buckets": tb,
+        "wand": {"prunes": bool(will_prune), "why": wand_why,
+                 "theta_path": (None if not will_prune else
+                                ("driver_max_by" if (sc is None
+                                                     or sc.get("contiguous"))
+                                 else "distributed_phase1"))},
+        "scope": (None if sc is None else {
+            "kind": "contiguous_range" if sc["contiguous"] else "semi_join",
+            "lo": sc["lo"], "hi": sc["hi"], "n": sc["n"],
+            "site_semantics": site_scope}),
+        "bounds": ("tf_bounds" if stats.get("tf_bounds") else "stored_exact"),
+        "k": k,
+    }

@@ -134,3 +134,31 @@ def test_paged_dictionary_pruned_on_saved_index(spark, index_general,
     direct = {r["term"]: r for r in
               loaded["terms"].filter(F.col("term").isin(["лес", "дом"])).collect()}
     assert {r["term_id"] for r in rows} == {r["term_id"] for r in direct.values()}
+
+
+def test_explain_query_strategy(index_general, index_ref):
+    """explain_query reports the engine's actual choices: resolution,
+    cache split, WAND gating + θ path, scope kind, bounds mode."""
+    from searchengine_spark.operators.search import (PRUNE_MIN_POSTINGS,
+                                                     explain_query)
+    ex = explain_query(index_general, "лес дом", mode="bm25")
+    assert ex["analyzed"] and all(t["idf"] > 0 for t in ex["terms"])
+    assert ex["bounds"] == "stored_exact"
+    assert ex["sum_df_direct"] == sum(t["df"] for t in ex["terms"]
+                                      if not t["cached"])
+    # tiny corpus → below the WAND cost gate
+    assert ex["wand"]["prunes"] is False
+    assert str(PRUNE_MIN_POSTINGS) in ex["wand"]["why"]
+    # forcing pruning flips the decision and picks the driver θ path
+    ex2 = explain_query(index_general, "лес дом", prune_blocks=True)
+    assert ex2["wand"]["prunes"] is True
+    assert ex2["wand"]["theta_path"] == "driver_max_by"
+    # contiguous conv-prefix scope
+    ex3 = explain_query(index_general, "лес дом", scope="conv000")
+    assert ex3["scope"]["kind"] == "contiguous_range"
+    assert ex3["scope"]["site_semantics"] is True
+    # ref_compat reports the 80%-rule prunes (if any) and no WAND
+    ex4 = explain_query(index_ref, "лес дом", mode="ref_compat")
+    assert ex4["wand"]["prunes"] is False
+    assert "ref_compat" in ex4["wand"]["why"]
+    assert all(t["idf"] is None for t in ex4["terms"] if t["pruned"])
