@@ -237,6 +237,10 @@ QL_QUERY = 'scan "hash join" -spark'      # terms + phrase filter + NOT term
 QL_NOTPHRASE = 'scan merge -"hash join"'  # ranked terms + NOT-phrase clause
 QL_QUALIFIED = "scan merge site:doc000001 -spark"  # qualifier + NOT term
 QL_SPAN = 'scan merge "spark hash"~8'     # ranked terms + span clause
+# ts in _docs_as_transcripts = 2026-01-01 + doc_id seconds, so this window
+# is exactly docs 10 ≤ doc_id < 100
+QL_TIME = "scan merge after:2026-01-01T00:00:10 before:2026-01-01T00:01:40"
+COLLAPSE_GROUPS = 50  # conv groups in the collapse entry's corpus shaping
 SPAN_Q, SPAN_W = "spark merge hash", 12   # standalone span_search args
 
 
@@ -294,6 +298,57 @@ def _q_querylang(spark, sf_dir):
             _docs_as_transcripts(spark, sf_dir), mode="general",
             with_positions=True)
     hits = query_search(_INDEX_CACHE[key], QL_QUERY, k=K, mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _docs_as_grouped_transcripts(spark, sf_dir):
+    """documents → transcript shape with REAL multi-turn conversations:
+    conv_id = doc_id % COLLAPSE_GROUPS (zero-padded), turn_idx =
+    doc_id // COLLAPSE_GROUPS. Zero-padding makes lexicographic
+    (conv_id, turn_idx) order == (group, turn) numeric order, so the
+    engine's dense doc_id ordering is (group, turn) and the ORIGINAL
+    doc_id = turn_idx * COLLAPSE_GROUPS + group is recoverable from the
+    output columns."""
+    d = _docs(spark, sf_dir)
+    g = COLLAPSE_GROUPS
+    return d.select(
+        F.format_string("grp%04d", F.col("doc_id") % g).alias("conv_id"),
+        (F.col("doc_id") / g).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (F.lit("2026-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("ts"),
+    )
+
+
+def _q_collapse_topk(spark, sf_dir):
+    """Field collapsing (search(collapse=)): top-k with at most ONE hit per
+    conversation — rank every match, keep each conv's best by the exact
+    (score desc, doc_id) order, then global top-k. The corpus is shaped
+    into COLLAPSE_GROUPS multi-turn conversations so collapsing actually
+    bites (docs sharing a conv compete)."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.search import search
+    key = (sf_dir, "collapse")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_grouped_transcripts(spark, sf_dir), mode="general")
+    hits = search(_INDEX_CACHE[key], " ".join(BM25_Q), k=K, mode="bm25",
+                  collapse="conv_id")
+    return hits.select(
+        (F.col("turn_idx").cast("long") * COLLAPSE_GROUPS
+         + F.substring("conv_id", 4, 4).cast("long")).alias("doc_id"),
+        F.round("score", 6).alias("score"))
+
+
+def _q_querylang_time(spark, sf_dir):
+    """Query-language time-range qualifiers: after:/before: become one ts
+    predicate on the docs table ANDed into the scope (same path as site:/
+    role:), so candidates, conjunction and WAND θ all evaluate within the
+    time window while idf/avgdl stay corpus-wide."""
+    from searchengine_spark.operators.querylang import query_search
+    hits = query_search(_index_for(spark, sf_dir), QL_TIME, k=K, mode="bm25")
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
@@ -1236,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrase_not": _q_phrase_not,
         "q_querylang": _q_querylang,
         "q_querylang_group": _q_querylang_group,
+        "q_querylang_time": _q_querylang_time,
+        "q_collapse_topk": _q_collapse_topk,
         "q_querylang_notphrase": _q_querylang_notphrase,
         "q_querylang_qualified": _q_querylang_qualified,
         "q_querylang_span": _q_querylang_span,
@@ -1369,6 +1426,33 @@ scored as (
   group by tf.doc_id)
 select doc_id, round(s, 6) as score from scored
 order by round(s, 9) desc, doc_id asc limit {k} offset {offset}
+"""
+
+
+def _bm25_collapse_sql(terms: list[str], k: int, n_groups: int) -> str:
+    """Field-collapsing oracle: BM25-score every match, keep each group's
+    best row (group = doc_id % n_groups — the entry's conv shaping), then
+    the global top-k. Tie-breaks mirror the engine's dense-doc_id order,
+    which under the zero-padded shaping is (group, turn) =
+    (doc_id % n_groups, doc_id // n_groups)."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+stats as (select count(*) as n, avg(dl) as avgdl from dl),
+scored as (
+  select tf.doc_id,
+         sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+  from tf join dfv using (term) join dl using (doc_id) cross join stats
+  where tf.term in ({tl})
+  group by tf.doc_id),
+c as (select doc_id, s from scored
+      qualify row_number() over (partition by doc_id % {n_groups}
+                                 order by round(s, 9) desc,
+                                          doc_id // {n_groups}) = 1)
+select doc_id, round(s, 6) as score from c
+order by round(s, 9) desc, doc_id % {n_groups}, doc_id // {n_groups}
+limit {k}
 """
 
 
@@ -1636,6 +1720,11 @@ def oracle_sql() -> dict[str, str]:
             not_terms=["spark"]),
         # OR-group: rank over {merge, scan, hash}, candidates restricted to
         # docs containing scan OR hash
+        "q_querylang_time": _bm25_sql(
+            list(BM25_Q), K,
+            scope="tf.doc_id >= 10 and tf.doc_id < 100"),
+        "q_collapse_topk": _bm25_collapse_sql(
+            list(BM25_Q), K, COLLAPSE_GROUPS),
         "q_querylang_group": _bm25_sql(
             ["merge", "scan", "hash"], K,
             scope="tf.doc_id in (select doc_id from tf "

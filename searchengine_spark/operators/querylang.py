@@ -34,11 +34,14 @@ ranked retrieval:
                           exact phrase (or, with ~N, the span) are removed
 - field:value           → metadata qualifiers over the docs table:
                           ``site:PREFIX`` (conv_id prefix — the reference's
-                          ``site=``), ``role:VALUE``, ``tool:VALUE``;
-                          ``-field:value`` negates (null-safe, so
-                          ``-tool:bash`` keeps tool-less docs). Qualifiers
-                          AND together and intersect any explicit
-                          ``scope=`` argument.
+                          ``site=``), ``role:VALUE``, ``tool:VALUE``, and
+                          time ranges ``after:ISO`` (ts ≥) / ``before:ISO``
+                          (ts <) with ISO-8601 values (``2026-01-01`` or
+                          ``2026-01-01T12:30:00`` — no spaces, the lexer is
+                          whitespace-delimited); ``-field:value`` negates
+                          (null-safe, so ``-tool:bash`` keeps tool-less
+                          docs). Qualifiers AND together and intersect any
+                          explicit ``scope=`` argument.
 
 Scoring: BM25 (or ref_compat) over ALL positive terms — bare words plus
 the words inside positive phrase clauses — so a phrase contributes its
@@ -88,7 +91,30 @@ from searchengine_spark.operators.search import (
 # -word | word   (a lone '-' or empty quotes/parens parse to nothing;
 # quotes and parens never nest — one-scan lexer)
 _TOKEN = re.compile(r'(-?)"([^"]*)"(?:~(\d+))?|(-?)\(([^()]*)\)|(-?)(\S+)')
-_QUALIFIER = re.compile(r'^(site|role|tool):(.+)$')
+_QUALIFIER = re.compile(r'^(site|role|tool|before|after):(.+)$')
+
+
+def _qualifier_pred(field: str, value: str):
+    """One qualifier → one docs-table predicate Column (pre-negation).
+
+    site: is a conv_id prefix like the reference's ``site=``; role:/tool:
+    are null-safe equality (so a negation keeps null-attribute docs);
+    before:/after: compare ``ts`` against an ISO-8601 instant — validated
+    eagerly so a typo fails the query loudly instead of silently matching
+    nothing through a null cast."""
+    if field == "site":
+        return F.col("conv_id").startswith(value)
+    if field in ("before", "after"):
+        from datetime import datetime
+        try:
+            ts = datetime.fromisoformat(value)
+        except ValueError:
+            raise ValueError(
+                f"{field}:{value} — value must be ISO 8601 "
+                "(2026-01-01 or 2026-01-01T12:30:00)") from None
+        lit = F.lit(ts).cast("timestamp")
+        return F.col("ts") < lit if field == "before" else F.col("ts") >= lit
+    return F.col(field).eqNullSafe(value)
 
 
 def parse_query(qstr: str) -> dict:
@@ -180,12 +206,11 @@ def _resolve_grammar(index: dict, qstr: str, scope) -> "dict | None":
         return None  # NOT-only / empty queries rank nothing, like search("")
 
     # metadata qualifiers → one docs-table predicate, ANDed into the scope
-    # (site: is a conv_id prefix like the reference's site=; role:/tool:
-    # null-safe equality so a negation keeps null-attribute docs)
+    # (semantics per _qualifier_pred: site: prefix, role:/tool: null-safe
+    # equality, before:/after: ts range)
     pred = None
     for field, value, neg in q["qualifiers"]:
-        c = (F.col("conv_id").startswith(value) if field == "site"
-             else F.col(field).eqNullSafe(value))
+        c = _qualifier_pred(field, value)
         c = ~c if neg else c
         pred = c if pred is None else pred & c
     if pred is not None:
@@ -268,18 +293,21 @@ def _resolve_grammar(index: dict, qstr: str, scope) -> "dict | None":
 def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
                  scope=None, offset: int = 0, with_snippets: bool = False,
                  with_titles: bool = False,
-                 prune_blocks: "bool | str" = "auto") -> DataFrame:
+                 prune_blocks: "bool | str" = "auto",
+                 collapse=None, per_group: int = 1) -> DataFrame:
     """Ranked search driven by the query-string grammar (module
     docstring). Returns the same shape as ``search``:
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, title][, snippet]),
     top-k by (score desc, doc_id asc), paginated by ``offset`` with
     absolute-rank page semantics.
 
-    ``scope``/``with_snippets``/``with_titles``/``prune_blocks`` pass
-    through to ``search``; a user scope intersects with the phrase
-    clauses' doc sets (both are candidate restrictions). Snippets
-    highlight every positive word — bare and phrase constituents — since
-    the ranked pass receives them all as its query."""
+    ``scope``/``with_snippets``/``with_titles``/``prune_blocks`` and
+    ``collapse``/``per_group`` (field collapsing — at most per_group hits
+    per docs-column value, see ``search``) pass through to ``search``; a
+    user scope intersects with the phrase clauses' doc sets (both are
+    candidate restrictions). Snippets highlight every positive word —
+    bare and phrase constituents — since the ranked pass receives them
+    all as its query."""
     spark = index["docs"].sparkSession
     empty = spark.createDataFrame(
         [], "doc_id long, conv_id string, turn_idx int, role string, "
@@ -299,7 +327,8 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
                  offset=offset, scope=g["eff_scope"],
                  with_titles=with_titles,
                  exclude=" ".join(g["not_terms"]) or None,
-                 exclude_docs=g["exclude_docs"])
+                 exclude_docs=g["exclude_docs"],
+                 collapse=collapse, per_group=per_group)
     index.setdefault("_query_persists", []).extend(held + g["persists"])
     return out
 
@@ -432,8 +461,7 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
         # metadata qualifiers → ONE extra clause (their conjunction)
         pred = None
         for field, value, neg in q["qualifiers"]:
-            c = (F.col("conv_id").startswith(value) if field == "site"
-                 else F.col(field).eqNullSafe(value))
+            c = _qualifier_pred(field, value)
             c = ~c if neg else c
             pred = c if pred is None else pred & c
         if pred is not None:

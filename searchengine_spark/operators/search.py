@@ -418,11 +418,28 @@ def _banned_pairs(index: dict, exclude, qids, sc) -> "DataFrame | None":
     return out.join(xmap, "term_id").select("query_id", "doc_id").distinct()
 
 
+def _collapse_filter(index: dict, matches: DataFrame, order_cols,
+                     collapse, per_group: int) -> DataFrame:
+    """Field collapsing: keep each group's best ``per_group`` matches by
+    the caller's exact ranking order. ``collapse`` is a docs column name or
+    Column expression; the key join is match-set-sized (the facet-join
+    shape) and the window shuffles on the key — both flat in corpus size
+    for a fixed match set."""
+    key_col = F.col(collapse) if isinstance(collapse, str) else collapse
+    keys = index["docs"].select("doc_id", key_col.alias("_ckey"))
+    w = Window.partitionBy("_ckey").orderBy(*order_cols)
+    return (matches.join(keys, "doc_id")
+            .withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= F.lit(int(per_group)))
+            .drop("_cr", "_ckey"))
+
+
 def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
            prune_blocks: "bool | str" = "auto", with_snippets: bool = False,
            offset: int = 0, scope=None, with_titles: bool = False,
            exclude: "str | None" = None,
-           exclude_docs: "DataFrame | None" = None) -> DataFrame:
+           exclude_docs: "DataFrame | None" = None,
+           collapse=None, per_group: int = 1) -> DataFrame:
     """Top-k search over a built index; returns DataFrame
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, snippet]).
 
@@ -456,7 +473,23 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     ``doc_id`` column) merged into the NOT clause's anti-join — the hook
     ``querylang.query_search`` uses for NOT-phrase clauses, whose doc sets
     come from positional matching rather than term postings. Same
-    semantics and the same exact-WAND handling as ``exclude``."""
+    semantics and the same exact-WAND handling as ``exclude``.
+
+    ``collapse`` diversifies results: at most ``per_group`` hits per value
+    of a docs-table column (name or Column expression) — field collapsing
+    / host crowding in the search-engine literature; on transcripts,
+    ``collapse="conv_id"`` stops one conversation from monopolizing the
+    top-k. Semantics: rank ALL matches, keep each group's best
+    ``per_group`` by the mode's exact ordering (score desc, doc_id asc),
+    THEN take the global top-k of the survivors; ref_compat's max-tf_sum
+    normalizer is unchanged because the global rank-1 row is rank-1 within
+    its own group and always survives. Plan: one join of the match set to
+    docs for the key + one row_number window partitioned by the key — the
+    same match-set-sized join ``search_facets`` does, then a narrow
+    shuffle on the key; top-k stays TakeOrderedAndProject. Block-max
+    pruning turns off (a doc outside the global top-k can enter the
+    collapsed top-k, so a top-k θ would make skips unsound); this is a
+    count-every-match query class, like facets."""
     spark = index["docs"].sparkSession
     release_query_caches(index)  # scoped caches from PREVIOUS queries
     stats = index["stats"]
@@ -567,7 +600,8 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
                 else (r.get("max_score") is not None) for r in trows)
     do_prune = (prune_blocks is True or
                 (prune_blocks == "auto" and sum_df_direct >= PRUNE_MIN_POSTINGS)) \
-        and bool(direct_ids) and (has_m or cached is None)
+        and bool(direct_ids) and (has_m or cached is None) \
+        and collapse is None  # collapsed top-k needs every match (docstring)
 
     if mode == "bm25" and do_prune and n_q > 0:
         # per-term WAND upper bounds M_t, driver-side from the dictionary's
@@ -700,6 +734,10 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
 
     if mode == "ref_compat":
         matches = agg.filter(F.col("nt") == F.lit(n_q))  # Q6 conjunctive AND
+        if collapse is not None:
+            matches = _collapse_filter(
+                index, matches, [F.col("tf_sum").desc(), F.col("doc_id").asc()],
+                collapse, per_group)
         # Q7: abs relevance = Σtf, relative = abs/max(abs) over the matches
         # (SearchingServiceImpl.java:300-329). The max is the rank-1 row, so
         # take top-k on the integer tf_sum first (TakeOrderedAndProject),
@@ -712,6 +750,10 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
             / F.max(F.col("tf_sum").cast("double")).over(Window.partitionBy()))
     else:
         matches = agg.withColumn("score", F.col("bm25"))
+        if collapse is not None:
+            matches = _collapse_filter(
+                index, matches, [_ord(), F.col("doc_id").asc()],
+                collapse, per_group)
         topk = matches.orderBy(_ord(), F.col("doc_id").asc()).limit(k_eff)
     if offset:
         w_pg = Window.orderBy(_ord(), F.col("doc_id").asc())
