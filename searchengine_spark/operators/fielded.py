@@ -545,7 +545,8 @@ def bm25f_search(index: dict, query: str, k: int = 10,
                  offset: int = 0, exclude: "str | None" = None,
                  with_snippets: bool = False,
                  with_titles: bool = False,
-                 exclude_docs: "DataFrame | None" = None) -> DataFrame:
+                 exclude_docs: "DataFrame | None" = None,
+                 collapse=None, per_group: int = 1) -> DataFrame:
     """BM25F top-k over a fielded index. Returns
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, title][, snippet]).
 
@@ -585,7 +586,13 @@ def bm25f_search(index: dict, query: str, k: int = 10,
     WAND (θ derived from a doc the anti-join later removes would
     overestimate the kth surviving score — the main path re-derives θ
     post-exclusion, the fielded pre-pass cannot), so NOT queries take the
-    exhaustive decode; they stay rank-identical to manual filtering."""
+    exhaustive decode; they stay rank-identical to manual filtering.
+
+    ``collapse``/``per_group`` apply field collapsing (``search``'s
+    semantics: rank every match, keep each group's best per_group, then
+    global top-k). Like NOT, collapse disables the fielded WAND — a doc
+    below the global top-k can enter the collapsed page, so the keep-set
+    θ would be unsound."""
     from searchengine_spark.operators.search import (
         _query_terms, _ord, _scope_info, release_query_caches)
 
@@ -618,7 +625,8 @@ def bm25f_search(index: dict, query: str, k: int = 10,
         xd = exclude_docs.select("doc_id")
         excl = xd if excl is None else excl.unionByName(xd).distinct()
     k_eff = offset + k  # pagination retrieves offset+k winners, slices after
-    prune = (None if (prune_blocks is False or excl is not None)
+    prune = (None if (prune_blocks is False or excl is not None
+                      or collapse is not None)
              else (prune_blocks, k_eff, k1))
     allf, idf_of = _fielded_candidate_rows(index, qterms, sc, weights, b,
                                            prune=prune)
@@ -628,6 +636,11 @@ def bm25f_search(index: dict, query: str, k: int = 10,
     scored = blended.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
     if excl is not None:
         scored = scored.join(excl, "doc_id", "left_anti")
+    if collapse is not None:
+        from searchengine_spark.operators.search import _collapse_filter
+        scored = _collapse_filter(
+            index, scored, [_ord(), F.col("doc_id").asc()],
+            collapse, per_group)
     topk = scored.orderBy(_ord(), F.col("doc_id").asc()).limit(k_eff)
     if offset:
         from pyspark.sql import Window
@@ -662,7 +675,8 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       k1: float = K1, scope=None,
                       exclude: "dict[str, str] | str | None" = None,
                       with_snippets: bool = False,
-                      offset: int = 0) -> DataFrame:
+                      offset: int = 0,
+                      collapse=None, per_group: int = 1) -> DataFrame:
     """Batched BM25F: score MANY queries in ONE Spark job (the fielded
     analog of ``search_many`` — a query-log replay otherwise pays one
     fixed-latency job per query).
@@ -690,6 +704,11 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
     contract as ``search_many(..., with_snippets=)``). ``offset``
     paginates every query in the batch identically to ``search_many(...,
     offset=)`` — ranks offset+1..offset+k with their ABSOLUTE ranks.
+
+    ``collapse``/``per_group`` apply field collapsing per query (the
+    ``search_many`` contract: a (query_id, key) window keeps each group's
+    best per_group before the rank window; one key join + one narrow
+    shuffle for the whole batch).
 
     Returns (query_id, rank, doc_id, conv_id, turn_idx, role, tool, ts,
     score[, snippet])."""
@@ -752,6 +771,15 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
         banned = (blended.join(xmap, "term")
                   .select("query_id", "doc_id").distinct())
         scored = scored.join(banned, ["query_id", "doc_id"], "left_anti")
+    if collapse is not None:
+        key_col = F.col(collapse) if isinstance(collapse, str) else collapse
+        keys = index["docs"].select("doc_id", key_col.alias("_ckey"))
+        w_c = Window.partitionBy("query_id", "_ckey").orderBy(
+            F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
+        scored = (scored.join(keys, "doc_id")
+                  .withColumn("_cr", F.row_number().over(w_c))
+                  .filter(F.col("_cr") <= F.lit(int(per_group)))
+                  .drop("_cr", "_ckey"))
     w_q = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
     ranked = (scored.withColumn("rank", F.row_number().over(w_q))

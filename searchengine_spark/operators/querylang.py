@@ -336,7 +336,8 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
 def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       mode: str = "bm25", scope=None, offset: int = 0,
                       with_snippets: bool = False,
-                      with_titles: bool = False) -> DataFrame:
+                      with_titles: bool = False,
+                      collapse=None, per_group: int = 1) -> DataFrame:
     """Batched query-LANGUAGE replay: run MANY grammar query strings
     (module docstring — terms, "phrases", "spans"~N, (or|groups),
     -NOT clauses, field:qualifiers) with the amortized plan shape of
@@ -362,7 +363,8 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
     So a batch of N grammar queries costs one positional decode + one
     scoring decode + one ranking job, independent of N — versus N
     ``query_search`` jobs. ``scope`` is shared by the whole batch;
-    ``offset``/``with_snippets`` as in ``search_many``. Per-query empty
+    ``offset``/``with_snippets``/``collapse``/``per_group`` as in
+    ``search_many``. Per-query empty
     semantics match the single path: a query with no positive words, an
     unsatisfiable group, or an unmatchable positive phrase/span clause
     contributes no rows; an unmatchable NOT clause bans nothing."""
@@ -548,7 +550,8 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       group_clauses=group_rows or None,
                       clause_arity=arity or None,
                       site_like=site_like or None,
-                      exclude_pairs=exclude_pairs)
+                      exclude_pairs=exclude_pairs,
+                      collapse=collapse, per_group=per_group)
     index.setdefault("_query_persists", []).extend(held + persists)
     return out
 
@@ -592,7 +595,8 @@ def query_search_bm25f(index: dict, fielded: dict, qstr: str, k: int = 10,
                        scope=None, offset: int = 0,
                        weights: "dict[str, float] | None" = None,
                        with_snippets: bool = False,
-                       with_titles: bool = False) -> DataFrame:
+                       with_titles: bool = False,
+                       collapse=None, per_group: int = 1) -> DataFrame:
     """Grammar-driven search RANKED BY BM25F — the query language with the
     fielded scorer (title/role/tool-weighted) instead of flat BM25.
 
@@ -627,6 +631,7 @@ def query_search_bm25f(index: dict, fielded: dict, qstr: str, k: int = 10,
                        offset=offset, with_snippets=with_snippets,
                        with_titles=with_titles,
                        exclude=" ".join(g["not_terms"]) or None,
-                       exclude_docs=g["exclude_docs"])
+                       exclude_docs=g["exclude_docs"],
+                       collapse=collapse, per_group=per_group)
     index.setdefault("_query_persists", []).extend(held + g["persists"])
     return out

@@ -1678,7 +1678,8 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
                 group_clauses: "list | None" = None,
                 clause_arity: "dict[str, int] | None" = None,
                 site_like: "set[str] | None" = None,
-                exclude_pairs: "DataFrame | None" = None) -> DataFrame:
+                exclude_pairs: "DataFrame | None" = None,
+                collapse=None, per_group: int = 1) -> DataFrame:
     """Batched top-k: score MANY queries in ONE Spark job.
 
     A single-query search costs ~1 fixed-latency job regardless of data;
@@ -1708,6 +1709,13 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     ``offset`` paginates every query in the batch identically to
     ``search(..., offset=)``: ranks offset+1..offset+k are returned with
     their ABSOLUTE ranks (a query-log replay of page 2 keeps rank 11..20).
+
+    ``collapse``/``per_group`` apply field collapsing (see ``search``) to
+    every query in the batch: the per-query rank window is preceded by a
+    (query_id, key) window that keeps each group's best per_group matches
+    — one extra join to docs for the key and one extra narrow shuffle for
+    the whole batch, matching single-query ``search(collapse=)`` row for
+    row (block-max pruning is already off here, so no further gating).
 
     ``exclude`` is the batched NOT clause: a dict (query_id → NOT terms)
     or one string shared by the whole batch. Excluded terms ride the SAME
@@ -1998,8 +2006,24 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
         agg = agg.join(banned, ["query_id", "doc_id"], "left_anti")
     w_q = Window.partitionBy("query_id")
     k_tot = int(offset) + k
+
+    def _batch_collapse(m: DataFrame, order_cols) -> DataFrame:
+        # batched field collapsing: per-(query, key) best per_group rows
+        # before the per-query rank window — same key join as the single
+        # path's _collapse_filter, one window for the whole batch
+        key_col = F.col(collapse) if isinstance(collapse, str) else collapse
+        keys = index["docs"].select("doc_id", key_col.alias("_ckey"))
+        w_c = Window.partitionBy("query_id", "_ckey").orderBy(*order_cols)
+        return (m.join(keys, "doc_id")
+                .withColumn("_cr", F.row_number().over(w_c))
+                .filter(F.col("_cr") <= F.lit(int(per_group)))
+                .drop("_cr", "_ckey"))
+
     if mode == "ref_compat":
         matches = agg.join(nq, "query_id").filter(F.col("nt") == F.col("n_q"))
+        if collapse is not None:
+            matches = _batch_collapse(
+                matches, [F.col("tf_sum").desc(), F.col("doc_id").asc()])
         ranked = matches.withColumn(
             "rank", F.row_number().over(
                 w_q.orderBy(F.col("tf_sum").desc(), F.col("doc_id").asc()))) \
@@ -2011,7 +2035,12 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
             "score", F.col("tf_sum").cast("double")
             / F.max(F.col("tf_sum").cast("double")).over(w_q))
     else:
-        ranked = agg.withColumn("score", F.col("bm25")).withColumn(
+        scored_q = agg.withColumn("score", F.col("bm25"))
+        if collapse is not None:
+            scored_q = _batch_collapse(
+                scored_q,
+                [F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()])
+        ranked = scored_q.withColumn(
             "rank", F.row_number().over(
                 w_q.orderBy(F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()))) \
             .filter(F.col("rank") <= k_tot)

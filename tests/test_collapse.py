@@ -86,6 +86,66 @@ def test_collapse_through_grammar(index_general):
     assert got["doc_id"].tolist() == direct["doc_id"].tolist()
 
 
+# ---------- batched and fielded forms ----------
+
+Q2 = "запрос индекс"
+
+
+@pytest.mark.parametrize("mode", ["bm25", "ref_compat"])
+def test_batched_collapse_matches_single(index_general, index_ref, mode):
+    from searchengine_spark.operators.search import search_many
+    index = index_general if mode == "bm25" else index_ref
+    got = _pdf(search_many(index, {"a": Q, "b": Q2}, k=8, mode=mode,
+                           collapse="conv_id", per_group=2))
+    for qid, q in [("a", Q), ("b", Q2)]:
+        single = _pdf(search(index, q, k=8, mode=mode,
+                             collapse="conv_id", per_group=2))
+        part = got[got["query_id"] == qid]
+        assert part["doc_id"].tolist() == single["doc_id"].tolist()
+        assert (part["score"].to_numpy()
+                - single["score"].to_numpy()).max() < 1e-9
+
+
+def test_batched_grammar_collapse_matches_single(index_general):
+    from searchengine_spark.operators.querylang import query_search_many
+    got = _pdf(query_search_many(index_general, {"a": Q, "b": Q2}, k=8,
+                                 collapse="conv_id"))
+    for qid, q in [("a", Q), ("b", Q2)]:
+        single = _pdf(query_search(index_general, q, k=8,
+                                   collapse="conv_id"))
+        assert got[got["query_id"] == qid]["doc_id"].tolist() \
+            == single["doc_id"].tolist()
+
+
+@pytest.fixture(scope="module")
+def fielded_corpus_index(corpus_df):
+    from searchengine_spark.operators.fielded import build_fielded_index
+    return build_fielded_index(corpus_df, mode="general")
+
+
+def test_bm25f_collapse_matches_brute_force(fielded_corpus_index):
+    from searchengine_spark.operators.fielded import bm25f_search
+    allm = _pdf(bm25f_search(fielded_corpus_index, Q, k=10 ** 6))
+    assert allm["conv_id"].nunique() < len(allm)
+    exp = _brute_collapse(allm, 1, k=10)
+    got = _pdf(bm25f_search(fielded_corpus_index, Q, k=10,
+                            collapse="conv_id"))
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert (got["score"] - exp["score"]).abs().max() < 1e-9
+
+
+def test_bm25f_batched_collapse_matches_single(fielded_corpus_index):
+    from searchengine_spark.operators.fielded import (bm25f_search,
+                                                      bm25f_search_many)
+    got = _pdf(bm25f_search_many(fielded_corpus_index, {"a": Q, "b": Q2},
+                                 k=8, collapse="conv_id", per_group=2))
+    for qid, q in [("a", Q), ("b", Q2)]:
+        single = _pdf(bm25f_search(fielded_corpus_index, q, k=8,
+                                   collapse="conv_id", per_group=2))
+        assert got[got["query_id"] == qid]["doc_id"].tolist() \
+            == single["doc_id"].tolist()
+
+
 # ---------- before:/after: time qualifiers ----------
 
 def test_parse_query_time_qualifiers():
