@@ -955,6 +955,21 @@ def _q_sim_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, qvec, k=K)
 
 
+def _q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-100 (real engine) + exact cosine top-100
+    fused by reciprocal-rank fusion (k=60), top-10. Embedding ids == the
+    index's dense doc ids under the zero-padded conv shaping."""
+    from searchengine_spark.operators.hybrid import hybrid_search
+    index = _index_for(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    hits = hybrid_search(index, " ".join(BM25_Q), emb, qvec, k=K,
+                         n_lex=100, n_vec=100)
+    return hits.select("doc_id", F.round("score", 6).alias("score"),
+                       F.col("lex_rank").cast("long").alias("lex_rank"),
+                       F.col("vec_rank").cast("long").alias("vec_rank"))
+
+
 def _q_text_quality(spark, sf_dir):
     """Quality scoring: token/char counts, avg token length, punct/digit ratio."""
     from searchengine_spark.functions.text import quality_metrics
@@ -1334,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "sim_cosine_topk": _q_sim_cosine_topk,
+        "q_hybrid_rrf": _q_hybrid_rrf,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_ivfpq_topk": _q_sim_ivfpq_topk,
@@ -2071,6 +2087,43 @@ def oracle_sql() -> dict[str, str]:
             from pairs join sizes sa on sa.doc_id = id_a
                        join sizes sb on sb.doc_id = id_b
             where inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.2""",
+        "q_hybrid_rrf": f"""
+            with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+            stats as (select count(*) as n, avg(dl) as avgdl from dl),
+            scored as (
+              select tf.doc_id,
+                     sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+              from tf join dfv using (term) join dl using (doc_id) cross join stats
+              where tf.term in ({", ".join(f"'{t}'" for t in BM25_Q)})
+              group by tf.doc_id),
+            -- engine lexical list: cut top-100 by the engine ordering
+            -- (round 9), then rank by the fusion quantization (round 6)
+            lex_cut as (select doc_id, s from scored
+                        order by round(s, 9) desc, doc_id asc limit 100),
+            lex as (select doc_id, row_number() over (
+                        order by round(s, 6) desc, doc_id asc) as lex_rank
+                    from lex_cut),
+            qv as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0),
+            cs as (select vec_id,
+                    round(list_dot_product(embedding::DOUBLE[], (select qv from qv))
+                    / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                       * sqrt(list_dot_product((select qv from qv), (select qv from qv)))), 6) as c
+                   from embeddings),
+            vec_cut as (select vec_id as doc_id, c from cs
+                        order by c desc, vec_id asc limit 100),
+            vec as (select doc_id, row_number() over (
+                        order by round(c, 6) desc, doc_id asc) as vec_rank
+                    from vec_cut),
+            fused as (
+              select coalesce(lex.doc_id, vec.doc_id) as doc_id,
+                     coalesce(1.0::DOUBLE / (60 + lex_rank), 0.0)
+                     + coalesce(1.0::DOUBLE / (60 + vec_rank), 0.0) as s,
+                     coalesce(lex_rank, 0) as lex_rank,
+                     coalesce(vec_rank, 0) as vec_rank
+              from lex full join vec on lex.doc_id = vec.doc_id)
+            select doc_id, round(s, 6) as score, lex_rank, vec_rank
+            from fused order by round(s, 9) desc, doc_id asc limit {K}""",
         "sim_cosine_topk": f"""
             with q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0),
             s as (select vec_id,

@@ -1,0 +1,119 @@
+"""Hybrid (BM25 + embedding-cosine) fusion vs a pure-Python brute force."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.hybrid import hybrid_fuse, hybrid_search
+from searchengine_spark.operators.search import search
+
+Q = "поиск запрос"
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, index_general):
+    n = index_general["stats"]["n_docs"]
+    rng = np.random.RandomState(7)
+    mat = rng.normal(size=(n, DIM))
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb_df):
+    return [float(x) for x in
+            emb_df.filter(F.col("vec_id") == 3).first()["embedding"]]
+
+
+def _lex_list(index, n):
+    rows = search(index, Q, k=n, mode="bm25").collect()
+    return [(r["doc_id"], float(r["score"])) for r in rows]
+
+
+def _vec_list(emb_df, qvec, n):
+    pdf = emb_df.toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    cos = np.round(cos, 6)  # cosine_topk stores 6 dp
+    order = sorted(range(len(cos)), key=lambda i: (-cos[i], i))[:n]
+    return [(int(pdf["vec_id"][i]), float(cos[i])) for i in order]
+
+
+def _ranks(lst):
+    order = sorted(lst, key=lambda t: (-round(t[1], 6), t[0]))
+    return {d: i + 1 for i, (d, _) in enumerate(order)}
+
+
+def _brute_rrf(lex, vec, k, rrf_k=60):
+    lr, vr = _ranks(lex), _ranks(vec)
+    fused = {d: (1.0 / (rrf_k + lr[d]) if d in lr else 0.0)
+             + (1.0 / (rrf_k + vr[d]) if d in vr else 0.0)
+             for d in set(lr) | set(vr)}
+    top = sorted(fused, key=lambda d: (-round(fused[d], 9), d))[:k]
+    return [(d, fused[d], lr.get(d, 0), vr.get(d, 0)) for d in top]
+
+
+def _brute_linear(lex, vec, k, alpha):
+    lr, vr = _ranks(lex), _ranks(vec)
+    def norm(lst):
+        ss = [s for _, s in lst]
+        lo, hi = min(ss), max(ss)
+        return {d: ((s - lo) / (hi - lo) if hi > lo else 1.0) for d, s in lst}
+    ln, vn = norm(lex), norm(vec)
+    fused = {d: alpha * ln.get(d, 0.0) + (1 - alpha) * vn.get(d, 0.0)
+             for d in set(ln) | set(vn)}
+    top = sorted(fused, key=lambda d: (-round(fused[d], 9), d))[:k]
+    return [(d, fused[d], lr.get(d, 0), vr.get(d, 0)) for d in top]
+
+
+def test_rrf_matches_brute_force(index_general, emb_df, qvec):
+    got = hybrid_search(index_general, Q, emb_df, qvec, k=10,
+                        n_lex=20, n_vec=20).collect()
+    exp = _brute_rrf(_lex_list(index_general, 20),
+                     _vec_list(emb_df, qvec, 20), k=10)
+    assert [r["doc_id"] for r in got] == [d for d, *_ in exp]
+    assert [(r["lex_rank"], r["vec_rank"]) for r in got] \
+        == [(lr, vr) for _, _, lr, vr in exp]
+    assert max(abs(r["score"] - s) for r, (_, s, *_ ) in zip(got, exp)) < 1e-12
+
+
+def test_linear_matches_brute_force(index_general, emb_df, qvec):
+    got = hybrid_search(index_general, Q, emb_df, qvec, k=10,
+                        method="linear", alpha=0.3,
+                        n_lex=20, n_vec=20).collect()
+    exp = _brute_linear(_lex_list(index_general, 20),
+                        _vec_list(emb_df, qvec, 20), k=10, alpha=0.3)
+    assert [r["doc_id"] for r in got] == [d for d, *_ in exp]
+    assert max(abs(r["score"] - s) for r, (_, s, *_ ) in zip(got, exp)) < 1e-12
+
+
+def test_single_list_docs_carry_rank_zero(index_general, emb_df, qvec):
+    # random embeddings vs lexical matches: with short lists the overlap is
+    # tiny, so both one-sided cases appear in the fused top-k
+    got = hybrid_search(index_general, Q, emb_df, qvec, k=20,
+                        n_lex=10, n_vec=10).collect()
+    assert any(r["lex_rank"] == 0 and r["vec_rank"] > 0 for r in got)
+    assert any(r["vec_rank"] == 0 and r["lex_rank"] > 0 for r in got)
+    # a doc in BOTH lists fuses both reciprocal terms exactly
+    both = [r for r in got if r["lex_rank"] > 0 and r["vec_rank"] > 0]
+    for r in both:
+        assert abs(r["score"] - (1 / (60 + r["lex_rank"])
+                                 + 1 / (60 + r["vec_rank"]))) < 1e-12
+
+
+def test_vec_hits_hook_equals_default(index_general, emb_df, qvec):
+    from searchengine_spark.functions.similarity import cosine_topk
+    vh = cosine_topk(emb_df, qvec, k=20)
+    got = hybrid_search(index_general, Q, emb_df, qvec, k=10,
+                        n_lex=20, n_vec=20, vec_hits=vh).collect()
+    base = hybrid_search(index_general, Q, emb_df, qvec, k=10,
+                         n_lex=20, n_vec=20).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in base]
+
+
+def test_fuse_rejects_unknown_method(index_general, emb_df, qvec):
+    with pytest.raises(ValueError):
+        hybrid_search(index_general, Q, emb_df, qvec, method="borda")
