@@ -955,6 +955,28 @@ def _q_sim_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, qvec, k=K)
 
 
+def _q_search_after(spark, sf_dir):
+    """Cursor (search_after) pagination: page 2 of the BM25 ranking via the
+    page-1 tail cursor — must equal the offset-10 slice, at LIMIT k cost."""
+    from searchengine_spark.operators.search import search
+    index = _index_for(spark, sf_dir)
+    q = " ".join(BM25_Q)
+    page1 = search(index, q, k=K, mode="bm25").collect()
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    hits = search(index, q, k=K, mode="bm25", search_after=cursor)
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_sort_recent(spark, sf_dir):
+    """Field-sorted retrieval: BM25 match set ordered by ts desc (recency
+    feed), top-10, scores still computed. Under the entry's shaping
+    ts = 2026-01-01 + doc_id s, so ts desc == doc_id desc in the oracle."""
+    from searchengine_spark.operators.search import search
+    index = _index_for(spark, sf_dir)
+    hits = search(index, " ".join(BM25_Q), k=K, mode="bm25", sort_by="ts")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval: BM25 top-100 (real engine) + exact cosine top-100
     fused by reciprocal-rank fusion (k=60), top-10. Embedding ids == the
@@ -1350,6 +1372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "q_hybrid_rrf": _q_hybrid_rrf,
+        "q_search_after": _q_search_after,
+        "q_sort_recent": _q_sort_recent,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_ivfpq_topk": _q_sim_ivfpq_topk,
@@ -1712,6 +1736,21 @@ def oracle_sql() -> dict[str, str]:
             select 'tens' as dim, cast((doc_id // 10) % 10 as varchar) as facet,
                    cast(count(*) as bigint) as n_docs from m group by 2""",
         "q11_bm25_page2": _bm25_sql(BM25_Q, K, offset=K),
+        # cursor paging: page 2 via search_after == the offset slice
+        "q_search_after": _bm25_sql(BM25_Q, K, offset=K),
+        # ts desc == doc_id desc under the entry's ts = base + doc_id s shaping
+        "q_sort_recent": f"""
+with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+stats as (select count(*) as n, avg(dl) as avgdl from dl),
+scored as (
+  select tf.doc_id,
+         sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+  from tf join dfv using (term) join dl using (doc_id) cross join stats
+  where tf.term in ({", ".join(f"'{t}'" for t in BM25_Q)})
+  group by tf.doc_id)
+select doc_id, round(s, 6) as score from scored
+order by doc_id desc limit {K}""",
         # scoped search: SCOPE_PREFIX 'doc000001' ≡ doc_id in [100, 199]
         "q2_scoped_bm25_topk": _bm25_sql(
             BM25_Q, K, scope="tf.doc_id between 100 and 199"),

@@ -439,7 +439,9 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
            offset: int = 0, scope=None, with_titles: bool = False,
            exclude: "str | None" = None,
            exclude_docs: "DataFrame | None" = None,
-           collapse=None, per_group: int = 1) -> DataFrame:
+           collapse=None, per_group: int = 1,
+           search_after: "tuple | None" = None,
+           sort_by=None, sort_asc: bool = False) -> DataFrame:
     """Top-k search over a built index; returns DataFrame
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, snippet]).
 
@@ -489,8 +491,39 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     shuffle on the key; top-k stays TakeOrderedAndProject. Block-max
     pruning turns off (a doc outside the global top-k can enter the
     collapsed top-k, so a top-k θ would make skips unsound); this is a
-    count-every-match query class, like facets."""
+    count-every-match query class, like facets.
+
+    ``search_after`` is CURSOR pagination (Elasticsearch ``search_after``):
+    pass the previous page's last (score, doc_id) — or (sort key, doc_id)
+    under ``sort_by`` — and only matches strictly after that cursor in the
+    active ranking are retrieved. Unlike ``offset=`` (which materializes
+    offset+k winners and rank-slices them — fine for page 2, wrong for
+    page 10⁵), the cursor page is a filter + plain top-k: LIMIT stays k at
+    ANY depth, so walking an entire result set costs O(matches) total, not
+    O(matches · pages). Score cursors compare at the ranking's 9-dp
+    quantization (ties broken by doc_id), so pages never skip or repeat a
+    row. bm25 mode only (ref_compat's score is result-set-relative — its
+    max row lives outside every later page; use ``offset=``), and mutually
+    exclusive with ``offset``. Block-max pruning turns off: a θ from the
+    unfiltered top-k overestimates the kth POST-cursor score, which is
+    exactly the regime deep pages live in.
+
+    ``sort_by``/``sort_asc`` rank matches by a docs-table column (name or
+    Column expression) instead of relevance — recency feeds
+    (``sort_by="ts"``), id order, any metadata. BM25 scores are still
+    computed and returned; the plan swaps the top-k ordering for (key,
+    doc_id asc) after one match-set-sized join to docs for the key (the
+    facet/collapse join shape). Null keys sort last and are unreachable by
+    a cursor. bm25 mode only; composes with scope/exclude/collapse/
+    offset/search_after (the cursor is then (key, doc_id))."""
     spark = index["docs"].sparkSession
+    if (search_after is not None or sort_by is not None) and mode != "bm25":
+        raise ValueError(
+            "search_after/sort_by require mode='bm25': ref_compat scores "
+            "are normalized by the match set's max, which lives outside "
+            "later pages — use offset= for ref_compat paging")
+    if search_after is not None and offset:
+        raise ValueError("search_after and offset are mutually exclusive")
     release_query_caches(index)  # scoped caches from PREVIOUS queries
     stats = index["stats"]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -601,7 +634,10 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     do_prune = (prune_blocks is True or
                 (prune_blocks == "auto" and sum_df_direct >= PRUNE_MIN_POSTINGS)) \
         and bool(direct_ids) and (has_m or cached is None) \
-        and collapse is None  # collapsed top-k needs every match (docstring)
+        and collapse is None \
+        and search_after is None and sort_by is None  # count-every-match
+        # classes: collapsed top-k / cursor pages / field-sorted retrieval
+        # all need matches below the global-top-k θ (docstring)
 
     if mode == "bm25" and do_prune and n_q > 0:
         # per-term WAND upper bounds M_t, driver-side from the dictionary's
@@ -750,13 +786,39 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
             / F.max(F.col("tf_sum").cast("double")).over(Window.partitionBy()))
     else:
         matches = agg.withColumn("score", F.col("bm25"))
+        if sort_by is not None:
+            # one match-set-sized join for the sort key (facet/collapse
+            # shape); the key column rides to the final projection's sort
+            skey = F.col(sort_by) if isinstance(sort_by, str) else sort_by
+            matches = matches.join(
+                index["docs"].select("doc_id", skey.alias("_skey")), "doc_id")
+            key_ord = (F.col("_skey").asc_nulls_last() if sort_asc
+                       else F.col("_skey").desc_nulls_last())
+            rank_cols = [key_ord, F.col("doc_id").asc()]
+        else:
+            rank_cols = [_ord(), F.col("doc_id").asc()]
         if collapse is not None:
-            matches = _collapse_filter(
-                index, matches, [_ord(), F.col("doc_id").asc()],
-                collapse, per_group)
-        topk = matches.orderBy(_ord(), F.col("doc_id").asc()).limit(k_eff)
+            matches = _collapse_filter(index, matches, rank_cols,
+                                       collapse, per_group)
+        if search_after is not None:
+            # strictly-after-the-cursor filter under the active ranking;
+            # score cursors compare at the ranking's 9-dp quantization
+            la_key, la_doc = search_after
+            if sort_by is not None:
+                kc = F.col("_skey")
+                lk = F.lit(la_key)
+                before = (kc > lk) if sort_asc else (kc < lk)
+                at = kc == lk
+            else:
+                s9 = F.round(F.col("score"), 9)
+                lk = F.lit(round(float(la_key), 9))
+                before, at = s9 < lk, s9 == lk
+            matches = matches.filter(
+                before | (at & (F.col("doc_id") > F.lit(int(la_doc)))))
+        topk = matches.orderBy(*rank_cols).limit(k_eff)
     if offset:
-        w_pg = Window.orderBy(_ord(), F.col("doc_id").asc())
+        w_pg = Window.orderBy(*([_ord(), F.col("doc_id").asc()]
+                                if mode == "ref_compat" else rank_cols))
         topk = (topk.withColumn("_rk", F.row_number().over(w_pg))
                 .filter(F.col("_rk") > offset).drop("_rk"))
     need_text = with_snippets or with_titles
@@ -764,10 +826,15 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
                                      *(["text"] if need_text else []))
     # k rows vs the corpus: broadcast the winners explicitly so Q9 is a
     # broadcast-hash join against the docs scan, never a shuffle
+    sorted_bm25 = mode != "ref_compat" and sort_by is not None
     out = docs_meta.join(F.broadcast(topk), "doc_id") \
         .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "score",
-                *(["text"] if need_text else [])) \
-        .orderBy(_ord(), F.col("doc_id").asc())
+                *(["text"] if need_text else []),
+                *(["_skey"] if sorted_bm25 else [])) \
+        .orderBy(*(rank_cols if sorted_bm25
+                   else [_ord(), F.col("doc_id").asc()]))
+    if sorted_bm25:
+        out = out.drop("_skey")
     if with_titles:
         # Q9 title analog (reference services/SearchingServiceImpl.java:159-169)
         from searchengine_spark.functions.text import extract_title

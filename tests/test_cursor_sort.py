@@ -1,0 +1,113 @@
+"""search_after cursor pagination and sort_by field-ordered retrieval."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.search import search
+
+Q = "поиск запрос"
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+# ---------- search_after ----------
+
+def test_cursor_page_equals_offset_page(index_general):
+    page1 = search(index_general, Q, k=10, mode="bm25").collect()
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    via_cursor = _rows(search(index_general, Q, k=10, mode="bm25",
+                              search_after=cursor))
+    via_offset = _rows(search(index_general, Q, k=10, mode="bm25", offset=10))
+    assert via_cursor == via_offset
+
+
+def test_cursor_walk_covers_all_matches_once(index_general):
+    allm = _rows(search(index_general, Q, k=10 ** 6, mode="bm25"))
+    got, cursor = [], None
+    while True:
+        page = search(index_general, Q, k=7, mode="bm25",
+                      search_after=cursor).collect()
+        if not page:
+            break
+        got.extend((r["doc_id"], r["score"]) for r in page)
+        cursor = (page[-1]["score"], page[-1]["doc_id"])
+    assert got == allm  # no skips, no repeats, exact order
+
+
+def test_cursor_with_scope_and_exclude(index_general):
+    kw = dict(mode="bm25", scope="conv00", exclude="индекс")
+    page1 = search(index_general, Q, k=5, **kw).collect()
+    if len(page1) < 5:
+        pytest.skip("scoped match set too small for a second page")
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    assert _rows(search(index_general, Q, k=5, search_after=cursor, **kw)) \
+        == _rows(search(index_general, Q, k=5, offset=5, **kw))
+
+
+def test_cursor_with_collapse(index_general):
+    kw = dict(mode="bm25", collapse="conv_id", per_group=1)
+    page1 = search(index_general, Q, k=5, **kw).collect()
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    assert _rows(search(index_general, Q, k=5, search_after=cursor, **kw)) \
+        == _rows(search(index_general, Q, k=5, offset=5, **kw))
+
+
+def test_cursor_rejects_ref_compat_and_offset(index_ref, index_general):
+    with pytest.raises(ValueError):
+        search(index_ref, Q, mode="ref_compat", search_after=(1.0, 3))
+    with pytest.raises(ValueError):
+        search(index_general, Q, mode="bm25", search_after=(1.0, 3), offset=5)
+
+
+# ---------- sort_by ----------
+
+def _brute_sorted(index, q, key, k, asc=False):
+    m = search(index, q, k=10 ** 6, mode="bm25") \
+        .select("doc_id", "score", F.col(key).alias("_k")).collect()
+    rows = sorted(m, key=lambda r: r["doc_id"])            # tie-break asc
+    rows = sorted(rows, key=lambda r: r["_k"], reverse=not asc)  # stable
+    return [(r["doc_id"], r["score"]) for r in rows[:k]]
+
+
+def test_sort_by_ts_desc_matches_brute_force(index_general):
+    exp = _brute_sorted(index_general, Q, "ts", k=10, asc=False)
+    got = _rows(search(index_general, Q, k=10, mode="bm25", sort_by="ts"))
+    assert got == exp
+
+
+def test_sort_by_ts_asc_matches_brute_force(index_general):
+    exp = _brute_sorted(index_general, Q, "ts", k=10, asc=True)
+    got = _rows(search(index_general, Q, k=10, mode="bm25",
+                       sort_by="ts", sort_asc=True))
+    assert got == exp
+
+
+def test_sort_with_cursor_walks_in_key_order(index_general):
+    exp = _brute_sorted(index_general, Q, "ts", k=10 ** 6, asc=False)
+    docs = {r["doc_id"]: r for r in index_general["docs"].collect()}
+    got, cursor = [], None
+    while True:
+        page = search(index_general, Q, k=6, mode="bm25", sort_by="ts",
+                      search_after=cursor).collect()
+        if not page:
+            break
+        got.extend((r["doc_id"], r["score"]) for r in page)
+        last = page[-1]
+        cursor = (docs[last["doc_id"]]["ts"], last["doc_id"])
+    assert got == exp
+
+
+def test_sort_by_expression_and_offset(index_general):
+    # expression key + offset paging compose
+    exp = _brute_sorted(index_general, Q, "turn_idx", k=12, asc=True)[6:12]
+    got = _rows(search(index_general, Q, k=6, mode="bm25", offset=6,
+                       sort_by=F.col("turn_idx"), sort_asc=True))
+    assert got == exp
+
+
+def test_sort_rejects_ref_compat(index_ref):
+    with pytest.raises(ValueError):
+        search(index_ref, Q, mode="ref_compat", sort_by="ts")
