@@ -546,7 +546,9 @@ def bm25f_search(index: dict, query: str, k: int = 10,
                  with_snippets: bool = False,
                  with_titles: bool = False,
                  exclude_docs: "DataFrame | None" = None,
-                 collapse=None, per_group: int = 1) -> DataFrame:
+                 collapse=None, per_group: int = 1,
+                 search_after: "tuple | None" = None,
+                 sort_by=None, sort_asc: bool = False) -> DataFrame:
     """BM25F top-k over a fielded index. Returns
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, title][, snippet]).
 
@@ -592,9 +594,17 @@ def bm25f_search(index: dict, query: str, k: int = 10,
     semantics: rank every match, keep each group's best per_group, then
     global top-k). Like NOT, collapse disables the fielded WAND — a doc
     below the global top-k can enter the collapsed page, so the keep-set
-    θ would be unsound."""
+    θ would be unsound.
+
+    ``search_after``/``sort_by``/``sort_asc`` mirror the main path
+    (``search``'s docstring): cursor pagination on (score, doc_id) — or
+    (sort key, doc_id) under ``sort_by`` — and field-sorted retrieval.
+    Both disable the fielded WAND for the same below-top-k reasons as
+    collapse; ``search_after`` is mutually exclusive with ``offset``."""
     from searchengine_spark.operators.search import (
         _query_terms, _ord, _scope_info, release_query_caches)
+    if search_after is not None and offset:
+        raise ValueError("search_after and offset are mutually exclusive")
 
     release_query_caches(index)  # NOT-clause persists from PREVIOUS queries
     spark = index["docs"].sparkSession
@@ -626,7 +636,8 @@ def bm25f_search(index: dict, query: str, k: int = 10,
         excl = xd if excl is None else excl.unionByName(xd).distinct()
     k_eff = offset + k  # pagination retrieves offset+k winners, slices after
     prune = (None if (prune_blocks is False or excl is not None
-                      or collapse is not None)
+                      or collapse is not None or search_after is not None
+                      or sort_by is not None)
              else (prune_blocks, k_eff, k1))
     allf, idf_of = _fielded_candidate_rows(index, qterms, sc, weights, b,
                                            prune=prune)
@@ -636,15 +647,35 @@ def bm25f_search(index: dict, query: str, k: int = 10,
     scored = blended.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
     if excl is not None:
         scored = scored.join(excl, "doc_id", "left_anti")
+    if sort_by is not None:
+        skey = F.col(sort_by) if isinstance(sort_by, str) else sort_by
+        scored = scored.join(
+            index["docs"].select("doc_id", skey.alias("_skey")), "doc_id")
+        key_ord = (F.col("_skey").asc_nulls_last() if sort_asc
+                   else F.col("_skey").desc_nulls_last())
+        rank_cols = [key_ord, F.col("doc_id").asc()]
+    else:
+        rank_cols = [_ord(), F.col("doc_id").asc()]
     if collapse is not None:
         from searchengine_spark.operators.search import _collapse_filter
-        scored = _collapse_filter(
-            index, scored, [_ord(), F.col("doc_id").asc()],
-            collapse, per_group)
-    topk = scored.orderBy(_ord(), F.col("doc_id").asc()).limit(k_eff)
+        scored = _collapse_filter(index, scored, rank_cols,
+                                  collapse, per_group)
+    if search_after is not None:
+        la_key, la_doc = search_after
+        if sort_by is not None:
+            kc, lk = F.col("_skey"), F.lit(la_key)
+            before = (kc > lk) if sort_asc else (kc < lk)
+            at = kc == lk
+        else:
+            s9 = F.round(F.col("score"), 9)
+            lk = F.lit(round(float(la_key), 9))
+            before, at = s9 < lk, s9 == lk
+        scored = scored.filter(
+            before | (at & (F.col("doc_id") > F.lit(int(la_doc)))))
+    topk = scored.orderBy(*rank_cols).limit(k_eff)
     if offset:
         from pyspark.sql import Window
-        w_pg = Window.orderBy(_ord(), F.col("doc_id").asc())
+        w_pg = Window.orderBy(*rank_cols)
         topk = (topk.withColumn("_rk", F.row_number().over(w_pg))
                 .filter(F.col("_rk") > offset).drop("_rk"))
     need_text = with_snippets or with_titles
@@ -653,8 +684,11 @@ def bm25f_search(index: dict, query: str, k: int = 10,
                                      *(["text"] if need_text else []))
     out = (docs_meta.join(F.broadcast(topk), "doc_id")
            .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-                   "score", *(["text"] if need_text else []))
-           .orderBy(_ord(), F.col("doc_id").asc()))
+                   "score", *(["text"] if need_text else []),
+                   *(["_skey"] if sort_by is not None else []))
+           .orderBy(*rank_cols))
+    if sort_by is not None:
+        out = out.drop("_skey")
     if with_titles:
         from searchengine_spark.functions.text import extract_title
         out = out.withColumn("title", extract_title(F.col("text")))
@@ -676,7 +710,9 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       exclude: "dict[str, str] | str | None" = None,
                       with_snippets: bool = False,
                       offset: int = 0,
-                      collapse=None, per_group: int = 1) -> DataFrame:
+                      collapse=None, per_group: int = 1,
+                      search_after: "dict | tuple | None" = None,
+                      sort_by=None, sort_asc: bool = False) -> DataFrame:
     """Batched BM25F: score MANY queries in ONE Spark job (the fielded
     analog of ``search_many`` — a query-log replay otherwise pays one
     fixed-latency job per query).
@@ -710,9 +746,18 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
     best per_group before the rank window; one key join + one narrow
     shuffle for the whole batch).
 
+    ``search_after``/``sort_by``/``sort_asc`` are the batched cursor and
+    field-sort controls — ``search_many``'s contract exactly: per-query
+    (or shared) cursors in one literal when-chain filter, one docs key
+    join for the whole batch; row-identical to per-query
+    ``bm25f_search(search_after=, sort_by=)``.
+
     Returns (query_id, rank, doc_id, conv_id, turn_idx, role, tool, ts,
     score[, snippet])."""
-    from searchengine_spark.operators.search import _query_terms, _scope_info
+    from searchengine_spark.operators.search import (
+        _query_terms, _scope_info, _batch_sort_key, _batch_cursor_filter)
+    if search_after is not None and offset:
+        raise ValueError("search_after and offset are mutually exclusive")
     from pyspark.sql import Window
 
     spark = index["docs"].sparkSession
@@ -771,17 +816,19 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
         banned = (blended.join(xmap, "term")
                   .select("query_id", "doc_id").distinct())
         scored = scored.join(banned, ["query_id", "doc_id"], "left_anti")
+    scored, order_cols = _batch_sort_key(index, scored, sort_by, sort_asc)
     if collapse is not None:
         key_col = F.col(collapse) if isinstance(collapse, str) else collapse
         keys = index["docs"].select("doc_id", key_col.alias("_ckey"))
-        w_c = Window.partitionBy("query_id", "_ckey").orderBy(
-            F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
+        w_c = Window.partitionBy("query_id", "_ckey").orderBy(*order_cols)
         scored = (scored.join(keys, "doc_id")
                   .withColumn("_cr", F.row_number().over(w_c))
                   .filter(F.col("_cr") <= F.lit(int(per_group)))
                   .drop("_cr", "_ckey"))
-    w_q = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
+    if search_after is not None:
+        scored = _batch_cursor_filter(scored, queries, search_after,
+                                      sort_by, sort_asc)
+    w_q = Window.partitionBy("query_id").orderBy(*order_cols)
     ranked = (scored.withColumn("rank", F.row_number().over(w_q))
               .filter(F.col("rank") <= int(offset) + k))
     if offset:

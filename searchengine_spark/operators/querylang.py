@@ -294,7 +294,9 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
                  scope=None, offset: int = 0, with_snippets: bool = False,
                  with_titles: bool = False,
                  prune_blocks: "bool | str" = "auto",
-                 collapse=None, per_group: int = 1) -> DataFrame:
+                 collapse=None, per_group: int = 1,
+                 search_after: "tuple | None" = None,
+                 sort_by=None, sort_asc: bool = False) -> DataFrame:
     """Ranked search driven by the query-string grammar (module
     docstring). Returns the same shape as ``search``:
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, title][, snippet]),
@@ -307,7 +309,9 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
     user scope intersects with the phrase clauses' doc sets (both are
     candidate restrictions). Snippets highlight every positive word —
     bare and phrase constituents — since the ranked pass receives them
-    all as its query."""
+    all as its query. ``search_after``/``sort_by``/``sort_asc`` (cursor
+    pagination and field-sorted retrieval, see ``search``) pass through
+    unchanged — the grammar only shapes the candidate set."""
     spark = index["docs"].sparkSession
     empty = spark.createDataFrame(
         [], "doc_id long, conv_id string, turn_idx int, role string, "
@@ -328,7 +332,9 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
                  with_titles=with_titles,
                  exclude=" ".join(g["not_terms"]) or None,
                  exclude_docs=g["exclude_docs"],
-                 collapse=collapse, per_group=per_group)
+                 collapse=collapse, per_group=per_group,
+                 search_after=search_after, sort_by=sort_by,
+                 sort_asc=sort_asc)
     index.setdefault("_query_persists", []).extend(held + g["persists"])
     return out
 
@@ -337,7 +343,9 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       mode: str = "bm25", scope=None, offset: int = 0,
                       with_snippets: bool = False,
                       with_titles: bool = False,
-                      collapse=None, per_group: int = 1) -> DataFrame:
+                      collapse=None, per_group: int = 1,
+                      search_after: "dict | tuple | None" = None,
+                      sort_by=None, sort_asc: bool = False) -> DataFrame:
     """Batched query-LANGUAGE replay: run MANY grammar query strings
     (module docstring — terms, "phrases", "spans"~N, (or|groups),
     -NOT clauses, field:qualifiers) with the amortized plan shape of
@@ -363,7 +371,8 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
     So a batch of N grammar queries costs one positional decode + one
     scoring decode + one ranking job, independent of N — versus N
     ``query_search`` jobs. ``scope`` is shared by the whole batch;
-    ``offset``/``with_snippets``/``collapse``/``per_group`` as in
+    ``offset``/``with_snippets``/``collapse``/``per_group`` and
+    ``search_after``/``sort_by``/``sort_asc`` as in
     ``search_many``. Per-query empty
     semantics match the single path: a query with no positive words, an
     unsatisfiable group, or an unmatchable positive phrase/span clause
@@ -551,7 +560,9 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       clause_arity=arity or None,
                       site_like=site_like or None,
                       exclude_pairs=exclude_pairs,
-                      collapse=collapse, per_group=per_group)
+                      collapse=collapse, per_group=per_group,
+                      search_after=search_after, sort_by=sort_by,
+                      sort_asc=sort_asc)
     index.setdefault("_query_persists", []).extend(held + persists)
     return out
 
@@ -596,7 +607,9 @@ def query_search_bm25f(index: dict, fielded: dict, qstr: str, k: int = 10,
                        weights: "dict[str, float] | None" = None,
                        with_snippets: bool = False,
                        with_titles: bool = False,
-                       collapse=None, per_group: int = 1) -> DataFrame:
+                       collapse=None, per_group: int = 1,
+                       search_after: "tuple | None" = None,
+                       sort_by=None, sort_asc: bool = False) -> DataFrame:
     """Grammar-driven search RANKED BY BM25F — the query language with the
     fielded scorer (title/role/tool-weighted) instead of flat BM25.
 
@@ -632,6 +645,8 @@ def query_search_bm25f(index: dict, fielded: dict, qstr: str, k: int = 10,
                        with_titles=with_titles,
                        exclude=" ".join(g["not_terms"]) or None,
                        exclude_docs=g["exclude_docs"],
-                       collapse=collapse, per_group=per_group)
+                       collapse=collapse, per_group=per_group,
+                       search_after=search_after, sort_by=sort_by,
+                       sort_asc=sort_asc)
     index.setdefault("_query_persists", []).extend(held + g["persists"])
     return out

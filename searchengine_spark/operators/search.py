@@ -434,6 +434,44 @@ def _collapse_filter(index: dict, matches: DataFrame, order_cols,
             .drop("_cr", "_ckey"))
 
 
+def _batch_sort_key(index: dict, scored: DataFrame, sort_by, sort_asc: bool):
+    """Batched ``sort_by`` plumbing: one docs key join for the whole batch;
+    returns (scored, order_cols) — the active per-query ranking order."""
+    if sort_by is not None:
+        skey = F.col(sort_by) if isinstance(sort_by, str) else sort_by
+        scored = scored.join(
+            index["docs"].select("doc_id", skey.alias("_skey")), "doc_id")
+        key_ord = (F.col("_skey").asc_nulls_last() if sort_asc
+                   else F.col("_skey").desc_nulls_last())
+        return scored, [key_ord, F.col("doc_id").asc()]
+    return scored, [F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()]
+
+
+def _batch_cursor_filter(scored: DataFrame, queries: dict, search_after,
+                         sort_by, sort_asc: bool) -> DataFrame:
+    """Batched ``search_after``: a dict (query_id → (key, doc_id)) or one
+    cursor shared by the batch, applied as a literal when-chain over
+    query_id — queries without a cursor pass through unfiltered. Same
+    strictly-after semantics as ``search``; applied AFTER collapse (like
+    the single path: the cursor pages through collapsed survivors)."""
+    cursors = (search_after if isinstance(search_after, dict)
+               else {qid: search_after for qid in queries})
+    w = None
+    for qid, (la_key, la_doc) in cursors.items():
+        if sort_by is not None:
+            kc, lk = F.col("_skey"), F.lit(la_key)
+            before = (kc > lk) if sort_asc else (kc < lk)
+            at = kc == lk
+        else:
+            s9 = F.round(F.col("score"), 9)
+            lk = F.lit(round(float(la_key), 9))
+            before, at = s9 < lk, s9 == lk
+        p = before | (at & (F.col("doc_id") > F.lit(int(la_doc))))
+        w = (F.when(F.col("query_id") == qid, p) if w is None
+             else w.when(F.col("query_id") == qid, p))
+    return scored if w is None else scored.filter(w.otherwise(F.lit(True)))
+
+
 def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
            prune_blocks: "bool | str" = "auto", with_snippets: bool = False,
            offset: int = 0, scope=None, with_titles: bool = False,
@@ -1746,7 +1784,9 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
                 clause_arity: "dict[str, int] | None" = None,
                 site_like: "set[str] | None" = None,
                 exclude_pairs: "DataFrame | None" = None,
-                collapse=None, per_group: int = 1) -> DataFrame:
+                collapse=None, per_group: int = 1,
+                search_after: "dict | tuple | None" = None,
+                sort_by=None, sort_asc: bool = False) -> DataFrame:
     """Batched top-k: score MANY queries in ONE Spark job.
 
     A single-query search costs ~1 fixed-latency job regardless of data;
@@ -1783,6 +1823,16 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     — one extra join to docs for the key and one extra narrow shuffle for
     the whole batch, matching single-query ``search(collapse=)`` row for
     row (block-max pruning is already off here, so no further gating).
+
+    ``search_after`` is batched cursor pagination: a dict (query_id →
+    (score, doc_id) — or (sort key, doc_id) under ``sort_by``) with each
+    query's page-tail cursor, or one cursor shared by the batch; queries
+    without a cursor return page 1. Applied as one literal when-chain
+    filter before the rank window, so a query-log page-walk replay stays
+    ONE job per page at LIMIT k cost. ``sort_by``/``sort_asc`` rank every
+    query in the batch by a docs column instead of relevance (one key join
+    for the batch). Both bm25-only and row-identical to the single path;
+    ``search_after`` is mutually exclusive with ``offset``.
 
     ``exclude`` is the batched NOT clause: a dict (query_id → NOT terms)
     or one string shared by the whole batch. Excluded terms ride the SAME
@@ -1827,6 +1877,12 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     resolution); clause-restricted queries keep the global prune
     (matching ``search(scope=<DataFrame>)``).
     """
+    if (search_after is not None or sort_by is not None) \
+            and mode == "ref_compat":
+        raise ValueError("search_after/sort_by require mode='bm25' "
+                         "(see search()'s docstring)")
+    if search_after is not None and offset:
+        raise ValueError("search_after and offset are mutually exclusive")
     spark = index["docs"].sparkSession
     release_query_caches(index)
     stats = index["stats"]
@@ -2103,13 +2159,15 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
             / F.max(F.col("tf_sum").cast("double")).over(w_q))
     else:
         scored_q = agg.withColumn("score", F.col("bm25"))
+        scored_q, order_cols = _batch_sort_key(index, scored_q,
+                                               sort_by, sort_asc)
         if collapse is not None:
-            scored_q = _batch_collapse(
-                scored_q,
-                [F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()])
+            scored_q = _batch_collapse(scored_q, order_cols)
+        if search_after is not None:
+            scored_q = _batch_cursor_filter(scored_q, queries, search_after,
+                                            sort_by, sort_asc)
         ranked = scored_q.withColumn(
-            "rank", F.row_number().over(
-                w_q.orderBy(F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()))) \
+            "rank", F.row_number().over(w_q.orderBy(*order_cols))) \
             .filter(F.col("rank") <= k_tot)
     if offset:
         ranked = ranked.filter(F.col("rank") > int(offset))

@@ -111,3 +111,94 @@ def test_sort_by_expression_and_offset(index_general):
 def test_sort_rejects_ref_compat(index_ref):
     with pytest.raises(ValueError):
         search(index_ref, Q, mode="ref_compat", sort_by="ts")
+
+
+# ---------- batched, fielded, grammar forms ----------
+
+Q2 = "запрос индекс"
+
+
+def test_batched_cursor_matches_single(index_general):
+    from searchengine_spark.operators.search import search_many
+    cursors = {}
+    for qid, q in [("a", Q), ("b", Q2)]:
+        p1 = search(index_general, q, k=6, mode="bm25").collect()
+        cursors[qid] = (p1[-1]["score"], p1[-1]["doc_id"])
+    got = search_many(index_general, {"a": Q, "b": Q2}, k=6, mode="bm25",
+                      search_after=cursors).toPandas()
+    for qid, q in [("a", Q), ("b", Q2)]:
+        single = _rows(search(index_general, q, k=6, mode="bm25",
+                              search_after=cursors[qid]))
+        part = got[got["query_id"] == qid]
+        assert list(zip(part["doc_id"], part["score"])) == single
+
+
+def test_batched_sort_matches_single(index_general):
+    from searchengine_spark.operators.search import search_many
+    got = search_many(index_general, {"a": Q, "b": Q2}, k=8, mode="bm25",
+                      sort_by="ts").toPandas()
+    for qid, q in [("a", Q), ("b", Q2)]:
+        single = _rows(search(index_general, q, k=8, mode="bm25",
+                              sort_by="ts"))
+        part = got[got["query_id"] == qid]
+        assert list(zip(part["doc_id"], part["score"])) == single
+
+
+def test_batched_rejects_ref_compat_cursor(index_ref):
+    from searchengine_spark.operators.search import search_many
+    with pytest.raises(ValueError):
+        search_many(index_ref, {"a": Q}, mode="ref_compat",
+                    search_after=(1.0, 3))
+
+
+@pytest.fixture(scope="module")
+def fielded_idx(corpus_df):
+    from searchengine_spark.operators.fielded import build_fielded_index
+    return build_fielded_index(corpus_df, mode="general")
+
+
+def test_bm25f_cursor_page_equals_offset(fielded_idx):
+    from searchengine_spark.operators.fielded import bm25f_search
+    p1 = bm25f_search(fielded_idx, Q, k=8).collect()
+    cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+    via_cursor = _rows(bm25f_search(fielded_idx, Q, k=8,
+                                    search_after=cursor))
+    via_offset = _rows(bm25f_search(fielded_idx, Q, k=8, offset=8))
+    assert via_cursor == via_offset
+
+
+def test_bm25f_sort_matches_brute_force(fielded_idx):
+    from searchengine_spark.operators.fielded import bm25f_search
+    allm = bm25f_search(fielded_idx, Q, k=10 ** 6).collect()
+    rows = sorted(allm, key=lambda r: r["doc_id"])
+    rows = sorted(rows, key=lambda r: r["ts"], reverse=True)
+    exp = [(r["doc_id"], r["score"]) for r in rows[:10]]
+    got = _rows(bm25f_search(fielded_idx, Q, k=10, sort_by="ts"))
+    assert got == exp
+
+
+def test_bm25f_batched_cursor_matches_single(fielded_idx):
+    from searchengine_spark.operators.fielded import (bm25f_search,
+                                                      bm25f_search_many)
+    cursors = {}
+    for qid, q in [("a", Q), ("b", Q2)]:
+        p1 = bm25f_search(fielded_idx, q, k=5).collect()
+        cursors[qid] = (p1[-1]["score"], p1[-1]["doc_id"])
+    got = bm25f_search_many(fielded_idx, {"a": Q, "b": Q2}, k=5,
+                            search_after=cursors).toPandas()
+    for qid, q in [("a", Q), ("b", Q2)]:
+        single = _rows(bm25f_search(fielded_idx, q, k=5,
+                                    search_after=cursors[qid]))
+        part = got[got["query_id"] == qid]
+        assert list(zip(part["doc_id"], part["score"])) == single
+
+
+def test_grammar_cursor_equals_offset(index_general):
+    from searchengine_spark.operators.querylang import query_search
+    qs = f'{Q} -ошибка'
+    p1 = query_search(index_general, qs, k=6).collect()
+    cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+    via_cursor = _rows(query_search(index_general, qs, k=6,
+                                    search_after=cursor))
+    via_offset = _rows(query_search(index_general, qs, k=6, offset=6))
+    assert via_cursor == via_offset
