@@ -992,6 +992,29 @@ def _q_hybrid_rrf(spark, sf_dir):
                        F.col("vec_rank").cast("long").alias("vec_rank"))
 
 
+HYB_Q2 = ["spark", "hash"]  # second batched-hybrid query (in-vocab terms)
+
+
+def _q_hybrid_batched(spark, sf_dir):
+    """Batched hybrid: two (text query, query vector) pairs — one lexical
+    batch job + ONE embedding scan scoring both vectors — fused per query
+    by RRF; per-query rows identical to single hybrid_search."""
+    from searchengine_spark.operators.hybrid import hybrid_search_many
+    index = _index_for(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vrows = {r["vec_id"]: r["embedding"]
+             for r in emb.filter(F.col("vec_id").isin([0, 1])).collect()}
+    hits = hybrid_search_many(
+        index, {"a": " ".join(BM25_Q), "b": " ".join(HYB_Q2)}, emb,
+        {"a": [float(x) for x in vrows[0]],
+         "b": [float(x) for x in vrows[1]]},
+        k=K, n_lex=100, n_vec=100)
+    return hits.select("query_id", F.col("rank").cast("long").alias("rank"),
+                       "doc_id", F.round("score", 6).alias("score"),
+                       F.col("lex_rank").cast("long").alias("lex_rank"),
+                       F.col("vec_rank").cast("long").alias("vec_rank"))
+
+
 def _q_text_quality(spark, sf_dir):
     """Quality scoring: token/char counts, avg token length, punct/digit ratio."""
     from searchengine_spark.functions.text import quality_metrics
@@ -1372,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "q_hybrid_rrf": _q_hybrid_rrf,
+        "q_hybrid_batched": _q_hybrid_batched,
         "q_search_after": _q_search_after,
         "q_sort_recent": _q_sort_recent,
         "sim_lsh_topk": _q_sim_lsh_topk,
@@ -1494,6 +1518,47 @@ select doc_id, round(s, 6) as score from c
 order by round(s, 9) desc, doc_id % {n_groups}, doc_id // {n_groups}
 limit {k}
 """
+
+
+def _hybrid_ctes(qid: str, terms: list[str], vec_id: int) -> str:
+    """Per-query CTE block for the batched-hybrid oracle: BM25 top-100 cut
+    by the engine ordering (round 9) then ranked at the fusion quantization
+    (round 6), cosine top-100 likewise, RRF-fused, per-query rank."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+lex_cut_{qid} as (
+  select doc_id, s from (
+    select tf.doc_id,
+           sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+    from tf join dfv using (term) join dl using (doc_id) cross join stats
+    where tf.term in ({tl}) group by tf.doc_id)
+  order by round(s, 9) desc, doc_id asc limit 100),
+lex_{qid} as (select doc_id, row_number() over (
+                 order by round(s, 6) desc, doc_id asc) as lex_rank
+              from lex_cut_{qid}),
+qv_{qid} as (select embedding::DOUBLE[] as qv from embeddings
+             where vec_id = {vec_id}),
+cs_{qid} as (select vec_id,
+              round(list_dot_product(embedding::DOUBLE[], (select qv from qv_{qid}))
+              / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                 * sqrt(list_dot_product((select qv from qv_{qid}), (select qv from qv_{qid})))), 6) as c
+             from embeddings),
+vec_cut_{qid} as (select vec_id as doc_id, c from cs_{qid}
+                  order by c desc, vec_id asc limit 100),
+vec_{qid} as (select doc_id, row_number() over (
+                 order by round(c, 6) desc, doc_id asc) as vec_rank
+              from vec_cut_{qid}),
+top_{qid} as (
+  select '{qid}' as query_id,
+         row_number() over (order by round(s, 9) desc, doc_id asc) as rank,
+         doc_id, round(s, 6) as score, lex_rank, vec_rank
+  from (select coalesce(l.doc_id, v.doc_id) as doc_id,
+               coalesce(1.0::DOUBLE / (60 + lex_rank), 0.0)
+               + coalesce(1.0::DOUBLE / (60 + vec_rank), 0.0) as s,
+               coalesce(lex_rank, 0) as lex_rank,
+               coalesce(vec_rank, 0) as vec_rank
+        from lex_{qid} l full join vec_{qid} v on l.doc_id = v.doc_id))"""
 
 
 def _phrase_sql(terms: list[str], k: int, exclude: str = "") -> str:
@@ -2163,6 +2228,14 @@ order by doc_id desc limit {K}""",
               from lex full join vec on lex.doc_id = vec.doc_id)
             select doc_id, round(s, 6) as score, lex_rank, vec_rank
             from fused order by round(s, 9) desc, doc_id asc limit {K}""",
+        "q_hybrid_batched": f"""
+            with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+            stats as (select count(*) as n, avg(dl) as avgdl from dl),
+            {_hybrid_ctes("a", BM25_Q, 0)},
+            {_hybrid_ctes("b", HYB_Q2, 1)}
+            select * from top_a where rank <= {K}
+            union all
+            select * from top_b where rank <= {K}""",
         "sim_cosine_topk": f"""
             with q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0),
             s as (select vec_id,

@@ -190,7 +190,7 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "a3_statistics_per_collection",
                  "dedup_exact", "dedup_minhash_lsh",
                  "pipeline_stratified_sample", "pipeline_token_budget_mix",
-                 "sim_cosine_topk", "q_hybrid_rrf", "text_quality", "text_lang_id",
+                 "sim_cosine_topk", "q_hybrid_rrf", "q_hybrid_batched", "text_quality", "text_lang_id",
                  "events_sessionize", "text_token_count_bpe", "sim_neardup_pairs"]
     qmap = E.queries()
 

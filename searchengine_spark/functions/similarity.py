@@ -49,6 +49,36 @@ def cosine_topk(df: DataFrame, qvec: list[float], k: int = 10,
     return scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
 
 
+def cosine_topk_many(df: DataFrame, qvecs: "dict[str, list[float]]",
+                     k: int = 10, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Batched exact cosine top-k: ONE corpus scan scores EVERY query
+    vector (the row's cast vector and its norm are computed once and
+    shared by all |Q| per-query dot products — pure codegen, no Python),
+    then one per-query rank window keeps each query's top-k. Returns
+    (query_id, <id_col>, cos), cos rounded to 6 dp like ``cosine_topk``
+    (per-query rows identical to it). The scan cost is amortized across
+    the batch — a query-log replay reads the embedding table once, not
+    once per query."""
+    from pyspark.sql import Window
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), v.alias("_v"))
+    base = base.withColumn("_vn", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    entries = []
+    for qid, qv in qvecs.items():
+        q = F.array(*[F.lit(float(x)) for x in qv])
+        qn = float(np.sqrt(np.dot(qv, qv)))
+        c = F.round(_dot(F.col("_v"), q) / (F.col("_vn") * F.lit(qn)), 6)
+        entries.append(F.struct(F.lit(qid).alias("query_id"),
+                                c.alias("cos")))
+    ex = base.select(F.col(id_col), F.inline(F.array(*entries)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col(id_col).asc())
+    return (ex.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= int(k)).drop("_r")
+            .select("query_id", id_col, "cos"))
+
+
 def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).normal(size=(dim, n_planes))
 

@@ -103,6 +103,88 @@ def hybrid_fuse(lex: DataFrame, vec: DataFrame, k: int = 10,
                        F.col("doc_id").asc()).limit(int(k))
 
 
+def hybrid_search_many(index: dict, queries: "dict[str, str]",
+                       emb: DataFrame, qvecs: "dict[str, list[float]]",
+                       k: int = 10, method: str = "rrf", n_lex: int = 100,
+                       n_vec: int = 100, rrf_k: int = RRF_K,
+                       alpha: float = 0.5, scope=None,
+                       exclude: "dict[str, str] | str | None" = None,
+                       id_col: str = "vec_id",
+                       vec_hits: "DataFrame | None" = None) -> DataFrame:
+    """Batched hybrid retrieval: MANY (text query, query vector) pairs in
+    a fixed number of Spark jobs. Returns (query_id, rank, doc_id,
+    conv_id, turn_idx, role, tool, ts, score, lex_rank, vec_rank) — the
+    batched-family convention, rank 1..k per query.
+
+    The lexical side is ``search_many`` (one decode pass over the batch's
+    union vocabulary); the vector side is ``cosine_topk_many`` (ONE
+    embedding-table scan scoring every query vector) — or any
+    (query_id, id, cos) DataFrame via ``vec_hits``, e.g. a union of
+    persisted-ANN probes. Fusion is per-query: rank windows partitioned
+    by query_id, a (query_id, doc_id) full outer join, and a per-query
+    top-k window — rows identical to per-query ``hybrid_search``.
+    ``queries`` and ``qvecs`` must share key sets; ``exclude`` is the
+    batched NOT clause passed to ``search_many``."""
+    from searchengine_spark.operators.search import search_many
+    if set(queries) != set(qvecs):
+        raise ValueError("queries and qvecs must share the same query ids")
+    lex = search_many(index, queries, k=n_lex, mode="bm25", scope=scope,
+                      exclude=exclude).select("query_id", "doc_id", "score")
+    if vec_hits is None:
+        from searchengine_spark.functions.similarity import cosine_topk_many
+        vec_hits = cosine_topk_many(emb, qvecs, k=n_vec, id_col=id_col)
+    id_name = [c for c in vec_hits.columns
+               if c not in ("query_id", "cos", "score")][0]
+    vec = vec_hits.select("query_id",
+                          F.col(id_name).cast("long").alias("doc_id"),
+                          "cos")
+
+    def ranked(df, score_col):
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("_s"), 6).desc(), F.col("doc_id").asc())
+        return (df.select("query_id", "doc_id",
+                          F.col(score_col).alias("_s"))
+                .withColumn("rank", F.row_number().over(w)))
+
+    lr, vr = ranked(lex, "score"), ranked(vec, "cos")
+    if method == "linear":
+        def norm(df):
+            w = Window.partitionBy("query_id")
+            rng = F.max("_s").over(w) - F.min("_s").over(w)
+            return df.withColumn(
+                "_n", F.when(rng > 0,
+                             (F.col("_s") - F.min("_s").over(w)) / rng)
+                       .otherwise(F.lit(1.0)))
+        lr, vr = norm(lr), norm(vr)
+    elif method != "rrf":
+        raise ValueError(f"unknown fusion method {method!r}")
+    keys = ["query_id", "doc_id"]
+    j = (lr.select(*keys, F.col("rank").alias("lex_rank"),
+                   *([F.col("_n").alias("_ln")] if method == "linear" else []))
+           .join(vr.select(*keys, F.col("rank").alias("vec_rank"),
+                           *([F.col("_n").alias("_vn")] if method == "linear" else [])),
+                 keys, "full_outer"))
+    if method == "rrf":
+        fused = (F.coalesce(F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("lex_rank")), F.lit(0.0))
+                 + F.coalesce(F.lit(1.0) / (F.lit(int(rrf_k)) + F.col("vec_rank")), F.lit(0.0)))
+    else:
+        fused = (F.lit(float(alpha)) * F.coalesce(F.col("_ln"), F.lit(0.0))
+                 + F.lit(1.0 - float(alpha)) * F.coalesce(F.col("_vn"), F.lit(0.0)))
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
+    topk = (j.select(*keys, fused.alias("score"),
+                     F.coalesce(F.col("lex_rank"), F.lit(0)).alias("lex_rank"),
+                     F.coalesce(F.col("vec_rank"), F.lit(0)).alias("vec_rank"))
+            .withColumn("rank", F.row_number().over(w_q))
+            .filter(F.col("rank") <= int(k)))
+    docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx",
+                                     "role", "tool", "ts")
+    return (docs_meta.join(F.broadcast(topk), "doc_id")
+            .select("query_id", "rank", "doc_id", "conv_id", "turn_idx",
+                    "role", "tool", "ts", "score", "lex_rank", "vec_rank")
+            .orderBy("query_id", "rank"))
+
+
 def hybrid_search(index: dict, query: str, emb: DataFrame, qvec: list[float],
                   k: int = 10, method: str = "rrf", n_lex: int = 100,
                   n_vec: int = 100, rrf_k: int = RRF_K, alpha: float = 0.5,

@@ -117,3 +117,51 @@ def test_vec_hits_hook_equals_default(index_general, emb_df, qvec):
 def test_fuse_rejects_unknown_method(index_general, emb_df, qvec):
     with pytest.raises(ValueError):
         hybrid_search(index_general, Q, emb_df, qvec, method="borda")
+
+
+# ---------- batched hybrid ----------
+
+Q2 = "запрос индекс"
+
+
+@pytest.fixture(scope="module")
+def qvec2(emb_df):
+    return [float(x) for x in
+            emb_df.filter(F.col("vec_id") == 11).first()["embedding"]]
+
+
+def test_cosine_topk_many_matches_single(emb_df, qvec, qvec2):
+    from searchengine_spark.functions.similarity import (cosine_topk,
+                                                         cosine_topk_many)
+    got = cosine_topk_many(emb_df, {"a": qvec, "b": qvec2}, k=15).toPandas()
+    for qid, qv in [("a", qvec), ("b", qvec2)]:
+        single = cosine_topk(emb_df, qv, k=15).toPandas()
+        part = got[got["query_id"] == qid]
+        assert part["vec_id"].tolist() == single["vec_id"].tolist()
+        assert (part["cos"].to_numpy()
+                == single["cos"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("method", ["rrf", "linear"])
+def test_hybrid_many_matches_single(index_general, emb_df, qvec, qvec2,
+                                    method):
+    from searchengine_spark.operators.hybrid import hybrid_search_many
+    got = hybrid_search_many(index_general, {"a": Q, "b": Q2}, emb_df,
+                             {"a": qvec, "b": qvec2}, k=8, method=method,
+                             n_lex=20, n_vec=20).toPandas()
+    for qid, q, qv in [("a", Q, qvec), ("b", Q2, qvec2)]:
+        single = hybrid_search(index_general, q, emb_df, qv, k=8,
+                               method=method, n_lex=20, n_vec=20).toPandas()
+        part = got[got["query_id"] == qid]
+        assert part["doc_id"].tolist() == single["doc_id"].tolist()
+        assert (abs(part["score"].to_numpy()
+                    - single["score"].to_numpy()).max() < 1e-12)
+        assert part["lex_rank"].tolist() == single["lex_rank"].tolist()
+        assert part["vec_rank"].tolist() == single["vec_rank"].tolist()
+
+
+def test_hybrid_many_rejects_mismatched_keys(index_general, emb_df, qvec):
+    from searchengine_spark.operators.hybrid import hybrid_search_many
+    with pytest.raises(ValueError):
+        hybrid_search_many(index_general, {"a": Q}, emb_df,
+                           {"b": qvec}, k=5)
