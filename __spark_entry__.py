@@ -992,6 +992,26 @@ def _q_hybrid_rrf(spark, sf_dir):
                        F.col("vec_rank").cast("long").alias("vec_rank"))
 
 
+def _q_count(spark, sf_dir):
+    """Total-hits count with a NOT clause: |docs matching any of BM25_Q,
+    not containing NOT_T)| — exactly one row, zero included."""
+    from searchengine_spark.operators.search import search_count
+    index = _index_for(spark, sf_dir)
+    return search_count(index, " ".join(BM25_Q), exclude=NOT_T)
+
+
+def _q_facets_minute(spark, sf_dir):
+    """Date-histogram facet: the BM25 match set bucketed by minute(ts)
+    (ts = 2026-01-01 + doc_id s under the entry's shaping, so buckets are
+    doc_id // 60) — the timeline panel of a search UI, counted by the
+    multi-dim facet path in one job."""
+    from searchengine_spark.operators.search import search_facets
+    index = _index_for(spark, sf_dir)
+    expr = F.date_format(F.date_trunc("minute", F.col("ts")),
+                         "yyyy-MM-dd HH:mm")
+    return search_facets(index, " ".join(BM25_Q), by={"minute": expr})
+
+
 HYB_Q2 = ["spark", "hash"]  # second batched-hybrid query (in-vocab terms)
 
 
@@ -1342,6 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_not_topk": _q_bm25_not_topk,
         "q_facets": _q_facets,
         "q_facets_multi": _q_facets_multi,
+        "q_count": _q_count,
+        "q_facets_minute": _q_facets_minute,
         "q9_metadata_projection": _q_metadata_projection,
         "q10_snippets": _q_snippets,
         "q11_bm25_page2": _q_bm25_page2,
@@ -1800,6 +1822,20 @@ def oracle_sql() -> dict[str, str]:
             union all
             select 'tens' as dim, cast((doc_id // 10) % 10 as varchar) as facet,
                    cast(count(*) as bigint) as n_docs from m group by 2""",
+        "q_count": f"""
+            with tf as ({_TF})
+            select cast(count(distinct doc_id) as bigint) as n_matches
+            from tf where term in ({", ".join(f"'{t}'" for t in BM25_Q)})
+              and doc_id not in (select doc_id from tf where term = '{NOT_T}')""",
+        "q_facets_minute": f"""
+            with tf as ({_TF}),
+            m as (select distinct doc_id from tf
+                  where term in ({", ".join(f"'{t}'" for t in BM25_Q)}))
+            select 'minute' as dim,
+                   strftime(timestamp '2026-01-01'
+                            + to_seconds(doc_id), '%Y-%m-%d %H:%M') as facet,
+                   cast(count(*) as bigint) as n_docs
+            from m group by 2""",
         "q11_bm25_page2": _bm25_sql(BM25_Q, K, offset=K),
         # cursor paging: page 2 via search_after == the offset slice
         "q_search_after": _bm25_sql(BM25_Q, K, offset=K),

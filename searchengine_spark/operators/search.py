@@ -1014,6 +1014,27 @@ def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
             .orderBy(F.col("n_docs").desc(), F.col("facet").asc()))
 
 
+def search_count(index: dict, query: str, mode: str = "bm25", scope=None,
+                 exclude: "str | None" = None,
+                 require_all: "bool | None" = None,
+                 exclude_docs: "DataFrame | None" = None) -> DataFrame:
+    """Total-hits count (the `_count` API / `track_total_hits` every
+    search engine exposes): EXACTLY ONE row ``(n_matches long)`` — the
+    size of the query's full match set, 0 included. Same match semantics
+    and parameters as ``search_facets`` (``require_all`` defaults by mode:
+    ref_compat → conjunction, bm25 → any term; ``scope``/``exclude``/
+    ``exclude_docs`` compose identically), and the same count-query plan:
+    bucket-pruned scan + one decode + one doc-level agg — no WAND (every
+    match is counted) and no top-k; the trailing global agg guarantees the
+    one-row-even-when-zero contract."""
+    facets = search_facets(index, query, by=F.lit("*"), mode=mode,
+                           scope=scope, exclude=exclude,
+                           require_all=require_all,
+                           exclude_docs=exclude_docs)
+    return facets.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_matches"))
+
+
 def _resolve_ids_dfs(index: dict, vocab) -> "tuple[dict, dict]":
     """term → (term_id, df) resolution shared by the positional paths
     (phrase/near, single and batched): the driver-cached dictionary when it
