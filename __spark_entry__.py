@@ -1012,6 +1012,20 @@ def _q_facets_minute(spark, sf_dir):
     return search_facets(index, " ".join(BM25_Q), by={"minute": expr})
 
 
+def _q_boost_recent(spark, sf_dir):
+    """Function-score ranking: BM25 × recency decay 1/(1 + age_minutes),
+    age measured from the newest doc's ts (= base + 499 s under the
+    shaping). The boost column is a pure docs expression — the engine
+    multiplies it into each match's score before the top-k."""
+    from searchengine_spark.operators.search import search
+    index = _index_for(spark, sf_dir)
+    base = 1767225600.0  # epoch of 2026-01-01 00:00:00 UTC (entry shaping)
+    age_min = (F.lit(base + 499.0) - F.col("ts").cast("double")) / F.lit(60.0)
+    boost = F.lit(1.0) / (F.lit(1.0) + age_min)
+    hits = search(index, " ".join(BM25_Q), k=K, mode="bm25", boost_by=boost)
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 HYB_Q2 = ["spark", "hash"]  # second batched-hybrid query (in-vocab terms)
 
 
@@ -1364,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facets_multi": _q_facets_multi,
         "q_count": _q_count,
         "q_facets_minute": _q_facets_minute,
+        "q_boost_recent": _q_boost_recent,
         "q9_metadata_projection": _q_metadata_projection,
         "q10_snippets": _q_snippets,
         "q11_bm25_page2": _q_bm25_page2,
@@ -1836,6 +1851,22 @@ def oracle_sql() -> dict[str, str]:
                             + to_seconds(doc_id), '%Y-%m-%d %H:%M') as facet,
                    cast(count(*) as bigint) as n_docs
             from m group by 2""",
+        "q_boost_recent": f"""
+with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+stats as (select count(*) as n, avg(dl) as avgdl from dl),
+scored as (
+  select tf.doc_id,
+         sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+  from tf join dfv using (term) join dl using (doc_id) cross join stats
+  where tf.term in ({", ".join(f"'{t}'" for t in BM25_Q)})
+  group by tf.doc_id),
+boosted as (
+  select doc_id,
+         s * (1.0::DOUBLE / (1.0::DOUBLE + (499 - doc_id) / 60.0)) as s
+  from scored)
+select doc_id, round(s, 6) as score from boosted
+order by round(s, 9) desc, doc_id asc limit {K}""",
         "q11_bm25_page2": _bm25_sql(BM25_Q, K, offset=K),
         # cursor paging: page 2 via search_after == the offset slice
         "q_search_after": _bm25_sql(BM25_Q, K, offset=K),

@@ -548,7 +548,8 @@ def bm25f_search(index: dict, query: str, k: int = 10,
                  exclude_docs: "DataFrame | None" = None,
                  collapse=None, per_group: int = 1,
                  search_after: "tuple | None" = None,
-                 sort_by=None, sort_asc: bool = False) -> DataFrame:
+                 sort_by=None, sort_asc: bool = False,
+                 boost_by=None) -> DataFrame:
     """BM25F top-k over a fielded index. Returns
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, title][, snippet]).
 
@@ -600,7 +601,9 @@ def bm25f_search(index: dict, query: str, k: int = 10,
     (``search``'s docstring): cursor pagination on (score, doc_id) — or
     (sort key, doc_id) under ``sort_by`` — and field-sorted retrieval.
     Both disable the fielded WAND for the same below-top-k reasons as
-    collapse; ``search_after`` is mutually exclusive with ``offset``."""
+    collapse; ``search_after`` is mutually exclusive with ``offset``.
+    ``boost_by`` multiplies each match's BM25F score by a per-doc factor
+    before ranking (function-score, see ``search``) — WAND off likewise."""
     from searchengine_spark.operators.search import (
         _query_terms, _ord, _scope_info, release_query_caches)
     if search_after is not None and offset:
@@ -637,7 +640,7 @@ def bm25f_search(index: dict, query: str, k: int = 10,
     k_eff = offset + k  # pagination retrieves offset+k winners, slices after
     prune = (None if (prune_blocks is False or excl is not None
                       or collapse is not None or search_after is not None
-                      or sort_by is not None)
+                      or sort_by is not None or boost_by is not None)
              else (prune_blocks, k_eff, k1))
     allf, idf_of = _fielded_candidate_rows(index, qterms, sc, weights, b,
                                            prune=prune)
@@ -647,6 +650,13 @@ def bm25f_search(index: dict, query: str, k: int = 10,
     scored = blended.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
     if excl is not None:
         scored = scored.join(excl, "doc_id", "left_anti")
+    if boost_by is not None:
+        bcol = F.col(boost_by) if isinstance(boost_by, str) else boost_by
+        scored = (scored.join(index["docs"].select(
+                      "doc_id", bcol.alias("_boost")), "doc_id")
+                  .withColumn("score", F.col("score")
+                              * F.col("_boost").cast("double"))
+                  .drop("_boost"))
     if sort_by is not None:
         skey = F.col(sort_by) if isinstance(sort_by, str) else sort_by
         scored = scored.join(
@@ -712,7 +722,8 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       offset: int = 0,
                       collapse=None, per_group: int = 1,
                       search_after: "dict | tuple | None" = None,
-                      sort_by=None, sort_asc: bool = False) -> DataFrame:
+                      sort_by=None, sort_asc: bool = False,
+                      boost_by=None) -> DataFrame:
     """Batched BM25F: score MANY queries in ONE Spark job (the fielded
     analog of ``search_many`` — a query-log replay otherwise pays one
     fixed-latency job per query).
@@ -816,6 +827,13 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
         banned = (blended.join(xmap, "term")
                   .select("query_id", "doc_id").distinct())
         scored = scored.join(banned, ["query_id", "doc_id"], "left_anti")
+    if boost_by is not None:
+        bcol = F.col(boost_by) if isinstance(boost_by, str) else boost_by
+        scored = (scored.join(index["docs"].select(
+                      "doc_id", bcol.alias("_boost")), "doc_id")
+                  .withColumn("score", F.col("score")
+                              * F.col("_boost").cast("double"))
+                  .drop("_boost"))
     scored, order_cols = _batch_sort_key(index, scored, sort_by, sort_asc)
     if collapse is not None:
         key_col = F.col(collapse) if isinstance(collapse, str) else collapse

@@ -296,7 +296,8 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
                  prune_blocks: "bool | str" = "auto",
                  collapse=None, per_group: int = 1,
                  search_after: "tuple | None" = None,
-                 sort_by=None, sort_asc: bool = False) -> DataFrame:
+                 sort_by=None, sort_asc: bool = False,
+                 boost_by=None) -> DataFrame:
     """Ranked search driven by the query-string grammar (module
     docstring). Returns the same shape as ``search``:
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, title][, snippet]),
@@ -334,7 +335,7 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
                  exclude_docs=g["exclude_docs"],
                  collapse=collapse, per_group=per_group,
                  search_after=search_after, sort_by=sort_by,
-                 sort_asc=sort_asc)
+                 sort_asc=sort_asc, boost_by=boost_by)
     index.setdefault("_query_persists", []).extend(held + g["persists"])
     return out
 
@@ -345,7 +346,8 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       with_titles: bool = False,
                       collapse=None, per_group: int = 1,
                       search_after: "dict | tuple | None" = None,
-                      sort_by=None, sort_asc: bool = False) -> DataFrame:
+                      sort_by=None, sort_asc: bool = False,
+                      boost_by=None) -> DataFrame:
     """Batched query-LANGUAGE replay: run MANY grammar query strings
     (module docstring — terms, "phrases", "spans"~N, (or|groups),
     -NOT clauses, field:qualifiers) with the amortized plan shape of
@@ -562,7 +564,7 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       exclude_pairs=exclude_pairs,
                       collapse=collapse, per_group=per_group,
                       search_after=search_after, sort_by=sort_by,
-                      sort_asc=sort_asc)
+                      sort_asc=sort_asc, boost_by=boost_by)
     index.setdefault("_query_persists", []).extend(held + persists)
     return out
 
@@ -609,7 +611,8 @@ def query_search_bm25f(index: dict, fielded: dict, qstr: str, k: int = 10,
                        with_titles: bool = False,
                        collapse=None, per_group: int = 1,
                        search_after: "tuple | None" = None,
-                       sort_by=None, sort_asc: bool = False) -> DataFrame:
+                       sort_by=None, sort_asc: bool = False,
+                       boost_by=None) -> DataFrame:
     """Grammar-driven search RANKED BY BM25F — the query language with the
     fielded scorer (title/role/tool-weighted) instead of flat BM25.
 
@@ -647,6 +650,6 @@ def query_search_bm25f(index: dict, fielded: dict, qstr: str, k: int = 10,
                        exclude_docs=g["exclude_docs"],
                        collapse=collapse, per_group=per_group,
                        search_after=search_after, sort_by=sort_by,
-                       sort_asc=sort_asc)
+                       sort_asc=sort_asc, boost_by=boost_by)
     index.setdefault("_query_persists", []).extend(held + g["persists"])
     return out

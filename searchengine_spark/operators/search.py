@@ -479,7 +479,8 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
            exclude_docs: "DataFrame | None" = None,
            collapse=None, per_group: int = 1,
            search_after: "tuple | None" = None,
-           sort_by=None, sort_asc: bool = False) -> DataFrame:
+           sort_by=None, sort_asc: bool = False,
+           boost_by=None) -> DataFrame:
     """Top-k search over a built index; returns DataFrame
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, snippet]).
 
@@ -553,8 +554,21 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     doc_id asc) after one match-set-sized join to docs for the key (the
     facet/collapse join shape). Null keys sort last and are unreachable by
     a cursor. bm25 mode only; composes with scope/exclude/collapse/
-    offset/search_after (the cursor is then (key, doc_id))."""
+    offset/search_after (the cursor is then (key, doc_id)).
+
+    ``boost_by`` is function-score ranking (Elasticsearch function_score,
+    multiply mode): a Column over docs-table attributes whose value
+    MULTIPLIES each match's BM25 score before ranking — recency decay
+    (``1/(1 + age)``), source-quality weights, any per-doc prior. One
+    match-set-sized docs join (the facet/collapse shape); the boosted
+    score is what top-k, collapse, cursors, snippets-ordering and the
+    returned ``score`` column all see. Block-max pruning turns off: the
+    stored bounds cap the UNboosted score, and a large boost can promote
+    a doc from below the unboosted θ. bm25 mode only."""
     spark = index["docs"].sparkSession
+    if boost_by is not None and mode != "bm25":
+        raise ValueError("boost_by requires mode='bm25': ref_compat's "
+                         "tf-sum/max score has no boost semantics")
     if (search_after is not None or sort_by is not None) and mode != "bm25":
         raise ValueError(
             "search_after/sort_by require mode='bm25': ref_compat scores "
@@ -673,9 +687,10 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
                 (prune_blocks == "auto" and sum_df_direct >= PRUNE_MIN_POSTINGS)) \
         and bool(direct_ids) and (has_m or cached is None) \
         and collapse is None \
-        and search_after is None and sort_by is None  # count-every-match
-        # classes: collapsed top-k / cursor pages / field-sorted retrieval
-        # all need matches below the global-top-k θ (docstring)
+        and search_after is None and sort_by is None and boost_by is None
+        # count-every-match classes: collapsed top-k / cursor pages /
+        # field-sorted retrieval / boosted scores all need matches below
+        # the global-top-k θ (docstring)
 
     if mode == "bm25" and do_prune and n_q > 0:
         # per-term WAND upper bounds M_t, driver-side from the dictionary's
@@ -824,6 +839,15 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
             / F.max(F.col("tf_sum").cast("double")).over(Window.partitionBy()))
     else:
         matches = agg.withColumn("score", F.col("bm25"))
+        if boost_by is not None:
+            # function-score: boosted = bm25 × per-doc factor, applied
+            # before ranking so every downstream consumer sees one score
+            bcol = F.col(boost_by) if isinstance(boost_by, str) else boost_by
+            matches = (matches.join(index["docs"].select(
+                           "doc_id", bcol.alias("_boost")), "doc_id")
+                       .withColumn("score",
+                                   F.col("score") * F.col("_boost").cast("double"))
+                       .drop("_boost"))
         if sort_by is not None:
             # one match-set-sized join for the sort key (facet/collapse
             # shape); the key column rides to the final projection's sort
@@ -1807,7 +1831,8 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
                 exclude_pairs: "DataFrame | None" = None,
                 collapse=None, per_group: int = 1,
                 search_after: "dict | tuple | None" = None,
-                sort_by=None, sort_asc: bool = False) -> DataFrame:
+                sort_by=None, sort_asc: bool = False,
+                boost_by=None) -> DataFrame:
     """Batched top-k: score MANY queries in ONE Spark job.
 
     A single-query search costs ~1 fixed-latency job regardless of data;
@@ -1853,7 +1878,10 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     ONE job per page at LIMIT k cost. ``sort_by``/``sort_asc`` rank every
     query in the batch by a docs column instead of relevance (one key join
     for the batch). Both bm25-only and row-identical to the single path;
-    ``search_after`` is mutually exclusive with ``offset``.
+    ``search_after`` is mutually exclusive with ``offset``. ``boost_by``
+    is the batched function-score modifier (see ``search``): one docs
+    join multiplies every query's scores by the same per-doc factor
+    before ranking.
 
     ``exclude`` is the batched NOT clause: a dict (query_id → NOT terms)
     or one string shared by the whole batch. Excluded terms ride the SAME
@@ -1898,10 +1926,10 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     resolution); clause-restricted queries keep the global prune
     (matching ``search(scope=<DataFrame>)``).
     """
-    if (search_after is not None or sort_by is not None) \
-            and mode == "ref_compat":
-        raise ValueError("search_after/sort_by require mode='bm25' "
-                         "(see search()'s docstring)")
+    if (search_after is not None or sort_by is not None
+            or boost_by is not None) and mode == "ref_compat":
+        raise ValueError("search_after/sort_by/boost_by require "
+                         "mode='bm25' (see search()'s docstring)")
     if search_after is not None and offset:
         raise ValueError("search_after and offset are mutually exclusive")
     spark = index["docs"].sparkSession
@@ -2180,6 +2208,13 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
             / F.max(F.col("tf_sum").cast("double")).over(w_q))
     else:
         scored_q = agg.withColumn("score", F.col("bm25"))
+        if boost_by is not None:
+            bcol = F.col(boost_by) if isinstance(boost_by, str) else boost_by
+            scored_q = (scored_q.join(index["docs"].select(
+                            "doc_id", bcol.alias("_boost")), "doc_id")
+                        .withColumn("score", F.col("score")
+                                    * F.col("_boost").cast("double"))
+                        .drop("_boost"))
         scored_q, order_cols = _batch_sort_key(index, scored_q,
                                                sort_by, sort_asc)
         if collapse is not None:

@@ -202,3 +202,61 @@ def test_grammar_cursor_equals_offset(index_general):
                                     search_after=cursor))
     via_offset = _rows(query_search(index_general, qs, k=6, offset=6))
     assert via_cursor == via_offset
+
+
+# ---------- boost_by (function-score) ----------
+
+def _brute_boosted(index, q, k, factor_of):
+    m = search(index, q, k=10 ** 6, mode="bm25") \
+        .select("doc_id", "score").collect()
+    rows = [(r["doc_id"], r["score"] * factor_of(r["doc_id"])) for r in m]
+    rows.sort(key=lambda t: (-round(t[1], 9), t[0]))
+    return rows[:10] if k == 10 else rows[:k]
+
+
+def test_boost_matches_brute_force(index_general):
+    boost = F.lit(1.0) / (F.lit(1.0) + F.col("doc_id").cast("double") / F.lit(100.0))
+    got = _rows(search(index_general, Q, k=10, mode="bm25", boost_by=boost))
+    exp = _brute_boosted(index_general, Q, 10,
+                         lambda d: 1.0 / (1.0 + d / 100.0))
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    assert max(abs(a - b) for (_, a), (_, b) in zip(got, exp)) < 1e-12
+
+
+def test_boost_composes_with_cursor_and_collapse(index_general):
+    boost = F.lit(1.0) / (F.lit(1.0) + F.col("doc_id").cast("double") / F.lit(100.0))
+    kw = dict(mode="bm25", boost_by=boost, collapse="conv_id", per_group=2)
+    p1 = search(index_general, Q, k=5, **kw).collect()
+    cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+    assert _rows(search(index_general, Q, k=5, search_after=cursor, **kw)) \
+        == _rows(search(index_general, Q, k=5, offset=5, **kw))
+
+
+def test_boost_batched_matches_single(index_general):
+    from searchengine_spark.operators.search import search_many
+    boost = F.lit(1.0) / (F.lit(1.0) + F.col("doc_id").cast("double") / F.lit(100.0))
+    got = search_many(index_general, {"a": Q, "b": Q2}, k=8, mode="bm25",
+                      boost_by=boost).toPandas()
+    for qid, q in [("a", Q), ("b", Q2)]:
+        single = _rows(search(index_general, q, k=8, mode="bm25",
+                              boost_by=boost))
+        part = got[got["query_id"] == qid]
+        assert list(zip(part["doc_id"], part["score"])) == single
+
+
+def test_boost_bm25f_matches_brute_force(fielded_idx):
+    from searchengine_spark.operators.fielded import bm25f_search
+    boost = F.lit(1.0) / (F.lit(1.0) + F.col("doc_id").cast("double") / F.lit(100.0))
+    allm = bm25f_search(fielded_idx, Q, k=10 ** 6).collect()
+    rows = [(r["doc_id"], r["score"] * (1.0 / (1.0 + r["doc_id"] / 100.0)))
+            for r in allm]
+    rows.sort(key=lambda t: (-round(t[1], 9), t[0]))
+    got = _rows(bm25f_search(fielded_idx, Q, k=10, boost_by=boost))
+    assert [d for d, _ in got] == [d for d, _ in rows[:10]]
+    assert max(abs(a - b) for (_, a), (_, b)
+               in zip(got, rows[:10])) < 1e-9
+
+
+def test_boost_rejects_ref_compat(index_ref):
+    with pytest.raises(ValueError):
+        search(index_ref, Q, mode="ref_compat", boost_by=F.lit(2.0))
