@@ -472,6 +472,35 @@ def _batch_cursor_filter(scored: DataFrame, queries: dict, search_after,
     return scored if w is None else scored.filter(w.otherwise(F.lit(True)))
 
 
+def _int_cursor_pred(col: str, desc: bool, la_v, la_doc):
+    """Strictly-after predicate for an INTEGER ranking column (the
+    positional families: n_matches/n_pairs desc, span asc) — exact
+    comparisons, no quantization needed; ties break by doc_id asc."""
+    c, lk = F.col(col), F.lit(int(la_v))
+    before = (c < lk) if desc else (c > lk)
+    return before | ((c == lk) & (F.col("doc_id") > F.lit(int(la_doc))))
+
+
+def _int_cursor_filter(matches: DataFrame, col: str, desc: bool,
+                       search_after) -> DataFrame:
+    la_v, la_doc = search_after
+    return matches.filter(_int_cursor_pred(col, desc, la_v, la_doc))
+
+
+def _batch_int_cursor(matches: DataFrame, queries: dict, search_after,
+                      col: str, desc: bool) -> DataFrame:
+    """Batched integer cursors: dict (query_id → (value, doc_id)) or one
+    shared cursor; literal when-chain like _batch_cursor_filter."""
+    cursors = (search_after if isinstance(search_after, dict)
+               else {qid: search_after for qid in queries})
+    w = None
+    for qid, (la_v, la_doc) in cursors.items():
+        pred = _int_cursor_pred(col, desc, la_v, la_doc)
+        w = (F.when(F.col("query_id") == qid, pred) if w is None
+             else w.when(F.col("query_id") == qid, pred))
+    return matches if w is None else matches.filter(w.otherwise(F.lit(True)))
+
+
 def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
            prune_blocks: "bool | str" = "auto", with_snippets: bool = False,
            offset: int = 0, scope=None, with_titles: bool = False,
@@ -1121,7 +1150,8 @@ def _phrase_match_docs(index: dict, phrase: str, sc) -> "DataFrame | None":
 
 def phrase_search(index: dict, phrase: str, k: int = 10,
                   scope=None, exclude: "str | None" = None,
-                  offset: int = 0) -> DataFrame:
+                  offset: int = 0,
+                  search_after: "tuple | None" = None) -> DataFrame:
     """Exact phrase query over a POSITIONAL index
     (``build_index(with_positions=True)``).
 
@@ -1147,8 +1177,13 @@ def phrase_search(index: dict, phrase: str, k: int = 10,
     out before the top-k — match counts are unchanged, banned docs just
     drop from the ranking. ``offset`` paginates like the main path's Q11:
     retrieve offset+k winners (still TakeOrderedAndProject), drop the
-    first ``offset`` by rank.
+    first ``offset`` by rank. ``search_after=(n_matches, doc_id)`` is
+    cursor pagination (see ``search``): the previous page's tail, exact
+    integer comparisons, LIMIT stays k at any depth; mutually exclusive
+    with ``offset``.
     """
+    if search_after is not None and offset:
+        raise ValueError("search_after and offset are mutually exclusive")
     release_query_caches(index)  # NOT-clause persists from PREVIOUS queries
     spark = index["docs"].sparkSession
     empty = spark.createDataFrame(
@@ -1163,6 +1198,8 @@ def phrase_search(index: dict, phrase: str, k: int = 10,
     excl = _resolve_exclusions(index, exclude, sc)
     if excl is not None:
         matches = matches.join(excl, "doc_id", "left_anti")
+    if search_after is not None:
+        matches = _int_cursor_filter(matches, "n_matches", True, search_after)
     topk = (matches.orderBy(F.col("n_matches").desc(), F.col("doc_id").asc())
             .limit(int(offset) + k))
     if offset:
@@ -1178,7 +1215,7 @@ def phrase_search(index: dict, phrase: str, k: int = 10,
 
 
 def phrase_search_many(index: dict, phrases: dict[str, str], k: int = 10,
-                       scope=None,
+                       scope=None, search_after: "dict | tuple | None" = None,
                        exclude: "dict[str, str] | str | None" = None,
                        offset: int = 0) -> DataFrame:
     """Batched exact-phrase queries over a POSITIONAL index: score MANY
@@ -1260,6 +1297,9 @@ def phrase_search_many(index: dict, phrases: dict[str, str], k: int = 10,
         if banned is not None:
             matches = matches.join(banned, ["query_id", "doc_id"],
                                    "left_anti")
+    if search_after is not None:
+        matches = _batch_int_cursor(matches, per_q, search_after,
+                                    "n_matches", True)
     w_q = Window.partitionBy("query_id").orderBy(
         F.col("n_matches").desc(), F.col("doc_id").asc())
     ranked = (matches.withColumn("rank", F.row_number().over(w_q))
@@ -1276,7 +1316,8 @@ def phrase_search_many(index: dict, phrases: dict[str, str], k: int = 10,
 
 def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
                 k: int = 10, scope=None,
-                exclude: "str | None" = None, offset: int = 0) -> DataFrame:
+                exclude: "str | None" = None, offset: int = 0,
+                search_after: "tuple | None" = None) -> DataFrame:
     """Two-term proximity query over a POSITIONAL index: docs where an
     occurrence of ``term_a`` and one of ``term_b`` lie within ``max_dist``
     positions (either order), ranked by the number of such close pairs.
@@ -1291,6 +1332,8 @@ def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
     out docs containing a NOT term (same semantics as ``search``);
     ``offset`` paginates identically to ``phrase_search(..., offset=)``.
     """
+    if search_after is not None and offset:
+        raise ValueError("search_after and offset are mutually exclusive")
     release_query_caches(index)
     spark = index["docs"].sparkSession
     stats = index["stats"]
@@ -1333,6 +1376,8 @@ def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
     excl = _resolve_exclusions(index, exclude, sc)
     if excl is not None:
         matches = matches.join(excl, "doc_id", "left_anti")
+    if search_after is not None:
+        matches = _int_cursor_filter(matches, "n_pairs", True, search_after)
     topk = (matches.orderBy(F.col("n_pairs").desc(), F.col("doc_id").asc())
             .limit(int(offset) + k))
     if offset:
@@ -1350,7 +1395,8 @@ def near_search(index: dict, term_a: str, term_b: str, max_dist: int = 5,
 def near_search_many(index: dict, pairs: dict[str, tuple[str, str]],
                      max_dist: int = 5, k: int = 10, scope=None,
                      exclude: "dict[str, str] | str | None" = None,
-                     offset: int = 0) -> DataFrame:
+                     offset: int = 0,
+                     search_after: "dict | tuple | None" = None) -> DataFrame:
     """Batched two-term proximity queries: score MANY (term_a, term_b)
     pairs in ONE Spark job (the proximity analog of ``search_many`` /
     ``phrase_search_many``).
@@ -1432,6 +1478,9 @@ def near_search_many(index: dict, pairs: dict[str, tuple[str, str]],
         if banned is not None:
             matches = matches.join(banned, ["query_id", "doc_id"],
                                    "left_anti")
+    if search_after is not None:
+        matches = _batch_int_cursor(matches, per_q, search_after,
+                                    "n_pairs", True)
     w_q = Window.partitionBy("query_id").orderBy(
         F.col("n_pairs").desc(), F.col("doc_id").asc())
     ranked = (matches.withColumn("rank", F.row_number().over(w_q))
@@ -1518,13 +1567,16 @@ def _span_match_docs(index: dict, words: str, window: int,
 
 def span_search(index: dict, words: str, window: int = 8, k: int = 10,
                 scope=None, exclude: "str | None" = None,
-                offset: int = 0) -> DataFrame:
+                offset: int = 0,
+                search_after: "tuple | None" = None) -> DataFrame:
     """Top-k unordered proximity query: docs where all the analyzed lemmas
     of ``words`` co-occur within a window of ``window`` positions, ranked
     TIGHTEST-FIRST by (span asc, doc_id asc) — the querylang's '"w1 w2
     w3"~N' clause as a standalone operator. Returns (doc_id, conv_id,
     turn_idx, role, tool, ts, span); ``scope``/``exclude``/``offset``
     behave exactly as in ``phrase_search``."""
+    if search_after is not None and offset:
+        raise ValueError("search_after and offset are mutually exclusive")
     release_query_caches(index)
     spark = index["docs"].sparkSession
     empty = spark.createDataFrame(
@@ -1539,6 +1591,8 @@ def span_search(index: dict, words: str, window: int = 8, k: int = 10,
     excl = _resolve_exclusions(index, exclude, sc)
     if excl is not None:
         matches = matches.join(excl, "doc_id", "left_anti")
+    if search_after is not None:
+        matches = _int_cursor_filter(matches, "span", False, search_after)
     topk = (matches.orderBy(F.col("span").asc(), F.col("doc_id").asc())
             .limit(int(offset) + k))
     if offset:
@@ -1556,7 +1610,8 @@ def span_search(index: dict, words: str, window: int = 8, k: int = 10,
 def span_search_many(index: dict, queries: dict, window: int = 8,
                      k: int = 10, scope=None,
                      exclude: "dict[str, str] | str | None" = None,
-                     offset: int = 0) -> DataFrame:
+                     offset: int = 0,
+                     search_after: "dict | tuple | None" = None) -> DataFrame:
     """Batched span queries: MANY unordered windowed-proximity queries in
     ONE Spark job (the span analog of ``phrase_search_many``).
 
@@ -1646,6 +1701,9 @@ def span_search_many(index: dict, queries: dict, window: int = 8,
         if banned is not None:
             matches = matches.join(banned, ["query_id", "doc_id"],
                                    "left_anti")
+    if search_after is not None:
+        matches = _batch_int_cursor(matches, per_q, search_after,
+                                    "span", False)
     w_q = Window.partitionBy("query_id").orderBy(
         F.col("span").asc(), F.col("doc_id").asc())
     ranked = (matches.withColumn("rank", F.row_number().over(w_q))

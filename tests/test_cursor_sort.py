@@ -260,3 +260,76 @@ def test_boost_bm25f_matches_brute_force(fielded_idx):
 def test_boost_rejects_ref_compat(index_ref):
     with pytest.raises(ValueError):
         search(index_ref, Q, mode="ref_compat", boost_by=F.lit(2.0))
+
+
+# ---------- positional families (phrase / near / span) ----------
+
+@pytest.fixture(scope="module")
+def pos_idx(corpus_df):
+    from searchengine_spark.operators.indexer import build_index
+    idx = build_index(corpus_df, mode="general", bucket_range=256,
+                      block_size=32, with_positions=True)
+    idx["postings"].count()
+    idx["terms"].count()
+    return idx
+
+
+def test_phrase_cursor_page_equals_offset(pos_idx):
+    from searchengine_spark.operators.search import phrase_search
+    # adjacent bigrams are rare in the fixture corpus; a single-term
+    # phrase (n_matches = tf) gives a real multi-page ranking to walk
+    ph = "запрос"
+    allm = phrase_search(pos_idx, ph, k=10 ** 6).collect()
+    assert len(allm) >= 6  # corpus sanity: enough matches to page
+    half = max(1, len(allm) // 2)
+    p1 = phrase_search(pos_idx, ph, k=half).collect()
+    cur = (p1[-1]["n_matches"], p1[-1]["doc_id"])
+    got = [(r["doc_id"], r["n_matches"]) for r in
+           phrase_search(pos_idx, ph, k=half, search_after=cur).collect()]
+    exp = [(r["doc_id"], r["n_matches"]) for r in
+           phrase_search(pos_idx, ph, k=half, offset=half).collect()]
+    assert got == exp and got
+
+
+def test_near_cursor_page_equals_offset(pos_idx):
+    from searchengine_spark.operators.search import near_search
+    p1 = near_search(pos_idx, "запрос", "индекс", max_dist=6, k=4).collect()
+    if len(p1) < 4:
+        pytest.skip("near match set too small")
+    cur = (p1[-1]["n_pairs"], p1[-1]["doc_id"])
+    got = [(r["doc_id"], r["n_pairs"]) for r in
+           near_search(pos_idx, "запрос", "индекс", max_dist=6, k=4,
+                       search_after=cur).collect()]
+    exp = [(r["doc_id"], r["n_pairs"]) for r in
+           near_search(pos_idx, "запрос", "индекс", max_dist=6, k=4,
+                       offset=4).collect()]
+    assert got == exp
+
+
+def test_span_cursor_walk_covers_all(pos_idx):
+    from searchengine_spark.operators.search import span_search
+    q = "запрос индекс"
+    allm = [(r["doc_id"], r["span"]) for r in
+            span_search(pos_idx, q, window=10, k=10 ** 6).collect()]
+    got, cur = [], None
+    while True:
+        page = span_search(pos_idx, q, window=10, k=5,
+                           search_after=cur).collect()
+        if not page:
+            break
+        got.extend((r["doc_id"], r["span"]) for r in page)
+        cur = (page[-1]["span"], page[-1]["doc_id"])
+    assert got == allm
+
+
+def test_batched_phrase_cursor_matches_single(pos_idx):
+    from searchengine_spark.operators.search import (phrase_search,
+                                                     phrase_search_many)
+    ph = "запрос индекс"
+    p1 = phrase_search(pos_idx, ph, k=3).collect()
+    cur = {"a": (p1[-1]["n_matches"], p1[-1]["doc_id"])}
+    got = phrase_search_many(pos_idx, {"a": ph}, k=3,
+                             search_after=cur).toPandas()
+    single = phrase_search(pos_idx, ph, k=3,
+                           search_after=cur["a"]).toPandas()
+    assert got["doc_id"].tolist() == single["doc_id"].tolist()
