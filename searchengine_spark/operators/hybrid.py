@@ -190,9 +190,18 @@ def hybrid_search(index: dict, query: str, emb: DataFrame, qvec: list[float],
                   n_vec: int = 100, rrf_k: int = RRF_K, alpha: float = 0.5,
                   scope=None, exclude: "str | None" = None,
                   id_col: str = "vec_id",
-                  vec_hits: "DataFrame | None" = None) -> DataFrame:
+                  vec_hits: "DataFrame | None" = None,
+                  with_snippets: bool = False,
+                  with_titles: bool = False) -> DataFrame:
     """Hybrid top-k over a built index + an embedding table. Returns
-    (doc_id, conv_id, turn_idx, role, tool, ts, score, lex_rank, vec_rank).
+    (doc_id, conv_id, turn_idx, role, tool, ts, score, lex_rank, vec_rank
+    [, title][, snippet]).
+
+    ``with_titles``/``with_snippets`` mirror the main path's Q9/Q10
+    surface over the k fused winners (one Arrow pass over k rows);
+    snippets highlight the LEXICAL query's expanded word set — a doc
+    retrieved only by the vector side gets the no-match fallback snippet,
+    which is the honest rendering (nothing lexical matched it).
 
     The lexical side is ``search(index, query, k=n_lex, mode="bm25",
     scope=, exclude=)`` — the full engine path (dictionary resolution,
@@ -220,10 +229,26 @@ def hybrid_search(index: dict, query: str, emb: DataFrame, qvec: list[float],
                           F.col("cos"))
     fused = hybrid_fuse(lex, vec, k=k, method=method, rrf_k=rrf_k,
                         alpha=alpha, n_vec=n_vec)
+    need_text = with_snippets or with_titles
     docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx",
-                                     "role", "tool", "ts")
+                                     "role", "tool", "ts",
+                                     *(["text"] if need_text else []))
     # k fused winners vs the corpus: broadcast, never a shuffle (Q9 shape)
-    return (docs_meta.join(F.broadcast(fused), "doc_id")
-            .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
-                    "score", "lex_rank", "vec_rank")
-            .orderBy(F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()))
+    out = (docs_meta.join(F.broadcast(fused), "doc_id")
+           .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                   "score", "lex_rank", "vec_rank",
+                   *(["text"] if need_text else []))
+           .orderBy(F.round(F.col("score"), 9).desc(),
+                    F.col("doc_id").asc()))
+    if with_titles:
+        from searchengine_spark.functions.text import extract_title
+        out = out.withColumn("title", extract_title(F.col("text")))
+        if not with_snippets:
+            out = out.drop("text")
+    if with_snippets:
+        from searchengine_spark.functions.snippets import snippet_col
+        out = out.withColumn(
+            "snippet",
+            snippet_col(F.col("text"), query, index.get("mode", "general"),
+                        index.get("dictionary", "fixture"))).drop("text")
+    return out

@@ -165,3 +165,16 @@ def test_hybrid_many_rejects_mismatched_keys(index_general, emb_df, qvec):
     with pytest.raises(ValueError):
         hybrid_search_many(index_general, {"a": Q}, emb_df,
                            {"b": qvec}, k=5)
+
+
+def test_hybrid_snippets_and_titles(index_general, emb_df, qvec):
+    got = hybrid_search(index_general, Q, emb_df, qvec, k=10,
+                        n_lex=20, n_vec=20,
+                        with_snippets=True, with_titles=True).collect()
+    base = hybrid_search(index_general, Q, emb_df, qvec, k=10,
+                         n_lex=20, n_vec=20).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in base]
+    assert all(r["snippet"] is not None for r in got)
+    # lexical hits highlight; vector-only hits render the fallback
+    lex_hits = [r for r in got if r["lex_rank"] > 0]
+    assert lex_hits and all("<b>" in r["snippet"] for r in lex_hits)
