@@ -124,7 +124,9 @@ def hybrid_search_many(index: dict, queries: "dict[str, str]",
     by query_id, a (query_id, doc_id) full outer join, and a per-query
     top-k window — rows identical to per-query ``hybrid_search``.
     ``queries`` and ``qvecs`` must share key sets; ``exclude`` is the
-    batched NOT clause passed to ``search_many``."""
+    batched NOT clause passed to ``search_many``. Like the single path,
+    ``scope``/``exclude`` constrain only the LEXICAL arm — pre-filter
+    ``emb`` (or pass scoped ``vec_hits``) to constrain the vector arm."""
     from searchengine_spark.operators.search import search_many
     if set(queries) != set(qvecs):
         raise ValueError("queries and qvecs must share the same query ids")

@@ -333,3 +333,14 @@ def test_batched_phrase_cursor_matches_single(pos_idx):
     single = phrase_search(pos_idx, ph, k=3,
                            search_after=cur["a"]).toPandas()
     assert got["doc_id"].tolist() == single["doc_id"].tolist()
+
+
+# ---------- search_count ----------
+
+def test_count_matches_brute_force_and_zero(index_general):
+    from searchengine_spark.operators.search import search_count
+    n = search_count(index_general, Q).collect()[0]["n_matches"]
+    brute = search(index_general, Q, k=10 ** 6, mode="bm25").count()
+    assert n == brute > 0
+    zero = search_count(index_general, "абракадабрище").collect()
+    assert [r["n_matches"] for r in zero] == [0]  # one row, zero included
