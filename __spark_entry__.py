@@ -1014,13 +1014,15 @@ def _q_facets_minute(spark, sf_dir):
 
 def _q_boost_recent(spark, sf_dir):
     """Function-score ranking: BM25 × recency decay 1/(1 + age_minutes),
-    age measured from the newest doc's ts (= base + 499 s under the
-    shaping). The boost column is a pure docs expression — the engine
-    multiplies it into each match's score before the top-k."""
+    age anchored at the NEWEST doc's ts (= base + (n_docs-1) s under the
+    shaping) so age ≥ 0 and the denominator ≥ 1 at every sf. The boost
+    column is a pure docs expression — the engine multiplies it into each
+    match's score before the top-k."""
     from searchengine_spark.operators.search import search
     index = _index_for(spark, sf_dir)
     base = 1767225600.0  # epoch of 2026-01-01 00:00:00 UTC (entry shaping)
-    age_min = (F.lit(base + 499.0) - F.col("ts").cast("double")) / F.lit(60.0)
+    newest = base + float(index["stats"]["n_docs"] - 1)
+    age_min = (F.lit(newest) - F.col("ts").cast("double")) / F.lit(60.0)
     boost = F.lit(1.0) / (F.lit(1.0) + age_min)
     hits = search(index, " ".join(BM25_Q), k=K, mode="bm25", boost_by=boost)
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
@@ -1863,7 +1865,8 @@ scored as (
   group by tf.doc_id),
 boosted as (
   select doc_id,
-         s * (1.0::DOUBLE / (1.0::DOUBLE + (499 - doc_id) / 60.0)) as s
+         s * (1.0::DOUBLE / (1.0::DOUBLE
+              + ((select count(*) from documents) - 1 - doc_id) / 60.0)) as s
   from scored)
 select doc_id, round(s, 6) as score from boosted
 order by round(s, 9) desc, doc_id asc limit {K}""",
