@@ -1028,6 +1028,21 @@ def _q_boost_recent(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_facets_metrics(spark, sf_dir):
+    """Metric facets (terms aggregation with sub-metrics): the BM25 match
+    set bucketed by doc_id % 5 with per-facet count + avg/max analyzed
+    doc length — one groupBy carries count and metrics together."""
+    from searchengine_spark.operators.search import search_facets
+    index = _index_for(spark, sf_dir)
+    out = search_facets(index, " ".join(BM25_Q),
+                        by=_orig_doc_id() % 5,
+                        metrics={"avg_dl": F.avg("dl"),
+                                 "max_dl": F.max("dl")})
+    return out.select("facet", "n_docs",
+                      F.round("avg_dl", 6).alias("avg_dl"),
+                      F.col("max_dl").cast("long").alias("max_dl"))
+
+
 HYB_Q2 = ["spark", "hash"]  # second batched-hybrid query (in-vocab terms)
 
 
@@ -1380,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_facets_multi": _q_facets_multi,
         "q_count": _q_count,
         "q_facets_minute": _q_facets_minute,
+        "q_facets_metrics": _q_facets_metrics,
         "q_boost_recent": _q_boost_recent,
         "q9_metadata_projection": _q_metadata_projection,
         "q10_snippets": _q_snippets,
@@ -1853,6 +1869,15 @@ def oracle_sql() -> dict[str, str]:
                             + to_seconds(doc_id), '%Y-%m-%d %H:%M') as facet,
                    cast(count(*) as bigint) as n_docs
             from m group by 2""",
+        "q_facets_metrics": f"""
+            with tf as ({_TF}), dl as ({_DL}),
+            m as (select distinct doc_id from tf
+                  where term in ({", ".join(f"'{t}'" for t in BM25_Q)}))
+            select cast(m.doc_id % 5 as varchar) as facet,
+                   cast(count(*) as bigint) as n_docs,
+                   round(avg(dl.dl), 6) as avg_dl,
+                   cast(max(dl.dl) as bigint) as max_dl
+            from m join dl using (doc_id) group by 1""",
         "q_boost_recent": f"""
 with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
 stats as (select count(*) as n, avg(dl) as avgdl from dl),

@@ -944,7 +944,8 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
 def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
                   scope=None, exclude: "str | None" = None,
                   require_all: "bool | None" = None,
-                  exclude_docs: "DataFrame | None" = None) -> DataFrame:
+                  exclude_docs: "DataFrame | None" = None,
+                  metrics: "dict | None" = None) -> DataFrame:
     """Facet counts over the query's FULL match set (no top-k): how many
     matching docs per value of a docs-table attribute — the aggregation
     panel every search UI renders next to the hit list. No reference
@@ -972,6 +973,14 @@ def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
     Single-dimension output is (facet, n_docs) ordered by n_docs desc,
     facet asc.
 
+    ``metrics`` (single-dimension ``by`` only) adds METRIC aggregations
+    per facet — the search-engine "terms aggregation with sub-metrics":
+    a dict name → aggregate Column over docs-table attributes (e.g.
+    ``{"avg_dl": F.avg("dl"), "max_chars": F.max(F.length("text"))}``).
+    Output becomes (facet, n_docs, <metric...>), same ordering; the plan
+    gains nothing — the metrics ride the SAME groupBy(facet) aggregation
+    that counts, map-side partials included.
+
     Plan shape: the same bucket-pruned block scan + single decode pass as
     ``search`` (counting needs every matching posting, so there is no WAND
     phase — this is a count query, not a top-k), a doc-level arity agg, an
@@ -984,6 +993,8 @@ def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
     # multi-dimension form: {dim name → column/expr}; list items must be
     # column NAMES (a bare Column in a list has no name to label its panel)
     dims = None
+    if metrics is not None and (isinstance(by, (dict, list, tuple))):
+        raise ValueError("metrics= requires a single-dimension by=")
     if isinstance(by, dict):
         dims = {str(n): (F.col(c) if isinstance(c, str) else c)
                 for n, c in by.items()}
@@ -1060,6 +1071,15 @@ def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
                 .orderBy(F.col("dim").asc(), F.col("n_docs").desc(),
                          F.col("facet").asc()))
     facet_col = F.col(by) if isinstance(by, str) else by
+    if metrics:
+        # metric aggregations ride the same facet agg — the metric
+        # expressions need the docs columns, so keep the full row set
+        matched = index["docs"].join(agg.select("doc_id"), "doc_id")
+        aggs = [F.count("*").alias("n_docs")] + [
+            expr.alias(name) for name, expr in metrics.items()]
+        return (matched.groupBy(facet_col.cast("string").alias("facet"))
+                .agg(*aggs)
+                .orderBy(F.col("n_docs").desc(), F.col("facet").asc()))
     docs_f = index["docs"].select(
         "doc_id", facet_col.cast("string").alias("facet"))
     return (docs_f.join(agg.select("doc_id"), "doc_id")

@@ -249,3 +249,32 @@ def test_facets_multi_dimension(index_general, golden_general):
     assert search_facets(index_general, "и в на",
                          by=["role", "tool"]).columns == \
         ["dim", "facet", "n_docs"]
+
+
+def test_metric_facets_match_brute_force(index_general):
+    from searchengine_spark.operators.search import search, search_facets
+    q = "поиск запрос"
+    got = {r["facet"]: (r["n_docs"], r["avg_dl"], r["max_dl"])
+           for r in search_facets(index_general, q, by="role",
+                                  metrics={"avg_dl": F.avg("dl"),
+                                           "max_dl": F.max("dl")}).collect()}
+    docs = {r["doc_id"]: r for r in index_general["docs"].collect()}
+    match_ids = [r["doc_id"] for r in
+                 search(index_general, q, k=10 ** 6, mode="bm25").collect()]
+    exp = {}
+    for d in match_ids:
+        role, dl = docs[d]["role"], docs[d]["dl"]
+        n, s, mx = exp.get(role, (0, 0, 0))
+        exp[role] = (n + 1, s + dl, max(mx, dl))
+    exp = {k: (n, s / n, mx) for k, (n, s, mx) in exp.items()}
+    assert set(got) == set(exp)
+    for k in got:
+        assert got[k][0] == exp[k][0] and got[k][2] == exp[k][2]
+        assert abs(got[k][1] - exp[k][1]) < 1e-9
+
+
+def test_metric_facets_reject_multi_dim(index_general):
+    from searchengine_spark.operators.search import search_facets
+    with pytest.raises(ValueError):
+        search_facets(index_general, "поиск", by=["role", "tool"],
+                      metrics={"m": F.avg("dl")})
