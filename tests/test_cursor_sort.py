@@ -344,3 +344,25 @@ def test_count_matches_brute_force_and_zero(index_general):
     assert n == brute > 0
     zero = search_count(index_general, "абракадабрище").collect()
     assert [r["n_matches"] for r in zero] == [0]  # one row, zero included
+
+
+# ---------- grammar × new-control composition ----------
+
+def test_grammar_boost_sort_cursor_compose(index_general):
+    from searchengine_spark.operators.querylang import query_search
+    qs = f"{Q} -ошибка"
+    boost = F.lit(1.0) / (F.lit(1.0) + F.col("doc_id").cast("double") / F.lit(50.0))
+    # boosted grammar ranking == search with the same NOT clause + boost
+    got = _rows(query_search(index_general, qs, k=8, boost_by=boost))
+    exp = _rows(search(index_general, Q, k=8, mode="bm25",
+                       exclude="ошибка", boost_by=boost))
+    assert got == exp
+    # sorted grammar page 2 via cursor == via offset
+    p1 = query_search(index_general, qs, k=5, sort_by="ts").collect()
+    docs = {r["doc_id"]: r for r in index_general["docs"].collect()}
+    cur = (docs[p1[-1]["doc_id"]]["ts"], p1[-1]["doc_id"])
+    via_cursor = _rows(query_search(index_general, qs, k=5, sort_by="ts",
+                                    search_after=cur))
+    via_offset = _rows(query_search(index_general, qs, k=5, sort_by="ts",
+                                    offset=5))
+    assert via_cursor == via_offset
