@@ -139,6 +139,17 @@ def _q_bm25_not_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_min_match(spark, sf_dir):
+    """minimum-should-match: BM25 over the 3-term query keeping only docs
+    matching >= 2 distinct terms — the OR/AND middle ground
+    (search(min_match=2); no reference analog, its query language is
+    conjunctive-only: services/SearchingServiceImpl.java:95-108)."""
+    from searchengine_spark.operators.search import search
+    index = _index_for(spark, sf_dir)
+    hits = search(index, " ".join(AND3), k=K, mode="bm25", min_match=2)
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 def _q_facets(spark, sf_dir):
     """Facet counts over the query's FULL match set (match=any): matching
     docs grouped by doc_id's last digit — a 10-way facet over this corpus's
@@ -1427,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_ref_topk": _q_ref_topk,
         "q7_bm25_topk": _q_bm25_topk,
         "q_bm25_not_topk": _q_bm25_not_topk,
+        "q_min_match": _q_min_match,
         "q_facets": _q_facets,
         "q_facets_multi": _q_facets_multi,
         "q_count": _q_count,
@@ -1558,11 +1570,15 @@ def _jaccard_truth_sql(id_cap: int, threshold: float) -> str:
 
 
 def _bm25_sql(terms: list[str], k: int, offset: int = 0, scope: str = "",
-              exclude: "list[str] | None" = None) -> str:
+              exclude: "list[str] | None" = None,
+              min_match: int = 0) -> str:
     """BM25 oracle; ``scope`` is an extra predicate on tf.doc_id (candidates
     scoped, idf/avgdl stay corpus-wide — the engine's filtered-search
     semantics for ``search(..., scope=)``); ``exclude`` models the NOT
-    clause (drop docs containing ANY excluded term)."""
+    clause (drop docs containing ANY excluded term); ``min_match`` models
+    minimum-should-match (keep docs matching >= m distinct terms — the tf
+    CTE is one row per (term, doc), so count(*) is the distinct-term
+    count)."""
     tl = ", ".join(f"'{t}'" for t in terms)
     sc = f" and {scope}" if scope else ""
     xc = ""
@@ -1570,6 +1586,7 @@ def _bm25_sql(terms: list[str], k: int, offset: int = 0, scope: str = "",
         xl = ", ".join(f"'{t}'" for t in exclude)
         xc = (f" and tf.doc_id not in "
               f"(select doc_id from tf where term in ({xl}))")
+    hv = f"\n  having count(*) >= {int(min_match)}" if min_match > 1 else ""
     return f"""
 with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
 stats as (select count(*) as n, avg(dl) as avgdl from dl),
@@ -1579,7 +1596,7 @@ scored as (
               * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
   from tf join dfv using (term) join dl using (doc_id) cross join stats
   where tf.term in ({tl}){sc}{xc}
-  group by tf.doc_id)
+  group by tf.doc_id{hv})
 select doc_id, round(s, 6) as score from scored
 order by round(s, 9) desc, doc_id asc limit {k} offset {offset}
 """
@@ -1876,6 +1893,7 @@ def oracle_sql() -> dict[str, str]:
             from m order by tf_sum desc, doc_id asc limit {K}""",
         "q7_bm25_topk": _bm25_sql(BM25_Q, K),
         "q_bm25_not_topk": _bm25_sql(BM25_Q, K, exclude=[NOT_T]),
+        "q_min_match": _bm25_sql(AND3, K, min_match=2),
         "q_facets": f"""
             with tf as ({_TF}),
             m as (select distinct doc_id from tf

@@ -134,9 +134,10 @@ def _resolve_terms_paged(index: dict, qterms: list[str], mode: str) -> list[dict
         n = index["stats"]["n_docs"]
         sub = sub[sub["df"] / float(n) < PRUNE_THRESHOLD]
     out = []
-    for _, row in sub.iterrows():
+    for term, row in sub.iterrows():
         md = row.get("min_dl") if "min_dl" in sub.columns else None
-        out.append({"term_id": int(row["term_id"]), "df": int(row["df"]),
+        out.append({"term": str(term),
+                    "term_id": int(row["term_id"]), "df": int(row["df"]),
                     "max_score": (None if pd.isna(row.get("max_score")) else float(row["max_score"])),
                     "max_tf": (None if pd.isna(row.get("max_tf")) else int(row["max_tf"])),
                     "min_dl": (None if md is None or pd.isna(md) else int(md))})
@@ -171,9 +172,10 @@ def _resolve_terms_driver(index: dict, qterms: list[str], mode: str):
         n = index["stats"]["n_docs"]
         sub = sub[sub["df"] / float(n) < PRUNE_THRESHOLD]
     out = []
-    for _, row in sub.iterrows():
+    for term, row in sub.iterrows():
         md = row.get("min_dl") if "min_dl" in sub.columns else None
-        out.append({"term_id": int(row["term_id"]), "df": int(row["df"]),
+        out.append({"term": str(term),
+                    "term_id": int(row["term_id"]), "df": int(row["df"]),
                     "max_score": (None if pd.isna(row.get("max_score")) else float(row["max_score"])),
                     "max_tf": (None if pd.isna(row.get("max_tf")) else int(row["max_tf"])),
                     "min_dl": (None if md is None or pd.isna(md) else int(md))})
@@ -509,7 +511,8 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
            collapse=None, per_group: int = 1,
            search_after: "tuple | None" = None,
            sort_by=None, sort_asc: bool = False,
-           boost_by=None) -> DataFrame:
+           boost_by=None, min_match: "int | None" = None,
+           _stats_override: "dict | None" = None) -> DataFrame:
     """Top-k search over a built index; returns DataFrame
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, snippet]).
 
@@ -593,8 +596,28 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     score is what top-k, collapse, cursors, snippets-ordering and the
     returned ``score`` column all see. Block-max pruning turns off: the
     stored bounds cap the UNboosted score, and a large boost can promote
-    a doc from below the unboosted θ. bm25 mode only."""
+    a doc from below the unboosted θ. bm25 mode only.
+
+    ``min_match`` is minimum-should-match (Lucene/Elasticsearch
+    ``minimum_should_match``): bm25 mode scores docs matching ANY query
+    term (pure disjunction); ``min_match=m`` keeps only docs matching at
+    least m DISTINCT query terms — the middle ground between OR (m=1, the
+    default) and AND (m = number of resolved terms). One ``nt >= m``
+    filter on the existing per-doc aggregate; scores are unchanged (still
+    the sum over matched terms). Terms the dictionary doesn't know drop
+    out BEFORE the threshold (the reference's absent-lemma semantics), so
+    m counts resolved terms. m greater than the resolved-term count
+    returns empty. Block-max pruning turns off for m > 1: θ from the
+    unfiltered top-k can exceed the kth QUALIFYING doc's score, which
+    would make skips unsound. bm25 mode only (ref_compat is already the
+    full conjunction, Q6)."""
     spark = index["docs"].sparkSession
+    if min_match is not None:
+        if mode != "bm25":
+            raise ValueError("min_match requires mode='bm25': ref_compat "
+                             "is already the full conjunction (Q6)")
+        if int(min_match) < 1:
+            raise ValueError("min_match must be >= 1")
     if boost_by is not None and mode != "bm25":
         raise ValueError("boost_by requires mode='bm25': ref_compat's "
                          "tf-sum/max score has no boost semantics")
@@ -716,10 +739,11 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
                 (prune_blocks == "auto" and sum_df_direct >= PRUNE_MIN_POSTINGS)) \
         and bool(direct_ids) and (has_m or cached is None) \
         and collapse is None \
-        and search_after is None and sort_by is None and boost_by is None
+        and search_after is None and sort_by is None and boost_by is None \
+        and (min_match is None or int(min_match) <= 1)
         # count-every-match classes: collapsed top-k / cursor pages /
-        # field-sorted retrieval / boosted scores all need matches below
-        # the global-top-k θ (docstring)
+        # field-sorted retrieval / boosted scores / min_match thresholds
+        # all need matches below the global-top-k θ (docstring)
 
     if mode == "bm25" and do_prune and n_q > 0:
         # per-term WAND upper bounds M_t, driver-side from the dictionary's
@@ -867,6 +891,10 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
             "score", F.col("tf_sum").cast("double")
             / F.max(F.col("tf_sum").cast("double")).over(Window.partitionBy()))
     else:
+        if min_match is not None and int(min_match) > 1:
+            # minimum-should-match: one filter on the distinct-matched-term
+            # count the aggregate already carries; scores unchanged
+            agg = agg.filter(F.col("nt") >= F.lit(int(min_match)))
         matches = agg.withColumn("score", F.col("bm25"))
         if boost_by is not None:
             # function-score: boosted = bm25 × per-doc factor, applied
@@ -1910,7 +1938,8 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
                 collapse=None, per_group: int = 1,
                 search_after: "dict | tuple | None" = None,
                 sort_by=None, sort_asc: bool = False,
-                boost_by=None) -> DataFrame:
+                boost_by=None,
+                min_match: "int | dict | None" = None) -> DataFrame:
     """Batched top-k: score MANY queries in ONE Spark job.
 
     A single-query search costs ~1 fixed-latency job regardless of data;
@@ -1999,14 +2028,20 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
       resolved bans (NOT-phrase/NOT-span match sets), unioned into the
       batched NOT anti-join.
 
+    ``min_match`` — minimum-should-match for the whole batch (int) or per
+    query ({query_id → m}, absent queries default to 1 = plain OR): same
+    semantics as ``search(min_match=)``, applied as ONE threshold filter
+    on the shared per-(query, doc) aggregate. bm25 mode only.
+
     Restricted queries resolve their terms WITHOUT ref_compat's global
     80% prune only when they're site_like (matching single-query scoped
     resolution); clause-restricted queries keep the global prune
     (matching ``search(scope=<DataFrame>)``).
     """
     if (search_after is not None or sort_by is not None
-            or boost_by is not None) and mode == "ref_compat":
-        raise ValueError("search_after/sort_by/boost_by require "
+            or boost_by is not None or min_match is not None) \
+            and mode == "ref_compat":
+        raise ValueError("search_after/sort_by/boost_by/min_match require "
                          "mode='bm25' (see search()'s docstring)")
     if search_after is not None and offset:
         raise ValueError("search_after and offset are mutually exclusive")
@@ -2285,6 +2320,18 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
             "score", F.col("tf_sum").cast("double")
             / F.max(F.col("tf_sum").cast("double")).over(w_q))
     else:
+        if min_match is not None:
+            # minimum-should-match, batched: shared int or per-query dict
+            # {query_id -> m} (absent queries default to 1 = plain OR);
+            # one nt-threshold filter on the per-(query, doc) aggregate
+            if isinstance(min_match, dict):
+                mm_map = F.create_map(
+                    *[x for qid, m in sorted(min_match.items())
+                      for x in (F.lit(qid), F.lit(int(m)))])
+                agg = agg.filter(F.col("nt") >= F.coalesce(
+                    mm_map[F.col("query_id")], F.lit(1)))
+            elif int(min_match) > 1:
+                agg = agg.filter(F.col("nt") >= F.lit(int(min_match)))
         scored_q = agg.withColumn("score", F.col("bm25"))
         if boost_by is not None:
             bcol = F.col(boost_by) if isinstance(boost_by, str) else boost_by
