@@ -139,6 +139,20 @@ def _q_bm25_not_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_explain_score(spark, sf_dir):
+    """Score debugging: per-(doc, term) BM25 breakdown for the standard
+    query's top-k — tf/dl/df/idf/weight rows whose per-doc weight sums
+    reproduce the search scores (explain_score; Elasticsearch _explain
+    analog — the reference assembles its score invisibly,
+    services/SearchingServiceImpl.java:300-329)."""
+    from searchengine_spark.operators.search import explain_score
+    index = _index_for(spark, sf_dir)
+    rows = explain_score(index, " ".join(BM25_Q), k=K)
+    return rows.select(_orig_doc_id(), "term", "tf", "dl", "df",
+                       F.round("idf", 6).alias("idf"),
+                       F.round("weight", 6).alias("weight"))
+
+
 def _q_min_match(spark, sf_dir):
     """minimum-should-match: BM25 over the 3-term query keeping only docs
     matching >= 2 distinct terms — the OR/AND middle ground
@@ -830,6 +844,22 @@ def _q_merged_bm25f(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _shards_for(spark, sf_dir):
+    """Two independent shard builds over contiguous conv_id halves — shared
+    by the merge entries (build half) and the scatter-gather entry (serve
+    half)."""
+    key = (sf_dir, "shards")
+    if key not in _INDEX_CACHE:
+        from searchengine_spark.operators.indexer import build_index
+        t = _docs_as_transcripts(spark, sf_dir)
+        n = _docs(spark, sf_dir).count()
+        cut = f"doc{n // 2:08d}"
+        ia = build_index(t.filter(F.col("conv_id") < cut), mode="general")
+        ib = build_index(t.filter(F.col("conv_id") >= cut), mode="general")
+        _INDEX_CACHE[key] = [ia, ib]
+    return _INDEX_CACHE[key]
+
+
 def _merged_index_for(spark, sf_dir):
     """Per-shard build pattern: split the corpus into two contiguous halves
     by conv_id, build each shard independently, fold with merge_indexes
@@ -837,14 +867,21 @@ def _merged_index_for(spark, sf_dir):
     key = (sf_dir, "merged")
     if key not in _INDEX_CACHE:
         from searchengine_spark.operators.compact import merge_indexes
-        from searchengine_spark.operators.indexer import build_index
-        t = _docs_as_transcripts(spark, sf_dir)
-        n = _docs(spark, sf_dir).count()
-        cut = f"doc{n // 2:08d}"
-        ia = build_index(t.filter(F.col("conv_id") < cut), mode="general")
-        ib = build_index(t.filter(F.col("conv_id") >= cut), mode="general")
+        ia, ib = _shards_for(spark, sf_dir)
         _INDEX_CACHE[key] = merge_indexes(ia, ib)
     return _INDEX_CACHE[key]
+
+
+def _q_sharded_topk(spark, sf_dir):
+    """Scatter-gather serving (operators/sharded.py): BM25 top-k over the
+    two shard indexes IN PLACE — per-shard search under corpus-global
+    (n_docs, avgdl, df) assembled from the shard dictionaries, then a
+    bounded rank merge. Must equal the whole-corpus SQL exactly (the
+    distributed-IDF problem solved by global stats)."""
+    from searchengine_spark.operators.sharded import search_sharded
+    shards = _shards_for(spark, sf_dir)
+    hits = search_sharded(shards, " ".join(BM25_Q), k=K)
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
 def _q_merge_term_df(spark, sf_dir):
@@ -1439,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_bm25_topk": _q_bm25_topk,
         "q_bm25_not_topk": _q_bm25_not_topk,
         "q_min_match": _q_min_match,
+        "q_explain_score": _q_explain_score,
         "q_facets": _q_facets,
         "q_facets_multi": _q_facets_multi,
         "q_count": _q_count,
@@ -1486,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_compacted_topk": _q_compacted_topk,
         "s9_merge_term_df": _q_merge_term_df,
         "q_merged_topk": _q_merged_topk,
+        "q_sharded_topk": _q_sharded_topk,
         "q_merged_bm25f": _q_merged_bm25f,
         "a4_index_geometry": _q_index_geometry,
         "a3_statistics": _q_statistics,
@@ -1894,6 +1933,27 @@ def oracle_sql() -> dict[str, str]:
         "q7_bm25_topk": _bm25_sql(BM25_Q, K),
         "q_bm25_not_topk": _bm25_sql(BM25_Q, K, exclude=[NOT_T]),
         "q_min_match": _bm25_sql(AND3, K, min_match=2),
+        "q_explain_score": f"""
+with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+stats as (select count(*) as n, avg(dl) as avgdl from dl),
+scored as (
+  select tf.doc_id,
+         sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+  from tf join dfv using (term) join dl using (doc_id) cross join stats
+  where tf.term in ({", ".join(f"'{t}'" for t in BM25_Q)})
+  group by tf.doc_id),
+topd as (select doc_id from scored
+         order by round(s, 9) desc, doc_id asc limit {K})
+select tf.doc_id, tf.term, tf.tf, dl.dl, dfv.df,
+       round(ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5)), 6) as idf,
+       round(ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6) as weight
+from tf join dfv using (term) join dl using (doc_id) cross join stats
+where tf.term in ({", ".join(f"'{t}'" for t in BM25_Q)})
+  and tf.doc_id in (select doc_id from topd)
+""",
         "q_facets": f"""
             with tf as ({_TF}),
             m as (select distinct doc_id from tf
@@ -2248,6 +2308,7 @@ order by doc_id desc limit {K}""",
         # single-build BM25 (df/n_docs/avgdl fold exactly)
         "s9_merge_term_df": _DF,
         "q_merged_topk": _bm25_sql(BM25_Q, K),
+        "q_sharded_topk": _bm25_sql(BM25_Q, K),
         "q_merged_bm25f": _bm25f_sql(list(BM25_Q), K),
         # layout invariant: blocks per (term, doc-bucket) == ceil(cnt/128)
         # under the default geometry (bucket_range 65536, block_size 128)

@@ -146,6 +146,12 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
     merged = merge_indexes(ia, ib, check_disjoint=False)  # disjoint by construction
     merged["postings"].count()
     queries["maint_merge"] = round(time.time() - t0, 3)
+    # scatter-gather serving over the two shards IN PLACE (no merge):
+    # per-shard search under global stats + bounded rank merge
+    from searchengine_spark.operators.sharded import search_sharded
+    t0 = time.time()
+    search_sharded([ia, ib], "ошибка файл", k=10).collect()
+    queries["q_sharded_topk"] = round(time.time() - t0, 3)
     # drop the maintenance indexes' references: their eager-checkpointed
     # blocks (4+ full index copies) otherwise stay cached and pressure the
     # sections below (ContextCleaner frees the RDD blocks after GC)

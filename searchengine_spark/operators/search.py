@@ -631,6 +631,16 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     release_query_caches(index)  # scoped caches from PREVIOUS queries
     stats = index["stats"]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    if _stats_override is not None:
+        # scatter-gather serving (operators/sharded.py): score THIS shard
+        # under corpus-GLOBAL statistics so per-shard top-ks merge into
+        # exactly the combined index's ranking. bm25-only by construction
+        # (the sharded entry point validates); df_of maps term STRING →
+        # global df because term_ids are shard-local.
+        if mode != "bm25":
+            raise ValueError("_stats_override requires mode='bm25'")
+        n_docs = int(_stats_override["n_docs"])
+        avgdl = float(_stats_override["avgdl"])
     qterms = _query_terms(query, index.get("mode", "general"),
                           index.get("dictionary", "fixture"))
     empty = spark.createDataFrame(
@@ -660,7 +670,13 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
         return empty
     term_ids = [r["term_id"] for r in trows]
     n_q = len(term_ids)
-    idf_of = {r["term_id"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5)))
+    _dfo = (_stats_override or {}).get("df_of") or {}
+
+    def _df_eff(r):  # global df under the sharded override, shard df else
+        return _dfo.get(r.get("term"), r["df"]) if _dfo else r["df"]
+
+    idf_of = {r["term_id"]: float(np.log(1.0 + (n_docs - _df_eff(r) + 0.5)
+                                         / (_df_eff(r) + 0.5)))
               for r in trows}
 
     # Serving-tier postings cache (operators/pcache.py): hot terms' decoded
@@ -711,7 +727,12 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     # the block under the CURRENT stats — sound forever, no re-tightening
     # needed, and far tighter than the dl→0 fallback (which remains the
     # bound for legacy blocks without block_min_dl). WAND stays exact.
-    if stats.get("tf_bounds"):
+    # The sharded-stats override takes the same derivation: stored bounds
+    # were computed under SHARD stats, the query scores under GLOBAL ones.
+    tfb = bool(stats.get("tf_bounds")) or _stats_override is not None
+    if tfb and "block_max_tf" not in blocks.columns:
+        tfb = None  # legacy blocks, overridden stats: no sound bound exists
+    if tfb:
         bmt = F.col("block_max_tf").cast("double")
         bmd = (F.coalesce(F.col("block_min_dl"), F.lit(0)).cast("double")
                if "block_min_dl" in blocks.columns else F.lit(0.0))
@@ -733,11 +754,12 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     # need a blocks aggregation for M_t that the cache split no longer
     # covers, so they skip pruning when any term is cached (exact either
     # way). True/False force either path.
-    has_m = all((r.get("max_tf") is not None) if stats.get("tf_bounds")
+    has_m = all((r.get("max_tf") is not None) if tfb
                 else (r.get("max_score") is not None) for r in trows)
     do_prune = (prune_blocks is True or
                 (prune_blocks == "auto" and sum_df_direct >= PRUNE_MIN_POSTINGS)) \
         and bool(direct_ids) and (has_m or cached is None) \
+        and tfb is not None \
         and collapse is None \
         and search_after is None and sort_by is None and boost_by is None \
         and (min_match is None or int(min_match) <= 1)
@@ -750,7 +772,7 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
         # denormalized max columns; under tf_bounds the stored max_score is
         # stale → derive from max_tf (dl→0 bound, valid under any stats)
         def _m_driver(r):
-            if stats.get("tf_bounds"):
+            if tfb:
                 if r["max_tf"] is None:
                     return None
                 bmt = float(r["max_tf"])
@@ -1134,6 +1156,97 @@ def search_count(index: dict, query: str, mode: str = "bm25", scope=None,
                            exclude_docs=exclude_docs)
     return facets.agg(
         F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_matches"))
+
+
+def explain_score(index: dict, query: str, doc_ids=None, k: int = 10,
+                  mode: str = "bm25") -> DataFrame:
+    """Per-(doc, term) relevance breakdown — the Elasticsearch ``_explain``
+    analog (the reference has no debugging surface at all; its score is
+    assembled invisibly inside ``calculateRelevance``,
+    services/SearchingServiceImpl.java:300-329).
+
+    Returns (doc_id, conv_id, turn_idx, term, tf, dl, df, idf, weight),
+    one row per (doc, matched query term). ``weight`` is the term's EXACT
+    additive contribution to the doc's score: in bm25 mode
+    idf·tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) — summing a doc's weights
+    reproduces ``search``'s score bit-for-bit at the oracle's 6-dp
+    rounding; in ref_compat it is the raw tf addend (the reported search
+    score additionally divides by the match-set max, a RESULT-SET
+    property, so the breakdown reports the per-doc raw term).
+
+    ``doc_ids=None`` explains the current top-k of
+    ``search(index, query, k, mode)``; pass explicit dense doc_ids to
+    explain arbitrary docs (absent (doc, term) pairs simply have no row).
+
+    Plan: bucket-pruned posting scan for the query's terms, block-level
+    pruning to the requested docs' buckets (≤ |docs| buckets decode
+    regardless of posting-list length), one decode pass, literal-map
+    joins for term/df/idf — no shuffle grows with the corpus."""
+    spark = index["docs"].sparkSession
+    stats = index["stats"]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    qterms = _query_terms(query, index.get("mode", "general"),
+                          index.get("dictionary", "fixture"))
+    empty = spark.createDataFrame(
+        [], "doc_id long, conv_id string, turn_idx int, term string, "
+            "tf long, dl long, df long, idf double, weight double")
+    if not qterms:
+        return empty
+    trows = _resolve_terms_driver(index, qterms, mode)
+    if trows is None:
+        trows = _resolve_terms_paged(index, qterms, mode)
+    if not trows:
+        return empty
+    if doc_ids is None:
+        doc_ids = [r["doc_id"] for r in
+                   search(index, query, k=k, mode=mode)
+                   .select("doc_id").collect()]
+    doc_ids = sorted(int(d) for d in doc_ids)
+    if not doc_ids:
+        return empty
+    term_ids = [r["term_id"] for r in trows]
+    blocks = index["postings"]
+    tb = stats.get("term_buckets")
+    if tb and "term_bucket" in blocks.columns:
+        blocks = blocks.filter(
+            F.col("term_bucket").isin(sorted({tid % tb for tid in term_ids})))
+    blocks = blocks.filter(F.col("term_id").isin(term_ids))
+    br, bs = stats.get("bucket_range"), stats.get("block_size")
+    if br and bs:
+        # decode only blocks whose doc-bucket holds a requested doc
+        bpb = -(-br // bs)
+        want = sorted({d // br for d in doc_ids})
+        blocks = blocks.filter(
+            F.floor(F.col("block_id") / F.lit(bpb)).isin(want))
+    dec = _decode_blocks_with_dl(blocks, sum_df=sum(r["df"] for r in trows))
+    dec = dec.filter(F.col("doc_id").isin(doc_ids))
+    term_map = F.create_map(*[x for r in trows
+                              for x in (F.lit(r["term_id"]), F.lit(r["term"]))])
+    df_map = F.create_map(*[x for r in trows
+                            for x in (F.lit(r["term_id"]), F.lit(int(r["df"])))])
+    idf_of = {r["term_id"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5)
+                                         / (r["df"] + 0.5))) for r in trows}
+    idf_map = F.create_map(*[x for tid, idf in idf_of.items()
+                             for x in (F.lit(tid), F.lit(idf))])
+    tfd = F.col("tf").cast("double")
+    if mode == "bm25":
+        # same operation order as the cached-rows scorer (bit-identical)
+        dld = F.col("dl").cast("double")
+        weight = (idf_map[F.col("term_id")] * (tfd * F.lit(K1 + 1.0))
+                  / (tfd + F.lit(K1)
+                     * (F.lit(1.0 - B) + (F.lit(B) * dld) / F.lit(float(avgdl)))))
+    else:
+        weight = tfd
+    out = dec.select("doc_id",
+                     term_map[F.col("term_id")].alias("term"), "tf", "dl",
+                     df_map[F.col("term_id")].cast("long").alias("df"),
+                     idf_map[F.col("term_id")].alias("idf"),
+                     weight.alias("weight"))
+    docs_meta = index["docs"].select("doc_id", "conv_id", "turn_idx")
+    return (docs_meta.join(F.broadcast(out), "doc_id")
+            .select("doc_id", "conv_id", "turn_idx", "term", "tf", "dl",
+                    "df", "idf", "weight")
+            .orderBy("doc_id", "term"))
 
 
 def _resolve_ids_dfs(index: dict, vocab) -> "tuple[dict, dict]":

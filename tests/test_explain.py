@@ -1,0 +1,59 @@
+"""explain_score: per-(doc, term) breakdown must reassemble search's scores.
+
+The Elasticsearch `_explain` analog; weights are the exact additive terms
+of the doc score, so Σ weight per doc == search()'s reported score (bm25)
+and == the raw tf_sum (ref_compat, whose reported score further divides by
+the match-set max).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.operators.search import explain_score, search
+
+K = 10
+
+
+@pytest.mark.parametrize("query", ["лес дом", "система файл код"])
+def test_weights_sum_to_bm25_score(index_general, query):
+    hits = {r["doc_id"]: r["score"]
+            for r in search(index_general, query, k=K, mode="bm25").collect()}
+    rows = explain_score(index_general, query, k=K).collect()
+    by_doc: dict[int, float] = {}
+    for r in rows:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0.0) + r["weight"]
+    assert set(by_doc) == set(hits)
+    for did, s in hits.items():
+        assert abs(by_doc[did] - s) < 1e-9, (did, by_doc[did], s)
+
+
+def test_ref_compat_weights_are_tf(index_ref, golden_ref):
+    q = "лес дом"
+    rows = explain_score(index_ref, q, k=K, mode="ref_compat").collect()
+    for r in rows:
+        assert r["weight"] == float(r["tf"])
+        assert golden_ref.tf[r["doc_id"]][r["term"]] == r["tf"]
+
+
+def test_components_match_golden(index_general, golden_general):
+    q = "ошибка лес"
+    rows = explain_score(index_general, q, k=K).collect()
+    assert rows, "expected matches"
+    for r in rows:
+        assert golden_general.df[r["term"]] == r["df"]
+        assert golden_general.tf[r["doc_id"]][r["term"]] == r["tf"]
+        assert golden_general.dl[r["doc_id"]] == r["dl"]
+        assert abs(golden_general._idf(r["term"]) - r["idf"]) < 1e-12
+
+
+def test_explicit_doc_ids(index_general):
+    q = "лес дом"
+    top = [r["doc_id"] for r in search(index_general, q, k=5).collect()]
+    rows = explain_score(index_general, q, doc_ids=top[:2]).collect()
+    assert {r["doc_id"] for r in rows} <= set(top[:2])
+    assert rows
+
+
+def test_oov_empty(index_general):
+    assert explain_score(index_general, "феноменальность").count() == 0
