@@ -139,6 +139,17 @@ def _q_bm25_not_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_significant_terms(spark, sf_dir):
+    """significant_terms aggregation: JLH-scored over-represented terms in
+    the standard query's match set vs the corpus background (fg from one
+    re-analysis of the MATCHED docs, bg from the dictionary's exact df)."""
+    from searchengine_spark.operators.search import significant_terms
+    index = _index_for(spark, sf_dir)
+    rows = significant_terms(index, " ".join(BM25_Q), k=20)
+    return rows.select("term", "fg_df", "bg_df",
+                       F.round("score", 6).alias("score"))
+
+
 def _q_explain_score(spark, sf_dir):
     """Score debugging: per-(doc, term) BM25 breakdown for the standard
     query's top-k — tf/dl/df/idf/weight rows whose per-doc weight sums
@@ -1477,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_not_topk": _q_bm25_not_topk,
         "q_min_match": _q_min_match,
         "q_explain_score": _q_explain_score,
+        "q_significant_terms": _q_significant_terms,
         "q_facets": _q_facets,
         "q_facets_multi": _q_facets_multi,
         "q_count": _q_count,
@@ -1933,6 +1945,24 @@ def oracle_sql() -> dict[str, str]:
         "q7_bm25_topk": _bm25_sql(BM25_Q, K),
         "q_bm25_not_topk": _bm25_sql(BM25_Q, K, exclude=[NOT_T]),
         "q_min_match": _bm25_sql(AND3, K, min_match=2),
+        "q_significant_terms": f"""
+with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+stats as (select count(*) as n from dl),
+mset as (select distinct doc_id from tf
+         where term in ({", ".join(f"'{t}'" for t in BM25_Q)})),
+nfg as (select count(*) as n_fg from mset),
+fg as (select term, count(*) as fg_df
+       from tf join mset using (doc_id) group by term),
+j as (select fg.term, fg.fg_df, dfv.df as bg_df,
+             (fg.fg_df * 1.0 / nfg.n_fg - dfv.df * 1.0 / stats.n)
+             * ((fg.fg_df * 1.0 / nfg.n_fg) / (dfv.df * 1.0 / stats.n))
+             as score
+      from fg join dfv using (term) cross join nfg cross join stats
+      where fg.fg_df >= 2)
+select term, fg_df, bg_df, round(score, 6) as score from j
+where score > 0
+order by round(score, 9) desc, term asc limit 20
+""",
         "q_explain_score": f"""
 with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
 stats as (select count(*) as n, avg(dl) as avgdl from dl),

@@ -991,6 +991,71 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     return out
 
 
+def _match_set(index: dict, query: str, mode: str, scope, exclude,
+               require_all, exclude_docs) -> "DataFrame | None":
+    """Full match-set doc ids for a query — the count-query plan shared by
+    ``search_facets`` / ``search_count`` / ``significant_terms``:
+    bucket-pruned posting scan, ONE decode pass, doc-level arity agg, NOT
+    anti-join. No WAND phase (every match counts, there is no top-k θ).
+    Returns a DataFrame with a ``doc_id`` column (one row per matching
+    doc), or None when the query cannot match anything (no resolvable
+    terms / empty scope)."""
+    stats = index["stats"]
+    qterms = _query_terms(query, index.get("mode", "general"),
+                          index.get("dictionary", "fixture"))
+    if not qterms:
+        return None
+    sc = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc is None:
+        return None
+    trows = _resolve_terms_driver(index, qterms, mode)
+    if trows is None:
+        trows = _resolve_terms_paged(index, qterms, mode)
+    if len(trows) == 0:
+        return None
+    n_q = len(trows)
+
+    cached, direct_rows = pcache_split(index, trows)
+    direct_ids = [r["term_id"] for r in direct_rows]
+    excl = _resolve_exclusions(index, exclude, sc)
+    if exclude_docs is not None:
+        # pre-resolved banned doc set (querylang.query_facets' NOT
+        # phrase/span clauses) — same merge as search(exclude_docs=)
+        xd = exclude_docs.select("doc_id")
+        excl = xd if excl is None else excl.unionByName(xd).distinct()
+
+    parts = []
+    if direct_ids:
+        blocks = index["postings"]
+        tb = stats.get("term_buckets")
+        if tb and "term_bucket" in blocks.columns:
+            blocks = blocks.filter(F.col("term_bucket").isin(
+                sorted({tid % tb for tid in direct_ids})))
+        blocks = blocks.filter(F.col("term_id").isin(direct_ids))
+        if sc is not None:
+            br, bs = stats.get("bucket_range"), stats.get("block_size")
+            if br and bs:
+                bpb = -(-br // bs)
+                bcol = F.floor(F.col("block_id") / F.lit(bpb))
+                blocks = blocks.filter(
+                    bcol.between(sc["lo"] // br, sc["hi"] // br))
+        dec = _decode_blocks(blocks, False, stats["n_docs"], stats["avgdl"],
+                             sum_df=sum(r["df"] for r in direct_rows))
+        parts.append(dec.select("term_id", "doc_id"))
+    if cached is not None:
+        parts.append(cached.select("term_id", "doc_id"))
+    decoded = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    if sc is not None:
+        decoded = _scope_filter(decoded, sc)
+    if excl is not None:
+        decoded = decoded.join(excl, "doc_id", "left_anti")
+    agg = decoded.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    req_all = require_all if require_all is not None else (mode == "ref_compat")
+    if req_all:
+        agg = agg.filter(F.col("nt") == F.lit(n_q))
+    return agg
+
+
 def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
                   scope=None, exclude: "str | None" = None,
                   require_all: "bool | None" = None,
@@ -1053,61 +1118,13 @@ def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
             raise TypeError("search_facets(by=[...]) takes column names; "
                             "pass a dict {name: Column} for expressions")
         dims = {c: F.col(c) for c in by}
-    qterms = _query_terms(query, index.get("mode", "general"),
-                          index.get("dictionary", "fixture"))
     empty = spark.createDataFrame(
         [], ("dim string, facet string, n_docs long" if dims is not None
              else "facet string, n_docs long"))
-    if not qterms:
+    agg = _match_set(index, query, mode, scope, exclude, require_all,
+                     exclude_docs)
+    if agg is None:
         return empty
-    sc = _scope_info(index, scope) if scope is not None else None
-    if scope is not None and sc is None:
-        return empty
-    trows = _resolve_terms_driver(index, qterms, mode)
-    if trows is None:
-        trows = _resolve_terms_paged(index, qterms, mode)
-    if len(trows) == 0:
-        return empty
-    n_q = len(trows)
-
-    cached, direct_rows = pcache_split(index, trows)
-    direct_ids = [r["term_id"] for r in direct_rows]
-    excl = _resolve_exclusions(index, exclude, sc)
-    if exclude_docs is not None:
-        # pre-resolved banned doc set (querylang.query_facets' NOT
-        # phrase/span clauses) — same merge as search(exclude_docs=)
-        xd = exclude_docs.select("doc_id")
-        excl = xd if excl is None else excl.unionByName(xd).distinct()
-
-    parts = []
-    if direct_ids:
-        blocks = index["postings"]
-        tb = stats.get("term_buckets")
-        if tb and "term_bucket" in blocks.columns:
-            blocks = blocks.filter(F.col("term_bucket").isin(
-                sorted({tid % tb for tid in direct_ids})))
-        blocks = blocks.filter(F.col("term_id").isin(direct_ids))
-        if sc is not None:
-            br, bs = stats.get("bucket_range"), stats.get("block_size")
-            if br and bs:
-                bpb = -(-br // bs)
-                bcol = F.floor(F.col("block_id") / F.lit(bpb))
-                blocks = blocks.filter(
-                    bcol.between(sc["lo"] // br, sc["hi"] // br))
-        dec = _decode_blocks(blocks, False, stats["n_docs"], stats["avgdl"],
-                             sum_df=sum(r["df"] for r in direct_rows))
-        parts.append(dec.select("term_id", "doc_id"))
-    if cached is not None:
-        parts.append(cached.select("term_id", "doc_id"))
-    decoded = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    if sc is not None:
-        decoded = _scope_filter(decoded, sc)
-    if excl is not None:
-        decoded = decoded.join(excl, "doc_id", "left_anti")
-    agg = decoded.groupBy("doc_id").agg(F.count("*").alias("nt"))
-    req_all = require_all if require_all is not None else (mode == "ref_compat")
-    if req_all:
-        agg = agg.filter(F.col("nt") == F.lit(n_q))
     if dims is not None:
         # all panels from ONE match set: explode each matched doc into
         # |dims| (dim, facet) rows, then a single narrow aggregation
@@ -1156,6 +1173,74 @@ def search_count(index: dict, query: str, mode: str = "bm25", scope=None,
                            exclude_docs=exclude_docs)
     return facets.agg(
         F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_matches"))
+
+
+def significant_terms(index: dict, query: str, k: int = 20,
+                      mode: str = "bm25", scope=None,
+                      exclude: "str | None" = None,
+                      require_all: "bool | None" = None,
+                      sample: "int | None" = None,
+                      min_fg: int = 2) -> DataFrame:
+    """Terms OVER-represented in the query's match set vs the corpus — the
+    Elasticsearch ``significant_terms`` aggregation ("what is special about
+    these matches"): on a transcript corpus, the tools/errors/topics that
+    co-occur with a query far above their background rate. No reference
+    analog (flat hits only, controllers/ApiController.java:55-58).
+
+    Returns (term, fg_df, bg_df, score) — fg_df = matched docs containing
+    the term, bg_df = its corpus df (the dictionary's exact count), score =
+    JLH = (fg% − bg%)·(fg% / bg%) (the ES default: absolute AND relative
+    lift multiplied) — ordered score desc (9-dp), term asc, top k; only
+    positive-lift terms with fg_df ≥ ``min_fg`` qualify.
+
+    ``mode``/``scope``/``exclude``/``require_all`` define the match set
+    exactly as in ``search_facets``. ``sample`` caps the foreground at the
+    top-``sample`` docs BY RELEVANCE (the ES sampler pattern) — the scale
+    guard for hot queries where re-analyzing every match would dominate;
+    default None analyzes the full match set (exact).
+
+    Plan: the shared count-query match set (one decode, no WAND), one
+    Arrow-vectorized re-analysis pass over the MATCHED docs only (the
+    foreground is |matches| docs regardless of corpus size), a groupBy on
+    the distinct (doc, term) pairs, and one join against the dictionary
+    for background df — no full-corpus scan anywhere."""
+    from searchengine_spark.functions.analysis import analyze_col
+    spark = index["docs"].sparkSession
+    release_query_caches(index)
+    stats = index["stats"]
+    n_docs = int(stats["n_docs"])
+    empty = spark.createDataFrame(
+        [], "term string, fg_df long, bg_df long, score double")
+    if sample is not None:
+        mset = search(index, query, k=int(sample), mode=mode, scope=scope,
+                      exclude=exclude).select("doc_id")
+    else:
+        m = _match_set(index, query, mode, scope, exclude, require_all, None)
+        if m is None:
+            return empty
+        mset = m.select("doc_id")
+    # used twice (count + join): persist, released on the NEXT query
+    mset = mset.persist()
+    index.setdefault("_query_persists", []).append(mset)
+    n_fg = mset.count()
+    if n_fg == 0:
+        return empty
+    amode = index.get("mode", "general")
+    dic = index.get("dictionary", "fixture")
+    fg = (index["docs"].join(mset, "doc_id")
+          .select(F.explode(F.array_distinct(
+              analyze_col(F.col("text"), amode, dic))).alias("term"))
+          .groupBy("term").agg(F.count("*").alias("fg_df")))
+    bg = index["terms"].select("term", F.col("df").alias("bg_df"))
+    fg_pct = F.col("fg_df").cast("double") / F.lit(float(n_fg))
+    bg_pct = F.col("bg_df").cast("double") / F.lit(float(n_docs))
+    return (fg.join(bg, "term")
+            .filter(F.col("fg_df") >= F.lit(int(min_fg)))
+            .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+            .filter(F.col("score") > 0)
+            .orderBy(F.round(F.col("score"), 9).desc(), F.col("term").asc())
+            .limit(k)
+            .select("term", "fg_df", "bg_df", "score"))
 
 
 def explain_score(index: dict, query: str, doc_ids=None, k: int = 10,
