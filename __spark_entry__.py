@@ -541,6 +541,17 @@ def _q_querylang_wildcard(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_querylang_wildcard_suffix(spark, sf_dir):
+    """SUFFIX wildcard '*can' — the Lucene leading-wildcard class: no
+    prefix narrows the dictionary, so expansion is a full-pattern
+    dictionary scan (suggest_pattern) into the top-16-by-df OR-group;
+    ranking semantics identical to the prefix form."""
+    from searchengine_spark.operators.querylang import query_search
+    hits = query_search(_index_for(spark, sf_dir), "merge *can", k=K,
+                        mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 def _q_more_like_this(spark, sf_dir):
     """More-like-this (operators/suggest.py): re-analyze doc MLT_DOC,
     select its 5 most characteristic lemmas by (tf desc, df asc,
@@ -1519,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suggest": _q_suggest,
         "q_suggest_fuzzy": _q_suggest_fuzzy,
         "q_querylang_wildcard": _q_querylang_wildcard,
+        "q_querylang_wildcard_suffix": _q_querylang_wildcard_suffix,
         "q_querylang_facets": _q_querylang_facets,
         "q_querylang_bm25f": _q_querylang_bm25f,
         "q_more_like_this": _q_more_like_this,
@@ -2178,6 +2190,22 @@ order by doc_id desc limit {K}""",
             with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
             stats as (select count(*) as n, avg(dl) as avgdl from dl),
             wq as (select term from ({_DF}) where term like 'sca%'
+                   order by df desc, term asc limit 16),
+            scored as (
+              select tf.doc_id,
+                     sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+              from tf join dfv using (term) join dl using (doc_id) cross join stats
+              where (tf.term = 'merge' or tf.term in (select term from wq))
+                and tf.doc_id in (select doc_id from tf
+                                  where term in (select term from wq))
+              group by tf.doc_id)
+            select doc_id, round(s, 6) as score from scored
+            order by round(s, 9) desc, doc_id asc limit {K}""",
+        "q_querylang_wildcard_suffix": f"""
+            with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+            stats as (select count(*) as n, avg(dl) as avgdl from dl),
+            wq as (select term from ({_DF}) where term like '%can'
                    order by df desc, term asc limit 16),
             scored as (
               select tf.doc_id,

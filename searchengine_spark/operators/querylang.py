@@ -20,16 +20,20 @@ ranked retrieval:
                           a candidate constraint over the engine's usual
                           disjunctive ranking. `-(a|b)` folds to `-a -b`
                           (banning any-member is exactly NOT per member).
-- pre*                  → WILDCARD: expands against the index dictionary
-                          to the top-``WILDCARD_MAX_TERMS`` matching terms
-                          by df (``operators/suggest.expand_wildcard``)
-                          and behaves as that OR-group — docs containing
-                          ANY expansion, every expansion ranked. A
-                          positive wildcard matching nothing is
-                          unsatisfiable (empty result); ``-pre*`` bans
-                          docs containing any expansion (nothing when none
-                          match). Prefix must be ≥2 chars; only a single
-                          trailing ``*`` is recognized.
+- pre* / *fix / a*b     → WILDCARD: ``*`` matches any character run
+                          anywhere; the pattern expands against the index
+                          dictionary to the top-``WILDCARD_MAX_TERMS``
+                          matching terms by df
+                          (``operators/suggest.expand_wildcard`` — prefix
+                          patterns take the startswith fast path, others a
+                          full-pattern dictionary scan, the Lucene
+                          leading-wildcard cost model) and behaves as that
+                          OR-group — docs containing ANY expansion, every
+                          expansion ranked. A positive wildcard matching
+                          nothing is unsatisfiable (empty result);
+                          ``-pre*`` bans docs containing any expansion
+                          (nothing when none match). Patterns need ≥2
+                          literal chars.
 - -word / -"quoted..."  → NOT clauses: docs containing the term / the
                           exact phrase (or, with ~N, the span) are removed
 - field:value           → metadata qualifiers over the docs table:
@@ -163,10 +167,10 @@ def parse_query(qstr: str) -> dict:
             qm = _QUALIFIER.match(word)
             if qm:
                 out["qualifiers"].append((qm.group(1), qm.group(2), neg))
-            elif word.endswith("*") and len(word.rstrip("*")) >= 2 \
-                    and "*" not in word.rstrip("*"):
-                out["not_wildcards" if neg else "wildcards"].append(
-                    word.rstrip("*"))
+            elif "*" in word and len(word.replace("*", "")) >= 2:
+                # glob anywhere: pre*, *fix, a*b, *mid* — expansion decides
+                # prefix fast path vs full-pattern dictionary scan
+                out["not_wildcards" if neg else "wildcards"].append(word)
             else:
                 out["not_terms" if neg else "terms"].append(word)
     return out

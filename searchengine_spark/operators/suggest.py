@@ -91,12 +91,53 @@ def suggest_corrections(index: dict, word: str, max_dist: int = 2,
 WILDCARD_MAX_TERMS = 16
 
 
-def expand_wildcard(index: dict, prefix: str,
+def suggest_pattern(index: dict, pattern: str, k: int = 10) -> DataFrame:
+    """Glob autocomplete: ``*`` matches any run of characters ANYWHERE in
+    the term — ``*fix`` (suffix), ``a*b`` (infix), ``*mid*`` (contains) —
+    as (term, df) ordered by (df desc, term asc), top k. Literal chunks
+    are normalized with the analyzer's cleaning; patterns with fewer than
+    2 literal characters are refused (a bare ``*`` is a full-vocabulary
+    dump, not a query). Same cost shape as ``suggest``: one dictionary
+    column scan, ZERO Spark jobs when the dictionary is driver-cached —
+    non-prefix globs can't narrow the scan further, which is exactly how
+    Lucene treats leading-wildcard queries (full term-dict walk)."""
+    from searchengine_spark.operators.search import _terms_local
+    spark = index["docs"].sparkSession
+    mode = index.get("mode", "general")
+    chunks = [re.sub(_pattern(mode), "", c)
+              for c in (pattern or "").lower().split("*")]
+    empty = spark.createDataFrame([], "term string, df long")
+    if sum(len(c) for c in chunks) < 2:
+        return empty
+    rx = "^" + ".*".join(re.escape(c) for c in chunks) + "$"
+    pdf = _terms_local(index)
+    if pdf is not None:
+        sub = pdf[pdf.index.str.match(rx)]
+        rows = sorted(((t, int(r)) for t, r in sub["df"].items()),
+                      key=lambda x: (-x[1], x[0]))[:k]
+        return spark.createDataFrame(rows, "term string, df long") \
+            if rows else empty
+    return (index["terms"].filter(F.col("term").rlike(rx))
+            .select("term", F.col("df").cast("long").alias("df"))
+            .orderBy(F.col("df").desc(), F.col("term").asc()).limit(k))
+
+
+def expand_wildcard(index: dict, pattern: str,
                     max_terms: int = WILDCARD_MAX_TERMS) -> list[str]:
-    """``pre*`` → the top-``max_terms`` dictionary terms with that prefix,
-    by (df desc, term asc). Returns [] when nothing matches (the grammar
+    """``pre*`` / ``*fix`` / ``a*b`` → the top-``max_terms`` dictionary
+    terms matching the glob, by (df desc, term asc). A pure-prefix pattern
+    (one trailing ``*``, or a bare string for backward compatibility)
+    takes the ``suggest`` startswith fast path; anything else goes through
+    ``suggest_pattern``. Returns [] when nothing matches (the grammar
     treats a positive no-match wildcard as an unsatisfiable group)."""
-    return [r["term"] for r in suggest(index, prefix, max_terms).collect()]
+    if "*" in pattern:
+        head = pattern.rstrip("*")
+        if "*" not in head and pattern.endswith("*"):
+            return [r["term"] for r in suggest(index, head,
+                                               max_terms).collect()]
+        return [r["term"] for r in suggest_pattern(index, pattern,
+                                                   max_terms).collect()]
+    return [r["term"] for r in suggest(index, pattern, max_terms).collect()]
 
 
 def more_like_this(index: dict, doc_id: int, k: int = 10, n_terms: int = 10,

@@ -51,10 +51,12 @@ def _base(**kw):
 
 def test_parse_query_wildcards():
     q = parse_query('scan merg* -alp* x* a*b* "be*" *')
-    # ≥2-char prefix + single trailing star only; everything else stays a
-    # term (quotes never wildcard; 'x*' prefix too short; 'a*b*' internal)
-    assert q == _base(terms=["scan", "x*", "a*b*", "be*", "*"],
-                      wildcards=["merg"], not_wildcards=["alp"])
+    # any glob with ≥2 literal chars qualifies (prefix, suffix, infix,
+    # multi-star); quotes never wildcard; 'x*'/'*' too few literals
+    assert q == _base(terms=["scan", "x*", "be*", "*"],
+                      wildcards=["merg*", "a*b*"], not_wildcards=["alp*"])
+    q = parse_query('*fix m*e -*bad*')
+    assert q == _base(wildcards=["*fix", "m*e"], not_wildcards=["*bad*"])
 
 
 def test_parse_query_groups():

@@ -106,3 +106,48 @@ def test_wildcard_batched_parity(qpos_index):
                    {"w1": "del*", "w2": "gam*", "w3": "alpha del*",
                     "w4": "gamma del*"},  # gamma∩delta docs = ∅ → empty
                    mode="ref_compat")
+
+
+def test_suggest_pattern_globs(qpos_index):
+    from searchengine_spark.operators.suggest import suggest_pattern
+    one = lambda p: [r["term"] for r in
+                     suggest_pattern(qpos_index, p, k=10).collect()]
+    assert one("*lta") == ["delta"]          # suffix
+    assert one("b*a") == ["beta"]            # infix
+    assert one("*mm*") == ["gamma"]          # contains
+    assert one("d*lt*") == ["delta"]         # multi-star
+    assert one("*a") == []                   # <2 literal chars refused
+    assert one("*") == []
+    assert one("zz*zz") == []
+    # (df desc, term asc) ranking across matches
+    got = [(r["term"], r["df"]) for r in
+           suggest_pattern(qpos_index, "*ta*", k=10).collect()]
+    assert got == [("beta", 5), ("delta", 2)]
+
+
+def test_suggest_pattern_spark_path(qpos_index, monkeypatch):
+    import searchengine_spark.operators.search as S
+    from searchengine_spark.operators.suggest import suggest_pattern
+    exp = [(r["term"], r["df"]) for r in
+           suggest_pattern(qpos_index, "*ta*", k=10).collect()]
+    idx2 = dict(qpos_index)
+    idx2.pop("_terms_pdf", None)
+    monkeypatch.setattr(S, "TERMS_LOCAL_MAX", 0)  # force the rlike scan
+    got = [(r["term"], r["df"]) for r in
+           suggest_pattern(idx2, "*ta*", k=10).collect()]
+    assert got == exp == [("beta", 5), ("delta", 2)]
+
+
+def test_wildcard_suffix_infix_grammar(qpos_index):
+    """'gamma *lta' == 'gamma del*' (both expand to the delta OR-group);
+    '-*mm*' bans gamma docs like '-gam*' does."""
+    key = lambda df: [(r["conv_id"], round(r["score"], 9))
+                      for r in df.collect()]
+    a = key(query_search(qpos_index, "gamma *lta", k=10))
+    b = key(query_search(qpos_index, "gamma del*", k=10))
+    assert a == b and a
+    x = {r["conv_id"] for r in
+         query_search(qpos_index, "alpha -*mm*", k=10).collect()}
+    y = {r["conv_id"] for r in
+         query_search(qpos_index, "alpha -gam*", k=10).collect()}
+    assert x == y == {"x001", "x003", "x004"}
