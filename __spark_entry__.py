@@ -296,6 +296,23 @@ def _q_span_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), "span")
 
 
+def _q_ordered_span_topk(spark, sf_dir):
+    """ORDERED span (span_search(ordered=True) — SpanNear inOrder=true):
+    the three lemmas must occur in query order within SPAN_W positions;
+    the in-order chain DP replaces the min-cover scan in the same
+    one-decode + one-aggregate plan."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.search import span_search
+    key = (sf_dir, "positional")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    hits = span_search(_INDEX_CACHE[key], SPAN_Q, window=SPAN_W, k=K,
+                       ordered=True)
+    return hits.select(_orig_doc_id(), "span")
+
+
 def _q_querylang_qualified(spark, sf_dir):
     """Query language with a metadata qualifier: site:PREFIX restricts to
     the conv_id prefix (the reference's site=) as a docs-table predicate
@@ -1521,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_querylang_qualified": _q_querylang_qualified,
         "q_querylang_span": _q_querylang_span,
         "q_span_topk": _q_span_topk,
+        "q_ordered_span_topk": _q_ordered_span_topk,
         "q_batched_span": _q_batched_span,
         "q_batched_phrase": _q_batched_phrase,
         "q_near_topk": _q_near_topk,
@@ -1905,6 +1923,31 @@ order by span asc, doc_id asc limit {k}
 """
 
 
+def _ordered_span_sql(terms: list[str], window: int, k: int) -> str:
+    """Ordered span oracle: same n-way positional join with the strict
+    in-order constraint p0 < p1 < ... — span = last − first."""
+    srcs = ",\n".join(
+        f"a{i} as (select doc_id, pos as p{i} from tp where term = '{t}')"
+        for i, t in enumerate(terms))
+    joins = "a0 " + " ".join(f"join a{i} using (doc_id)"
+                             for i in range(1, len(terms)))
+    cond = " and ".join(f"p{i} < p{i + 1}" for i in range(len(terms) - 1))
+    last = f"p{len(terms) - 1}"
+    return f"""
+with arrs as (select doc_id, list_filter(string_split_regex(
+    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+    x -> x <> '') as arr from documents),
+tp as (select doc_id, unnest(arr) as term,
+       unnest(range(len(arr))) as pos from arrs),
+{srcs},
+spans as (select doc_id, {last} - p0 as s from {joins} where {cond}),
+m as (select doc_id, cast(min(s) as bigint) as span
+      from spans group by doc_id)
+select doc_id, span from m where span <= {window}
+order by span asc, doc_id asc limit {k}
+"""
+
+
 def _near_sql(ta: str, tb: str, w: int, k: int) -> str:
     """Two-term proximity oracle: distinct close (pa, pb) position pairs
     within ``w`` per doc, ranked by pair count."""
@@ -2110,6 +2153,7 @@ order by doc_id desc limit {K}""",
             ["scan", "merge", "spark", "hash"], ["spark", "hash"], K,
             span_window=8),
         "q_span_topk": _span_sql(SPAN_Q.split(), SPAN_W, K),
+        "q_ordered_span_topk": _ordered_span_sql(SPAN_Q.split(), SPAN_W, K),
         "q_batched_span": f"""
             with a as ({_span_sql(SPAN_Q.split(), SPAN_W, K)}),
                  b as ({_span_sql(["scan", "merge", "hash"], 9, K)})

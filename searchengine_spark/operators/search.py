@@ -1741,8 +1741,61 @@ def near_search_many(index: dict, pairs: dict[str, tuple[str, str]],
             .orderBy("query_id", "rank"))
 
 
+def _ordered_span_agg(decoded: DataFrame, qseq: list, id_of: dict,
+                      window: int) -> DataFrame:
+    """(doc_id, span) for in-order lemma chains (``_span_match_docs``
+    ordered=True). Each decoded occurrence fans out to one event per query
+    slot of its lemma; the aggregate sorts events by (pos asc, slot desc)
+    — ``rs`` = n−1−slot makes lexicographic ``sort_array`` yield exactly
+    that — and runs the chain DP in codegen: ``arr[s]`` = latest start of
+    an in-order chain over slots 0..s (entries are monotone nondecreasing
+    and never revert to −1, so the unconditional ``arr[s] ← arr[s−1]``
+    maximizes); slot-desc within a position stops one token from filling
+    two slots. A slot-(n−1) event closes a candidate window of width
+    pos − arr[n−1]."""
+    n = len(qseq)
+    slots_of: dict[int, list[int]] = {}
+    for i, t in enumerate(qseq):
+        slots_of.setdefault(id_of[t], []).append(i)
+    slot_arr = F.create_map(*[x for tid, ss in slots_of.items()
+                              for x in (F.lit(tid),
+                                        F.array(*[F.lit(s) for s in ss]))])
+    ev = (decoded.select("doc_id",
+                         F.col("pos").cast("long").alias("pos"),
+                         F.explode(slot_arr[F.col("term_id")]).alias("slot"))
+          .select("doc_id",
+                  F.struct(F.col("pos"),
+                           (F.lit(n - 1) - F.col("slot")).cast("int")
+                           .alias("rs")).alias("e")))
+    big = F.lit(2 ** 62).cast("long")
+    init = F.struct(
+        F.array_repeat(F.lit(-1).cast("long"), n).alias("arr"),
+        big.alias("best"))
+
+    def step(acc, e):
+        slot = F.lit(n - 1) - e["rs"]
+        prev = acc["arr"]
+        arr = F.transform(
+            prev,
+            lambda v, i: F.when(
+                i == slot,
+                F.when(slot == F.lit(0), e["pos"]).otherwise(
+                    F.element_at(prev, F.greatest(slot, F.lit(1)))))
+            .otherwise(v))
+        tail = F.element_at(arr, F.lit(n))
+        best = F.when((slot == F.lit(n - 1)) & (tail != F.lit(-1)),
+                      F.least(acc["best"], e["pos"] - tail)
+                      ).otherwise(acc["best"])
+        return F.struct(arr.alias("arr"), best.alias("best"))
+
+    spans = (ev.groupBy("doc_id")
+             .agg(F.aggregate(F.sort_array(F.collect_list("e")),
+                              init, step, lambda a: a["best"]).alias("span")))
+    return spans.filter(F.col("span") <= int(window))
+
+
 def _span_match_docs(index: dict, words: str, window: int,
-                     sc) -> "DataFrame | None":
+                     sc, ordered: bool = False) -> "DataFrame | None":
     """Unordered n-term proximity ("span") matching down to its doc set:
     (doc_id, span) for every doc whose tightest window containing ALL the
     analyzed query lemmas is ≤ ``window`` positions wide (span = max - min
@@ -1750,6 +1803,18 @@ def _span_match_docs(index: dict, words: str, window: int,
     SpanNearQuery(inOrder=false) analog; ``near_search`` is the 2-term
     pair-counting special case). None when the query can't match (empty
     analysis / a lemma absent from the corpus).
+
+    ``ordered=True`` is SpanNearQuery(inOrder=true): the analyzed lemmas
+    must occur IN QUERY ORDER (duplicates kept — "a b a" needs two
+    distinct a's around a b), span = tightest last−first over in-order
+    chains. Same one-decode plan; the per-doc scan swaps the min-cover
+    accumulator for the classic in-order chain DP: arr[s] = latest chain
+    start for slots 0..s, events processed (pos asc, slot desc) so one
+    token never satisfies two slots; at each slot-(n−1) event the chain
+    start arr[n−1] closes a candidate window. O(P·n) per doc, exact.
+    ``ordered`` with window = n−1 degenerates to exact phrase matching
+    (consecutive in-order positions) — pytest-asserted against
+    ``phrase_search``.
 
     Plan: one positional decode over the query lemmas (term-bucket +
     scope-bucket pruned), a literal-map term_id→slot projection, then ONE
@@ -1782,9 +1847,12 @@ def _span_match_docs(index: dict, words: str, window: int,
                                 sum_df=sum(df_of.values()))
     if sc is not None:
         decoded = _scope_filter(decoded, sc)
-    if n == 1:  # degenerate: any occurrence is a width-0 span
+    if len(qseq if ordered else lemmas) == 1:
+        # degenerate: any occurrence is a width-0 span
         return (decoded.groupBy("doc_id").agg(F.lit(0).cast("long")
                                               .alias("span")))
+    if ordered:
+        return _ordered_span_agg(decoded, qseq, id_of, window)
     slot_map = F.create_map(*[F.lit(x) for tid, s in slot_of.items()
                               for x in (tid, s)])
     ev = decoded.select(
@@ -1814,13 +1882,21 @@ def _span_match_docs(index: dict, words: str, window: int,
 def span_search(index: dict, words: str, window: int = 8, k: int = 10,
                 scope=None, exclude: "str | None" = None,
                 offset: int = 0,
-                search_after: "tuple | None" = None) -> DataFrame:
+                search_after: "tuple | None" = None,
+                ordered: bool = False) -> DataFrame:
     """Top-k unordered proximity query: docs where all the analyzed lemmas
     of ``words`` co-occur within a window of ``window`` positions, ranked
     TIGHTEST-FIRST by (span asc, doc_id asc) — the querylang's '"w1 w2
     w3"~N' clause as a standalone operator. Returns (doc_id, conv_id,
     turn_idx, role, tool, ts, span); ``scope``/``exclude``/``offset``
-    behave exactly as in ``phrase_search``."""
+    behave exactly as in ``phrase_search``.
+
+    ``ordered=True`` additionally requires the lemmas IN QUERY ORDER
+    (duplicates kept) — Lucene SpanNearQuery(inOrder=true), the sloppy
+    ordered phrase: ``window=len−1`` degenerates to exact phrase matching,
+    larger windows admit gaps between the ordered terms. Same plan (one
+    positional decode + one groupBy(doc_id) codegen aggregate); see
+    ``_span_match_docs``."""
     if search_after is not None and offset:
         raise ValueError("search_after and offset are mutually exclusive")
     release_query_caches(index)
@@ -1831,7 +1907,7 @@ def span_search(index: dict, words: str, window: int = 8, k: int = 10,
     sc = _scope_info(index, scope) if scope is not None else None
     if scope is not None and sc is None:
         return empty
-    matches = _span_match_docs(index, words, window, sc)
+    matches = _span_match_docs(index, words, window, sc, ordered=ordered)
     if matches is None:
         return empty
     excl = _resolve_exclusions(index, exclude, sc)

@@ -159,3 +159,66 @@ def test_span_edge_cases(span_corpus):
                        mode="general")
     with pytest.raises(ValueError, match="positions"):
         span_search(flat, "alpha beta", window=3, k=10)
+
+
+def _min_ordered_span(tokens: list[str], seq: list[str]) -> "int | None":
+    """Brute force: tightest in-order chain (strictly increasing positions,
+    one token per slot)."""
+    import itertools
+    pos_of = {}
+    for i, t in enumerate(tokens):
+        pos_of.setdefault(t, []).append(i)
+    if any(t not in pos_of for t in seq):
+        return None
+    best = None
+    for combo in itertools.product(*[pos_of[t] for t in seq]):
+        if all(combo[i] < combo[i + 1] for i in range(len(combo) - 1)):
+            w = combo[-1] - combo[0]
+            best = w if best is None else min(best, w)
+    return best
+
+
+@pytest.mark.parametrize("terms,window", [
+    ("alpha beta", 4),
+    ("beta alpha", 4),
+    ("alpha beta gamma", 8),
+    ("gamma beta alpha", 8),
+    ("alpha beta alpha", 10),   # duplicate lemma: needs two distinct alphas
+])
+def test_ordered_span_golden(span_corpus, terms, window):
+    idx, texts = span_corpus
+    seq = terms.split()
+    exp = sorted(
+        (f"s{i:03d}", s) for i, t in enumerate(texts)
+        if (s := _min_ordered_span(t.split(), seq)) is not None
+        and s <= window)
+    got = span_search(idx, terms, window=window, k=1000,
+                      ordered=True).collect()
+    assert sorted((r["conv_id"], r["span"]) for r in got) == exp
+    assert exp  # non-vacuous on this corpus
+
+
+def test_ordered_span_subset_of_unordered(span_corpus):
+    idx, _ = span_corpus
+    uno = {(r["doc_id"], r["span"]) for r in
+           span_search(idx, "alpha beta gamma", window=6, k=1000).collect()}
+    order = {r["doc_id"]: r["span"] for r in
+             span_search(idx, "alpha beta gamma", window=6, k=1000,
+                         ordered=True).collect()}
+    # ordered docs ⊆ unordered docs; ordered span ≥ the unordered minimum
+    assert set(order) <= {d for d, _ in uno}
+    umin = {}
+    for d, s in uno:
+        umin[d] = min(s, umin.get(d, 10 ** 9))
+    assert all(order[d] >= umin[d] for d in order)
+
+
+def test_ordered_span_window_nminus1_is_phrase(span_corpus):
+    from searchengine_spark.operators.search import phrase_search
+    idx, _ = span_corpus
+    q = "alpha beta"
+    ph = {r["doc_id"] for r in
+          phrase_search(idx, q, k=1000).collect()}
+    sp = {r["doc_id"] for r in
+          span_search(idx, q, window=1, k=1000, ordered=True).collect()}
+    assert sp == ph and ph
