@@ -449,6 +449,24 @@ def _q_batched_span(spark, sf_dir):
     return out.select("query_id", _orig_doc_id(), "span")
 
 
+def _q_batched_ordered_span(spark, sf_dir):
+    """Batched ORDERED span queries (span_search_many(ordered=True)): the
+    in-order chain DP with per-query arity/window riding the same shared
+    one-decode + one-aggregate stage."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.search import span_search_many
+    key = (sf_dir, "positional")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    out = span_search_many(
+        _INDEX_CACHE[key],
+        {"sa": (SPAN_Q, SPAN_W), "sb": ("merge scan", 9)}, k=K,
+        ordered=True)
+    return out.select("query_id", _orig_doc_id(), "span")
+
+
 def _q_batched_phrase(spark, sf_dir):
     """Batched phrase queries: TWO phrases matched in one Spark job over the
     positional index (one decode pass over the union of phrase vocabularies,
@@ -1540,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_topk": _q_span_topk,
         "q_ordered_span_topk": _q_ordered_span_topk,
         "q_batched_span": _q_batched_span,
+        "q_batched_ordered_span": _q_batched_ordered_span,
         "q_batched_phrase": _q_batched_phrase,
         "q_near_topk": _q_near_topk,
         "q_batched_near": _q_batched_near,
@@ -2157,6 +2176,12 @@ order by doc_id desc limit {K}""",
         "q_batched_span": f"""
             with a as ({_span_sql(SPAN_Q.split(), SPAN_W, K)}),
                  b as ({_span_sql(["scan", "merge", "hash"], 9, K)})
+            select 'sa' as query_id, doc_id, span from a
+            union all
+            select 'sb' as query_id, doc_id, span from b""",
+        "q_batched_ordered_span": f"""
+            with a as ({_ordered_span_sql(SPAN_Q.split(), SPAN_W, K)}),
+                 b as ({_ordered_span_sql(["merge", "scan"], 9, K)})
             select 'sa' as query_id, doc_id, span from a
             union all
             select 'sb' as query_id, doc_id, span from b""",

@@ -1933,7 +1933,8 @@ def span_search_many(index: dict, queries: dict, window: int = 8,
                      k: int = 10, scope=None,
                      exclude: "dict[str, str] | str | None" = None,
                      offset: int = 0,
-                     search_after: "dict | tuple | None" = None) -> DataFrame:
+                     search_after: "dict | tuple | None" = None,
+                     ordered: bool = False) -> DataFrame:
     """Batched span queries: MANY unordered windowed-proximity queries in
     ONE Spark job (the span analog of ``phrase_search_many``).
 
@@ -1948,7 +1949,9 @@ def span_search_many(index: dict, queries: dict, window: int = 8,
     doc_id, conv_id, turn_idx, role, tool, ts, span), rank 1..k per query
     by (span asc, doc_id asc), identical rows to per-query
     ``span_search``; ``scope``/``exclude``/``offset`` as in
-    ``phrase_search_many``."""
+    ``phrase_search_many``. ``ordered=True`` (shared by the batch) runs
+    the in-order chain DP instead — rows identical to per-query
+    ``span_search(ordered=True)``."""
     release_query_caches(index)
     spark = index["docs"].sparkSession
     if not index["stats"].get("positions"):
@@ -1977,9 +1980,18 @@ def span_search_many(index: dict, queries: dict, window: int = 8,
              if ls and all(t in id_of for t in ls)}
     if not per_q:
         return empty
-    slot_rows = [(qid, id_of[t], i)
-                 for qid, ls in per_q.items() for i, t in enumerate(ls)]
-    term_ids = sorted({tid for _, tid, _ in slot_rows})
+    if ordered:
+        # in-order chains (see _ordered_span_agg): slots follow each
+        # query's analyzed SEQUENCE (duplicates kept); rs = n-1-slot makes
+        # the shared sort_array yield (pos asc, slot desc) per query
+        seqs = {qid: analyze_text(norm[qid][0], amode, dictionary=dictionary)
+                for qid in per_q}
+        slot_rows = [(qid, id_of[t], i, len(seq) - 1 - i)
+                     for qid, seq in seqs.items() for i, t in enumerate(seq)]
+    else:
+        slot_rows = [(qid, id_of[t], i, 0)
+                     for qid, ls in per_q.items() for i, t in enumerate(ls)]
+    term_ids = sorted({tid for _, tid, _, _ in slot_rows})
 
     tid_set = set(term_ids)
     decoded = _decode_positions(index, term_ids, sc,
@@ -1989,30 +2001,57 @@ def span_search_many(index: dict, queries: dict, window: int = 8,
         decoded = _scope_filter(decoded, sc)
 
     slots = F.broadcast(spark.createDataFrame(
-        slot_rows, "query_id string, term_id long, slot int"))
+        slot_rows, "query_id string, term_id long, slot int, rs int"))
     nq = F.broadcast(spark.createDataFrame(
-        [(qid, len(ls), int(norm[qid][1])) for qid, ls in per_q.items()],
+        [(qid, (len(seqs[qid]) if ordered else len(ls)), int(norm[qid][1]))
+         for qid, ls in per_q.items()],
         "query_id string, n_q int, w int"))
+    ecol = (F.struct(F.col("pos").cast("long").alias("pos"), F.col("rs"))
+            if ordered else
+            F.struct(F.col("pos").cast("long").alias("pos"), F.col("slot")))
     aligned = (decoded.join(slots, "term_id")
-               .select("query_id", "doc_id",
-                       F.struct(F.col("pos").cast("long").alias("pos"),
-                                F.col("slot")).alias("e")))
+               .select("query_id", "doc_id", ecol.alias("e")))
     grouped = (aligned.groupBy("query_id", "doc_id")
                .agg(F.sort_array(F.collect_list("e")).alias("evs"))
                .join(nq, "query_id"))
     big = F.lit(2 ** 62).cast("long")
-    init = F.struct(
-        F.array_repeat(F.lit(-1).cast("long"), F.col("n_q")).alias("last"),
-        big.alias("best"))
+    if ordered:
+        # batched chain DP — identical to _ordered_span_agg's step with the
+        # literal n replaced by the per-query n_q column
+        init = F.struct(
+            F.array_repeat(F.lit(-1).cast("long"),
+                           F.col("n_q")).alias("arr"),
+            big.alias("best"))
 
-    def step(acc, e):
-        last = F.transform(
-            acc["last"],
-            lambda v, i: F.when(i == e["slot"], e["pos"]).otherwise(v))
-        best = F.when(~F.array_contains(last, F.lit(-1).cast("long")),
-                      F.least(acc["best"], e["pos"] - F.array_min(last))
-                      ).otherwise(acc["best"])
-        return F.struct(last.alias("last"), best.alias("best"))
+        def step(acc, e):
+            slot = F.col("n_q") - 1 - e["rs"]
+            prev = acc["arr"]
+            arr = F.transform(
+                prev,
+                lambda v, i: F.when(
+                    i == slot,
+                    F.when(slot == F.lit(0), e["pos"]).otherwise(
+                        F.element_at(prev, F.greatest(slot, F.lit(1)))))
+                .otherwise(v))
+            tail = F.element_at(arr, F.col("n_q"))
+            best = F.when((slot == F.col("n_q") - 1) & (tail != F.lit(-1)),
+                          F.least(acc["best"], e["pos"] - tail)
+                          ).otherwise(acc["best"])
+            return F.struct(arr.alias("arr"), best.alias("best"))
+    else:
+        init = F.struct(
+            F.array_repeat(F.lit(-1).cast("long"),
+                           F.col("n_q")).alias("last"),
+            big.alias("best"))
+
+        def step(acc, e):
+            last = F.transform(
+                acc["last"],
+                lambda v, i: F.when(i == e["slot"], e["pos"]).otherwise(v))
+            best = F.when(~F.array_contains(last, F.lit(-1).cast("long")),
+                          F.least(acc["best"], e["pos"] - F.array_min(last))
+                          ).otherwise(acc["best"])
+            return F.struct(last.alias("last"), best.alias("best"))
 
     matches = (grouped.select(
         "query_id", "doc_id", "w",

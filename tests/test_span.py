@@ -222,3 +222,21 @@ def test_ordered_span_window_nminus1_is_phrase(span_corpus):
     sp = {r["doc_id"] for r in
           span_search(idx, q, window=1, k=1000, ordered=True).collect()}
     assert sp == ph and ph
+
+
+def test_ordered_span_batched_equals_single(span_corpus):
+    from searchengine_spark.operators.search import span_search_many
+    idx, _ = span_corpus
+    qs = {"a": ("alpha beta", 4), "b": ("gamma beta alpha", 8),
+          "c": ("alpha beta alpha", 10), "d": ("zeta epsilon", 6)}
+    batched = span_search_many(idx, qs, k=1000, ordered=True)
+    rows = {}
+    for r in batched.collect():
+        rows.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["span"]))
+    for qid, (words, w) in qs.items():
+        single = [(i + 1, r["doc_id"], r["span"]) for i, r in enumerate(
+            span_search(idx, words, window=w, k=1000,
+                        ordered=True).collect())]
+        assert rows.get(qid, []) == single, qid
+    assert any(rows.values())
