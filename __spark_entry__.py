@@ -449,6 +449,24 @@ def _q_batched_span(spark, sf_dir):
     return out.select("query_id", _orig_doc_id(), "span")
 
 
+def _q_rescore_topk(spark, sf_dir):
+    """Two-phase proximity rescoring (rescore_search — the ES rescorer
+    pattern): BM25 top-100 candidates, then final = bm25 + 1/(1+span)
+    for candidates whose tightest all-lemma window is <= 8; docs outside
+    the window keep plain bm25, docs outside the top-100 are never
+    rescored."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.search import rescore_search
+    key = (sf_dir, "positional")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    hits = rescore_search(_INDEX_CACHE[key], " ".join(BM25_Q), k=K, n=100,
+                          window=8, weight=1.0)
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 def _q_batched_ordered_span(spark, sf_dir):
     """Batched ORDERED span queries (span_search_many(ordered=True)): the
     in-order chain DP with per-query arity/window riding the same shared
@@ -1559,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ordered_span_topk": _q_ordered_span_topk,
         "q_batched_span": _q_batched_span,
         "q_batched_ordered_span": _q_batched_ordered_span,
+        "q_rescore_topk": _q_rescore_topk,
         "q_batched_phrase": _q_batched_phrase,
         "q_near_topk": _q_near_topk,
         "q_batched_near": _q_batched_near,
@@ -1942,6 +1961,47 @@ order by span asc, doc_id asc limit {k}
 """
 
 
+def _rescore_sql(terms: list[str], n: int, k: int, window: int,
+                 weight: float) -> str:
+    """rescore_search oracle: BM25 top-n cut by the engine ordering, min
+    unordered span per doc, final = s + weight/(1+span) when span ≤ window
+    else s, top-k by the combined score."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    srcs = ",\n".join(
+        f"a{i} as (select doc_id, pos as p{i} from tp where term = '{t}')"
+        for i, t in enumerate(terms))
+    joins = "a0 " + " ".join(f"join a{i} using (doc_id)"
+                             for i in range(1, len(terms)))
+    ps = ", ".join(f"p{i}" for i in range(len(terms)))
+    return f"""
+with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+stats as (select count(*) as nd, avg(dl) as avgdl from dl),
+scored as (
+  select tf.doc_id,
+         sum( ln(1.0 + (stats.nd - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+  from tf join dfv using (term) join dl using (doc_id) cross join stats
+  where tf.term in ({tl})
+  group by tf.doc_id),
+topn as (select doc_id, s from scored
+         order by round(s, 9) desc, doc_id asc limit {n}),
+arrs as (select doc_id, list_filter(string_split_regex(
+    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+    x -> x <> '') as arr from documents),
+tp as (select doc_id, unnest(arr) as term,
+       unnest(range(len(arr))) as pos from arrs),
+{srcs},
+sp as (select doc_id, greatest({ps}) - least({ps}) as w from {joins}),
+m as (select doc_id, min(w) as span from sp group by doc_id),
+fin as (select topn.doc_id,
+               topn.s + case when m.span is not null and m.span <= {window}
+                             then {weight} / (1 + m.span) else 0 end as f
+        from topn left join m using (doc_id))
+select doc_id, round(f, 6) as score from fin
+order by round(f, 9) desc, doc_id asc limit {k}
+"""
+
+
 def _ordered_span_sql(terms: list[str], window: int, k: int) -> str:
     """Ordered span oracle: same n-way positional join with the strict
     in-order constraint p0 < p1 < ... — span = last − first."""
@@ -2173,6 +2233,7 @@ order by doc_id desc limit {K}""",
             span_window=8),
         "q_span_topk": _span_sql(SPAN_Q.split(), SPAN_W, K),
         "q_ordered_span_topk": _ordered_span_sql(SPAN_Q.split(), SPAN_W, K),
+        "q_rescore_topk": _rescore_sql(BM25_Q, 100, K, 8, 1.0),
         "q_batched_span": f"""
             with a as ({_span_sql(SPAN_Q.split(), SPAN_W, K)}),
                  b as ({_span_sql(["scan", "merge", "hash"], 9, K)})

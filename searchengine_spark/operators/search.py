@@ -1175,6 +1175,58 @@ def search_count(index: dict, query: str, mode: str = "bm25", scope=None,
         F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_matches"))
 
 
+def rescore_search(index: dict, query: str, k: int = 10, n: int = 100,
+                   window: int = 8, weight: float = 1.0,
+                   scope=None, exclude: "str | None" = None,
+                   ordered: bool = False) -> DataFrame:
+    """Two-phase retrieval with proximity rescoring — the Elasticsearch
+    rescorer pattern (no reference analog; its ranking is tf-sum only,
+    services/SearchingServiceImpl.java:300-329): rank by plain BM25
+    (cheap, WAND-pruned), then rescore ONLY the top ``n`` candidates with
+    a positional proximity signal:
+
+        final = bm25 + weight / (1 + span)
+
+    where ``span`` is the tightest window containing ALL the query lemmas
+    in the doc (``ordered=True``: in query order — the chain DP), and docs
+    whose tightest window exceeds ``window`` (or that lack a lemma) keep
+    their plain bm25. Docs outside the top n are never rescored — the
+    standard rescore-window contract: proximity reorders the head, it
+    can't resurrect the tail.
+
+    Cost shape: one ordinary WAND-pruned search + ONE positional decode
+    restricted to the n candidate docs (bucket-pruned and semi-joined on
+    the collected candidate set), so the positional pass touches n docs
+    regardless of corpus size; the combine runs driver-side over ≤ n
+    rows. Requires ``build_index(with_positions=True)``. Returns the same
+    schema as ``search`` with ``score`` = the combined score, top k by
+    (score desc at 9 dp, doc_id asc)."""
+    spark = index["docs"].sparkSession
+    hits = search(index, query, k=int(n), mode="bm25", scope=scope,
+                  exclude=exclude)
+    rows = hits.collect()
+    if not rows:
+        return hits
+    ids = sorted(r["doc_id"] for r in rows)
+    sel = spark.createDataFrame([(int(d),) for d in ids], "doc_id long")
+    cand = {"lo": int(ids[0]), "hi": int(ids[-1]), "n": len(ids),
+            "contiguous": ids[-1] - ids[0] + 1 == len(ids), "sel": sel}
+    matches = _span_match_docs(index, query, window, cand, ordered=ordered)
+    span_of = {} if matches is None else {
+        r["doc_id"]: int(r["span"]) for r in matches.collect()}
+    scored = []
+    for r in rows:
+        d = r.asDict()
+        sp = span_of.get(d["doc_id"])
+        if sp is not None:
+            d["score"] = d["score"] + float(weight) / (1.0 + float(sp))
+        scored.append(d)
+    scored.sort(key=lambda d: (-round(d["score"], 9), d["doc_id"]))
+    return (spark.createDataFrame(scored[:k], schema=hits.schema)
+            .orderBy(F.round(F.col("score"), 9).desc(),
+                     F.col("doc_id").asc()))
+
+
 def significant_terms(index: dict, query: str, k: int = 20,
                       mode: str = "bm25", scope=None,
                       exclude: "str | None" = None,
