@@ -975,6 +975,19 @@ def _q_merged_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_batched_sharded(spark, sf_dir):
+    """Batched scatter-gather (search_many_sharded): a 2-query log replayed
+    over the two shard indexes in place — one search_many per shard under
+    corpus-global stats, one bounded per-query rank merge; rows identical
+    to the combined index's batched top-k."""
+    from searchengine_spark.operators.sharded import search_many_sharded
+    shards = _shards_for(spark, sf_dir)
+    out = search_many_sharded(
+        shards, {"qa": " ".join(BM25_Q), "qb": " ".join(BATCH_Q2)}, k=K)
+    return out.select("query_id", _orig_doc_id(),
+                      F.round("score", 6).alias("score"))
+
+
 def _q_upsert_fielded_df(spark, sf_dir):
     """S6 upsert of a FIELDED (BM25F) index: merge the same 3-row delta and
     return the maintained title-field dictionary (term, df). The upsert
@@ -1605,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s9_merge_term_df": _q_merge_term_df,
         "q_merged_topk": _q_merged_topk,
         "q_sharded_topk": _q_sharded_topk,
+        "q_batched_sharded": _q_batched_sharded,
         "q_merged_bm25f": _q_merged_bm25f,
         "a4_index_geometry": _q_index_geometry,
         "a3_statistics": _q_statistics,
@@ -2497,6 +2511,12 @@ order by doc_id desc limit {K}""",
         "s9_merge_term_df": _DF,
         "q_merged_topk": _bm25_sql(BM25_Q, K),
         "q_sharded_topk": _bm25_sql(BM25_Q, K),
+        "q_batched_sharded": f"""
+            with a as ({_bm25_sql(BM25_Q, K)}),
+                 b as ({_bm25_sql(BATCH_Q2, K)})
+            select 'qa' as query_id, doc_id, score from a
+            union all
+            select 'qb' as query_id, doc_id, score from b""",
         "q_merged_bm25f": _bm25f_sql(list(BM25_Q), K),
         # layout invariant: blocks per (term, doc-bucket) == ceil(cnt/128)
         # under the default geometry (bucket_range 65536, block_size 128)

@@ -2304,7 +2304,8 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
                 search_after: "dict | tuple | None" = None,
                 sort_by=None, sort_asc: bool = False,
                 boost_by=None,
-                min_match: "int | dict | None" = None) -> DataFrame:
+                min_match: "int | dict | None" = None,
+                _stats_override: "dict | None" = None) -> DataFrame:
     """Batched top-k: score MANY queries in ONE Spark job.
 
     A single-query search costs ~1 fixed-latency job regardless of data;
@@ -2414,6 +2415,16 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     release_query_caches(index)
     stats = index["stats"]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    if _stats_override is not None:
+        # scatter-gather serving (operators/sharded.py): score this shard
+        # under corpus-GLOBAL stats; see search()'s override block. The
+        # batched path does no block-max pruning, so no bound rederivation
+        # is needed here.
+        if mode != "bm25":
+            raise ValueError("_stats_override requires mode='bm25'")
+        n_docs = int(_stats_override["n_docs"])
+        avgdl = float(_stats_override["avgdl"])
+    _dfo = (_stats_override or {}).get("df_of") or {}
     amode = index.get("mode", "general")
     if (scope_clauses is not None or group_clauses) and not clause_arity:
         raise ValueError("clause_arity is required with scope_clauses/"
@@ -2456,8 +2467,10 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
 
     # (term_id → [query_id]) mapping + per-query conjunction arity
     pairs = [(qid, r["term_id"],
-              float(np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))))
-             for qid, trows in per_q.items() for r in trows]
+              float(np.log(1.0 + (n_docs - _df + 0.5) / (_df + 0.5))))
+             for qid, trows in per_q.items() for r in trows
+             for _df in (_dfo.get(r.get("term"), r["df"])
+                         if _dfo else r["df"],)]
     qmap = F.broadcast(spark.createDataFrame(
         pairs, "query_id string, term_id long, idf double"))
     nq = F.broadcast(spark.createDataFrame(

@@ -51,7 +51,43 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from searchengine_spark.operators.search import (
-    _query_terms, _resolve_terms_driver, _resolve_terms_paged, _ord, search)
+    _query_terms, _resolve_terms_driver, _resolve_terms_paged, _ord, search,
+    search_many)
+
+
+def search_many_sharded(shards: list[dict], queries: dict[str, str],
+                        k: int = 10, offset: int = 0,
+                        scope=None, exclude=None,
+                        min_match: "int | dict | None" = None,
+                        with_titles: bool = False,
+                        with_snippets: bool = False) -> DataFrame:
+    """Batched scatter-gather: replay a query log over K shards in place —
+    one ``search_many`` job per shard under corpus-global statistics, then
+    one bounded per-query rank merge. Returns ``search_many``'s schema
+    plus ``shard``; rows are exactly the combined index's batched top-k.
+    Global stats are assembled ONCE for the batch's union vocabulary
+    (term df sums are per-term, so one pass covers every query). Same
+    parameter semantics as ``search_many``; bm25 only."""
+    if not shards:
+        raise ValueError("search_many_sharded needs at least one shard")
+    g = sharded_stats(shards, " ".join(queries.values()))
+    k_eff = int(offset) + k
+    parts = []
+    for i, s in enumerate(shards):
+        hits = search_many(s, queries, k=k_eff, mode="bm25", scope=scope,
+                           exclude=exclude, min_match=min_match,
+                           with_titles=with_titles,
+                           with_snippets=with_snippets,
+                           _stats_override=g)
+        parts.append(hits.drop("rank").withColumn("shard", F.lit(i)))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    order = [_ord(), F.col("conv_id").asc(), F.col("turn_idx").asc()]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (u.withColumn("rank", F.row_number().over(w))
+            .filter((F.col("rank") > int(offset)) & (F.col("rank") <= k_eff))
+            .orderBy(F.col("query_id").asc(), F.col("rank").asc()))
 
 
 def sharded_stats(shards: list[dict], query: str) -> dict:

@@ -132,3 +132,33 @@ def test_sharded_oov_empty(shards2):
 def test_shard_column_present(shards2):
     rows = search_sharded(shards2, "alpha", k=5).collect()
     assert {r["shard"] for r in rows} <= {0, 1}
+
+
+def test_batched_sharded_equals_combined(shards2, combined):
+    from searchengine_spark.operators.search import search_many
+    from searchengine_spark.operators.sharded import search_many_sharded
+    qs = {"a": "alpha gamma", "b": "beta delta epsilon", "c": "omega zeta"}
+    got = {}
+    for r in search_many_sharded(shards2, qs, k=30).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["conv_id"], r["turn_idx"], round(r["score"], 9)))
+    exp = {}
+    for r in search_many(combined, qs, k=30, mode="bm25").collect():
+        exp.setdefault(r["query_id"], []).append(
+            (r["rank"], r["conv_id"], r["turn_idx"], round(r["score"], 9)))
+    assert got == exp and set(got) == set(qs)
+
+
+def test_batched_sharded_offset_and_min_match(shards2, combined):
+    from searchengine_spark.operators.search import search_many
+    from searchengine_spark.operators.sharded import search_many_sharded
+    qs = {"a": "alpha gamma", "b": "beta delta epsilon"}
+    got = [(r["query_id"], r["rank"], r["conv_id"], r["turn_idx"],
+            round(r["score"], 9))
+           for r in search_many_sharded(shards2, qs, k=5, offset=5,
+                                        min_match={"b": 2}).collect()]
+    exp = [(r["query_id"], r["rank"], r["conv_id"], r["turn_idx"],
+            round(r["score"], 9))
+           for r in search_many(combined, qs, k=5, offset=5, mode="bm25",
+                                min_match={"b": 2}).collect()]
+    assert got == exp
