@@ -150,6 +150,15 @@ def _q_significant_terms(spark, sf_dir):
                        F.round("score", 6).alias("score"))
 
 
+def _a5_term_vectors(spark, sf_dir):
+    """Term-vectors API (term_vectors — ES _termvectors): per-doc
+    (term, tf, corpus df) rows for three docs, re-derived through the
+    index's own analysis chain + one dictionary join."""
+    from searchengine_spark.operators.search import term_vectors
+    index = _index_for(spark, sf_dir)
+    return term_vectors(index, [7, 11, 42])
+
+
 def _q_explain_score(spark, sf_dir):
     """Score debugging: per-(doc, term) BM25 breakdown for the standard
     query's top-k — tf/dl/df/idf/weight rows whose per-doc weight sums
@@ -1565,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_not_topk": _q_bm25_not_topk,
         "q_min_match": _q_min_match,
         "q_explain_score": _q_explain_score,
+        "a5_term_vectors": _a5_term_vectors,
         "q_significant_terms": _q_significant_terms,
         "q_facets": _q_facets,
         "q_facets_multi": _q_facets_multi,
@@ -2093,6 +2103,12 @@ def oracle_sql() -> dict[str, str]:
         "q7_bm25_topk": _bm25_sql(BM25_Q, K),
         "q_bm25_not_topk": _bm25_sql(BM25_Q, K, exclude=[NOT_T]),
         "q_min_match": _bm25_sql(AND3, K, min_match=2),
+        "a5_term_vectors": f"""
+with tf as ({_TF}), dfv as ({_DF})
+select tf.doc_id, tf.term, tf.tf, dfv.df
+from tf join dfv using (term)
+where tf.doc_id in (7, 11, 42)
+order by tf.doc_id, tf.term""",
         "q_significant_terms": f"""
 with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
 stats as (select count(*) as n from dl),

@@ -1175,6 +1175,38 @@ def search_count(index: dict, query: str, mode: str = "bm25", scope=None,
         F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_matches"))
 
 
+def term_vectors(index: dict, doc_ids, include_df: bool = True) -> DataFrame:
+    """Per-document term vectors — the Elasticsearch ``_termvectors`` API:
+    (doc_id, term, tf[, df]) for each requested doc, the exact rows the
+    index's postings hold for it (re-derived through the SAME analysis
+    chain the build ran — equality of the two is the hash-green
+    ``t2_t5_tokenize_tf`` oracle's subject). ``df`` joins the dictionary's
+    corpus-wide document frequency (the reference's ``lemma.frequency``,
+    model/LemmaEntity.java:27-28).
+
+    Plan: one docs point scan (dense doc_ids are written sorted, so the
+    isin filter prunes row groups via parquet min/max), one Arrow analysis
+    pass over |doc_ids| rows, and — with ``include_df`` — one join against
+    the dictionary. Cost is O(|doc_ids|) regardless of corpus size."""
+    from searchengine_spark.functions.analysis import analyze_col
+    ids = sorted({int(d) for d in (doc_ids if isinstance(doc_ids, (list,
+                 tuple, set)) else [doc_ids])})
+    amode = index.get("mode", "general")
+    dic = index.get("dictionary", "fixture")
+    tv = (index["docs"].filter(F.col("doc_id").isin(ids))
+          .select("doc_id",
+                  F.explode(analyze_col(F.col("text"), amode, dic))
+                  .alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    if include_df:
+        tv = tv.join(index["terms"].select("term",
+                                           F.col("df").cast("long")
+                                           .alias("df")), "term")
+        return tv.select("doc_id", "term", "tf", "df") \
+            .orderBy("doc_id", "term")
+    return tv.select("doc_id", "term", "tf").orderBy("doc_id", "term")
+
+
 def rescore_search(index: dict, query: str, k: int = 10, n: int = 100,
                    window: int = 8, weight: float = 1.0,
                    scope=None, exclude: "str | None" = None,

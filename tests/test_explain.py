@@ -57,3 +57,17 @@ def test_explicit_doc_ids(index_general):
 
 def test_oov_empty(index_general):
     assert explain_score(index_general, "феноменальность").count() == 0
+
+
+def test_term_vectors_match_golden(index_general, golden_general):
+    from searchengine_spark.operators.search import term_vectors
+    ids = [0, 5, 17]
+    rows = term_vectors(index_general, ids).collect()
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["df"]) for r in rows}
+    exp = {(d, t): (tf, golden_general.df[t])
+           for d in ids for t, tf in golden_general.tf[d].items()}
+    assert got == exp
+    # single id, no df
+    one = term_vectors(index_general, 5, include_df=False).collect()
+    assert {(r["doc_id"], r["term"]): r["tf"] for r in one} == \
+        {(5, t): tf for t, tf in golden_general.tf[5].items()}
