@@ -614,6 +614,16 @@ def _q_querylang_wildcard_suffix(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_querylang_min(spark, sf_dir):
+    """Grammar min: directive — 'spark merge hash min:2' == the standalone
+    minimum-should-match query (q_min_match) resolved through the
+    query-string language."""
+    from searchengine_spark.operators.querylang import query_search
+    hits = query_search(_index_for(spark, sf_dir), " ".join(AND3) + " min:2",
+                        k=K, mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 def _q_more_like_this(spark, sf_dir):
     """More-like-this (operators/suggest.py): re-analyze doc MLT_DOC,
     select its 5 most characteristic lemmas by (tf desc, df asc,
@@ -1610,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suggest_fuzzy": _q_suggest_fuzzy,
         "q_querylang_wildcard": _q_querylang_wildcard,
         "q_querylang_wildcard_suffix": _q_querylang_wildcard_suffix,
+        "q_querylang_min": _q_querylang_min,
         "q_querylang_facets": _q_querylang_facets,
         "q_querylang_bm25f": _q_querylang_bm25f,
         "q_more_like_this": _q_more_like_this,
@@ -2103,6 +2114,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_bm25_topk": _bm25_sql(BM25_Q, K),
         "q_bm25_not_topk": _bm25_sql(BM25_Q, K, exclude=[NOT_T]),
         "q_min_match": _bm25_sql(AND3, K, min_match=2),
+        "q_querylang_min": _bm25_sql(AND3, K, min_match=2),
         "a5_term_vectors": f"""
 with tf as ({_TF}), dfv as ({_DF})
 select tf.doc_id, tf.term, tf.tf, dfv.df

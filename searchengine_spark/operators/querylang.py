@@ -34,6 +34,13 @@ ranked retrieval:
                           ``-pre*`` bans docs containing any expansion
                           (nothing when none match). Patterns need ≥2
                           literal chars.
+- min:m                 → DIRECTIVE (not a clause): minimum-should-match
+                          over the query's positive words — keep only docs
+                          matching at least m distinct resolved terms
+                          (``search(min_match=)``; bm25 only; last wins;
+                          negation is an error). Counts facets/counts too
+                          (``query_facets``); unsupported on the BM25F
+                          path.
 - -word / -"quoted..."  → NOT clauses: docs containing the term / the
                           exact phrase (or, with ~N, the span) are removed
 - field:value           → metadata qualifiers over the docs table:
@@ -134,7 +141,7 @@ def parse_query(qstr: str) -> dict:
     already express without a positional decode)."""
     out = {"terms": [], "phrases": [], "not_terms": [], "not_phrases": [],
            "spans": [], "not_spans": [], "groups": [], "qualifiers": [],
-           "wildcards": [], "not_wildcards": []}
+           "wildcards": [], "not_wildcards": [], "min_match": None}
     for m in _TOKEN.finditer(qstr):
         if m.group(2) is not None:
             neg, body = m.group(1) == "-", m.group(2).strip()
@@ -163,6 +170,14 @@ def parse_query(qstr: str) -> dict:
         else:
             neg, word = m.group(6) == "-", m.group(7)
             if word == "-" or not word:
+                continue
+            mm = re.match(r"^min:(\d+)$", word)
+            if mm:
+                # DIRECTIVE, not a clause: minimum-should-match over the
+                # query's positive words (search(min_match=); last wins)
+                if neg:
+                    raise ValueError("min: cannot be negated")
+                out["min_match"] = int(mm.group(1))
                 continue
             qm = _QUALIFIER.match(word)
             if qm:
@@ -291,7 +306,7 @@ def _resolve_grammar(index: dict, qstr: str, scope) -> "dict | None":
         persists.append(xdocs)
     return {"pos_words": pos_words, "not_terms": q["not_terms"],
             "eff_scope": eff_scope, "exclude_docs": xdocs,
-            "persists": persists}
+            "persists": persists, "min_match": q["min_match"]}
 
 
 def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
@@ -339,7 +354,8 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
                  exclude_docs=g["exclude_docs"],
                  collapse=collapse, per_group=per_group,
                  search_after=search_after, sort_by=sort_by,
-                 sort_asc=sort_asc, boost_by=boost_by)
+                 sort_asc=sort_asc, boost_by=boost_by,
+                 min_match=g["min_match"])
     index.setdefault("_query_persists", []).extend(held + g["persists"])
     return out
 
@@ -556,10 +572,13 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                          else scope_clauses.unionByName(qual_df))
 
     group_rows = [r for r in group_rows if r[0] in ranked_q]
+    mm = {qid: parsed[qid]["min_match"] for qid in ranked_q
+          if parsed[qid].get("min_match")}
     held = index.pop("_query_persists", [])
     out = search_many(index, ranked_q, k=k, mode=mode, scope=scope,
                       with_snippets=with_snippets, offset=offset,
                       with_titles=with_titles,
+                      min_match=mm or None,
                       exclude=excl_q or None,
                       scope_clauses=scope_clauses,
                       group_clauses=group_rows or None,
@@ -603,7 +622,8 @@ def query_facets(index: dict, qstr: str, by="role", mode: str = "bm25",
                         scope=g["eff_scope"],
                         exclude=" ".join(g["not_terms"]) or None,
                         exclude_docs=g["exclude_docs"],
-                        require_all=require_all)
+                        require_all=require_all,
+                        min_match=g["min_match"])
     index.setdefault("_query_persists", []).extend(held + g["persists"])
     return out
 
@@ -641,6 +661,9 @@ def query_search_bm25f(index: dict, fielded: dict, qstr: str, k: int = 10,
     g = _resolve_grammar(index, qstr, scope)
     if g is None:
         return empty
+    if g.get("min_match") is not None:
+        raise ValueError("min: is not supported on the fielded path "
+                         "(bm25f_search has no min_match semantics yet)")
     # shield the grammar's persists (registered in the MAIN index dict)
     # across the fielded call; the fielded search only releases the
     # FIELDED dict's caches, but the main dict's next query must not free

@@ -992,7 +992,8 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
 
 
 def _match_set(index: dict, query: str, mode: str, scope, exclude,
-               require_all, exclude_docs) -> "DataFrame | None":
+               require_all, exclude_docs,
+               min_match: "int | None" = None) -> "DataFrame | None":
     """Full match-set doc ids for a query — the count-query plan shared by
     ``search_facets`` / ``search_count`` / ``significant_terms``:
     bucket-pruned posting scan, ONE decode pass, doc-level arity agg, NOT
@@ -1053,6 +1054,8 @@ def _match_set(index: dict, query: str, mode: str, scope, exclude,
     req_all = require_all if require_all is not None else (mode == "ref_compat")
     if req_all:
         agg = agg.filter(F.col("nt") == F.lit(n_q))
+    elif min_match is not None and int(min_match) > 1:
+        agg = agg.filter(F.col("nt") >= F.lit(int(min_match)))
     return agg
 
 
@@ -1060,7 +1063,8 @@ def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
                   scope=None, exclude: "str | None" = None,
                   require_all: "bool | None" = None,
                   exclude_docs: "DataFrame | None" = None,
-                  metrics: "dict | None" = None) -> DataFrame:
+                  metrics: "dict | None" = None,
+                  min_match: "int | None" = None) -> DataFrame:
     """Facet counts over the query's FULL match set (no top-k): how many
     matching docs per value of a docs-table attribute — the aggregation
     panel every search UI renders next to the hit list. No reference
@@ -1122,7 +1126,7 @@ def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
         [], ("dim string, facet string, n_docs long" if dims is not None
              else "facet string, n_docs long"))
     agg = _match_set(index, query, mode, scope, exclude, require_all,
-                     exclude_docs)
+                     exclude_docs, min_match=min_match)
     if agg is None:
         return empty
     if dims is not None:
@@ -1157,7 +1161,8 @@ def search_facets(index: dict, query: str, by="role", mode: str = "bm25",
 def search_count(index: dict, query: str, mode: str = "bm25", scope=None,
                  exclude: "str | None" = None,
                  require_all: "bool | None" = None,
-                 exclude_docs: "DataFrame | None" = None) -> DataFrame:
+                 exclude_docs: "DataFrame | None" = None,
+                 min_match: "int | None" = None) -> DataFrame:
     """Total-hits count (the `_count` API / `track_total_hits` every
     search engine exposes): EXACTLY ONE row ``(n_matches long)`` — the
     size of the query's full match set, 0 included. Same match semantics
@@ -1170,7 +1175,7 @@ def search_count(index: dict, query: str, mode: str = "bm25", scope=None,
     facets = search_facets(index, query, by=F.lit("*"), mode=mode,
                            scope=scope, exclude=exclude,
                            require_all=require_all,
-                           exclude_docs=exclude_docs)
+                           exclude_docs=exclude_docs, min_match=min_match)
     return facets.agg(
         F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_matches"))
 

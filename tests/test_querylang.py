@@ -44,7 +44,7 @@ def qpos_index(spark):
 def _base(**kw):
     out = {"terms": [], "phrases": [], "not_terms": [], "not_phrases": [],
            "spans": [], "not_spans": [], "groups": [], "qualifiers": [],
-           "wildcards": [], "not_wildcards": []}
+           "wildcards": [], "not_wildcards": [], "min_match": None}
     out.update(kw)
     return out
 
@@ -381,3 +381,32 @@ def test_query_search_bm25f_not_and_qualifier(qpos_index, qpos_fielded):
     assert query_search_bm25f(qpos_index, qpos_fielded,
                               'alpha "beta zzznope"').count() == 0
     assert query_search_bm25f(qpos_index, qpos_fielded, "-alpha").count() == 0
+
+
+def test_grammar_min_match(qpos_index):
+    from searchengine_spark.operators.search import (search, search_count,
+                                                     search_facets)
+    got = [(r["conv_id"], round(r["score"], 9)) for r in
+           query_search(qpos_index, "alpha gamma epsilon min:2",
+                        k=10).collect()]
+    exp = [(r["conv_id"], round(r["score"], 9)) for r in
+           search(qpos_index, "alpha gamma epsilon", k=10,
+                  min_match=2).collect()]
+    assert got == exp
+    # parse: directive, last wins, negation rejected
+    q = parse_query("alpha min:2 min:3")
+    assert q["min_match"] == 3 and q["terms"] == ["alpha"]
+    with pytest.raises(ValueError, match="min"):
+        parse_query("alpha -min:2")
+    # facets/count see the same thresholded match set
+    from searchengine_spark.operators.querylang import query_facets
+    from pyspark.sql import functions as SF
+    n = (query_facets(qpos_index, "alpha gamma epsilon min:2", by="role")
+         .agg(SF.sum("n_docs")).collect()[0][0])
+    m = search_count(qpos_index, "alpha gamma epsilon",
+                     min_match=2).collect()[0]["n_matches"]
+    assert n == m == len(exp)
+    # fielded path rejects the directive eagerly
+    from searchengine_spark.operators.querylang import query_search_bm25f
+    with pytest.raises(ValueError, match="min"):
+        query_search_bm25f(qpos_index, qpos_index, "alpha min:2")
