@@ -614,6 +614,16 @@ def _q_querylang_wildcard_suffix(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_querylang_fuzzy(spark, sf_dir):
+    """Grammar fuzzy term 'scn~1' (Lucene fuzzy query): expands against
+    the dictionary to the terms within 1 edit (dist asc, df desc, term
+    asc; cap 8) and runs as that OR-group next to 'merge'."""
+    from searchengine_spark.operators.querylang import query_search
+    hits = query_search(_index_for(spark, sf_dir), "merge scn~1", k=K,
+                        mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 def _q_querylang_min(spark, sf_dir):
     """Grammar min: directive — 'spark merge hash min:2' == the standalone
     minimum-should-match query (q_min_match) resolved through the
@@ -1621,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_querylang_wildcard": _q_querylang_wildcard,
         "q_querylang_wildcard_suffix": _q_querylang_wildcard_suffix,
         "q_querylang_min": _q_querylang_min,
+        "q_querylang_fuzzy": _q_querylang_fuzzy,
         "q_querylang_facets": _q_querylang_facets,
         "q_querylang_bm25f": _q_querylang_bm25f,
         "q_more_like_this": _q_more_like_this,
@@ -2115,6 +2126,24 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25_not_topk": _bm25_sql(BM25_Q, K, exclude=[NOT_T]),
         "q_min_match": _bm25_sql(AND3, K, min_match=2),
         "q_querylang_min": _bm25_sql(AND3, K, min_match=2),
+        "q_querylang_fuzzy": f"""
+            with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+            stats as (select count(*) as n, avg(dl) as avgdl from dl),
+            wq as (select term from ({_DF})
+                   where levenshtein(term, 'scn') <= 1
+                   order by levenshtein(term, 'scn') asc, df desc, term asc
+                   limit 8),
+            scored as (
+              select tf.doc_id,
+                     sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+              from tf join dfv using (term) join dl using (doc_id) cross join stats
+              where (tf.term = 'merge' or tf.term in (select term from wq))
+                and tf.doc_id in (select doc_id from tf
+                                  where term in (select term from wq))
+              group by tf.doc_id)
+            select doc_id, round(s, 6) as score from scored
+            order by round(s, 9) desc, doc_id asc limit {K}""",
         "a5_term_vectors": f"""
 with tf as ({_TF}), dfv as ({_DF})
 select tf.doc_id, tf.term, tf.tf, dfv.df

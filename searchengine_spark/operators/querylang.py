@@ -34,6 +34,14 @@ ranked retrieval:
                           ``-pre*`` bans docs containing any expansion
                           (nothing when none match). Patterns need ≥2
                           literal chars.
+- word~1 / word~2       → FUZZY terms (Lucene fuzzy query): expands
+                          against the dictionary to the terms within N
+                          edits (``suggest_corrections`` ranking: dist
+                          asc, df desc, term asc; capped at
+                          ``FUZZY_MAX_TERMS``) and behaves as that
+                          OR-group; ``-word~N`` bans the expansions. The
+                          base needs ≥2 chars; N ∈ {1, 2} (the Lucene
+                          bound — larger distances match everything).
 - min:m                 → DIRECTIVE (not a clause): minimum-should-match
                           over the query's positive words — keep only docs
                           matching at least m distinct resolved terms
@@ -141,7 +149,8 @@ def parse_query(qstr: str) -> dict:
     already express without a positional decode)."""
     out = {"terms": [], "phrases": [], "not_terms": [], "not_phrases": [],
            "spans": [], "not_spans": [], "groups": [], "qualifiers": [],
-           "wildcards": [], "not_wildcards": [], "min_match": None}
+           "wildcards": [], "not_wildcards": [], "min_match": None,
+           "fuzzies": [], "not_fuzzies": []}
     for m in _TOKEN.finditer(qstr):
         if m.group(2) is not None:
             neg, body = m.group(1) == "-", m.group(2).strip()
@@ -186,6 +195,12 @@ def parse_query(qstr: str) -> dict:
                 # glob anywhere: pre*, *fix, a*b, *mid* — expansion decides
                 # prefix fast path vs full-pattern dictionary scan
                 out["not_wildcards" if neg else "wildcards"].append(word)
+            elif (fz := re.match(r"^(.{2,})~([12])$", word)) \
+                    and "*" not in word:
+                # Lucene fuzzy term: word~1 / word~2 — expands against the
+                # dictionary within N edits (suggest_corrections ranking)
+                out["not_fuzzies" if neg else "fuzzies"].append(
+                    (fz.group(1), int(fz.group(2))))
             else:
                 out["not_terms" if neg else "terms"].append(word)
     return out
@@ -210,7 +225,8 @@ def _resolve_grammar(index: dict, qstr: str, scope) -> "dict | None":
     # group even with one expansion — the containment constraint is the
     # wildcard's semantics); a positive no-match wildcard is
     # unsatisfiable, a negative one bans nothing
-    from searchengine_spark.operators.suggest import expand_wildcard
+    from searchengine_spark.operators.suggest import (expand_fuzzy,
+                                                      expand_wildcard)
     for p in q["wildcards"]:
         members = expand_wildcard(index, p)
         if not members:
@@ -218,6 +234,15 @@ def _resolve_grammar(index: dict, qstr: str, scope) -> "dict | None":
         q["groups"].append(members)
     for p in q["not_wildcards"]:
         q["not_terms"].extend(expand_wildcard(index, p))
+    # fuzzy terms expand exactly like wildcards: OR-group (containment is
+    # the fuzzy's semantics), positive no-match → unsatisfiable
+    for w, d in q["fuzzies"]:
+        members = expand_fuzzy(index, w, d)
+        if not members:
+            return None
+        q["groups"].append(members)
+    for w, d in q["not_fuzzies"]:
+        q["not_terms"].extend(expand_fuzzy(index, w, d))
     pos_words = (q["terms"] + [w for p in q["phrases"] for w in p.split()]
                  + [w for p, _ in q["spans"] for w in p.split()]
                  + [w for g in q["groups"] for w in g])
@@ -417,7 +442,8 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
     # wildcard expansion first — expansions become OR-groups (and NOT
     # terms), so they must exist before the batch-wide member resolution
     # below; a positive no-match wildcard kills its query
-    from searchengine_spark.operators.suggest import expand_wildcard
+    from searchengine_spark.operators.suggest import (expand_fuzzy,
+                                                      expand_wildcard)
     wc_dead: set[str] = set()
     for qid, q in parsed.items():
         for p in q["wildcards"]:
@@ -426,10 +452,19 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                 wc_dead.add(qid)
                 break
             q["groups"].append(members)
+        if qid not in wc_dead:
+            for w, d in q["fuzzies"]:
+                members = expand_fuzzy(index, w, d)
+                if not members:
+                    wc_dead.add(qid)
+                    break
+                q["groups"].append(members)
         if qid in wc_dead:
             continue
         for p in q["not_wildcards"]:
             q["not_terms"].extend(expand_wildcard(index, p))
+        for w, d in q["not_fuzzies"]:
+            q["not_terms"].extend(expand_fuzzy(index, w, d))
     parsed = {qid: q for qid, q in parsed.items() if qid not in wc_dead}
 
     # group members resolve with plain resolution across the whole batch

@@ -122,6 +122,19 @@ def suggest_pattern(index: dict, pattern: str, k: int = 10) -> DataFrame:
             .orderBy(F.col("df").desc(), F.col("term").asc()).limit(k))
 
 
+FUZZY_MAX_TERMS = 8
+
+
+def expand_fuzzy(index: dict, word: str, max_dist: int = 2,
+                 max_terms: int = FUZZY_MAX_TERMS) -> list[str]:
+    """``word~N`` → the dictionary terms within N edits, by (dist asc,
+    df desc, term asc) — ``suggest_corrections``'s ranking, capped at
+    ``max_terms``. Returns [] when nothing is within distance (the
+    grammar treats a positive no-match fuzzy as unsatisfiable)."""
+    return [r["term"] for r in
+            suggest_corrections(index, word, max_dist, max_terms).collect()]
+
+
 def expand_wildcard(index: dict, pattern: str,
                     max_terms: int = WILDCARD_MAX_TERMS) -> list[str]:
     """``pre*`` / ``*fix`` / ``a*b`` → the top-``max_terms`` dictionary

@@ -44,7 +44,8 @@ def qpos_index(spark):
 def _base(**kw):
     out = {"terms": [], "phrases": [], "not_terms": [], "not_phrases": [],
            "spans": [], "not_spans": [], "groups": [], "qualifiers": [],
-           "wildcards": [], "not_wildcards": [], "min_match": None}
+           "wildcards": [], "not_wildcards": [], "min_match": None,
+           "fuzzies": [], "not_fuzzies": []}
     out.update(kw)
     return out
 
@@ -410,3 +411,33 @@ def test_grammar_min_match(qpos_index):
     from searchengine_spark.operators.querylang import query_search_bm25f
     with pytest.raises(ValueError, match="min"):
         query_search_bm25f(qpos_index, qpos_index, "alpha min:2")
+
+
+def test_grammar_fuzzy_terms(qpos_index):
+    from searchengine_spark.operators.suggest import expand_fuzzy
+    # parse: base>=2 chars, N in {1,2}; others stay terms
+    q = parse_query("gamma delt~1 -bet~1 x~1 word~3")
+    assert q == _base(terms=["gamma", "x~1", "word~3"],
+                      fuzzies=[("delt", 1)], not_fuzzies=[("bet", 1)])
+    # expansion ranking comes from suggest_corrections
+    assert expand_fuzzy(qpos_index, "delt", 1) == ["delta"]
+    # 'delt~1' == the (delta) OR-group query
+    got = [(r["conv_id"], round(r["score"], 9)) for r in
+           query_search(qpos_index, "gamma delt~1", k=10).collect()]
+    exp = [(r["conv_id"], round(r["score"], 9)) for r in
+           query_search(qpos_index, "gamma del*", k=10).collect()]
+    assert got == exp and got
+    # negative fuzzy bans the expansions; no-match fuzzy: pos empty / neg noop
+    b = {r["conv_id"] for r in
+         query_search(qpos_index, "alpha -gamm~1", k=10).collect()}
+    assert b == {"x001", "x003", "x004"}
+    assert query_search(qpos_index, "alpha zz~1", k=10).count() == 0
+    assert query_search(qpos_index, "alpha -zz~1", k=10).count() == 5
+
+
+def test_grammar_fuzzy_batched(qpos_index):
+    from tests.test_querylang_many import _assert_parity
+    _assert_parity(qpos_index,
+                   {"f1": "gamma delt~1", "f2": "alpha -gamm~1",
+                    "f3": "alpha zz~1", "f4": "alpha -zz~1"},
+                   mode="bm25")
