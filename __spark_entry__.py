@@ -614,6 +614,14 @@ def _q_querylang_wildcard_suffix(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_querylang_count(spark, sf_dir):
+    """Grammar total-hits count (query_count): |docs matching >= 2 of
+    {merge, scan, hash} restricted to docs containing scan or hash| —
+    OR-group candidate set + min:2 directive, one row even when zero."""
+    from searchengine_spark.operators.querylang import query_count
+    return query_count(_index_for(spark, sf_dir), "merge (scan|hash) min:2")
+
+
 def _q_querylang_fuzzy(spark, sf_dir):
     """Grammar fuzzy term 'scn~1' (Lucene fuzzy query): expands against
     the dictionary to the terms within 1 edit (dist asc, df desc, term
@@ -1632,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_querylang_wildcard_suffix": _q_querylang_wildcard_suffix,
         "q_querylang_min": _q_querylang_min,
         "q_querylang_fuzzy": _q_querylang_fuzzy,
+        "q_querylang_count": _q_querylang_count,
         "q_querylang_facets": _q_querylang_facets,
         "q_querylang_bm25f": _q_querylang_bm25f,
         "q_more_like_this": _q_more_like_this,
@@ -2126,6 +2135,15 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25_not_topk": _bm25_sql(BM25_Q, K, exclude=[NOT_T]),
         "q_min_match": _bm25_sql(AND3, K, min_match=2),
         "q_querylang_min": _bm25_sql(AND3, K, min_match=2),
+        "q_querylang_count": f"""
+            with tf as ({_TF}),
+            grp as (select distinct doc_id from tf
+                    where term in ('scan', 'hash')),
+            m as (select tf.doc_id from tf
+                  where tf.term in ('merge', 'scan', 'hash')
+                    and tf.doc_id in (select doc_id from grp)
+                  group by tf.doc_id having count(*) >= 2)
+            select cast(count(*) as bigint) as n_matches from m""",
         "q_querylang_fuzzy": f"""
             with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
             stats as (select count(*) as n, avg(dl) as avgdl from dl),

@@ -104,7 +104,7 @@ from searchengine_spark.functions.analysis import analyze_text
 from searchengine_spark.operators.search import (
     _clause_match_pairs, _phrase_match_docs, _query_terms, _resolve_exclusions,
     _resolve_ids_dfs, _scope_filter, _scope_info, _span_match_docs,
-    release_query_caches, search, search_facets, search_many)
+    release_query_caches, search, search_count, search_facets, search_many)
 
 # -"quoted phrase"[~N] | "quoted phrase"[~N] | -(w1|w2) | (w1|w2) |
 # -word | word   (a lone '-' or empty quotes/parens parse to nothing;
@@ -624,6 +624,28 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       search_after=search_after, sort_by=sort_by,
                       sort_asc=sort_asc, boost_by=boost_by)
     index.setdefault("_query_persists", []).extend(held + persists)
+    return out
+
+
+def query_count(index: dict, qstr: str, mode: str = "bm25",
+                scope=None) -> DataFrame:
+    """Total-hits count for a grammar query — ``search_count`` × the query
+    language: EXACTLY ONE row ``(n_matches long)``, the size of the full
+    match set under every grammar constraint (phrase/span/group candidate
+    sets, NOT clauses, qualifiers, ``min:m``), 0 included. Clause
+    resolution is ``query_search``'s; counting is the facet count-plan
+    (one decode, no WAND, no top-k)."""
+    spark = index["docs"].sparkSession
+    g = _resolve_grammar(index, qstr, scope)
+    if g is None:
+        return spark.createDataFrame([(0,)], "n_matches long")
+    held = index.pop("_query_persists", [])
+    out = search_count(index, " ".join(g["pos_words"]), mode=mode,
+                       scope=g["eff_scope"],
+                       exclude=" ".join(g["not_terms"]) or None,
+                       exclude_docs=g["exclude_docs"],
+                       min_match=g["min_match"])
+    index.setdefault("_query_persists", []).extend(held + g["persists"])
     return out
 
 

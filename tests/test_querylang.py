@@ -441,3 +441,17 @@ def test_grammar_fuzzy_batched(qpos_index):
                    {"f1": "gamma delt~1", "f2": "alpha -gamm~1",
                     "f3": "alpha zz~1", "f4": "alpha -zz~1"},
                    mode="bm25")
+
+
+def test_query_count(qpos_index):
+    from searchengine_spark.operators.querylang import query_count
+    # matches == query_search's full match set size
+    n = query_count(qpos_index, "alpha -gamma").collect()[0]["n_matches"]
+    m = query_search(qpos_index, "alpha -gamma", k=100).count()
+    assert n == m > 0
+    # grammar constraints count too: group + min directive
+    n2 = query_count(qpos_index, "alpha (gamma|delta) min:2").collect()[0][0]
+    m2 = query_search(qpos_index, "alpha (gamma|delta) min:2", k=100).count()
+    assert n2 == m2
+    # unsatisfiable → one row, zero
+    assert query_count(qpos_index, "zz~1").collect()[0]["n_matches"] == 0
