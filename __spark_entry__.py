@@ -282,6 +282,7 @@ QL_QUERY = 'scan "hash join" -spark'      # terms + phrase filter + NOT term
 QL_NOTPHRASE = 'scan merge -"hash join"'  # ranked terms + NOT-phrase clause
 QL_QUALIFIED = "scan merge site:doc000001 -spark"  # qualifier + NOT term
 QL_SPAN = 'scan merge "spark hash"~8'     # ranked terms + span clause
+QL_OSPAN = 'scan merge "spark hash"~8!'   # ranked terms + ORDERED span
 # ts in _docs_as_transcripts = 2026-01-01 + doc_id seconds, so this window
 # is exactly docs 10 ≤ doc_id < 100
 QL_TIME = "scan merge after:2026-01-01T00:00:10 before:2026-01-01T00:01:40"
@@ -344,6 +345,22 @@ def _q_querylang_span(spark, sf_dir):
             _docs_as_transcripts(spark, sf_dir), mode="general",
             with_positions=True)
     hits = query_search(_INDEX_CACHE[key], QL_SPAN, k=K, mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_querylang_ospan(spark, sf_dir):
+    """Query language with an ORDERED span clause: '"spark hash"~8!' keeps
+    only docs where spark occurs BEFORE hash within 8 positions (the
+    in-order chain DP of span_search(ordered=True) as a grammar filter);
+    ranking stays BM25 over all positive words."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.querylang import query_search
+    key = (sf_dir, "positional")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_transcripts(spark, sf_dir), mode="general",
+            with_positions=True)
+    hits = query_search(_INDEX_CACHE[key], QL_OSPAN, k=K, mode="bm25")
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
@@ -1624,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_querylang_notphrase": _q_querylang_notphrase,
         "q_querylang_qualified": _q_querylang_qualified,
         "q_querylang_span": _q_querylang_span,
+        "q_querylang_ospan": _q_querylang_ospan,
         "q_span_topk": _q_span_topk,
         "q_ordered_span_topk": _q_ordered_span_topk,
         "q_batched_span": _q_batched_span,
@@ -1885,10 +1903,27 @@ spans as (select doc_id, greatest({ps}) - least({ps}) as s from {joins}),
 pm as (select doc_id from spans group by doc_id having min(s) <= {window})"""
 
 
+def _ospan_pm_ctes(terms: list[str], window: int) -> str:
+    """CTE block ending in ``pm`` = docs whose tightest IN-ORDER window
+    over ``terms`` (p0 < p1 < ... strictly increasing) is ≤ ``window`` —
+    the '"..."~N!' grammar clause's match set."""
+    srcs = ",\n".join(
+        f"a{i} as (select doc_id, pos as p{i} from tp where term = '{t}')"
+        for i, t in enumerate(terms))
+    joins = "a0 " + " ".join(f"join a{i} using (doc_id)"
+                             for i in range(1, len(terms)))
+    cond = " and ".join(f"p{i} < p{i + 1}" for i in range(len(terms) - 1))
+    last = f"p{len(terms) - 1}"
+    return f"""{srcs},
+spans as (select doc_id, {last} - p0 as s from {joins} where {cond}),
+pm as (select doc_id from spans group by doc_id having min(s) <= {window})"""
+
+
 def _querylang_sql(terms: list[str], phrase: list[str], k: int,
                    not_terms: "list[str] | None" = None,
                    not_phrase: bool = False,
                    span_window: "int | None" = None,
+                   ordered: bool = False,
                    scope: str = "") -> str:
     """Query-language oracle: BM25 over ``terms`` (the positive phrase's
     constituents must already be included by the caller, mirroring
@@ -1896,7 +1931,9 @@ def _querylang_sql(terms: list[str], phrase: list[str], k: int,
     candidate filter (or a banned set when ``not_phrase``), and docs
     containing any of ``not_terms`` removed. With ``span_window`` the
     quoted clause is a SPAN ('"..."~N'): pm = docs whose tightest window
-    over the clause words is ≤ N instead of exact adjacency. ``scope`` is
+    over the clause words is ≤ N instead of exact adjacency (``ordered``
+    additionally requires the words in clause order — '"..."~N!'').
+    ``scope`` is
     an extra predicate on tf.doc_id (site:/role: qualifier analog).
     idf/dl/avgdl stay corpus-wide (candidate filters don't change
     collection statistics)."""
@@ -1912,7 +1949,9 @@ def _querylang_sql(terms: list[str], phrase: list[str], k: int,
     if scope:
         conds.append(scope)
     cond = " and ".join(conds) or "true"
-    if phrase and span_window is not None:
+    if phrase and span_window is not None and ordered:
+        pm_block = _ospan_pm_ctes(phrase, span_window)
+    elif phrase and span_window is not None:
         pm_block = _span_pm_ctes(phrase, span_window)
     elif phrase:
         vals = ", ".join(f"('{t}', {i})" for i, t in enumerate(phrase))
@@ -2320,6 +2359,9 @@ order by doc_id desc limit {K}""",
         "q_querylang_span": _querylang_sql(
             ["scan", "merge", "spark", "hash"], ["spark", "hash"], K,
             span_window=8),
+        "q_querylang_ospan": _querylang_sql(
+            ["scan", "merge", "spark", "hash"], ["spark", "hash"], K,
+            span_window=8, ordered=True),
         "q_span_topk": _span_sql(SPAN_Q.split(), SPAN_W, K),
         "q_ordered_span_topk": _ordered_span_sql(SPAN_Q.split(), SPAN_W, K),
         "q_rescore_topk": _rescore_sql(BM25_Q, 100, K, 8, 1.0),

@@ -12,6 +12,10 @@ ranked retrieval:
                           window of N positions (tightest-window match via
                           ``_span_match_docs`` — the ``span_search``
                           operator as a hard filter)
+- "quoted words"~N!     → ORDERED span clauses (SpanNear inOrder=true):
+                          the words IN QUERY ORDER within N positions
+                          (``span_search(ordered=True)``'s chain DP as a
+                          hard filter); ``-"..."~N!`` bans such docs
 - (w1|w2|...)           → OR-groups (synonym sets): the doc MUST contain
                           AT LEAST ONE member; every member also joins the
                           ranked terms. `(cache|buffer) miss` ranks by
@@ -106,10 +110,12 @@ from searchengine_spark.operators.search import (
     _resolve_ids_dfs, _scope_filter, _scope_info, _span_match_docs,
     release_query_caches, search, search_count, search_facets, search_many)
 
-# -"quoted phrase"[~N] | "quoted phrase"[~N] | -(w1|w2) | (w1|w2) |
+# -"quoted phrase"[~N[!]] | "quoted phrase"[~N[!]] | -(w1|w2) | (w1|w2) |
 # -word | word   (a lone '-' or empty quotes/parens parse to nothing;
-# quotes and parens never nest — one-scan lexer)
-_TOKEN = re.compile(r'(-?)"([^"]*)"(?:~(\d+))?|(-?)\(([^()]*)\)|(-?)(\S+)')
+# quotes and parens never nest — one-scan lexer). The optional '!' after
+# a span's ~N asks for IN-ORDER matching (SpanNear inOrder=true).
+_TOKEN = re.compile(
+    r'(-?)"([^"]*)"(?:~(\d+)(!?))?|(-?)\(([^()]*)\)|(-?)(\S+)')
 _QUALIFIER = re.compile(r'^(site|role|tool|before|after):(.+)$')
 
 
@@ -141,14 +147,16 @@ def parse_query(qstr: str) -> dict:
 
     Returns {"terms": [...], "phrases": [...], "not_terms": [...],
     "not_phrases": [...], "spans": [(words, window), ...], "not_spans":
-    [...], "qualifiers": [(field, value, negated), ...]} of raw
+    [...], "ospans"/"not_ospans": [...] (the ``~N!`` in-order spans, same
+    tuple shape), "qualifiers": [(field, value, negated), ...]} of raw
     (un-analyzed) strings — analysis happens downstream in each clause's
     own path so the grammar stays analyzer-agnostic. A quoted clause with
     one word degrades to a plain term clause (a one-word "phrase"/span
     constrains nothing beyond term presence, which the ranked/NOT paths
     already express without a positional decode)."""
     out = {"terms": [], "phrases": [], "not_terms": [], "not_phrases": [],
-           "spans": [], "not_spans": [], "groups": [], "qualifiers": [],
+           "spans": [], "not_spans": [], "ospans": [], "not_ospans": [],
+           "groups": [], "qualifiers": [],
            "wildcards": [], "not_wildcards": [], "min_match": None,
            "fuzzies": [], "not_fuzzies": []}
     for m in _TOKEN.finditer(qstr):
@@ -159,13 +167,14 @@ def parse_query(qstr: str) -> dict:
             if len(body.split()) == 1:  # degenerate quote/span → term
                 out["not_terms" if neg else "terms"].append(body)
             elif m.group(3) is not None:
-                out["not_spans" if neg else "spans"].append(
+                kind = "ospans" if m.group(4) else "spans"
+                out[("not_" if neg else "") + kind].append(
                     (body, int(m.group(3))))
             else:
                 out["not_phrases" if neg else "phrases"].append(body)
-        elif m.group(5) is not None:
-            neg = m.group(4) == "-"
-            members = [w for w in re.split(r"[|\s]+", m.group(5)) if w]
+        elif m.group(6) is not None:
+            neg = m.group(5) == "-"
+            members = [w for w in re.split(r"[|\s]+", m.group(6)) if w]
             if not members:
                 continue
             if neg:
@@ -177,7 +186,7 @@ def parse_query(qstr: str) -> dict:
             else:
                 out["groups"].append(members)
         else:
-            neg, word = m.group(6) == "-", m.group(7)
+            neg, word = m.group(7) == "-", m.group(8)
             if word == "-" or not word:
                 continue
             mm = re.match(r"^min:(\d+)$", word)
@@ -245,6 +254,7 @@ def _resolve_grammar(index: dict, qstr: str, scope) -> "dict | None":
         q["not_terms"].extend(expand_fuzzy(index, w, d))
     pos_words = (q["terms"] + [w for p in q["phrases"] for w in p.split()]
                  + [w for p, _ in q["spans"] for w in p.split()]
+                 + [w for p, _ in q["ospans"] for w in p.split()]
                  + [w for g in q["groups"] for w in g])
     if not pos_words:
         return None  # NOT-only / empty queries rank nothing, like search("")
@@ -297,8 +307,9 @@ def _resolve_grammar(index: dict, qstr: str, scope) -> "dict | None":
             return None  # an unmatchable phrase clause → no results
         ds = m.select("doc_id")
         filt = ds if filt is None else filt.join(ds, "doc_id", "left_semi")
-    for p, w in q["spans"]:
-        m = _span_match_docs(index, p, w, sc_user)
+    for (p, w), o in ([(s, False) for s in q["spans"]]
+                      + [(s, True) for s in q["ospans"]]):
+        m = _span_match_docs(index, p, w, sc_user, ordered=o)
         if m is None:
             return None  # an unmatchable span clause → no results
         ds = m.select("doc_id")
@@ -320,8 +331,9 @@ def _resolve_grammar(index: dict, qstr: str, scope) -> "dict | None":
             continue  # an unmatchable NOT phrase bans nothing
         ds = m.select("doc_id")
         xdocs = ds if xdocs is None else xdocs.unionByName(ds)
-    for p, w in q["not_spans"]:
-        m = _span_match_docs(index, p, w, sc_user)
+    for (p, w), o in ([(s, False) for s in q["not_spans"]]
+                      + [(s, True) for s in q["not_ospans"]]):
+        m = _span_match_docs(index, p, w, sc_user, ordered=o)
         if m is None:
             continue  # an unmatchable NOT span bans nothing
         ds = m.select("doc_id")
@@ -480,7 +492,7 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
     excl_q: dict[str, str] = {}
     group_rows: list[tuple] = []          # (qid, cid, term_id, df)
     phrase_cl: list[tuple] = []           # (qid, cid, seq) — positive
-    span_cl: list[tuple] = []             # (qid, cid, lemmas, w) — positive
+    span_cl: list[tuple] = []  # (qid, cid, lemmas|seq, w, ordered) — positive
     qual_preds: list[tuple] = []          # (qid, cid, Column)
     pos_cids: dict[str, list[int]] = {}   # positive positional clause ids
     neg_cids: set[int] = set()
@@ -490,6 +502,7 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
         pos_words = (q["terms"]
                      + [w for p in q["phrases"] for w in p.split()]
                      + [w for p, _ in q["spans"] for w in p.split()]
+                     + [w for p, _ in q["ospans"] for w in p.split()]
                      + [w for g in q["groups"] for w in g])
         if not pos_words:
             continue  # NOT-only / qualifier-only queries rank nothing
@@ -514,14 +527,18 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                 my_pos.append(cid)
                 n_cl += 1
         if not dead:
-            for p, w in q["spans"]:
-                lemmas = sorted(set(analyze_text(p, amode,
-                                                 dictionary=dictionary)))
+            # unordered clauses match on the sorted lemma SET, ordered ones
+            # on the analyzed SEQUENCE (duplicates + order kept — the
+            # chain DP's contract, as in span_search(ordered=True))
+            for (p, w), o in ([(s, False) for s in q["spans"]]
+                              + [(s, True) for s in q["ospans"]]):
+                seq = analyze_text(p, amode, dictionary=dictionary)
+                lemmas = seq if o else sorted(set(seq))
                 if not lemmas:
                     dead = True
                     break
                 cid = next(next_cid)
-                span_cl.append((qid, cid, lemmas, int(w)))
+                span_cl.append((qid, cid, lemmas, int(w), o))
                 my_pos.append(cid)
                 n_cl += 1
         if dead:
@@ -547,11 +564,13 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                 cid = next(next_cid)
                 phrase_cl.append((qid, cid, seq))
                 neg_cids.add(cid)
-        for p, w in q["not_spans"]:
-            lemmas = sorted(set(analyze_text(p, amode, dictionary=dictionary)))
+        for (p, w), o in ([(s, False) for s in q["not_spans"]]
+                          + [(s, True) for s in q["not_ospans"]]):
+            seq = analyze_text(p, amode, dictionary=dictionary)
+            lemmas = seq if o else sorted(set(seq))
             if lemmas:
                 cid = next(next_cid)
-                span_cl.append((qid, cid, lemmas, int(w)))
+                span_cl.append((qid, cid, lemmas, int(w), o))
                 neg_cids.add(cid)
         ranked_q[qid] = " ".join(pos_words)
         if q["not_terms"]:

@@ -2179,8 +2179,12 @@ def _clause_match_pairs(index: dict, phrase_clauses: list,
     ``phrase_clauses``: [(query_id, clause, analyzed_seq)] matched with the
     slot-alignment core of ``phrase_search_many`` (base = pos - qidx, all
     |seq| distinct slots at one base). ``span_clauses``: [(query_id,
-    clause, sorted_lemmas, window)] matched with the one-pass exact
-    minimal-window core of ``span_search_many``. Clause ids are
+    clause, lemmas, window, ordered)] — unordered clauses carry their
+    sorted lemma SET and run the one-pass exact minimal-window core of
+    ``span_search_many``; ordered clauses (``"..."~N!``) carry the
+    analyzed SEQUENCE (duplicates + order kept) and run the batched
+    in-order chain DP (``span_search_many(ordered=True)``'s step keyed by
+    (query_id, clause)). Clause ids are
     caller-assigned ints, unique across the batch. Clauses with an
     analysis-absent term are dropped here; the returned ``matched`` set
     names the clause ids that made it to matching, so the caller decides
@@ -2197,19 +2201,22 @@ def _clause_match_pairs(index: dict, phrase_clauses: list,
         raise ValueError(
             "clause matching requires build_index(with_positions=True)")
     vocab = sorted({t for _, _, seq in phrase_clauses for t in seq}
-                   | {t for _, _, ls, _ in span_clauses for t in ls})
+                   | {t for _, _, ls, _, _ in span_clauses for t in ls})
     if not vocab:
         return None, set()
     id_of, df_of = _resolve_ids_dfs(index, vocab)
     p_cl = [(qid, cid, seq) for qid, cid, seq in phrase_clauses
             if all(t in id_of for t in seq)]
-    s_cl = [(qid, cid, ls, w) for qid, cid, ls, w in span_clauses
-            if all(t in id_of for t in ls)]
-    matched = {cid for _, cid, _ in p_cl} | {cid for _, cid, _, _ in s_cl}
+    s_all = [(qid, cid, ls, w, o) for qid, cid, ls, w, o in span_clauses
+             if all(t in id_of for t in ls)]
+    s_cl = [(qid, cid, ls, w) for qid, cid, ls, w, o in s_all if not o]
+    o_cl = [(qid, cid, ls, w) for qid, cid, ls, w, o in s_all if o]
+    matched = ({cid for _, cid, _ in p_cl}
+               | {cid for _, cid, _, _, _ in s_all})
     if not matched:
         return None, set()
     term_ids = sorted({id_of[t] for _, _, seq in p_cl for t in seq}
-                      | {id_of[t] for _, _, ls, _ in s_cl for t in ls})
+                      | {id_of[t] for _, _, ls, _, _ in s_all for t in ls})
     tid_set = set(term_ids)
     decoded = _decode_positions(index, term_ids, sc,
                                 sum_df=sum(df for t, df in df_of.items()
@@ -2271,7 +2278,56 @@ def _clause_match_pairs(index: dict, phrase_clauses: list,
             F.aggregate("evs", init, step, lambda a: a["best"]).alias("span"))
         parts.append(spans.filter(F.col("span") <= F.col("w"))
                      .select("query_id", "clause", "doc_id"))
-    pairs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    if o_cl:
+        # ordered clauses: the batched in-order chain DP (identical to
+        # span_search_many(ordered=True)'s step, keyed by (query_id,
+        # clause)); rs = n-1-slot so the shared sort_array yields
+        # (pos asc, slot desc) per clause
+        slot_rows = [(qid, cid, id_of[t], len(seq) - 1 - i)
+                     for qid, cid, seq, _ in o_cl for i, t in enumerate(seq)]
+        slots = F.broadcast(spark.createDataFrame(
+            slot_rows, "query_id string, clause int, term_id long, rs int"))
+        meta = F.broadcast(spark.createDataFrame(
+            [(qid, cid, len(seq), int(w)) for qid, cid, seq, w in o_cl],
+            "query_id string, clause int, n_q int, w int"))
+        aligned = (decoded.join(slots, "term_id")
+                   .select("query_id", "clause", "doc_id",
+                           F.struct(F.col("pos").cast("long").alias("pos"),
+                                    F.col("rs")).alias("e")))
+        grouped = (aligned.groupBy("query_id", "clause", "doc_id")
+                   .agg(F.sort_array(F.collect_list("e")).alias("evs"))
+                   .join(meta, ["query_id", "clause"]))
+        big = F.lit(2 ** 62).cast("long")
+        init = F.struct(
+            F.array_repeat(F.lit(-1).cast("long"),
+                           F.col("n_q")).alias("arr"),
+            big.alias("best"))
+
+        def ostep(acc, e):
+            slot = F.col("n_q") - 1 - e["rs"]
+            prev = acc["arr"]
+            arr = F.transform(
+                prev,
+                lambda v, i: F.when(
+                    i == slot,
+                    F.when(slot == F.lit(0), e["pos"]).otherwise(
+                        F.element_at(prev, F.greatest(slot, F.lit(1)))))
+                .otherwise(v))
+            tail = F.element_at(arr, F.col("n_q"))
+            best = F.when((slot == F.col("n_q") - 1) & (tail != F.lit(-1)),
+                          F.least(acc["best"], e["pos"] - tail)
+                          ).otherwise(acc["best"])
+            return F.struct(arr.alias("arr"), best.alias("best"))
+
+        spans = grouped.select(
+            "query_id", "clause", "doc_id", "w",
+            F.aggregate("evs", init, ostep,
+                        lambda a: a["best"]).alias("span"))
+        parts.append(spans.filter(F.col("span") <= F.col("w"))
+                     .select("query_id", "clause", "doc_id"))
+    pairs = parts[0]
+    for extra in parts[1:]:
+        pairs = pairs.unionByName(extra)
     return pairs, matched
 
 

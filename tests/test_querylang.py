@@ -43,7 +43,8 @@ def qpos_index(spark):
 
 def _base(**kw):
     out = {"terms": [], "phrases": [], "not_terms": [], "not_phrases": [],
-           "spans": [], "not_spans": [], "groups": [], "qualifiers": [],
+           "spans": [], "not_spans": [], "ospans": [], "not_ospans": [],
+           "groups": [], "qualifiers": [],
            "wildcards": [], "not_wildcards": [], "min_match": None,
            "fuzzies": [], "not_fuzzies": []}
     out.update(kw)
@@ -95,6 +96,15 @@ def test_parse_query_spans_and_qualifiers():
                       qualifiers=[("site", "x00", False),
                                   ("role", "assistant", True),
                                   ("tool", "bash", False)])
+
+
+def test_parse_query_ordered_spans():
+    # ~N! = in-order span; one-word ordered spans degrade to terms like
+    # any quoted singleton; mixed ordered/unordered routing
+    q = parse_query('scan "a b"~4! -"c d"~2! "e"~9! "f g"~3')
+    assert q == _base(terms=["scan", "e"],
+                      ospans=[("a b", 4)], not_ospans=[("c d", 2)],
+                      spans=[("f g", 3)])
 
 
 # ---------- query_search == operator composition ----------
@@ -193,6 +203,32 @@ def test_span_clause(qpos_index):
     got2 = {c for c, _ in
             _rows(query_search(qpos_index, 'beta "alpha gamma"~2', k=10))}
     assert got2 == {"x000", "x002"}
+
+
+def test_ordered_span_clause(qpos_index):
+    """'"alpha gamma"~w!' requires alpha BEFORE gamma within w. Ordered
+    spans are 2 in both x000 (alpha@0 → gamma@2) and x002 (alpha@4 →
+    gamma@6), so ~1! matches nothing even though x000's UNORDERED span is
+    1 (gamma@2, alpha@3); ~2! keeps both, scored like plain search over
+    the constituents."""
+    assert query_search(qpos_index,
+                        'beta "alpha gamma"~1!', k=10).count() == 0
+    got = _rows(query_search(qpos_index, 'beta "alpha gamma"~2!', k=10))
+    base = _rows(search(qpos_index, "beta alpha gamma", k=10))
+    assert got == [(c, s) for c, s in base if c in {"x000", "x002"}] and got
+    # reversed order matches only x000 (gamma@2 → alpha@3)
+    got = {c for c, _ in
+           _rows(query_search(qpos_index, 'beta "gamma alpha"~1!', k=10))}
+    assert got == {"x000"}
+
+
+def test_not_ordered_span_clause(qpos_index):
+    """-"gamma alpha"~1! bans exactly x000 (gamma@2 → alpha@3); x002's
+    gamma is final so it carries no in-order chain and stays."""
+    got = _rows(query_search(qpos_index, 'alpha -"gamma alpha"~1!', k=10))
+    exp = [(c, s) for c, s in _rows(search(qpos_index, "alpha", k=10))
+           if c != "x000"]
+    assert got == exp and "x002" in {c for c, _ in got}
 
 
 def test_not_span_clause(qpos_index):

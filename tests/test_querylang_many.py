@@ -22,6 +22,10 @@ QUERIES = {
     "s1": 'beta "alpha gamma"~1',                 # span clause
     "s2": 'beta "alpha gamma"~2',                 # looser span
     "ns": 'alpha -"alpha gamma"~1',               # NOT span
+    "os1": 'beta "alpha gamma"~2!',               # ordered span
+    "os2": 'beta "alpha gamma"~1!',               # ordered span: no match
+    "os3": 'beta "gamma alpha"~1!',               # order-sensitivity
+    "nos": 'alpha -"gamma alpha"~1!',             # NOT ordered span
     "g1": "(gamma|delta) alpha",                  # OR-group
     "g2": '(gamma|epsilon) "alpha beta" -delta',  # group ∩ phrase ∩ NOT
     "q1": "alpha role:assistant",                 # qualifier-only (site-like)
