@@ -766,7 +766,8 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
     Returns (query_id, rank, doc_id, conv_id, turn_idx, role, tool, ts,
     score[, snippet])."""
     from searchengine_spark.operators.search import (
-        _query_terms, _scope_info, _batch_sort_key, _batch_cursor_filter)
+        _query_terms, _scope_info, _batch_sort_key, _batch_cursor_filter,
+        _fanout_by_term)
     if search_after is not None and offset:
         raise ValueError("search_after and offset are mutually exclusive")
     from pyspark.sql import Window
@@ -811,20 +812,26 @@ def bm25f_search_many(index: dict, queries: dict[str, str], k: int = 10,
     if allf is None:
         return empty
     blended = _blend_and_saturate(allf, idf_of, k1)
-    qmap = F.broadcast(spark.createDataFrame(
-        sorted({(qid, t) for qid, ts in per_q.items() for t in ts}),
-        "query_id string, term string"))
-    # fan-out AFTER the blend: |blended| ≈ Σ df rows, each tiny
-    scored = (blended.join(qmap, "term")
+    # fan-out AFTER the blend: |blended| ≈ Σ df rows, each tiny; literal-
+    # map explode below LIT_MAP_MAX (no BroadcastExchange job per batch)
+    q_by_term: dict = {}
+    for qid, ts in per_q.items():
+        for t in ts:
+            q_by_term.setdefault(t, []).append((qid,))
+    scored = (_fanout_by_term(blended, q_by_term, [("query_id", "string")],
+                              key_col="term", key_type="string")
               .groupBy("query_id", "doc_id")
               .agg(F.sum("contrib").alias("score")))
     if x_of:
         # a blended row exists for every (doc, term) occurrence in any
         # field (tf ≥ 1 → wtf > 0), so this is the exact any-field ban set
-        xmap = F.broadcast(spark.createDataFrame(
-            sorted({(qid, t) for qid, ts in x_of.items() for t in ts}),
-            "query_id string, term string"))
-        banned = (blended.join(xmap, "term")
+        x_by_term: dict = {}
+        for qid, ts in x_of.items():
+            for t in ts:
+                x_by_term.setdefault(t, []).append((qid,))
+        banned = (_fanout_by_term(blended, x_by_term,
+                                  [("query_id", "string")],
+                                  key_col="term", key_type="string")
                   .select("query_id", "doc_id").distinct())
         scored = scored.join(banned, ["query_id", "doc_id"], "left_anti")
     if boost_by is not None:

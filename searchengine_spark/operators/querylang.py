@@ -610,15 +610,23 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                 scope_clauses = pairs
 
     # qualifier doc sets (intersected with the shared scope, so a
-    # restricted query's candidates stay ⊆ scope like every clause set)
+    # restricted query's candidates stay ⊆ scope like every clause set) —
+    # ONE docs scan for the whole batch: each row emits the (query, clause)
+    # tags whose predicate it satisfies via a literal when-array explode,
+    # instead of one filtered scan + union per qualifier-bearing query
     qual_df = None
-    for qid, cid, pred in qual_preds:
-        if qid not in ranked_q:
-            continue
-        ds = (index["docs"].filter(pred)
-              .select(F.lit(qid).alias("query_id"),
-                      F.lit(cid).alias("clause"), "doc_id"))
-        qual_df = ds if qual_df is None else qual_df.unionByName(ds)
+    live_preds = [(qid, cid, pred) for qid, cid, pred in qual_preds
+                  if qid in ranked_q]
+    if live_preds:
+        tags = F.array_compact(F.array(*[
+            F.when(pred, F.struct(F.lit(qid).alias("query_id"),
+                                  F.lit(int(cid)).cast("int")
+                                  .alias("clause")))
+            for qid, cid, pred in live_preds]))
+        qual_df = (index["docs"]
+                   .select(F.explode(tags).alias("_qc"), "doc_id")
+                   .select(F.col("_qc.query_id").alias("query_id"),
+                           F.col("_qc.clause").alias("clause"), "doc_id"))
     if qual_df is not None:
         if sc is not None:
             qual_df = _scope_filter(qual_df, sc)

@@ -50,6 +50,13 @@ from searchengine_spark.operators.pcache import pcache_split
 
 PRUNE_THRESHOLD = 0.8  # SearchingServiceImpl.java:278 (`percent < 80` keeps)
 PRUNE_MIN_POSTINGS = 100_000  # auto mode: Σdf below this → exhaustive decode
+# Batched-path lookup inlining: per-batch (query, term)-sized lookups below
+# this many entries become create_map literals evaluated in codegen — a
+# broadcast-joined createDataFrame costs a py4j round-trip + a
+# BroadcastExchange job EACH (~0.2 s fixed, per lookup, per call) that
+# dominates warm batched queries. Above the cap (huge query-log replays)
+# the broadcast join is the right plan and the sites fall back to it.
+LIT_MAP_MAX = 4096
 def _ord():
     """Canonical ordering: score rounded to 9 dp desc (deterministic under
     float reassociation), then doc_id asc (== stable (conv_id, turn_idx))."""
@@ -1613,18 +1620,26 @@ def phrase_search_many(index: dict, phrases: dict[str, str], k: int = 10,
     if sc is not None:
         decoded = _scope_filter(decoded, sc)
 
-    slots = F.broadcast(spark.createDataFrame(
-        slot_rows, "query_id string, term_id long, qidx int"))
-    nq = F.broadcast(spark.createDataFrame(
-        [(qid, len(seq)) for qid, seq in per_q.items()],
-        "query_id string, n_q int"))
-    aligned = (decoded.join(slots, "term_id")
+    s_by_tid: dict = {}
+    for qid, tid, i in slot_rows:
+        s_by_tid.setdefault(tid, []).append((qid, i))
+    aligned = (_fanout_by_term(decoded, s_by_tid,
+                               [("query_id", "string"), ("qidx", "int")])
                .select("query_id", "doc_id",
                        (F.col("pos") - F.col("qidx")).alias("base"), "qidx"))
-    bases = (aligned.groupBy("query_id", "doc_id", "base")
-             .agg(F.countDistinct("qidx").alias("nslots"))
-             .join(nq, "query_id")
-             .filter((F.col("nslots") == F.col("n_q")) & (F.col("base") >= 0)))
+    grouped_b = (aligned.groupBy("query_id", "doc_id", "base")
+                 .agg(F.countDistinct("qidx").alias("nslots")))
+    nq_d = {qid: len(seq) for qid, seq in per_q.items()}
+    if len(nq_d) <= LIT_MAP_MAX:
+        bases = grouped_b.filter(
+            (F.col("nslots") == _lit_lookup(nq_d, "int")[F.col("query_id")])
+            & (F.col("base") >= 0))
+    else:
+        nq = F.broadcast(spark.createDataFrame(
+            sorted(nq_d.items()), "query_id string, n_q int"))
+        bases = (grouped_b.join(nq, "query_id")
+                 .filter((F.col("nslots") == F.col("n_q"))
+                         & (F.col("base") >= 0)))
     matches = bases.groupBy("query_id", "doc_id").agg(
         F.count("*").alias("n_matches"))
     if exclude is not None:
@@ -2089,20 +2104,32 @@ def span_search_many(index: dict, queries: dict, window: int = 8,
     if sc is not None:
         decoded = _scope_filter(decoded, sc)
 
-    slots = F.broadcast(spark.createDataFrame(
-        slot_rows, "query_id string, term_id long, slot int, rs int"))
-    nq = F.broadcast(spark.createDataFrame(
-        [(qid, (len(seqs[qid]) if ordered else len(ls)), int(norm[qid][1]))
-         for qid, ls in per_q.items()],
-        "query_id string, n_q int, w int"))
+    s_by_tid: dict = {}
+    for qid, tid, i, rs in slot_rows:
+        s_by_tid.setdefault(tid, []).append((qid, i, rs))
     ecol = (F.struct(F.col("pos").cast("long").alias("pos"), F.col("rs"))
             if ordered else
             F.struct(F.col("pos").cast("long").alias("pos"), F.col("slot")))
-    aligned = (decoded.join(slots, "term_id")
-               .select("query_id", "doc_id", ecol.alias("e")))
+    aligned = (_fanout_by_term(
+        decoded, s_by_tid,
+        [("query_id", "string"), ("slot", "int"), ("rs", "int")])
+        .select("query_id", "doc_id", ecol.alias("e")))
     grouped = (aligned.groupBy("query_id", "doc_id")
-               .agg(F.sort_array(F.collect_list("e")).alias("evs"))
-               .join(nq, "query_id"))
+               .agg(F.sort_array(F.collect_list("e")).alias("evs")))
+    nq_d = {qid: (len(seqs[qid]) if ordered else len(ls))
+            for qid, ls in per_q.items()}
+    w_d = {qid: int(norm[qid][1]) for qid in per_q}
+    if len(nq_d) <= LIT_MAP_MAX:
+        grouped = (grouped
+                   .withColumn("n_q",
+                               _lit_lookup(nq_d, "int")[F.col("query_id")])
+                   .withColumn("w",
+                               _lit_lookup(w_d, "int")[F.col("query_id")]))
+    else:
+        nq = F.broadcast(spark.createDataFrame(
+            [(qid, nq_d[qid], w_d[qid]) for qid in sorted(per_q)],
+            "query_id string, n_q int, w int"))
+        grouped = grouped.join(nq, "query_id")
     big = F.lit(2 ** 62).cast("long")
     if ordered:
         # batched chain DP — identical to _ordered_span_agg's step with the
@@ -2225,39 +2252,58 @@ def _clause_match_pairs(index: dict, phrase_clauses: list,
         decoded = _scope_filter(decoded, sc)
 
     parts = []
+    qc_key = F.concat_ws(":", F.col("query_id"),
+                         F.col("clause").cast("string"))
     if p_cl:
-        slot_rows = [(qid, cid, id_of[t], i)
-                     for qid, cid, seq in p_cl for i, t in enumerate(seq)]
-        slots = F.broadcast(spark.createDataFrame(
-            slot_rows, "query_id string, clause int, term_id long, qidx int"))
-        ncl = F.broadcast(spark.createDataFrame(
-            [(qid, cid, len(seq)) for qid, cid, seq in p_cl],
-            "query_id string, clause int, n_q int"))
-        aligned = (decoded.join(slots, "term_id")
-                   .select("query_id", "clause", "doc_id",
-                           (F.col("pos") - F.col("qidx")).alias("base"),
-                           "qidx"))
-        bases = (aligned.groupBy("query_id", "clause", "doc_id", "base")
-                 .agg(F.countDistinct("qidx").alias("nslots"))
-                 .join(ncl, ["query_id", "clause"])
-                 .filter((F.col("nslots") == F.col("n_q"))
-                         & (F.col("base") >= 0)))
+        s_by_tid: dict = {}
+        for qid, cid, seq in p_cl:
+            for i, t in enumerate(seq):
+                s_by_tid.setdefault(id_of[t], []).append((qid, int(cid), i))
+        aligned = (_fanout_by_term(
+            decoded, s_by_tid,
+            [("query_id", "string"), ("clause", "int"), ("qidx", "int")])
+            .select("query_id", "clause", "doc_id",
+                    (F.col("pos") - F.col("qidx")).alias("base"),
+                    "qidx"))
+        grouped = (aligned.groupBy("query_id", "clause", "doc_id", "base")
+                   .agg(F.countDistinct("qidx").alias("nslots")))
+        ncl_d = {f"{qid}:{cid}": len(seq) for qid, cid, seq in p_cl}
+        if len(ncl_d) <= LIT_MAP_MAX:
+            bases = grouped.filter(
+                (F.col("nslots") == _lit_lookup(ncl_d, "int")[qc_key])
+                & (F.col("base") >= 0))
+        else:
+            ncl = F.broadcast(spark.createDataFrame(
+                [(qid, cid, len(seq)) for qid, cid, seq in p_cl],
+                "query_id string, clause int, n_q int"))
+            bases = (grouped.join(ncl, ["query_id", "clause"])
+                     .filter((F.col("nslots") == F.col("n_q"))
+                             & (F.col("base") >= 0)))
         parts.append(bases.select("query_id", "clause", "doc_id").distinct())
     if s_cl:
-        slot_rows = [(qid, cid, id_of[t], i)
-                     for qid, cid, ls, _ in s_cl for i, t in enumerate(ls)]
-        slots = F.broadcast(spark.createDataFrame(
-            slot_rows, "query_id string, clause int, term_id long, slot int"))
-        meta = F.broadcast(spark.createDataFrame(
-            [(qid, cid, len(ls), int(w)) for qid, cid, ls, w in s_cl],
-            "query_id string, clause int, n_q int, w int"))
-        aligned = (decoded.join(slots, "term_id")
-                   .select("query_id", "clause", "doc_id",
-                           F.struct(F.col("pos").cast("long").alias("pos"),
-                                    F.col("slot")).alias("e")))
+        s_by_tid = {}
+        for qid, cid, ls, _ in s_cl:
+            for i, t in enumerate(ls):
+                s_by_tid.setdefault(id_of[t], []).append((qid, int(cid), i))
+        aligned = (_fanout_by_term(
+            decoded, s_by_tid,
+            [("query_id", "string"), ("clause", "int"), ("slot", "int")])
+            .select("query_id", "clause", "doc_id",
+                    F.struct(F.col("pos").cast("long").alias("pos"),
+                             F.col("slot")).alias("e")))
         grouped = (aligned.groupBy("query_id", "clause", "doc_id")
-                   .agg(F.sort_array(F.collect_list("e")).alias("evs"))
-                   .join(meta, ["query_id", "clause"]))
+                   .agg(F.sort_array(F.collect_list("e")).alias("evs")))
+        nq_d = {f"{qid}:{cid}": len(ls) for qid, cid, ls, _ in s_cl}
+        w_d = {f"{qid}:{cid}": int(w) for qid, cid, _, w in s_cl}
+        if len(nq_d) <= LIT_MAP_MAX:
+            grouped = (grouped
+                       .withColumn("n_q", _lit_lookup(nq_d, "int")[qc_key])
+                       .withColumn("w", _lit_lookup(w_d, "int")[qc_key]))
+        else:
+            meta = F.broadcast(spark.createDataFrame(
+                [(qid, cid, len(ls), int(w)) for qid, cid, ls, w in s_cl],
+                "query_id string, clause int, n_q int, w int"))
+            grouped = grouped.join(meta, ["query_id", "clause"])
         big = F.lit(2 ** 62).cast("long")
         init = F.struct(
             F.array_repeat(F.lit(-1).cast("long"),
@@ -2283,20 +2329,30 @@ def _clause_match_pairs(index: dict, phrase_clauses: list,
         # span_search_many(ordered=True)'s step, keyed by (query_id,
         # clause)); rs = n-1-slot so the shared sort_array yields
         # (pos asc, slot desc) per clause
-        slot_rows = [(qid, cid, id_of[t], len(seq) - 1 - i)
-                     for qid, cid, seq, _ in o_cl for i, t in enumerate(seq)]
-        slots = F.broadcast(spark.createDataFrame(
-            slot_rows, "query_id string, clause int, term_id long, rs int"))
-        meta = F.broadcast(spark.createDataFrame(
-            [(qid, cid, len(seq), int(w)) for qid, cid, seq, w in o_cl],
-            "query_id string, clause int, n_q int, w int"))
-        aligned = (decoded.join(slots, "term_id")
-                   .select("query_id", "clause", "doc_id",
-                           F.struct(F.col("pos").cast("long").alias("pos"),
-                                    F.col("rs")).alias("e")))
+        o_by_tid: dict = {}
+        for qid, cid, seq, _ in o_cl:
+            for i, t in enumerate(seq):
+                o_by_tid.setdefault(id_of[t], []).append(
+                    (qid, int(cid), len(seq) - 1 - i))
+        aligned = (_fanout_by_term(
+            decoded, o_by_tid,
+            [("query_id", "string"), ("clause", "int"), ("rs", "int")])
+            .select("query_id", "clause", "doc_id",
+                    F.struct(F.col("pos").cast("long").alias("pos"),
+                             F.col("rs")).alias("e")))
         grouped = (aligned.groupBy("query_id", "clause", "doc_id")
-                   .agg(F.sort_array(F.collect_list("e")).alias("evs"))
-                   .join(meta, ["query_id", "clause"]))
+                   .agg(F.sort_array(F.collect_list("e")).alias("evs")))
+        onq_d = {f"{qid}:{cid}": len(seq) for qid, cid, seq, _ in o_cl}
+        ow_d = {f"{qid}:{cid}": int(w) for qid, cid, _, w in o_cl}
+        if len(onq_d) <= LIT_MAP_MAX:
+            grouped = (grouped
+                       .withColumn("n_q", _lit_lookup(onq_d, "int")[qc_key])
+                       .withColumn("w", _lit_lookup(ow_d, "int")[qc_key]))
+        else:
+            meta = F.broadcast(spark.createDataFrame(
+                [(qid, cid, len(seq), int(w)) for qid, cid, seq, w in o_cl],
+                "query_id string, clause int, n_q int, w int"))
+            grouped = grouped.join(meta, ["query_id", "clause"])
         big = F.lit(2 ** 62).cast("long")
         init = F.struct(
             F.array_repeat(F.lit(-1).cast("long"),
@@ -2381,6 +2437,47 @@ def _decode_positions(index: dict, term_ids: list[int], sc=None,
                             "pos": pd.Series(dtype="int64")})
 
     return blocks.mapInPandas(gen, schema="doc_id long, term_id long, pos long")
+
+
+def _fanout_by_term(df: DataFrame, mapping: "dict[object, list[tuple]]",
+                    fields: "list[tuple[str, str]]",
+                    key_col: str = "term_id",
+                    key_type: str = "long") -> DataFrame:
+    """Fan ``df`` rows out by a small driver-side multimap on ``key_col``
+    (default the term_id): each row emits one output row per entry of
+    ``mapping[row[key_col]]``, with the entry tuple bound to ``fields``
+    [(name, sql_type), ...] as extra columns; rows whose key has no
+    entries drop (inner-join semantics). Below LIT_MAP_MAX total entries
+    this is a create_map literal + explode — pure codegen, no
+    BroadcastExchange job, the batched paths' per-call fixed-cost win;
+    above it, a broadcast join (the correct plan for huge query-log
+    replays)."""
+    total = sum(len(v) for v in mapping.values())
+    if total <= LIT_MAP_MAX:
+        m = F.create_map(*[x for kk, entries in sorted(mapping.items())
+                           for x in (F.lit(kk).cast(key_type),
+                                     F.array(*[F.struct(*[
+                                         F.lit(v).cast(t).alias(n)
+                                         for v, (n, t) in zip(e, fields)])
+                                         for e in entries]))])
+        out = df.select("*", F.explode(m[F.col(key_col)]).alias("_fx"))
+        return out.select(*df.columns,
+                          *[F.col(f"_fx.{n}").alias(n) for n, _ in fields])
+    spark = df.sparkSession
+    rows = [(kk, *e) for kk, entries in mapping.items() for e in entries]
+    schema = (f"{key_col} {key_type}, "
+              + ", ".join(f"{n} {t}" for n, t in fields))
+    return df.join(F.broadcast(spark.createDataFrame(rows, schema)),
+                   key_col)
+
+
+def _lit_lookup(d: dict, val_type: str):
+    """{string key → scalar} as a create_map literal Column (codegen
+    lookup, no broadcast job); missing keys resolve to NULL like an inner
+    join's non-match. Caller guards len(d) ≤ LIT_MAP_MAX."""
+    return F.create_map(*[x for kk in sorted(d)
+                          for x in (F.lit(kk),
+                                    F.lit(d[kk]).cast(val_type))])
 
 
 def search_many(index: dict, queries: dict[str, str], k: int = 10,
@@ -2558,16 +2655,15 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     if scope is not None and sc is None:
         return empty
 
-    # (term_id → [query_id]) mapping + per-query conjunction arity
+    # (term_id → [query_id]) mapping + per-query conjunction arity; the
+    # score fan-out and the n_q lookup are built AT USE from the then-
+    # current pairs/per_q (the ref_compat prune below narrows both) as
+    # literal maps — see _fanout_by_term/_lit_lookup
     pairs = [(qid, r["term_id"],
               float(np.log(1.0 + (n_docs - _df + 0.5) / (_df + 0.5))))
              for qid, trows in per_q.items() for r in trows
              for _df in (_dfo.get(r.get("term"), r["df"])
                          if _dfo else r["df"],)]
-    qmap = F.broadcast(spark.createDataFrame(
-        pairs, "query_id string, term_id long, idf double"))
-    nq = F.broadcast(spark.createDataFrame(
-        [(qid, len(trows)) for qid, trows in per_q.items()], "query_id string, n_q int"))
 
     # batched NOT clause: resolve each query's excluded terms (plain
     # resolution — never df-pruned) into (query_id, term_id) pairs; their
@@ -2590,8 +2686,6 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
             for r in xrows:
                 x_pairs.append((qid, r["term_id"]))
                 x_df[r["term_id"]] = int(r["df"])
-    xmap = (F.broadcast(spark.createDataFrame(
-        x_pairs, "query_id string, term_id long")) if x_pairs else None)
 
     # same serving-tier postings cache as single-query search
     # (operators/pcache.py): cached hot terms skip the shared block scan and
@@ -2642,16 +2736,25 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     # before the ref_compat prune narrows `decoded` to ranked survivors)
     g_pairs = None
     if group_clauses:
-        gmap = F.broadcast(spark.createDataFrame(
-            [(q, c, t) for q, c, t, _ in group_clauses],
-            "query_id string, clause int, term_id long"))
-        g_pairs = decoded.join(gmap, "term_id").select(
-            "query_id", "clause", "doc_id")
+        g_by_tid: dict = {}
+        for q, c, t, _ in group_clauses:
+            g_by_tid.setdefault(t, []).append((q, int(c)))
+        g_pairs = _fanout_by_term(
+            decoded, g_by_tid,
+            [("query_id", "string"), ("clause", "int")]
+        ).select("query_id", "clause", "doc_id")
     # batched NOT: each query's banned doc set from the shared decode
-    # (excluded-term rows never reach scoring — qmap holds scoring pairs
-    # only; a term excluded by one query can still score another's)
-    banned = (decoded.join(xmap, "term_id").select("query_id", "doc_id")
-              .distinct() if xmap is not None else None)
+    # (excluded-term rows never reach scoring — the score fan-out holds
+    # scoring pairs only; a term excluded by one query can still score
+    # another's)
+    banned = None
+    if x_pairs:
+        x_by_tid: dict = {}
+        for qid, t in x_pairs:
+            x_by_tid.setdefault(t, []).append((qid,))
+        banned = (_fanout_by_term(decoded, x_by_tid,
+                                  [("query_id", "string")])
+                  .select("query_id", "doc_id").distinct())
     if exclude_pairs is not None:
         ep = exclude_pairs.select("query_id", "doc_id")
         banned = ep if banned is None else banned.unionByName(ep).distinct()
@@ -2667,15 +2770,20 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
         if cparts:
             allcl = cparts[0] if len(cparts) == 1 else \
                 cparts[0].unionByName(cparts[1])
-            ar = F.broadcast(spark.createDataFrame(
-                sorted(clause_arity.items()), "query_id string, n_cl int"))
-            cand = (allcl.distinct()
-                    .groupBy("query_id", "doc_id")
-                    .agg(F.countDistinct("clause").alias("nc"))
-                    .join(ar, "query_id")
-                    .filter(F.col("nc") == F.col("n_cl"))
-                    .select("query_id", "doc_id")
-                    .persist())
+            nc_agg = (allcl.distinct()
+                      .groupBy("query_id", "doc_id")
+                      .agg(F.countDistinct("clause").alias("nc")))
+            if len(clause_arity) <= LIT_MAP_MAX:
+                kept = nc_agg.filter(
+                    F.col("nc") == _lit_lookup(clause_arity,
+                                               "int")[F.col("query_id")])
+            else:
+                ar = F.broadcast(spark.createDataFrame(
+                    sorted(clause_arity.items()),
+                    "query_id string, n_cl int"))
+                kept = (nc_agg.join(ar, "query_id")
+                        .filter(F.col("nc") == F.col("n_cl")))
+            cand = kept.select("query_id", "doc_id").persist()
         else:  # arity declared but no clause inputs: nothing satisfies it
             cand = spark.createDataFrame([], "query_id string, doc_id long")
         index.setdefault("_query_persists", []).append(cand)
@@ -2707,12 +2815,14 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
             # per-(query, term) df within the candidate set + |candidates|
             # per query: two tiny agg jobs over the batch's site_like part
             sq = sorted(q for q in per_q if q in site_like)
-            smap = F.broadcast(spark.createDataFrame(
-                [(q, r["term_id"]) for q in sq for r in per_q[q]],
-                "query_id string, term_id long"))
+            s_by_tid: dict = {}
+            for q in sq:
+                for r in per_q[q]:
+                    s_by_tid.setdefault(r["term_id"], []).append((q,))
             scand = cand.filter(F.col("query_id").isin(sq))
             sdfq = {(r["query_id"], r["term_id"]): r["c"] for r in
-                    decoded.join(smap, "term_id")
+                    _fanout_by_term(decoded, s_by_tid,
+                                    [("query_id", "string")])
                     .join(scand, ["query_id", "doc_id"], "left_semi")
                     .groupBy("query_id", "term_id")
                     .agg(F.count("*").alias("c")).collect()}
@@ -2734,14 +2844,15 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
         pairs = [p for p in pairs
                  if p[0] in per_q
                  and (p[0] not in kept_of or p[1] in kept_of[p[0]])]
-        qmap = F.broadcast(spark.createDataFrame(
-            pairs, "query_id string, term_id long, idf double"))
-        nq = F.broadcast(spark.createDataFrame(
-            [(qid, len(trows)) for qid, trows in per_q.items()],
-            "query_id string, n_q int"))
         decoded = decoded.filter(
             F.col("term_id").isin(sorted({p[1] for p in pairs})))
-    fanned = decoded.join(qmap, "term_id")
+    # score fan-out: one decoded row per (query, term) scoring pair —
+    # a literal-map explode (no BroadcastExchange job) below LIT_MAP_MAX
+    q_by_tid: dict = {}
+    for qid, tid, idf in pairs:
+        q_by_tid.setdefault(tid, []).append((qid, idf))
+    fanned = _fanout_by_term(decoded, q_by_tid,
+                             [("query_id", "string"), ("idf", "double")])
     score = F.col("idf") * (F.col("tf") * F.lit(K1 + 1.0)) / (
         F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(float(avgdl))))
     scored = fanned.withColumn("s", score)
@@ -2776,7 +2887,15 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
                 .drop("_cr", "_ckey"))
 
     if mode == "ref_compat":
-        matches = agg.join(nq, "query_id").filter(F.col("nt") == F.col("n_q"))
+        nq_d = {qid: len(trows) for qid, trows in per_q.items()}
+        if len(nq_d) <= LIT_MAP_MAX:
+            matches = agg.filter(
+                F.col("nt") == _lit_lookup(nq_d, "int")[F.col("query_id")])
+        else:
+            nq = F.broadcast(spark.createDataFrame(
+                sorted(nq_d.items()), "query_id string, n_q int"))
+            matches = (agg.join(nq, "query_id")
+                       .filter(F.col("nt") == F.col("n_q")))
         if collapse is not None:
             matches = _batch_collapse(
                 matches, [F.col("tf_sum").desc(), F.col("doc_id").asc()])
