@@ -283,6 +283,15 @@ QL_NOTPHRASE = 'scan merge -"hash join"'  # ranked terms + NOT-phrase clause
 QL_QUALIFIED = "scan merge site:doc000001 -spark"  # qualifier + NOT term
 QL_SPAN = 'scan merge "spark hash"~8'     # ranked terms + span clause
 QL_OSPAN = 'scan merge "spark hash"~8!'   # ranked terms + ORDERED span
+# percolation: registered saved searches covering the grammar matrix
+PERC_QUERIES = {
+    "pt": "scan hash",                     # any-term match set
+    "pp": 'scan "hash join"',              # phrase clause
+    "pn": "scan -merge",                   # NOT term
+    "pm2": "scan merge hash min:2",        # minimum-should-match
+    "pq": "scan merge site:doc000001",     # metadata qualifier
+    "ps": 'scan "spark hash"~8',           # span clause
+}
 # ts in _docs_as_transcripts = 2026-01-01 + doc_id seconds, so this window
 # is exactly docs 10 ≤ doc_id < 100
 QL_TIME = "scan merge after:2026-01-01T00:00:10 before:2026-01-01T00:01:40"
@@ -362,6 +371,17 @@ def _q_querylang_ospan(spark, sf_dir):
             with_positions=True)
     hits = query_search(_INDEX_CACHE[key], QL_OSPAN, k=K, mode="bm25")
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_percolate(spark, sf_dir):
+    """Percolation (operators/percolate.py — reverse search): match every
+    doc against the registered grammar queries in ONE inverted dataflow
+    (analyze batch once, literal-map fan-outs per requirement family) —
+    the saved-search/alerting operator. Output: (query_id, doc_id), one
+    row per doc in each query's full match set."""
+    from searchengine_spark.operators.percolate import percolate
+    out = percolate(PERC_QUERIES, _docs_as_transcripts(spark, sf_dir))
+    return out.select("query_id", _orig_doc_id())
 
 
 def _q_querylang(spark, sf_dir):
@@ -1642,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_querylang_qualified": _q_querylang_qualified,
         "q_querylang_span": _q_querylang_span,
         "q_querylang_ospan": _q_querylang_ospan,
+        "q_percolate": _q_percolate,
         "q_span_topk": _q_span_topk,
         "q_ordered_span_topk": _q_ordered_span_topk,
         "q_batched_span": _q_batched_span,
@@ -2362,6 +2383,47 @@ order by doc_id desc limit {K}""",
         "q_querylang_ospan": _querylang_sql(
             ["scan", "merge", "spark", "hash"], ["spark", "hash"], K,
             span_window=8, ordered=True),
+        # percolation: each registered query's FULL match set under the
+        # grammar's semantics — any ranked term (≥ m with min:), clause
+        # filters, NOT terms, qualifiers
+        "q_percolate": f"""
+with tf as ({_TF}),
+arrs as (select doc_id, list_filter(string_split_regex(
+    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+    x -> x <> '') as arr from documents),
+tp as (select doc_id, unnest(arr) as term,
+       unnest(range(len(arr))) as pos from arrs),
+alp as (select tp.doc_id, tp.pos - q.qidx as base, q.qidx
+        from tp join (values ('hash', 0), ('join', 1)) as q(term, qidx)
+        using (term)),
+pmp as (select doc_id from alp group by doc_id, base
+        having count(distinct qidx) = 2),
+sa0 as (select doc_id, pos as p0 from tp where term = 'spark'),
+sa1 as (select doc_id, pos as p1 from tp where term = 'hash'),
+pms as (select doc_id from (
+          select doc_id, greatest(p0, p1) - least(p0, p1) as s
+          from sa0 join sa1 using (doc_id))
+        group by doc_id having min(s) <= 8),
+m_pt as (select distinct doc_id from tf where term in ('scan', 'hash')),
+m_pp as (select distinct doc_id from tf
+         where term in ('scan', 'hash', 'join')
+         and doc_id in (select doc_id from pmp)),
+m_pn as (select distinct doc_id from tf where term = 'scan'
+         and doc_id not in (select doc_id from tf where term = 'merge')),
+m_pm2 as (select doc_id from tf where term in ('scan', 'merge', 'hash')
+          group by doc_id having count(distinct term) >= 2),
+m_pq as (select distinct doc_id from tf where term in ('scan', 'merge')
+         and doc_id between 100 and 199),
+m_ps as (select distinct doc_id from tf
+         where term in ('scan', 'spark', 'hash')
+         and doc_id in (select doc_id from pms))
+select 'pt' as query_id, doc_id from m_pt
+union all select 'pp', doc_id from m_pp
+union all select 'pn', doc_id from m_pn
+union all select 'pm2', doc_id from m_pm2
+union all select 'pq', doc_id from m_pq
+union all select 'ps', doc_id from m_ps
+""",
         "q_span_topk": _span_sql(SPAN_Q.split(), SPAN_W, K),
         "q_ordered_span_topk": _ordered_span_sql(SPAN_Q.split(), SPAN_W, K),
         "q_rescore_topk": _rescore_sql(BM25_Q, 100, K, 8, 1.0),

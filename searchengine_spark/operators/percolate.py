@@ -1,0 +1,444 @@
+"""Percolation: reverse search — match DOCUMENTS against registered QUERIES.
+
+The forward path answers "which docs match this query?"; percolation
+answers "which of my registered queries match this doc?" — the
+Elasticsearch percolator / Lucene MemoryIndex pattern, and the missing
+half of a streaming deployment: saved searches, alerting ("notify when a
+conversation matches `error deploy site:prod`"), and routing
+(fan incoming turns out to per-team feeds). The reference has no analog
+(its API is forward-only, services/SearchingServiceImpl.java:30-201); the
+semantics here are the engine's own grammar match set — a doc matches a
+query string exactly when it would appear in ``query_search``'s (full,
+un-truncated) match set / be counted by ``query_count``.
+
+Spark-first design — the INVERTED dataflow, not N forward searches:
+
+- queries are parsed DRIVER-SIDE (``querylang.parse_query``) into clause
+  requirements: ranked terms (match = any, or ≥ m with ``min:m``),
+  OR-groups (≥1 member each), phrase / span / ordered-span clauses
+  (positional), NOT terms/clauses, metadata qualifiers;
+- the doc batch is analyzed ONCE with the index-side chain
+  (``analyze_col`` — same lemma stream, so positional clause semantics
+  are bit-identical to the indexed path) and posexploded to
+  (doc, pos, term) events;
+- every requirement family evaluates as a literal-map fan-out over those
+  events (``search._fanout_by_term`` keyed by the term STRING — pure
+  codegen below LIT_MAP_MAX total entries, broadcast join above) + one
+  narrow aggregation on (doc, query):
+  ranked → countDistinct(term) ≥ m; groups/qualifiers → clause rows;
+  phrases → the slot-alignment base check; spans → the one-pass
+  min-window / in-order chain DP aggregates (the exact codegen kernels
+  of the forward batched path);
+- a doc matches iff its distinct satisfied positive-clause count equals
+  the query's arity AND no NOT term/clause matched — one arity filter +
+  one anti-join.
+
+So a micro-batch of B docs against Q registered queries costs ~4 narrow
+shuffles of O(B·matched terms) rows, independent of Q (queries live in
+literal maps) — versus Q forward searches. At 100× the queries OR the
+batch the plan shape is unchanged. ``percolate_stream`` wires the same
+operator into Structured Streaming via foreachBatch (stateless per
+batch — no watermark or state store needed).
+
+Wildcard / fuzzy grammar terms expand against a DICTIONARY, which a
+stream of fresh docs does not have — pass ``index=`` (a built index) to
+expand them against the corpus dictionary, else they raise.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from searchengine_spark.functions.analysis import analyze_col, analyze_text
+from searchengine_spark.operators.querylang import (_qualifier_pred,
+                                                    parse_query)
+from searchengine_spark.operators.search import (_fanout_by_term,
+                                                 _lit_lookup)
+
+KEY = ["conv_id", "turn_idx"]  # default doc identity (the engine's doc key)
+
+
+def _compile_queries(queries: dict[str, str], amode: str, dictionary: str,
+                     index: "dict | None") -> dict:
+    """Driver-side grammar compilation: parse every registered query and
+    resolve its requirement lists (analyzed). Returns per-qid specs; dead
+    queries (no positive words / an unanalyzable positive clause /
+    an unsatisfiable wildcard) are dropped — they can match nothing,
+    mirroring ``query_search``'s empty semantics."""
+    specs = {}
+    for qid, qstr in queries.items():
+        q = parse_query(qstr)
+        if q["wildcards"] or q["not_wildcards"] or q["fuzzies"] \
+                or q["not_fuzzies"]:
+            if index is None:
+                raise ValueError(
+                    f"query {qid!r} uses wildcard/fuzzy terms — expansion "
+                    "needs a dictionary; pass index=<built index>")
+            from searchengine_spark.operators.suggest import (expand_fuzzy,
+                                                              expand_wildcard)
+            dead = False
+            for p in q["wildcards"]:
+                members = expand_wildcard(index, p)
+                if not members:
+                    dead = True
+                    break
+                q["groups"].append(members)
+            if not dead:
+                for w, d in q["fuzzies"]:
+                    members = expand_fuzzy(index, w, d)
+                    if not members:
+                        dead = True
+                        break
+                    q["groups"].append(members)
+            if dead:
+                continue
+            for p in q["not_wildcards"]:
+                q["not_terms"].extend(expand_wildcard(index, p))
+            for w, d in q["not_fuzzies"]:
+                q["not_terms"].extend(expand_fuzzy(index, w, d))
+        pos_words = (q["terms"]
+                     + [w for p in q["phrases"] for w in p.split()]
+                     + [w for p, _ in q["spans"] for w in p.split()]
+                     + [w for p, _ in q["ospans"] for w in p.split()]
+                     + [w for g in q["groups"] for w in g])
+        ranked = sorted(set(analyze_text(" ".join(pos_words), amode,
+                                         dictionary=dictionary)))
+        if not ranked:
+            continue  # NOT-only / empty → matches nothing
+        spec = {"ranked": ranked, "mm": int(q["min_match"] or 1),
+                "groups": [], "phrases": [], "spans": [],
+                "not_terms": sorted(set(analyze_text(
+                    " ".join(q["not_terms"]), amode,
+                    dictionary=dictionary))),
+                "not_phrases": [], "not_spans": [], "qual": None}
+        dead = False
+        for g in q["groups"]:
+            members = sorted(set(analyze_text(" ".join(g), amode,
+                                              dictionary=dictionary)))
+            if not members:
+                dead = True  # all members analyze away → unsatisfiable
+                break
+            spec["groups"].append(members)
+        if not dead:
+            for p in q["phrases"]:
+                seq = analyze_text(p, amode, dictionary=dictionary)
+                if not seq:
+                    dead = True
+                    break
+                spec["phrases"].append(seq)
+        if not dead:
+            for (p, w), o in ([(s, False) for s in q["spans"]]
+                              + [(s, True) for s in q["ospans"]]):
+                seq = analyze_text(p, amode, dictionary=dictionary)
+                if not seq:
+                    dead = True
+                    break
+                spec["spans"].append(
+                    (seq if o else sorted(set(seq)), int(w), o))
+        if dead:
+            continue
+        for p in q["not_phrases"]:
+            seq = analyze_text(p, amode, dictionary=dictionary)
+            if seq:  # unanalyzable NOT clause bans nothing
+                spec["not_phrases"].append(seq)
+        for (p, w), o in ([(s, False) for s in q["not_spans"]]
+                          + [(s, True) for s in q["not_ospans"]]):
+            seq = analyze_text(p, amode, dictionary=dictionary)
+            if seq:
+                spec["not_spans"].append(
+                    (seq if o else sorted(set(seq)), int(w), o))
+        pred = None
+        for field, value, neg in q["qualifiers"]:
+            c = _qualifier_pred(field, value)
+            c = ~c if neg else c
+            pred = c if pred is None else pred & c
+        spec["qual"] = pred
+        specs[qid] = spec
+    return specs
+
+
+def _phrase_matches(ev: DataFrame, key: list, clauses: list) -> DataFrame:
+    """(key..., query_id, clause) for slot-aligned exact phrase matches.
+    ``clauses``: [(qid, cid, analyzed_seq)] — the forward batched path's
+    base = pos − qidx check over the analyzed events."""
+    by_term: dict = {}
+    for qid, cid, seq in clauses:
+        for i, t in enumerate(seq):
+            by_term.setdefault(t, []).append((qid, int(cid), i))
+    aligned = (_fanout_by_term(
+        ev, by_term,
+        [("query_id", "string"), ("clause", "int"), ("qidx", "int")],
+        key_col="term", key_type="string")
+        .select(*key, "query_id", "clause",
+                (F.col("pos") - F.col("qidx")).alias("base"), "qidx"))
+    grouped = (aligned.groupBy(*key, "query_id", "clause", "base")
+               .agg(F.countDistinct("qidx").alias("nslots")))
+    ncl = {f"{qid}:{cid}": len(seq) for qid, cid, seq in clauses}
+    qc = F.concat_ws(":", F.col("query_id"), F.col("clause").cast("string"))
+    return (grouped.filter((F.col("nslots") == _lit_lookup(ncl, "int")[qc])
+                           & (F.col("base") >= 0))
+            .select(*key, "query_id", "clause").distinct())
+
+
+def _span_matches(ev: DataFrame, key: list, clauses: list) -> DataFrame:
+    """(key..., query_id, clause) for span clauses. ``clauses``:
+    [(qid, cid, lemmas_or_seq, window, ordered)] — the forward batched
+    path's min-window scan / in-order chain DP over the analyzed events,
+    keyed by the doc key instead of decoded doc_ids."""
+    qc = F.concat_ws(":", F.col("query_id"), F.col("clause").cast("string"))
+    big = F.lit(2 ** 62).cast("long")
+    parts = []
+    uno = [(q, c, ls, w) for q, c, ls, w, o in clauses if not o]
+    ordo = [(q, c, ls, w) for q, c, ls, w, o in clauses if o]
+    if uno:
+        by_term: dict = {}
+        for qid, cid, ls, _ in uno:
+            for i, t in enumerate(ls):
+                by_term.setdefault(t, []).append((qid, int(cid), i))
+        aligned = (_fanout_by_term(
+            ev, by_term,
+            [("query_id", "string"), ("clause", "int"), ("slot", "int")],
+            key_col="term", key_type="string")
+            .select(*key, "query_id", "clause",
+                    F.struct(F.col("pos").cast("long").alias("pos"),
+                             F.col("slot")).alias("e")))
+        grouped = (aligned.groupBy(*key, "query_id", "clause")
+                   .agg(F.sort_array(F.collect_list("e")).alias("evs"))
+                   .withColumn("n_q", _lit_lookup(
+                       {f"{q}:{c}": len(ls) for q, c, ls, _ in uno},
+                       "int")[qc])
+                   .withColumn("w", _lit_lookup(
+                       {f"{q}:{c}": int(w) for q, c, _, w in uno},
+                       "int")[qc]))
+        init = F.struct(
+            F.array_repeat(F.lit(-1).cast("long"),
+                           F.col("n_q")).alias("last"),
+            big.alias("best"))
+
+        def step(acc, e):
+            last = F.transform(
+                acc["last"],
+                lambda v, i: F.when(i == e["slot"], e["pos"]).otherwise(v))
+            best = F.when(~F.array_contains(last, F.lit(-1).cast("long")),
+                          F.least(acc["best"], e["pos"] - F.array_min(last))
+                          ).otherwise(acc["best"])
+            return F.struct(last.alias("last"), best.alias("best"))
+
+        spans = grouped.select(
+            *key, "query_id", "clause", "w",
+            F.aggregate("evs", init, step, lambda a: a["best"]).alias("span"))
+        parts.append(spans.filter(F.col("span") <= F.col("w"))
+                     .select(*key, "query_id", "clause"))
+    if ordo:
+        by_term = {}
+        for qid, cid, seq, _ in ordo:
+            for i, t in enumerate(seq):
+                by_term.setdefault(t, []).append(
+                    (qid, int(cid), len(seq) - 1 - i))
+        aligned = (_fanout_by_term(
+            ev, by_term,
+            [("query_id", "string"), ("clause", "int"), ("rs", "int")],
+            key_col="term", key_type="string")
+            .select(*key, "query_id", "clause",
+                    F.struct(F.col("pos").cast("long").alias("pos"),
+                             F.col("rs")).alias("e")))
+        grouped = (aligned.groupBy(*key, "query_id", "clause")
+                   .agg(F.sort_array(F.collect_list("e")).alias("evs"))
+                   .withColumn("n_q", _lit_lookup(
+                       {f"{q}:{c}": len(seq) for q, c, seq, _ in ordo},
+                       "int")[qc])
+                   .withColumn("w", _lit_lookup(
+                       {f"{q}:{c}": int(w) for q, c, _, w in ordo},
+                       "int")[qc]))
+        init = F.struct(
+            F.array_repeat(F.lit(-1).cast("long"),
+                           F.col("n_q")).alias("arr"),
+            big.alias("best"))
+
+        def ostep(acc, e):
+            slot = F.col("n_q") - 1 - e["rs"]
+            prev = acc["arr"]
+            arr = F.transform(
+                prev,
+                lambda v, i: F.when(
+                    i == slot,
+                    F.when(slot == F.lit(0), e["pos"]).otherwise(
+                        F.element_at(prev, F.greatest(slot, F.lit(1)))))
+                .otherwise(v))
+            tail = F.element_at(arr, F.col("n_q"))
+            best = F.when((slot == F.col("n_q") - 1) & (tail != F.lit(-1)),
+                          F.least(acc["best"], e["pos"] - tail)
+                          ).otherwise(acc["best"])
+            return F.struct(arr.alias("arr"), best.alias("best"))
+
+        spans = grouped.select(
+            *key, "query_id", "clause", "w",
+            F.aggregate("evs", init, ostep,
+                        lambda a: a["best"]).alias("span"))
+        parts.append(spans.filter(F.col("span") <= F.col("w"))
+                     .select(*key, "query_id", "clause"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def percolate(queries: dict[str, str], docs: DataFrame,
+              mode: str = "general", dictionary: str = "fixture",
+              index: "dict | None" = None,
+              key_cols: "list[str] | None" = None) -> DataFrame:
+    """Match every doc in ``docs`` against every registered grammar query:
+    returns (query_id, *key_cols) — one row per (matching query, doc),
+    where a doc matches exactly when it would be in
+    ``query_search(index_over_docs, qstr)``'s full match set (any ranked
+    term — or ≥ m with ``min:m`` — AND every group/phrase/span/qualifier
+    clause AND no NOT term/clause). ``docs`` needs the engine's turn
+    columns (text + whatever the queries' qualifiers reference);
+    ``key_cols`` (default (conv_id, turn_idx)) must identify rows
+    uniquely. ``index`` is only consulted to expand wildcard/fuzzy terms
+    against a corpus dictionary. Plan shape: one analysis pass + ≤4
+    literal-map fan-out aggregations on (doc, query), independent of the
+    number of registered queries below LIT_MAP_MAX total requirement
+    entries."""
+    spark = docs.sparkSession
+    key = list(key_cols or KEY)
+    specs = _compile_queries(queries, mode, dictionary, index)
+    out_schema = (", ".join(f"{c} {t}" for c, t in
+                            zip(["query_id"] + key,
+                                ["string"] + [dict(docs.dtypes)[c]
+                                              for c in key])))
+    if not specs:
+        return spark.createDataFrame([], out_schema)
+
+    ev = docs.select(*key, *[c for c in docs.columns if c not in key]) \
+        .withColumn("_toks", analyze_col(F.col("text"), mode, dictionary))
+    events = ev.select(*key, F.posexplode("_toks").alias("pos", "term"))
+
+    # ranked-term requirement: ≥ mm distinct ranked terms present
+    r_by_term: dict = {}
+    for qid, s in specs.items():
+        for t in s["ranked"]:
+            r_by_term.setdefault(t, []).append((qid,))
+    nt = (_fanout_by_term(events, r_by_term, [("query_id", "string")],
+                          key_col="term", key_type="string")
+          .groupBy(*key, "query_id")
+          .agg(F.countDistinct("term").alias("nt")))
+    mm_d = {qid: s["mm"] for qid, s in specs.items()}
+    matched = nt.filter(F.col("nt")
+                        >= _lit_lookup(mm_d, "int")[F.col("query_id")]) \
+        .select(*key, "query_id")
+
+    # positive clauses → (key, query, clause) rows; clause ids are global
+    next_cid = iter(range(10 ** 9))
+    g_by_term: dict = {}
+    p_cl, s_cl, np_cl, ns_cl = [], [], [], []
+    qual_tags = []
+    arity: dict[str, int] = {}
+    for qid, s in specs.items():
+        n_cl = 0
+        for members in s["groups"]:
+            cid = next(next_cid)
+            for t in members:
+                g_by_term.setdefault(t, []).append((qid, int(cid)))
+            n_cl += 1
+        for seq in s["phrases"]:
+            p_cl.append((qid, next(next_cid), seq))
+            n_cl += 1
+        for ls, w, o in s["spans"]:
+            s_cl.append((qid, next(next_cid), ls, w, o))
+            n_cl += 1
+        if s["qual"] is not None:
+            qual_tags.append((qid, next(next_cid), s["qual"]))
+            n_cl += 1
+        for seq in s["not_phrases"]:
+            np_cl.append((qid, next(next_cid), seq))
+        for ls, w, o in s["not_spans"]:
+            ns_cl.append((qid, next(next_cid), ls, w, o))
+        if n_cl:
+            arity[qid] = n_cl
+
+    cparts = []
+    if g_by_term:
+        cparts.append(
+            _fanout_by_term(events, g_by_term,
+                            [("query_id", "string"), ("clause", "int")],
+                            key_col="term", key_type="string")
+            .select(*key, "query_id", "clause").distinct())
+    if p_cl:
+        cparts.append(_phrase_matches(events, key, p_cl))
+    if s_cl:
+        cparts.append(_span_matches(events, key, s_cl))
+    if qual_tags:
+        # one when-array explode over the batch — the batched grammar
+        # path's qualifier shape, keyed by the doc key
+        tags = F.array_compact(F.array(*[
+            F.when(pred, F.struct(F.lit(qid).alias("query_id"),
+                                  F.lit(int(cid)).cast("int")
+                                  .alias("clause")))
+            for qid, cid, pred in qual_tags]))
+        cparts.append(ev.select(*key, F.explode(tags).alias("_qc"))
+                      .select(*key,
+                              F.col("_qc.query_id").alias("query_id"),
+                              F.col("_qc.clause").alias("clause")))
+    if arity:
+        allcl = cparts[0]
+        for p in cparts[1:]:
+            allcl = allcl.unionByName(p)
+        sat = (allcl.groupBy(*key, "query_id")
+               .agg(F.countDistinct("clause").alias("nc"))
+               .filter(F.col("nc") == F.coalesce(
+                   _lit_lookup(arity, "int")[F.col("query_id")],
+                   F.lit(10 ** 9)))
+               .select(*key, "query_id"))
+        # queries WITHOUT clauses pass unconditionally
+        free = sorted(q for q in specs if q not in arity)
+        kept = matched.filter(F.col("query_id").isin(free)) if free \
+            else matched.limit(0)
+        matched = kept.unionByName(
+            matched.join(sat, key + ["query_id"], "left_semi"))
+
+    # NOT terms + NOT positional clauses ban (doc, query) pairs
+    bans = []
+    x_by_term: dict = {}
+    for qid, s in specs.items():
+        for t in s["not_terms"]:
+            x_by_term.setdefault(t, []).append((qid,))
+    if x_by_term:
+        bans.append(_fanout_by_term(events, x_by_term,
+                                    [("query_id", "string")],
+                                    key_col="term", key_type="string")
+                    .select(*key, "query_id").distinct())
+    if np_cl:
+        bans.append(_phrase_matches(events, key, np_cl)
+                    .select(*key, "query_id"))
+    if ns_cl:
+        bans.append(_span_matches(events, key, ns_cl)
+                    .select(*key, "query_id"))
+    if bans:
+        banned = bans[0]
+        for b in bans[1:]:
+            banned = banned.unionByName(b)
+        matched = matched.join(banned.distinct(), key + ["query_id"],
+                               "left_anti")
+    return matched.select("query_id", *key)
+
+
+def percolate_stream(queries: dict[str, str], turns_stream: DataFrame,
+                     sink, mode: str = "general",
+                     dictionary: str = "fixture",
+                     index: "dict | None" = None,
+                     key_cols: "list[str] | None" = None,
+                     checkpoint: "str | None" = None):
+    """Continuous percolation: run the registered queries against every
+    micro-batch of a streaming turns source and hand (query_id, doc key)
+    matches to ``sink(matches_df, batch_id)`` — the alerting/routing loop.
+    Stateless per batch (no watermark/state store), so exactly the batch
+    operator inside foreachBatch; exactly-once delivery is the sink's
+    contract via batch_id (same protocol as ``stream_index_turns``)."""
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        sink(percolate(queries, batch_df, mode=mode, dictionary=dictionary,
+                       index=index, key_cols=key_cols), batch_id)
+
+    w = turns_stream.writeStream.foreachBatch(apply).outputMode("append")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

@@ -1,0 +1,112 @@
+"""Percolation (reverse search): percolate == the grammar's forward match
+set, query by query, across the feature matrix (terms, min:m, OR-groups,
+phrases, spans, ordered spans, NOT terms/clauses, qualifiers, dead
+queries) on the tiny positional corpus shared with test_querylang; plus a
+Structured-Streaming smoke through percolate_stream."""
+
+from __future__ import annotations
+
+import pytest
+
+from searchengine_spark.operators.percolate import percolate
+from searchengine_spark.operators.querylang import query_search
+
+from tests.test_querylang import qpos_index  # noqa: F401 (pytest fixture)
+
+QUERIES = {
+    "t1": "alpha gamma",                        # any-term (OR) match set
+    "t2": "alpha -gamma",                       # NOT term
+    "mm": "alpha gamma delta min:2",            # minimum-should-match
+    "p1": '"alpha beta"',                       # phrase clause
+    "np": 'alpha -"beta gamma"',                # NOT phrase
+    "s1": 'beta "alpha gamma"~1',               # span clause
+    "os1": 'beta "alpha gamma"~2!',             # ordered span
+    "os2": 'beta "gamma alpha"~1!',             # order-sensitivity
+    "nos": 'alpha -"gamma alpha"~1!',           # NOT ordered span
+    "g1": "(gamma|delta) alpha",                # OR-group
+    "q1": "alpha role:assistant",               # qualifier
+    "q2": "alpha site:x00 tool:bash",           # two qualifiers
+    "q3": "alpha -tool:bash",                   # negated (null-safe)
+    "dead": 'alpha "beta zzznope"',             # unmatchable positive
+    "noop": 'alpha -"beta zzznope"',            # unmatchable NOT → no-op
+    "notonly": "-alpha",                        # no positive words
+}
+
+
+def _forward_sets(index, queries):
+    """Ground truth: each query's FULL match set via the forward grammar
+    path (k big enough to return everything on the 5-doc corpus)."""
+    return {qid: {r["conv_id"]
+                  for r in query_search(index, qstr, k=100).collect()}
+            for qid, qstr in queries.items()}
+
+
+def _percolate_sets(docs, queries, **kw):
+    got: dict[str, set] = {}
+    for r in percolate(queries, docs, **kw).collect():
+        got.setdefault(r["query_id"], set()).add(r["conv_id"])
+    return got
+
+
+def test_percolate_matches_forward_path(qpos_index):
+    exp = _forward_sets(qpos_index, QUERIES)
+    got = _percolate_sets(qpos_index["docs"], QUERIES)
+    for qid in QUERIES:
+        assert got.get(qid, set()) == exp[qid], (
+            f"{qid!r} ({QUERIES[qid]!r}): percolate {got.get(qid, set())} "
+            f"!= forward {exp[qid]}")
+    # non-vacuous: the matrix must exercise real matches and real misses
+    assert sum(bool(s) for s in exp.values()) >= 8
+    assert exp["dead"] == set() and exp["notonly"] == set()
+    assert exp["os2"] == {"x000"}
+
+
+def test_percolate_empty_and_subset_batches(qpos_index):
+    docs = qpos_index["docs"]
+    # empty batch → empty result with the right schema
+    out = percolate(QUERIES, docs.limit(0))
+    assert out.columns == ["query_id", "conv_id", "turn_idx"]
+    assert out.count() == 0
+    # a sub-batch percolates independently of the rest of the corpus
+    sub = docs.filter(docs.conv_id.isin("x000", "x003"))
+    got = _percolate_sets(sub, {"t1": "alpha gamma", "p1": '"alpha beta"'})
+    assert got["t1"] == {"x000", "x003"}
+    assert got["p1"] == {"x000"}  # x003 has no adjacent "alpha beta"
+
+
+def test_percolate_wildcard_needs_index(qpos_index):
+    docs = qpos_index["docs"]
+    with pytest.raises(ValueError, match="wildcard/fuzzy"):
+        percolate({"w": "alp*"}, docs)
+    got = _percolate_sets(docs, {"w": "alph* -delta"}, index=qpos_index)
+    exp = {r["conv_id"]
+           for r in query_search(qpos_index, "alph* -delta", k=100).collect()}
+    assert got.get("w", set()) == exp and exp
+
+
+def test_percolate_stream_smoke(spark, tmp_path):
+    """foreachBatch wiring: files dropped into a source dir percolate per
+    micro-batch; matches accumulate with batch ids."""
+    from searchengine_spark.operators.percolate import percolate_stream
+    from searchengine_spark.streaming.stream_index import TURN_SCHEMA
+    src = str(tmp_path / "src")
+    from datetime import datetime
+    t0 = datetime(2026, 1, 1)
+    rows = [("c1", 0, "user", "alpha beta gamma", None, t0),
+            ("c2", 0, "user", "delta epsilon", None, t0)]
+    df = spark.createDataFrame(rows, TURN_SCHEMA)
+    df.write.parquet(src)
+    got: list = []
+
+    def sink(matches, batch_id):
+        got.extend((batch_id, r["query_id"], r["conv_id"])
+                   for r in matches.collect())
+
+    stream = spark.readStream.schema(TURN_SCHEMA).parquet(src)
+    q = percolate_stream({"a": 'alpha "beta gamma"', "d": "delta -epsilon"},
+                         stream, sink,
+                         checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert (0, "a", "c1") in got          # phrase matched in-stream
+    assert all(g[1] != "d" for g in got)  # NOT term banned c2
