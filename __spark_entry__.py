@@ -373,6 +373,45 @@ def _q_querylang_ospan(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_querylang_regex(spark, sf_dir):
+    """Regex grammar term: '/s.an/' expands against the dictionary
+    (anchored full-match, top-16 by df — suggest_regex) into an OR-group:
+    docs containing any expansion, every expansion ranked with the bare
+    term 'merge'."""
+    from searchengine_spark.operators.querylang import query_search
+    hits = query_search(_index_for(spark, sf_dir), "merge /s.an/", k=K,
+                        mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_querylang_exists(spark, sf_dir):
+    """exists: qualifier over a corpus shaping where even doc_ids carry
+    tool='bash' and odd ones none — 'exists:tool' restricts the ranked
+    match set to the even half as a null-check docs predicate."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.querylang import query_search
+    key = (sf_dir, "tooled")
+    if key not in _INDEX_CACHE:
+        docs = _docs_as_transcripts(spark, sf_dir).withColumn(
+            "tool",
+            F.when(F.substring("conv_id", 4, 8).cast("long") % 2 == 0,
+                   F.lit("bash")))
+        _INDEX_CACHE[key] = build_index(docs, mode="general")
+    hits = query_search(_INDEX_CACHE[key],
+                        " ".join(BM25_Q) + " exists:tool", k=K, mode="bm25")
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_synonyms(spark, sf_dir):
+    """Query-time synonym expansion: synonyms={'merge': ['hash']} turns
+    the bare term into the OR-group (merge|hash) — docs containing either
+    variant qualify, all of {scan, merge, hash} rank."""
+    from searchengine_spark.operators.querylang import query_search
+    hits = query_search(_index_for(spark, sf_dir), "scan merge", k=K,
+                        mode="bm25", synonyms={"merge": ["hash"]})
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 def _q_percolate(spark, sf_dir):
     """Percolation (operators/percolate.py — reverse search): match every
     doc against the registered grammar queries in ONE inverted dataflow
@@ -1663,6 +1702,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_querylang_span": _q_querylang_span,
         "q_querylang_ospan": _q_querylang_ospan,
         "q_percolate": _q_percolate,
+        "q_querylang_regex": _q_querylang_regex,
+        "q_querylang_exists": _q_querylang_exists,
+        "q_synonyms": _q_synonyms,
         "q_span_topk": _q_span_topk,
         "q_ordered_span_topk": _q_ordered_span_topk,
         "q_batched_span": _q_batched_span,
@@ -2383,6 +2425,34 @@ order by doc_id desc limit {K}""",
         "q_querylang_ospan": _querylang_sql(
             ["scan", "merge", "spark", "hash"], ["spark", "hash"], K,
             span_window=8, ordered=True),
+        # regex grammar term: wq = the anchored-full-match expansions
+        # (top-16 by df desc, term asc — the engine's expansion budget)
+        "q_querylang_regex": f"""
+            with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+            stats as (select count(*) as n, avg(dl) as avgdl from dl),
+            wq as (select term from ({_DF})
+                   where regexp_full_match(term, 's.an')
+                   order by df desc, term asc limit 16),
+            scored as (
+              select tf.doc_id,
+                     sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+              from tf join dfv using (term) join dl using (doc_id) cross join stats
+              where (tf.term = 'merge' or tf.term in (select term from wq))
+                and tf.doc_id in (select doc_id from tf
+                                  where term in (select term from wq))
+              group by tf.doc_id)
+            select doc_id, round(s, 6) as score from scored
+            order by round(s, 9) desc, doc_id asc limit {K}""",
+        # exists:tool over the tooled shaping == doc_id parity predicate
+        "q_querylang_exists": _bm25_sql(
+            BM25_Q, K, scope="tf.doc_id % 2 = 0"),
+        # synonyms={'merge': ['hash']}: group (merge|hash) as candidate
+        # constraint, {scan, merge, hash} ranked
+        "q_synonyms": _bm25_sql(
+            ["merge", "scan", "hash"], K,
+            scope="tf.doc_id in (select doc_id from tf "
+                  "where term in ('hash', 'merge'))"),
         # percolation: each registered query's FULL match set under the
         # grammar's semantics — any ranked term (≥ m with min:), clause
         # filters, NOT terms, qualifiers

@@ -68,13 +68,14 @@ def _compile_queries(queries: dict[str, str], amode: str, dictionary: str,
     for qid, qstr in queries.items():
         q = parse_query(qstr)
         if q["wildcards"] or q["not_wildcards"] or q["fuzzies"] \
-                or q["not_fuzzies"]:
+                or q["not_fuzzies"] or q["regexes"] or q["not_regexes"]:
             if index is None:
                 raise ValueError(
-                    f"query {qid!r} uses wildcard/fuzzy terms — expansion "
-                    "needs a dictionary; pass index=<built index>")
-            from searchengine_spark.operators.suggest import (expand_fuzzy,
-                                                              expand_wildcard)
+                    f"query {qid!r} uses wildcard/fuzzy/regex terms — "
+                    "expansion needs a dictionary; pass "
+                    "index=<built index>")
+            from searchengine_spark.operators.suggest import (
+                expand_fuzzy, expand_regex, expand_wildcard)
             dead = False
             for p in q["wildcards"]:
                 members = expand_wildcard(index, p)
@@ -82,6 +83,13 @@ def _compile_queries(queries: dict[str, str], amode: str, dictionary: str,
                     dead = True
                     break
                 q["groups"].append(members)
+            if not dead:
+                for p in q["regexes"]:
+                    members = expand_regex(index, p)
+                    if not members:
+                        dead = True
+                        break
+                    q["groups"].append(members)
             if not dead:
                 for w, d in q["fuzzies"]:
                     members = expand_fuzzy(index, w, d)
@@ -93,6 +101,8 @@ def _compile_queries(queries: dict[str, str], amode: str, dictionary: str,
                 continue
             for p in q["not_wildcards"]:
                 q["not_terms"].extend(expand_wildcard(index, p))
+            for p in q["not_regexes"]:
+                q["not_terms"].extend(expand_regex(index, p))
             for w, d in q["not_fuzzies"]:
                 q["not_terms"].extend(expand_fuzzy(index, w, d))
         pos_words = (q["terms"]

@@ -38,6 +38,17 @@ ranked retrieval:
                           ``-pre*`` bans docs containing any expansion
                           (nothing when none match). Patterns need ≥2
                           literal chars.
+- /regex/               → REGEX terms (Lucene RegexpQuery): the pattern
+                          (implicitly anchored — it must match the WHOLE
+                          term) expands against the dictionary to the top
+                          matches by df (``suggest_regex`` — the same
+                          full-dictionary-scan cost model and
+                          ``WILDCARD_MAX_TERMS`` cap as leading
+                          wildcards) and behaves as that OR-group;
+                          ``-/regex/`` bans the expansions. No ``/`` or
+                          whitespace inside the pattern, and the closing
+                          slash must end the token ('/usr/local' and
+                          'http://x' lex as plain terms).
 - word~1 / word~2       → FUZZY terms (Lucene fuzzy query): expands
                           against the dictionary to the terms within N
                           edits (``suggest_corrections`` ranking: dist
@@ -61,9 +72,12 @@ ranked retrieval:
                           time ranges ``after:ISO`` (ts ≥) / ``before:ISO``
                           (ts <) with ISO-8601 values (``2026-01-01`` or
                           ``2026-01-01T12:30:00`` — no spaces, the lexer is
-                          whitespace-delimited); ``-field:value`` negates
+                          whitespace-delimited), and ``exists:COLUMN``
+                          (docs-table attribute non-null — the ES exists
+                          query); ``-field:value`` negates
                           (null-safe, so ``-tool:bash`` keeps tool-less
-                          docs). Qualifiers AND together and intersect any
+                          docs and ``-exists:tool`` keeps exactly them).
+                          Qualifiers AND together and intersect any
                           explicit ``scope=`` argument.
 
 Scoring: BM25 (or ref_compat) over ALL positive terms — bare words plus
@@ -110,13 +124,17 @@ from searchengine_spark.operators.search import (
     _resolve_ids_dfs, _scope_filter, _scope_info, _span_match_docs,
     release_query_caches, search, search_count, search_facets, search_many)
 
-# -"quoted phrase"[~N[!]] | "quoted phrase"[~N[!]] | -(w1|w2) | (w1|w2) |
-# -word | word   (a lone '-' or empty quotes/parens parse to nothing;
-# quotes and parens never nest — one-scan lexer). The optional '!' after
-# a span's ~N asks for IN-ORDER matching (SpanNear inOrder=true).
+# -/regex/ | /regex/ | -"quoted phrase"[~N[!]] | "quoted phrase"[~N[!]] |
+# -(w1|w2) | (w1|w2) | -word | word   (a lone '-' or empty quotes/parens
+# parse to nothing; quotes and parens never nest — one-scan lexer). The
+# optional '!' after a span's ~N asks for IN-ORDER matching (SpanNear
+# inOrder=true). A regex term is slash-delimited with no '/' or
+# whitespace inside and must end the token (so '/usr/local' or
+# 'http://x' lex as plain terms).
 _TOKEN = re.compile(
-    r'(-?)"([^"]*)"(?:~(\d+)(!?))?|(-?)\(([^()]*)\)|(-?)(\S+)')
-_QUALIFIER = re.compile(r'^(site|role|tool|before|after):(.+)$')
+    r'(-?)/([^/\s]+)/(?=\s|$)'
+    r'|(-?)"([^"]*)"(?:~(\d+)(!?))?|(-?)\(([^()]*)\)|(-?)(\S+)')
+_QUALIFIER = re.compile(r'^(site|role|tool|before|after|exists):(.+)$')
 
 
 def _qualifier_pred(field: str, value: str):
@@ -126,9 +144,16 @@ def _qualifier_pred(field: str, value: str):
     are null-safe equality (so a negation keeps null-attribute docs);
     before:/after: compare ``ts`` against an ISO-8601 instant — validated
     eagerly so a typo fails the query loudly instead of silently matching
-    nothing through a null cast."""
+    nothing through a null cast; exists:COLUMN keeps docs whose named
+    docs-table attribute is non-null (the ES ``exists`` query —
+    ``-exists:tool`` keeps the tool-less docs)."""
     if field == "site":
         return F.col("conv_id").startswith(value)
+    if field == "exists":
+        if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", value):
+            raise ValueError(f"exists:{value} — value must be a docs "
+                             "column name")
+        return F.col(value).isNotNull()
     if field in ("before", "after"):
         from datetime import datetime
         try:
@@ -158,23 +183,27 @@ def parse_query(qstr: str) -> dict:
            "spans": [], "not_spans": [], "ospans": [], "not_ospans": [],
            "groups": [], "qualifiers": [],
            "wildcards": [], "not_wildcards": [], "min_match": None,
-           "fuzzies": [], "not_fuzzies": []}
+           "fuzzies": [], "not_fuzzies": [],
+           "regexes": [], "not_regexes": []}
     for m in _TOKEN.finditer(qstr):
         if m.group(2) is not None:
-            neg, body = m.group(1) == "-", m.group(2).strip()
+            out["not_regexes" if m.group(1) == "-"
+                else "regexes"].append(m.group(2))
+        elif m.group(4) is not None:
+            neg, body = m.group(3) == "-", m.group(4).strip()
             if not body:
                 continue
             if len(body.split()) == 1:  # degenerate quote/span → term
                 out["not_terms" if neg else "terms"].append(body)
-            elif m.group(3) is not None:
-                kind = "ospans" if m.group(4) else "spans"
+            elif m.group(5) is not None:
+                kind = "ospans" if m.group(6) else "spans"
                 out[("not_" if neg else "") + kind].append(
-                    (body, int(m.group(3))))
+                    (body, int(m.group(5))))
             else:
                 out["not_phrases" if neg else "phrases"].append(body)
-        elif m.group(6) is not None:
-            neg = m.group(5) == "-"
-            members = [w for w in re.split(r"[|\s]+", m.group(6)) if w]
+        elif m.group(8) is not None:
+            neg = m.group(7) == "-"
+            members = [w for w in re.split(r"[|\s]+", m.group(8)) if w]
             if not members:
                 continue
             if neg:
@@ -186,7 +215,7 @@ def parse_query(qstr: str) -> dict:
             else:
                 out["groups"].append(members)
         else:
-            neg, word = m.group(7) == "-", m.group(8)
+            neg, word = m.group(9) == "-", m.group(10)
             if word == "-" or not word:
                 continue
             mm = re.match(r"^min:(\d+)$", word)
@@ -215,7 +244,35 @@ def parse_query(qstr: str) -> dict:
     return out
 
 
-def _resolve_grammar(index: dict, qstr: str, scope) -> "dict | None":
+def _apply_synonyms(q: dict, synonyms: "dict | None", amode: str,
+                    dictionary: str) -> None:
+    """Query-time synonym expansion (the ES synonym-filter analog applied
+    at QUERY time, so the index never needs rebuilding when the synonym
+    table changes): a bare ranked term whose analyzed lemma has an entry
+    becomes the OR-group [term, *synonyms] — docs containing ANY variant
+    qualify, every variant ranks. Keys and terms match on their analyzed
+    single-lemma form; multi-lemma keys/terms are left alone."""
+    if not synonyms:
+        return
+    syn_of = {}
+    for kk, vs in synonyms.items():
+        kseq = analyze_text(kk, amode, dictionary=dictionary)
+        if len(kseq) == 1:
+            syn_of[kseq[0]] = list(vs)
+    if not syn_of:
+        return
+    kept = []
+    for t in q["terms"]:
+        tseq = analyze_text(t, amode, dictionary=dictionary)
+        if len(tseq) == 1 and tseq[0] in syn_of:
+            q["groups"].append([t] + syn_of[tseq[0]])
+        else:
+            kept.append(t)
+    q["terms"] = kept
+
+
+def _resolve_grammar(index: dict, qstr: str, scope,
+                     synonyms: "dict | None" = None) -> "dict | None":
     """Shared clause resolution for the grammar's single-query consumers
     (``query_search``, ``query_facets``): parse, expand wildcards into
     OR-groups, fold metadata qualifiers into the scope, resolve every
@@ -230,11 +287,15 @@ def _resolve_grammar(index: dict, qstr: str, scope) -> "dict | None":
     (they must outlive the lazy result's materialization; group doc sets
     registered by ``_resolve_exclusions`` land there the same way)."""
     q = parse_query(qstr)
+    _apply_synonyms(q, synonyms, index.get("mode", "general"),
+                    index.get("dictionary", "fixture"))
     # wildcards expand against the dictionary into OR-groups (kept as a
     # group even with one expansion — the containment constraint is the
     # wildcard's semantics); a positive no-match wildcard is
-    # unsatisfiable, a negative one bans nothing
+    # unsatisfiable, a negative one bans nothing. Regex terms (/pat/)
+    # expand identically via the anchored dictionary scan.
     from searchengine_spark.operators.suggest import (expand_fuzzy,
+                                                      expand_regex,
                                                       expand_wildcard)
     for p in q["wildcards"]:
         members = expand_wildcard(index, p)
@@ -243,6 +304,13 @@ def _resolve_grammar(index: dict, qstr: str, scope) -> "dict | None":
         q["groups"].append(members)
     for p in q["not_wildcards"]:
         q["not_terms"].extend(expand_wildcard(index, p))
+    for p in q["regexes"]:
+        members = expand_regex(index, p)
+        if not members:
+            return None
+        q["groups"].append(members)
+    for p in q["not_regexes"]:
+        q["not_terms"].extend(expand_regex(index, p))
     # fuzzy terms expand exactly like wildcards: OR-group (containment is
     # the fuzzy's semantics), positive no-match → unsatisfiable
     for w, d in q["fuzzies"]:
@@ -353,7 +421,8 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
                  collapse=None, per_group: int = 1,
                  search_after: "tuple | None" = None,
                  sort_by=None, sort_asc: bool = False,
-                 boost_by=None) -> DataFrame:
+                 boost_by=None,
+                 synonyms: "dict | None" = None) -> DataFrame:
     """Ranked search driven by the query-string grammar (module
     docstring). Returns the same shape as ``search``:
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, title][, snippet]),
@@ -368,12 +437,14 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
     bare and phrase constituents — since the ranked pass receives them
     all as its query. ``search_after``/``sort_by``/``sort_asc`` (cursor
     pagination and field-sorted retrieval, see ``search``) pass through
-    unchanged — the grammar only shapes the candidate set."""
+    unchanged — the grammar only shapes the candidate set. ``synonyms``
+    ({word: [alternatives]}) expands matching bare terms into OR-groups
+    at query time (see ``_apply_synonyms``)."""
     spark = index["docs"].sparkSession
     empty = spark.createDataFrame(
         [], "doc_id long, conv_id string, turn_idx int, role string, "
             "tool string, ts timestamp, score double")
-    g = _resolve_grammar(index, qstr, scope)
+    g = _resolve_grammar(index, qstr, scope, synonyms=synonyms)
     if g is None:
         return empty
 
@@ -404,7 +475,8 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       collapse=None, per_group: int = 1,
                       search_after: "dict | tuple | None" = None,
                       sort_by=None, sort_asc: bool = False,
-                      boost_by=None) -> DataFrame:
+                      boost_by=None,
+                      synonyms: "dict | None" = None) -> DataFrame:
     """Batched query-LANGUAGE replay: run MANY grammar query strings
     (module docstring — terms, "phrases", "spans"~N, (or|groups),
     -NOT clauses, field:qualifiers) with the amortized plan shape of
@@ -450,11 +522,14 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
     if scope is not None and sc is None:
         return empty
     parsed = {qid: parse_query(s) for qid, s in queries.items()}
+    for q in parsed.values():
+        _apply_synonyms(q, synonyms, amode, dictionary)
 
-    # wildcard expansion first — expansions become OR-groups (and NOT
-    # terms), so they must exist before the batch-wide member resolution
-    # below; a positive no-match wildcard kills its query
+    # wildcard/regex expansion first — expansions become OR-groups (and
+    # NOT terms), so they must exist before the batch-wide member
+    # resolution below; a positive no-match wildcard/regex kills its query
     from searchengine_spark.operators.suggest import (expand_fuzzy,
+                                                      expand_regex,
                                                       expand_wildcard)
     wc_dead: set[str] = set()
     for qid, q in parsed.items():
@@ -464,6 +539,13 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                 wc_dead.add(qid)
                 break
             q["groups"].append(members)
+        if qid not in wc_dead:
+            for p in q["regexes"]:
+                members = expand_regex(index, p)
+                if not members:
+                    wc_dead.add(qid)
+                    break
+                q["groups"].append(members)
         if qid not in wc_dead:
             for w, d in q["fuzzies"]:
                 members = expand_fuzzy(index, w, d)
@@ -475,6 +557,8 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
             continue
         for p in q["not_wildcards"]:
             q["not_terms"].extend(expand_wildcard(index, p))
+        for p in q["not_regexes"]:
+            q["not_terms"].extend(expand_regex(index, p))
         for w, d in q["not_fuzzies"]:
             q["not_terms"].extend(expand_fuzzy(index, w, d))
     parsed = {qid: q for qid, q in parsed.items() if qid not in wc_dead}
@@ -655,7 +739,7 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
 
 
 def query_count(index: dict, qstr: str, mode: str = "bm25",
-                scope=None) -> DataFrame:
+                scope=None, synonyms: "dict | None" = None) -> DataFrame:
     """Total-hits count for a grammar query — ``search_count`` × the query
     language: EXACTLY ONE row ``(n_matches long)``, the size of the full
     match set under every grammar constraint (phrase/span/group candidate
@@ -663,7 +747,7 @@ def query_count(index: dict, qstr: str, mode: str = "bm25",
     resolution is ``query_search``'s; counting is the facet count-plan
     (one decode, no WAND, no top-k)."""
     spark = index["docs"].sparkSession
-    g = _resolve_grammar(index, qstr, scope)
+    g = _resolve_grammar(index, qstr, scope, synonyms=synonyms)
     if g is None:
         return spark.createDataFrame([(0,)], "n_matches long")
     held = index.pop("_query_persists", [])
@@ -677,7 +761,8 @@ def query_count(index: dict, qstr: str, mode: str = "bm25",
 
 
 def query_facets(index: dict, qstr: str, by="role", mode: str = "bm25",
-                 scope=None, require_all: "bool | None" = None) -> DataFrame:
+                 scope=None, require_all: "bool | None" = None,
+                 synonyms: "dict | None" = None) -> DataFrame:
     """Facet panels over a grammar query's FULL match set — the sidebar
     aggregation for a query-language query: how many matching docs per
     value of a docs-table attribute (or several attributes in one job —
@@ -698,7 +783,7 @@ def query_facets(index: dict, qstr: str, by="role", mode: str = "bm25",
     empty = spark.createDataFrame(
         [], ("dim string, facet string, n_docs long" if multi
              else "facet string, n_docs long"))
-    g = _resolve_grammar(index, qstr, scope)
+    g = _resolve_grammar(index, qstr, scope, synonyms=synonyms)
     if g is None:
         return empty
     held = index.pop("_query_persists", [])
@@ -720,7 +805,8 @@ def query_search_bm25f(index: dict, fielded: dict, qstr: str, k: int = 10,
                        collapse=None, per_group: int = 1,
                        search_after: "tuple | None" = None,
                        sort_by=None, sort_asc: bool = False,
-                       boost_by=None) -> DataFrame:
+                       boost_by=None,
+                       synonyms: "dict | None" = None) -> DataFrame:
     """Grammar-driven search RANKED BY BM25F — the query language with the
     fielded scorer (title/role/tool-weighted) instead of flat BM25.
 
@@ -742,7 +828,7 @@ def query_search_bm25f(index: dict, fielded: dict, qstr: str, k: int = 10,
             "tool string, ts timestamp, score double"
             + (", title string" if with_titles else "")
             + (", snippet string" if with_snippets else ""))
-    g = _resolve_grammar(index, qstr, scope)
+    g = _resolve_grammar(index, qstr, scope, synonyms=synonyms)
     if g is None:
         return empty
     if g.get("min_match") is not None:

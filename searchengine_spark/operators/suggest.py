@@ -122,6 +122,45 @@ def suggest_pattern(index: dict, pattern: str, k: int = 10) -> DataFrame:
             .orderBy(F.col("df").desc(), F.col("term").asc()).limit(k))
 
 
+def suggest_regex(index: dict, pattern: str, k: int = 10) -> DataFrame:
+    """Lucene-style regexp term query (``RegexpQuery``): dictionary terms
+    fully matching ``pattern`` (implicitly anchored, like Lucene), as
+    (term, df) ordered by (df desc, term asc), top k. Same cost model as
+    a leading-wildcard glob — one full dictionary column scan, zero Spark
+    jobs when driver-cached. Invalid patterns raise ValueError eagerly.
+    Stick to the regex subset shared by Python ``re`` and Java (the
+    driver-cached path matches in Python, the distributed fallback in
+    ``rlike``): char classes, ``.``, ``*``, ``+``, ``?``, ``|``,
+    alternation groups."""
+    from searchengine_spark.operators.search import _terms_local
+    spark = index["docs"].sparkSession
+    try:
+        re.compile(f"^(?:{pattern})$")  # eager validation only
+    except re.error as e:
+        raise ValueError(f"bad regex term /{pattern}/: {e}") from None
+    empty = spark.createDataFrame([], "term string, df long")
+    pdf = _terms_local(index)
+    if pdf is not None:
+        sub = pdf[pdf.index.str.fullmatch(f"(?:{pattern})")]
+        rows = sorted(((t, int(r)) for t, r in sub["df"].items()),
+                      key=lambda x: (-x[1], x[0]))[:k]
+        return spark.createDataFrame(rows, "term string, df long") \
+            if rows else empty
+    return (index["terms"].filter(F.col("term").rlike(f"^(?:{pattern})$"))
+            .select("term", F.col("df").cast("long").alias("df"))
+            .orderBy(F.col("df").desc(), F.col("term").asc()).limit(k))
+
+
+def expand_regex(index: dict, pattern: str,
+                 max_terms: "int | None" = None) -> list[str]:
+    """``/pat/`` → the top dictionary terms fully matching the regex, by
+    (df desc, term asc), capped at ``WILDCARD_MAX_TERMS`` (the grammar's
+    expansion budget, same as globs). [] when nothing matches."""
+    return [r["term"] for r in
+            suggest_regex(index, pattern,
+                          max_terms or WILDCARD_MAX_TERMS).collect()]
+
+
 FUZZY_MAX_TERMS = 8
 
 

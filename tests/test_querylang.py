@@ -46,7 +46,8 @@ def _base(**kw):
            "spans": [], "not_spans": [], "ospans": [], "not_ospans": [],
            "groups": [], "qualifiers": [],
            "wildcards": [], "not_wildcards": [], "min_match": None,
-           "fuzzies": [], "not_fuzzies": []}
+           "fuzzies": [], "not_fuzzies": [],
+           "regexes": [], "not_regexes": []}
     out.update(kw)
     return out
 
@@ -96,6 +97,17 @@ def test_parse_query_spans_and_qualifiers():
                       qualifiers=[("site", "x00", False),
                                   ("role", "assistant", True),
                                   ("tool", "bash", False)])
+
+
+def test_parse_query_regex_and_exists():
+    # /pat/ routes to regex terms; slashes inside ordinary tokens don't
+    # ('/usr/local', 'http://x' are plain terms); exists: is a qualifier
+    q = parse_query('scan /s.an/ -/al.*a/ /usr/local http://x '
+                    'exists:tool -exists:role')
+    assert q == _base(terms=["scan", "/usr/local", "http://x"],
+                      regexes=["s.an"], not_regexes=["al.*a"],
+                      qualifiers=[("exists", "tool", False),
+                                  ("exists", "role", True)])
 
 
 def test_parse_query_ordered_spans():
@@ -203,6 +215,46 @@ def test_span_clause(qpos_index):
     got2 = {c for c, _ in
             _rows(query_search(qpos_index, 'beta "alpha gamma"~2', k=10))}
     assert got2 == {"x000", "x002"}
+
+
+def test_regex_terms(qpos_index):
+    """/pat/ expands against the dictionary (anchored) to an OR-group;
+    -/pat/ bans the expansions; no-match positive → unsatisfiable;
+    invalid patterns raise eagerly."""
+    got = _rows(query_search(qpos_index, '/.*ta/ gamma', k=10))
+    exp = _rows(query_search(qpos_index, '(beta|delta) gamma', k=10))
+    assert got == exp and got
+    got = _rows(query_search(qpos_index, 'alpha -/.*mma/', k=10))
+    assert got == _rows(search(qpos_index, "alpha", k=10, exclude="gamma"))
+    assert query_search(qpos_index, 'alpha /zz.*q/', k=10).count() == 0
+    with pytest.raises(ValueError, match="bad regex"):
+        query_search(qpos_index, 'alpha /[unclosed/', k=10)
+
+
+def test_exists_qualifier(qpos_index):
+    """exists:tool keeps the docs with a non-null tool (x002/x004);
+    -exists:tool keeps exactly the tool-less ones."""
+    got = {c for c, _ in
+           _rows(query_search(qpos_index, "alpha exists:tool", k=10))}
+    assert got == {"x002", "x004"}
+    got = {c for c, _ in
+           _rows(query_search(qpos_index, "alpha -exists:tool", k=10))}
+    assert got == {"x000", "x001", "x003"}
+    with pytest.raises(ValueError, match="column name"):
+        query_search(qpos_index, "alpha exists:not-a-col!", k=10)
+
+
+def test_query_time_synonyms(qpos_index):
+    """synonyms={word: [alts]} turns a matching bare term into the
+    OR-group [word, *alts] — identical rows to writing the group; keys
+    that match nothing leave the query untouched."""
+    got = _rows(query_search(qpos_index, "gamma", k=10,
+                             synonyms={"gamma": ["delta"]}))
+    exp = _rows(query_search(qpos_index, "(gamma|delta)", k=10))
+    assert got == exp and got
+    got2 = _rows(query_search(qpos_index, "gamma", k=10,
+                              synonyms={"zeta": ["eta"]}))
+    assert got2 == _rows(search(qpos_index, "gamma", k=10))
 
 
 def test_ordered_span_clause(qpos_index):

@@ -22,6 +22,11 @@ QUERIES = {
     "s1": 'beta "alpha gamma"~1',                 # span clause
     "s2": 'beta "alpha gamma"~2',                 # looser span
     "ns": 'alpha -"alpha gamma"~1',               # NOT span
+    "rx": '/.*ta/ gamma',                         # regex OR-group
+    "nrx": 'alpha -/.*mma/',                      # NOT regex
+    "deadrx": 'alpha /zz.*q/',                    # no-match regex → dead
+    "xq": "alpha exists:tool",                    # exists qualifier
+    "nxq": "alpha -exists:tool",                  # negated exists
     "os1": 'beta "alpha gamma"~2!',               # ordered span
     "os2": 'beta "alpha gamma"~1!',               # ordered span: no match
     "os3": 'beta "gamma alpha"~1!',               # order-sensitivity
