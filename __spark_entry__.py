@@ -1357,6 +1357,41 @@ def _q_text_quality(spark, sf_dir):
     return quality_metrics(_docs(spark, sf_dir))
 
 
+def _q_text_pii_scrub(spark, sf_dir):
+    """PII redaction: deterministic synthetic PII appended per doc (an
+    email + a phone), then the sequential regex scrub — the value hash
+    verifies the full redacted string and every per-category count."""
+    from searchengine_spark.functions.text import scrub_pii
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" contact doc"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com or 555-123-4567")))
+    return scrub_pii(docs)
+
+
+def _q_text_clean_lines(spark, sf_dir):
+    """C4-style line cleaning over a deterministic line shaping (' batch '
+    → sentence break, terminal '.' appended): ≥3-word lines ending in
+    terminal punctuation survive, within-doc duplicates dedupe keep-first,
+    docs with no surviving line drop."""
+    from searchengine_spark.functions.text import clean_lines
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.regexp_replace(F.col("text"), " batch ", ".\n"),
+                         F.lit(".")))
+    return clean_lines(docs)
+
+
+def _q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics over the same line shaping:
+    duplicate-line fraction (array ops) + top-bigram fraction (longest
+    run in the sorted bigram array — codegen aggregate, no shuffle)."""
+    from searchengine_spark.functions.text import repetition_metrics
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.regexp_replace(F.col("text"), " batch ", ".\n"),
+                         F.lit(".")))
+    return repetition_metrics(docs)
+
+
 def _q_text_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 of normalized text."""
     from searchengine_spark.functions.text import fingerprint
@@ -1769,6 +1804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_sessionize_events,
         "events_type_rollup": _q_event_type_rollup,
         "text_quality": _q_text_quality,
+        "text_pii_scrub": _q_text_pii_scrub,
+        "text_clean_lines": _q_text_clean_lines,
+        "text_repetition": _q_text_repetition,
         "text_fingerprint": _q_text_fingerprint,
         "text_lang_id": _q_lang_id,
         "multimodal_features": _q_multimodal_features,
@@ -2933,6 +2971,110 @@ union all select 'ps', doc_id from m_ps
             select doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp
             from documents""",
+        # PII scrub: same synthetic shaping + the same ordered regex
+        # chain (counts taken on the text each pattern actually sees)
+        "text_pii_scrub": r"""
+            with s0 as (select doc_id,
+                   text || ' contact doc' || doc_id
+                        || '@example.com or 555-123-4567' as t
+              from documents),
+            c1 as (select doc_id,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       as n_email,
+                   regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') as t from s0),
+            c2 as (select doc_id, n_email,
+                   len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+                       as n_ssn,
+                   regexp_replace(t, '\b\d{3}-\d{2}-\d{4}\b',
+                                  '<SSN>', 'g') as t from c1),
+            c3 as (select doc_id, n_email, n_ssn,
+                   len(regexp_extract_all(t, '\b(?:\d{4}[ -]){3}\d{4}\b'))
+                       as n_card,
+                   regexp_replace(t, '\b(?:\d{4}[ -]){3}\d{4}\b',
+                                  '<CARD>', 'g') as t from c2),
+            c4 as (select doc_id, n_email, n_ssn, n_card,
+                   len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+                       as n_phone,
+                   regexp_replace(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
+                                  '<PHONE>', 'g') as t from c3),
+            c5 as (select doc_id, n_email, n_ssn, n_card, n_phone,
+                   len(regexp_extract_all(t,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) as n_ip,
+                   regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                                  '<IP>', 'g') as t from c4)
+            select doc_id, t as text_clean, n_email, n_ssn, n_card,
+                   n_phone, n_ip,
+                   n_email + n_ssn + n_card + n_phone + n_ip as n_pii
+            from c5""",
+        # C4-style line cleaning over the ' batch ' → sentence-break
+        # shaping; dedupe keep-first via row_number over line order
+        "text_clean_lines": r"""
+            with s as (select doc_id,
+                   regexp_replace(text, ' batch ', '.' || chr(10), 'g')
+                   || '.' as t from documents),
+            ln as (select doc_id, ord, trim(l) as line from (
+                     select doc_id,
+                            unnest(string_split(t, chr(10))) as l,
+                            unnest(range(len(string_split(t, chr(10)))))
+                                as ord
+                     from s)),
+            k as (select * from ln
+                  where len(list_filter(string_split_regex(line, '\s+'),
+                            x -> x <> '')) >= 3
+                    and regexp_matches(line, '[.!?"]$')
+                    and not contains(lower(line), 'javascript')),
+            d as (select * from (
+                    select doc_id, ord, line,
+                           row_number() over (partition by doc_id, line
+                                              order by ord) as rn from k)
+                  where rn = 1),
+            agg as (select doc_id,
+                    string_agg(line, chr(10) order by ord) as text_clean,
+                    cast(count(*) as int) as n_kept from d group by doc_id),
+            nl as (select doc_id,
+                   cast(len(string_split(t, chr(10))) as int) as n_lines,
+                   contains(lower(t), 'lorem ipsum') as lorem,
+                   contains(t, '{') as brace from s)
+            select a.doc_id, a.text_clean, nl.n_lines, a.n_kept
+            from agg a join nl using (doc_id)
+            where a.n_kept >= 1 and not nl.lorem and not nl.brace""",
+        # repetition metrics over the same shaping: dup-line fraction +
+        # top-bigram fraction (mode bigram count / total bigrams)
+        "text_repetition": r"""
+            with s as (select doc_id,
+                   regexp_replace(text, ' batch ', '.' || chr(10), 'g')
+                   || '.' as t from documents),
+            ln as (select doc_id, trim(l) as line from (
+                     select doc_id, unnest(string_split(t, chr(10))) as l
+                     from s)
+                   where trim(l) <> ''),
+            lf as (select doc_id, cast(count(*) as int) as n_lines,
+                   round(1.0 - count(distinct line) * 1.0 / count(*), 6)
+                       as dup_line_frac
+                   from ln group by doc_id),
+            arrs as (select doc_id, list_filter(string_split_regex(
+                regexp_replace(lower(t), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                x -> x <> '') as arr from s),
+            tp as (select doc_id, unnest(arr) as term,
+                   unnest(range(len(arr))) as pos from arrs),
+            bg as (select a.doc_id, a.term || ' ' || b.term as g
+                   from tp a join tp b
+                   on a.doc_id = b.doc_id and b.pos = a.pos + 1),
+            bc as (select doc_id, g, count(*) as c from bg
+                   group by doc_id, g),
+            bt as (select doc_id, cast(sum(c) as int) as n_bigrams,
+                   round(max(c) * 1.0 / sum(c), 6) as top_bigram_frac
+                   from bc group by doc_id)
+            select s.doc_id,
+                   coalesce(lf.n_lines, 0) as n_lines,
+                   coalesce(lf.dup_line_frac, 0.0) as dup_line_frac,
+                   coalesce(bt.n_bigrams, 0) as n_bigrams,
+                   coalesce(bt.top_bigram_frac, 0.0) as top_bigram_frac
+            from s left join lf using (doc_id)
+                   left join bt using (doc_id)""",
         "sim_neardup_pairs": """
             with e as (select vec_id, embedding::DOUBLE[] as v
                        from embeddings where vec_id < 300),

@@ -192,7 +192,8 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "q2_scoped_bm25_topk", "q_phrase_topk",
                  "q_batched_phrase", "q_querylang", "q_batched_querylang",
                  "q_querylang_wildcard", "q_suggest", "q_more_like_this",
-                 "q_span_topk",
+                 "q_span_topk", "q_percolate",
+                 "text_pii_scrub", "text_clean_lines", "text_repetition",
                  "a3_statistics_per_collection",
                  "dedup_exact", "dedup_minhash_lsh",
                  "pipeline_stratified_sample", "pipeline_token_budget_mix",

@@ -119,6 +119,111 @@ def extract_title(text: Column, fallback_chars: int = 60) -> Column:
     return F.when(t != "", t).otherwise(F.substring(text, 1, fallback_chars))
 
 
+# PII redaction patterns, applied IN ORDER (earlier replacements can
+# shadow later matches — e.g. a card number is consumed before the phone
+# pattern sees its tail). Regexes stay inside the subset shared by Java
+# (Spark codegen) and RE2 (DuckDB oracles): no backrefs, no lookaround.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("card", r"\b(?:\d{4}[ -]){3}\d{4}\b", "<CARD>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII redaction for training-data pipelines: emails, SSNs, card
+    numbers, phone numbers, and IPv4s replaced by typed placeholder
+    tokens, with per-category redaction counts. One sequential
+    regexp_replace chain per row — pure codegen, no UDF, no shuffle;
+    counts are taken on the text as each pattern sees it (post the
+    previous replacements), so Σ counts == placeholder insertions.
+    Returns (id, text_clean, n_<category>..., n_pii)."""
+    t = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+                      .alias(f"n_{name}"))
+        t = F.regexp_replace(t, pat, rep)
+    out = df.select(F.col(id_col), t.alias("text_clean"), *counts)
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii", total)
+
+
+def clean_lines(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", min_words: int = 3,
+                min_lines: int = 1) -> DataFrame:
+    """C4-style line-level cleaning: keep lines with ≥ ``min_words``
+    whitespace words that end in terminal punctuation (. ! ? ") and don't
+    mention javascript; dedupe repeated lines WITHIN the doc (keep first);
+    drop whole docs containing "lorem ipsum" or "{" or with fewer than
+    ``min_lines`` surviving lines — the published C4 heuristics
+    re-expressed as one codegen projection + filter (array ops, no UDF,
+    no shuffle). Returns (id, text_clean, n_lines, n_kept) for surviving
+    docs."""
+    text = F.col(text_col)
+    lines = F.transform(F.split(text, "\n"), F.trim)
+    kept = F.filter(
+        lines,
+        lambda ln: (F.size(F.split(ln, r"\s+")) >= F.lit(int(min_words)))
+        & ln.rlike('[.!?"]$')
+        & ~F.lower(ln).contains("javascript"))
+    deduped = F.array_distinct(kept)  # order-preserving, keeps first
+    return (df.select(
+        F.col(id_col),
+        F.array_join(deduped, "\n").alias("text_clean"),
+        F.size(lines).alias("n_lines"),
+        F.size(deduped).alias("n_kept"),
+        F.lower(text).contains("lorem ipsum").alias("_lorem"),
+        text.contains("{").alias("_brace"))
+        .filter((F.col("n_kept") >= int(min_lines))
+                & ~F.col("_lorem") & ~F.col("_brace"))
+        .drop("_lorem", "_brace"))
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals: duplicate-line fraction and
+    top-bigram fraction per doc — the MassiveText "repetitious text"
+    filters. Both run entirely inside codegen (no shuffle, no UDF): the
+    bigram mode count is the longest run in the doc's SORTED bigram array
+    (aggregate over sort_array — O(n log n) per row), so the operator is
+    one narrow projection at any corpus size. Returns
+    (id, n_lines, dup_line_frac, n_bigrams, top_bigram_frac)."""
+    text = F.col(text_col)
+    lines = F.filter(F.transform(F.split(text, "\n"), F.trim),
+                     lambda ln: ln != F.lit(""))
+    n_lines = F.size(lines)
+    dup_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(F.round(
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double")
+        / F.greatest(n_lines, F.lit(1)), 6))
+    toks = tokens_col(text)
+    n = F.size(toks)
+    m = F.greatest(n - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    acc0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def step(acc, e):
+        run = F.when(e == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(e.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    top = F.aggregate(F.sort_array(bigrams), acc0, step,
+                      lambda a: a["best"])
+    top_frac = F.round(top.cast("double") / F.greatest(m, F.lit(1)), 6)
+    return df.select(F.col(id_col), n_lines.alias("n_lines"),
+                     dup_frac.alias("dup_line_frac"),
+                     m.alias("n_bigrams"),
+                     top_frac.alias("top_bigram_frac"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text — the exact-dedup key at corpus scale."""

@@ -48,6 +48,64 @@ def vectors(spark):
     return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
 
 
+def test_scrub_pii(spark):
+    from searchengine_spark.functions.text import scrub_pii
+    rows = [
+        (0, "mail me at bob.smith+x@corp.example.org today"),
+        (1, "ssn 123-45-6789 card 4111 1111 1111 1111"),
+        (2, "call 555-123-4567 from 10.0.0.1"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert got[0]["text_clean"] == "mail me at <EMAIL> today"
+    assert got[0]["n_email"] == 1 and got[0]["n_pii"] == 1
+    assert got[1]["text_clean"] == "ssn <SSN> card <CARD>"
+    assert got[1]["n_ssn"] == 1 and got[1]["n_card"] == 1
+    # card consumed BEFORE the phone pattern could see its tail
+    assert got[1]["n_phone"] == 0
+    assert got[2]["text_clean"] == "call <PHONE> from <IP>"
+    assert got[2]["n_phone"] == 1 and got[2]["n_ip"] == 1
+    assert got[3]["text_clean"] == rows[3][1] and got[3]["n_pii"] == 0
+
+
+def test_clean_lines(spark):
+    from searchengine_spark.functions.text import clean_lines
+    rows = [
+        (0, "This line is kept.\nshort.\nno terminal punct here\n"
+            "This line is kept.\nAnother good line stays!"),
+        (1, "lorem ipsum dolor sit amet.\nA fine line it is."),   # doc drop
+        (2, "var x = { a: 1 };\nGood line survives here."),       # doc drop
+        (3, "enable javascript to continue.\nReal content line here."),
+        (4, "no line survives this one"),                         # doc drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in clean_lines(df).collect()}
+    assert set(got) == {0, 3}
+    # dup line deduped (keep first), short/punct-less lines dropped
+    assert got[0]["text_clean"] == ("This line is kept.\n"
+                                    "Another good line stays!")
+    assert got[0]["n_lines"] == 5 and got[0]["n_kept"] == 2
+    assert got[3]["text_clean"] == "Real content line here."
+
+
+def test_repetition_metrics(spark):
+    from searchengine_spark.functions.text import repetition_metrics
+    rows = [
+        (0, "a b\na b\nc d"),          # 3 lines, 2 distinct
+        (1, "x y x y x y"),            # bigrams: xy yx xy yx xy → top 'x y'=3/5
+        (2, "all distinct words here"),
+        (3, ""),                       # degenerate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert got[0]["n_lines"] == 3 and got[0]["dup_line_frac"] == round(1 - 2 / 3, 6)
+    assert got[1]["n_bigrams"] == 5 and got[1]["top_bigram_frac"] == 0.6
+    assert got[2]["dup_line_frac"] == 0.0 and got[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert got[3]["n_lines"] == 0 and got[3]["n_bigrams"] == 0
+    assert got[3]["dup_line_frac"] == 0.0 and got[3]["top_bigram_frac"] == 0.0
+
+
 def test_connected_components_clusters(spark):
     from searchengine_spark.functions.dedup import connected_components
     # chain 1-2-3-4, triangle 10-11-12, isolated pair 20-21
