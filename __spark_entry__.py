@@ -1183,6 +1183,64 @@ def _q_token_budget_mix(spark, sf_dir):
                       F.col("n_tokens").cast("long").alias("n_tokens"))
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence packing: the corpus' tokens laid on one deterministic
+    hash-ordered stream, cut into 512-token training sequences; one row
+    per (doc, sequence) slice. Engine plan is the bucketed two-phase
+    prefix sum (every bucket windows within itself — 1/B of the corpus);
+    the oracle is the equivalent naive global cumsum + series explode."""
+    from searchengine_spark.functions.sampling import pack_sequences
+    from searchengine_spark.functions.text import tokens_col
+    d = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.size(tokens_col(F.col("text"))))
+    return pack_sequences(d, 512, "n_tokens", "doc_id")
+
+
+def _q_contamination(spark, sf_dir):
+    """Benchmark decontamination: 3-gram shingle overlap of every doc vs a
+    synthetic eval set (every 25th doc). The planted members must report
+    overlap 1.0; sharing is n-gram-level so unrelated docs score low."""
+    from searchengine_spark.functions.dedup import contamination_check
+    d = _docs(spark, sf_dir)
+    bench = d.filter(F.col("doc_id") % 25 == 0)
+    out = contamination_check(d, bench, n=3, threshold=0.5)
+    return out.withColumn("contaminated", F.col("contaminated").cast("long"))
+
+
+def _q_dedup_cross(spark, sf_dir):
+    """Cross-corpus exact dedup: new-crawl docs (all) anti-joined against
+    an existing corpus (every 5th doc) on the normalized fingerprint —
+    the planted members drop, the rest survive."""
+    from searchengine_spark.functions.dedup import dedup_against
+    d = _docs(spark, sf_dir)
+    return dedup_against(d, d.filter(F.col("doc_id") % 5 == 0))
+
+
+def _q_grouped_topk(spark, sf_dir):
+    """Conversation-level ranking (search_grouped): per-turn BM25 over the
+    full match set aggregated per conversation (sum), top-k GROUPS with
+    match count + best turn — over the same multi-turn shaping the
+    collapse entry uses (doc_id % COLLAPSE_GROUPS conversations)."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.search import search_grouped
+    key = (sf_dir, "collapse")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = build_index(
+            _docs_as_grouped_transcripts(spark, sf_dir), mode="general")
+    idx = _INDEX_CACHE[key]
+    g = search_grouped(idx, " ".join(BM25_Q), k=K, agg="sum", mode="bm25")
+    best_meta = idx["docs"].select(F.col("doc_id").alias("best_doc_id"),
+                                   "conv_id", "turn_idx")
+    return (g.join(best_meta, "best_doc_id")
+            .select(F.substring("group", 4, 4).cast("long").alias("grp"),
+                    F.round("score", 6).alias("score"),
+                    F.col("n_turns").cast("long").alias("n_turns"),
+                    (F.col("turn_idx").cast("long") * COLLAPSE_GROUPS
+                     + F.substring("conv_id", 4, 4).cast("long"))
+                    .alias("best_doc_id"),
+                    F.round("best_doc_score", 6).alias("best_doc_score")))
+
+
 def _q_dedup_exact(spark, sf_dir):
     """S2/dedup: exact dedup by normalized-text fingerprint."""
     from searchengine_spark.functions.dedup import exact_dedup
@@ -1782,6 +1840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_statistics_per_collection": _q_statistics_per_collection,
         "pipeline_stratified_sample": _q_stratified_sample,
         "pipeline_token_budget_mix": _q_token_budget_mix,
+        "pipeline_pack_sequences": _q_pack_sequences,
+        "q_grouped_topk": _q_grouped_topk,
+        "dedup_contamination": _q_contamination,
+        "dedup_cross_corpus": _q_dedup_cross,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -2868,6 +2930,97 @@ union all select 'ps', doc_id from m_ps
             from cum
             where (source = 's0' and c <= 20000)
                or (source = 's1' and c <= 8000)""",
+        # the naive formulation of sequence packing: ONE global cumsum over
+        # the hash-ordered token stream (the engine's bucketed two-phase
+        # prefix sum must reproduce it exactly), then per-doc slice explode
+        "pipeline_pack_sequences": f"""
+            with dl as ({_DL}),
+            base as (select doc_id, dl as n,
+                     ((doc_id % 1000000007) * 1103515245 + 12345)
+                       % 2147483648 as h
+                     from dl where dl > 0),
+            cum as (select doc_id, n,
+                    cast(sum(n) over (order by h, doc_id
+                                      rows unbounded preceding) as bigint) as e
+                    from base),
+            placed as (select doc_id, e - n as s, e from cum),
+            sliced as (select doc_id, s, e,
+                       unnest(range(s // 512, (e - 1) // 512 + 1)) as seq_id
+                       from placed)
+            select doc_id, cast(seq_id as bigint) as seq_id,
+                   cast(greatest(s, seq_id * 512) - seq_id * 512 as bigint)
+                     as seq_pos,
+                   cast(greatest(s, seq_id * 512) - s as bigint) as tok_from,
+                   cast(least(e, (seq_id + 1) * 512)
+                        - greatest(s, seq_id * 512) as bigint) as n_toks
+            from sliced""",
+        # grouped retrieval: per-turn BM25 (OR over the query terms) summed
+        # per conversation (grp = doc_id % COLLAPSE_GROUPS under the entry's
+        # transcript shaping); best turn by (round(s,9) desc, doc_id asc)
+        "q_grouped_topk": f"""
+with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+stats as (select count(*) as n, avg(dl) as avgdl from dl),
+scored as (
+  select tf.doc_id,
+         sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+  from tf join dfv using (term) join dl using (doc_id) cross join stats
+  where tf.term in ({", ".join(f"'{t}'" for t in BM25_Q)})
+  group by tf.doc_id),
+g as (select doc_id % {COLLAPSE_GROUPS} as grp, sum(s) as gs,
+             count(*) as n_turns
+      from scored group by 1),
+best as (select doc_id % {COLLAPSE_GROUPS} as grp,
+                doc_id as best_doc_id, s as bs
+         from scored
+         qualify row_number() over (partition by doc_id % {COLLAPSE_GROUPS}
+                                    order by round(s, 9) desc, doc_id asc) = 1)
+select cast(g.grp as bigint) as grp, round(g.gs, 6) as score,
+       cast(g.n_turns as bigint) as n_turns,
+       cast(best.best_doc_id as bigint) as best_doc_id,
+       round(best.bs, 6) as best_doc_score
+from g join best using (grp)
+order by round(g.gs, 9) desc, g.grp asc limit {K}""",
+        # contamination: distinct 3-gram shingles per doc vs the synthetic
+        # eval set (every 25th doc); contaminated compares the ROUNDED frac
+        "dedup_contamination": """
+            with toks as (
+              select doc_id, list_filter(string_split_regex(
+                regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                x -> x <> '') as t
+              from documents),
+            sh as (
+              select doc_id,
+                     case when len(t) >= 3 then
+                       list_distinct([array_to_string(t[i:i+2], ' ')
+                                      for i in range(1, len(t) - 1)])
+                     else [] end as shingles
+              from toks),
+            bsh as (select distinct unnest(shingles) as shingle
+                    from sh where doc_id % 25 = 0),
+            ex as (select doc_id, unnest(shingles) as shingle from sh),
+            cnt as (select doc_id, count(*) as n_shingles,
+                    sum(case when shingle in (select shingle from bsh)
+                        then 1 else 0 end) as n_overlap
+                    from ex group by doc_id),
+            j as (select s.doc_id,
+                  coalesce(cnt.n_shingles, 0) as n_shingles,
+                  coalesce(cnt.n_overlap, 0) as n_overlap,
+                  round(case when coalesce(cnt.n_shingles, 0) > 0
+                        then cnt.n_overlap * 1.0 / cnt.n_shingles
+                        else 0.0 end, 6) as overlap_frac
+                  from sh s left join cnt using (doc_id))
+            select doc_id, cast(n_shingles as bigint) as n_shingles,
+                   cast(n_overlap as bigint) as n_overlap, overlap_frac,
+                   cast(case when overlap_frac >= 0.5 then 1 else 0 end
+                        as bigint) as contaminated
+            from j""",
+        "dedup_cross_corpus": """
+            with fp as (select doc_id,
+                        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp
+                        from documents)
+            select doc_id, fp from fp
+            where fp not in (select fp from fp where doc_id % 5 = 0)""",
         "dedup_exact": """
             with fp as (select doc_id,
                         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp

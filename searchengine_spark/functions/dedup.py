@@ -236,3 +236,60 @@ def dedup_keep_canonical(df: DataFrame, clusters: DataFrame,
     victims = clusters.filter(F.col("id") != F.col("rep")) \
         .select(F.col("id").alias(id_col))
     return df.join(victims, id_col, "left_anti")
+
+
+def contamination_check(df: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.1) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose word n-gram
+    shingles overlap an evaluation set (the GPT-3/Pile decontamination
+    pass — a training corpus must not contain eval items verbatim or
+    near-verbatim). For each doc: distinct-shingle count, count of
+    shingles also present anywhere in ``benchmark``, the overlap
+    fraction, and a flag at ``threshold``.
+
+    Plan shape: the benchmark side is an EVAL SET — megabytes by nature,
+    never corpus-sized — so its distinct shingles broadcast; the corpus
+    side streams through one broadcast-hash semi-join with NO shuffle on
+    the (100 TB) doc side except the per-doc groupBy(id). Docs with
+    fewer than ``n`` tokens have no shingles and report 0/0/0.0/false.
+    """
+    doc_sh = df.select(
+        F.col(id_col),
+        F.explode_outer(shingles_col(F.col(text_col), n)).alias("shingle"))
+    bench_sh = (benchmark
+                .select(F.explode(shingles_col(F.col(text_col), n))
+                        .alias("shingle"))
+                .distinct())
+    per_doc = (doc_sh.join(F.broadcast(bench_sh.withColumn("_hit", F.lit(1))),
+                           "shingle", "left")
+               .groupBy(id_col)
+               .agg(F.count("shingle").alias("n_shingles"),
+                    F.count("_hit").alias("n_overlap")))
+    frac = F.when(F.col("n_shingles") > 0,
+                  F.col("n_overlap") / F.col("n_shingles")).otherwise(F.lit(0.0))
+    return (per_doc
+            .withColumn("overlap_frac", F.round(frac, 6))
+            .withColumn("contaminated",
+                        (F.col("overlap_frac") >= F.lit(float(threshold)))
+                        .cast("int")))
+
+
+def dedup_against(df: DataFrame, ref: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Cross-corpus exact dedup: drop rows of ``df`` whose normalized text
+    already exists in ``ref`` — the new-crawl-vs-existing-corpus pass (a
+    refresh crawl must not re-admit documents the corpus already holds;
+    only the NEW side is filtered, the reference corpus is read-only).
+
+    Same normalization as ``exact_dedup`` (lowercase, whitespace-collapsed,
+    md5). One anti-join on the 16-byte fingerprint: the ref side reduces
+    to distinct fingerprints first (its only shuffle), the new side
+    streams through the join — no windows, no Python. Returns
+    (id, fp) for every surviving new row.
+    """
+    def _fp(c):
+        return F.md5(F.trim(F.regexp_replace(F.lower(F.col(c)), r"\s+", " ")))
+    new_fp = df.select(F.col(id_col), _fp(text_col).alias("fp"))
+    ref_fp = ref.select(_fp(text_col).alias("fp")).distinct()
+    return new_fp.join(ref_fp, "fp", "left_anti").select(id_col, "fp")

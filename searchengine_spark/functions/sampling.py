@@ -121,3 +121,65 @@ def token_budget_mix(df: DataFrame, budgets: dict, strata_col: str,
     out = out_parts[0] if len(out_parts) == 1 else \
         out_parts[0].unionByName(out_parts[1])
     return out.select(*df.columns)
+
+
+def pack_sequences(df: DataFrame, seq_len: int, token_col: str,
+                   key_col: str, salt: int = 0,
+                   n_buckets: int = 1024) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay every document's tokens out
+    on ONE global stream in deterministic hash order (the reproducible
+    shuffle ``token_budget_mix`` uses), then cut the stream into training
+    sequences of exactly ``seq_len`` tokens — the GPT-style packing step
+    that turns a filtered corpus into fixed-length samples. Documents
+    crossing a boundary are split; output is one row per (doc, sequence)
+    slice:
+
+        (key, seq_id, seq_pos, tok_from, n_toks)
+
+    — slice covers doc tokens [tok_from, tok_from + n_toks) and lands at
+    position ``seq_pos`` of sequence ``seq_id``. Zero-token docs drop.
+
+    The global offset of each doc is a corpus-wide prefix sum — the same
+    bucketed two-phase plan as ``token_budget_mix``, but EVERY bucket
+    needs its exact within-bucket cumsum (each window partition is 1/B of
+    the corpus; no global single-partition window ever runs): one small
+    agg for per-bucket token sums, a driver-side prefix over ≤ B ordered
+    buckets, then a windowed cumsum per bucket plus the bucket's base.
+    The boundary explode is ``sequence(first_seq, last_seq)`` in codegen —
+    a doc spanning s sequences emits s rows, no Python anywhere."""
+    L = int(seq_len)
+    if L <= 0:
+        raise ValueError("seq_len must be positive")
+    bw = HASH_SPACE // int(n_buckets)
+    t = (df.filter(F.col(token_col) > 0)
+         .withColumn("_h", det_hash_col(F.col(key_col), salt))
+         .withColumn("_b", F.floor(F.col("_h") / bw)))
+    sums = (t.groupBy("_b")
+            .agg(F.sum(F.col(token_col).cast("long")).alias("_toks"))
+            .collect())
+    base, prefix = 0, {}
+    for b, toks in sorted((r["_b"], r["_toks"]) for r in sums):
+        prefix[b] = base
+        base += toks
+    if not prefix:
+        return df.sparkSession.createDataFrame(
+            [], f"{key_col} long, seq_id long, seq_pos long, "
+                f"tok_from long, n_toks long")
+    base_map = F.create_map(
+        *[x for b, p in prefix.items() for x in (F.lit(int(b)), F.lit(int(p)))])
+    w = Window.partitionBy("_b").orderBy(F.col("_h").asc(), F.col(key_col).asc())
+    toks = F.col(token_col).cast("long")
+    placed = (t.withColumn("_cum", F.sum(toks).over(w))
+              .withColumn("_start", base_map[F.col("_b")] + F.col("_cum") - toks)
+              .withColumn("_end", base_map[F.col("_b")] + F.col("_cum")))
+    seq = F.explode(F.sequence(
+        F.floor(F.col("_start") / L), F.floor((F.col("_end") - 1) / L)))
+    sliced = placed.select(F.col(key_col), F.col("_start"), F.col("_end"),
+                           seq.alias("seq_id"))
+    s0 = F.greatest(F.col("_start"), F.col("seq_id") * L)
+    s1 = F.least(F.col("_end"), (F.col("seq_id") + 1) * L)
+    return (sliced
+            .withColumn("seq_pos", s0 - F.col("seq_id") * L)
+            .withColumn("tok_from", s0 - F.col("_start"))
+            .withColumn("n_toks", s1 - s0)
+            .select(key_col, "seq_id", "seq_pos", "tok_from", "n_toks"))

@@ -3137,3 +3137,142 @@ def explain_query(index: dict, query: str, k: int = 10, mode: str = "bm25",
         "bounds": ("tf_bounds" if stats.get("tf_bounds") else "stored_exact"),
         "k": k,
     }
+
+
+def search_grouped(index: dict, query: str, k: int = 10,
+                   group_by="conv_id", agg: str = "sum",
+                   mode: str = "bm25", scope=None,
+                   exclude: "str | None" = None,
+                   require_all: "bool | None" = None,
+                   min_match: "int | None" = None) -> DataFrame:
+    """Conversation-level ranking: aggregate every matching TURN's score up
+    to its conversation (or any docs attribute) and return the top-k
+    GROUPS — the parent-child / grouped-retrieval query a transcript
+    corpus naturally wants ("which conversations discuss X", not "which
+    single turn"). Distinct from ``collapse=`` (which ranks turns and
+    keeps each group's best): here the group's score is an aggregate —
+    ``agg='sum'`` (total relevance mass across the conversation) or
+    ``'max'`` (best turn) — over the FULL match set.
+
+    Output: (group, score, n_turns, best_doc_id, best_doc_score), ordered
+    by (score desc at 9 dp, group asc), limit k. ``n_turns`` counts the
+    group's matching turns; ``best_doc_id`` is its best turn by
+    (score desc, doc_id asc) — the drill-in link a UI renders next to the
+    conversation hit.
+
+    In ``ref_compat`` the per-turn relevance is the tf-sum over the
+    conjunctive match (Q6/Q7 semantics per TURN), the group score is the
+    agg of those, normalized by the max group score (the reference's
+    max-normalization lifted one level — rank-identical to the raw agg).
+
+    Plan shape: this is a COUNT-class query (every match contributes to
+    its group's sum, so there is no top-k θ over turns — WAND gates off,
+    exactly like facets): bucket-pruned block scan → one decode pass →
+    doc-level agg → one match-set-sized join to docs for the group key →
+    narrow groupBy(group) with max_by for the best turn →
+    TakeOrderedAndProject. Shuffle count is fixed regardless of corpus
+    size; the group agg is the same shape as the facet count."""
+    spark = index["docs"].sparkSession
+    release_query_caches(index)
+    stats = index["stats"]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    if agg not in ("sum", "max"):
+        raise ValueError("agg must be 'sum' or 'max'")
+    empty = spark.createDataFrame(
+        [], "group string, score double, n_turns long, "
+            "best_doc_id long, best_doc_score double")
+    qterms = _query_terms(query, index.get("mode", "general"),
+                          index.get("dictionary", "fixture"))
+    if not qterms:
+        return empty
+    sc = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc is None:
+        return empty
+    trows = _resolve_terms_driver(index, qterms, mode)
+    if trows is None:
+        trows = _resolve_terms_paged(index, qterms, mode)
+    if len(trows) == 0:
+        return empty
+    n_q = len(trows)
+    idf_of = {r["term_id"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5)
+                                         / (r["df"] + 0.5)))
+              for r in trows}
+    cached, direct_rows = pcache_split(index, trows)
+    direct_ids = [r["term_id"] for r in direct_rows]
+    excl = _resolve_exclusions(index, exclude, sc)
+    idf_map = F.create_map(
+        *[x for tid, idf in idf_of.items() for x in (F.lit(tid), F.lit(idf))])
+    parts = []
+    if direct_ids:
+        blocks = index["postings"]
+        tb = stats.get("term_buckets")
+        if tb and "term_bucket" in blocks.columns:
+            blocks = blocks.filter(F.col("term_bucket").isin(
+                sorted({tid % tb for tid in direct_ids})))
+        blocks = blocks.filter(F.col("term_id").isin(direct_ids))
+        if sc is not None:
+            br, bs = stats.get("bucket_range"), stats.get("block_size")
+            if br and bs:
+                bpb = -(-br // bs)
+                bcol = F.floor(F.col("block_id") / F.lit(bpb))
+                blocks = blocks.filter(
+                    bcol.between(sc["lo"] // br, sc["hi"] // br))
+        blocks = blocks.withColumn("idf", idf_map[F.col("term_id")])
+        parts.append(_decode_blocks(
+            blocks, mode == "bm25", n_docs, avgdl,
+            sum_df=sum(r["df"] for r in direct_rows)))
+    if cached is not None:
+        tfd = F.col("tf").cast("double")
+        if mode == "bm25":
+            dld = F.col("dl").cast("double")
+            cscore = (idf_map[F.col("term_id")] * (tfd * F.lit(K1 + 1.0))
+                      / (tfd + F.lit(K1)
+                         * (F.lit(1.0 - B) + (F.lit(B) * dld) / F.lit(avgdl))))
+        else:
+            cscore = F.lit(0.0)
+        parts.append(cached.select("term_id", "doc_id", "tf",
+                                   cscore.alias("score")))
+    decoded = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    if sc is not None:
+        decoded = _scope_filter(decoded, sc)
+    if excl is not None:
+        decoded = decoded.join(excl, "doc_id", "left_anti")
+    per_doc = decoded.groupBy("doc_id").agg(
+        F.count("*").alias("nt"), F.sum("tf").alias("tf_sum"),
+        F.sum("score").alias("bm25"))
+    req_all = require_all if require_all is not None else (mode == "ref_compat")
+    if req_all:
+        per_doc = per_doc.filter(F.col("nt") == F.lit(n_q))
+    elif min_match is not None and int(min_match) > 1:
+        per_doc = per_doc.filter(F.col("nt") >= F.lit(int(min_match)))
+    rel = (F.col("bm25") if mode == "bm25"
+           else F.col("tf_sum").cast("double"))
+    gcol = F.col(group_by) if isinstance(group_by, str) else group_by
+    docs_g = index["docs"].select("doc_id", gcol.cast("string").alias("group"))
+    scored = per_doc.withColumn("rel", rel).join(docs_g, "doc_id")
+    gagg_fn = F.sum if agg == "sum" else F.max
+    # best turn selected at the canonical 9-dp quantization (deterministic
+    # under float reassociation, same rationale as _ord()); id and score
+    # come from the SAME winning row via one max_by struct
+    best = F.max_by(F.struct(F.col("doc_id"), F.col("rel")),
+                    F.struct(F.round(F.col("rel"), 9), -F.col("doc_id")))
+    grouped = scored.groupBy("group").agg(
+        gagg_fn("rel").alias("score"),
+        F.count("*").alias("n_turns"),
+        best.alias("_best")) \
+        .withColumn("best_doc_id", F.col("_best.doc_id")) \
+        .withColumn("best_doc_score", F.col("_best.rel")).drop("_best")
+    topk = grouped.orderBy(F.round(F.col("score"), 9).desc(),
+                           F.col("group").asc()).limit(int(k))
+    if mode == "ref_compat":
+        # max-normalization lifted to group level: the rank-1 group is
+        # inside the k rows, so normalizing within them == over all groups
+        from pyspark.sql import Window as _W
+        topk = (topk.withColumn(
+                    "score", F.col("score")
+                    / F.max(F.col("score")).over(_W.partitionBy()))
+                .withColumn("best_doc_score",
+                            F.col("best_doc_score").cast("double")))
+    return topk.select("group", "score", "n_turns", "best_doc_id",
+                       "best_doc_score") \
+        .orderBy(F.round(F.col("score"), 9).desc(), F.col("group").asc())

@@ -149,3 +149,55 @@ def test_dedup_keep_canonical(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2, 4, 7]
     # full rows survive, not just ids
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination + cross-corpus dedup
+# ---------------------------------------------------------------------------
+
+def _ngrams(text, n=3):
+    import re
+    toks = [t for t in re.sub(r"[^a-z0-9 ]", " ", text.lower()).split() if t]
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_contamination_check_golden(spark):
+    from searchengine_spark.functions.dedup import contamination_check
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "completely unrelated text about spark partitions and shuffles"),
+        (2, "the quick brown fox appears here too with extra words"),
+        (3, "tiny"),                       # < n tokens → no shingles
+        (4, "quick brown fox jumps over"),  # fully contained in bench item
+    ]
+    bench = [(100, "the quick brown fox jumps over a fence"),
+             (101, "benchmark question about nothing in the corpus")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           contamination_check(ddf, bdf, n=3, threshold=0.3).collect()}
+    bsh = set().union(*[_ngrams(t) for _, t in bench])
+    for i, t in docs:
+        sh = _ngrams(t)
+        ov = len(sh & bsh)
+        assert got[i]["n_shingles"] == len(sh)
+        assert got[i]["n_overlap"] == ov
+        frac = round(ov / len(sh), 6) if sh else 0.0
+        assert abs(got[i]["overlap_frac"] - frac) < 1e-9
+        assert got[i]["contaminated"] == int(frac >= 0.3)
+    assert got[3]["n_shingles"] == 0 and got[3]["contaminated"] == 0
+    assert got[4]["contaminated"] == 1
+
+
+def test_dedup_against(spark):
+    from searchengine_spark.functions.dedup import dedup_against
+    new = spark.createDataFrame(
+        [(0, "Shared   Text one"), (1, "unique new doc"),
+         (2, "shared text TWO"), (3, "another survivor")],
+        "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(90, "shared text one"), (91, "shared text two"),
+         (92, "ref only doc")],
+        "doc_id long, text string")
+    kept = {r["doc_id"] for r in dedup_against(new, ref).collect()}
+    assert kept == {1, 3}  # normalization folds case/whitespace

@@ -117,3 +117,58 @@ def test_token_budget_mix_edges(corpus):
                             "doc_id").count() == 0
     assert token_budget_mix(sdf, {}, "source", "n_tokens",
                             "doc_id").count() == 0
+
+
+def _pack_golden(rows, L, salt=0):
+    """Pure-Python packing reimplementation: hash-order stream, chunk at L."""
+    ordered = sorted(((i, t) for i, _, t in rows if t > 0),
+                     key=lambda x: (_h(x[0], salt), x[0]))
+    out, start = [], 0
+    for i, t in ordered:
+        end = start + t
+        s = start
+        while s < end:
+            seq = s // L
+            s1 = min(end, (seq + 1) * L)
+            out.append((i, seq, s - seq * L, s - start, s1 - s))
+            s = s1
+        start = end
+    return sorted(out)
+
+
+def test_pack_sequences_golden(corpus):
+    from searchengine_spark.functions.sampling import pack_sequences
+    sdf, rows = corpus
+    L = 777
+    got = sorted(tuple(r) for r in pack_sequences(
+        sdf, L, "n_tokens", "doc_id").collect())
+    exp = _pack_golden(rows, L)
+    assert got == exp
+    # every sequence except possibly the last is exactly full
+    total = sum(t for _, _, t in rows)
+    per_seq = {}
+    for _, seq, _, _, n in exp:
+        per_seq[seq] = per_seq.get(seq, 0) + n
+    last = max(per_seq)
+    assert all(v == L for s, v in per_seq.items() if s != last)
+    assert sum(per_seq.values()) == total
+
+
+def test_pack_sequences_layout_independent(corpus):
+    from searchengine_spark.functions.sampling import pack_sequences
+    sdf, rows = corpus
+    a = sorted(tuple(r) for r in pack_sequences(
+        sdf, 512, "n_tokens", "doc_id", n_buckets=8).collect())
+    b = sorted(tuple(r) for r in pack_sequences(
+        sdf.repartition(13), 512, "n_tokens", "doc_id",
+        n_buckets=1024).collect())
+    assert a == b
+
+
+def test_pack_sequences_empty_and_validation(corpus, spark):
+    from searchengine_spark.functions.sampling import pack_sequences
+    sdf, _ = corpus
+    assert pack_sequences(sdf.filter(F.lit(False)), 128, "n_tokens",
+                          "doc_id").count() == 0
+    with pytest.raises(ValueError):
+        pack_sequences(sdf, 0, "n_tokens", "doc_id")
