@@ -183,6 +183,11 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
     E._INDEX_CACHE[fkey] = build_fielded_index(
         E._docs_as_transcripts(spark, sf_dir), mode="general")
     queries["fielded_index_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    ckey = (sf_dir, "collapse")
+    E._INDEX_CACHE[ckey] = build_index(
+        E._docs_as_grouped_transcripts(spark, sf_dir), mode="general")
+    queries["grouped_index_build"] = round(time.time() - t0, 3)
     table_ops = ["t2_t5_tokenize_tf", "a1_term_df", "q6_conjunctive_and",
                  "q_bm25f_topk", "q_bm25f_scoped", "q_bm25f_not",
                  "q_batched_bm25f", "q_batched_scoped",
@@ -193,10 +198,13 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "q_batched_phrase", "q_querylang", "q_batched_querylang",
                  "q_querylang_wildcard", "q_suggest", "q_more_like_this",
                  "q_span_topk", "q_percolate",
+                 "q_collapse_topk", "q_grouped_topk",
                  "text_pii_scrub", "text_clean_lines", "text_repetition",
                  "a3_statistics_per_collection",
                  "dedup_exact", "dedup_minhash_lsh",
+                 "dedup_contamination", "dedup_cross_corpus",
                  "pipeline_stratified_sample", "pipeline_token_budget_mix",
+                 "pipeline_pack_sequences",
                  "sim_cosine_topk", "q_hybrid_rrf", "q_hybrid_batched", "text_quality", "text_lang_id",
                  "events_sessionize", "text_token_count_bpe", "sim_neardup_pairs"]
     qmap = E.queries()

@@ -151,9 +151,15 @@ def pack_sequences(df: DataFrame, seq_len: int, token_col: str,
     if L <= 0:
         raise ValueError("seq_len must be positive")
     bw = HASH_SPACE // int(n_buckets)
+    # narrow to (key, tokens) and checkpoint: token_col is usually derived
+    # from the text (a full tokenizer pass) and this table is read twice
+    # (bucket sums, then the cumsum) — checkpointing the ~32-byte/row
+    # projection means ONE corpus scan, not two
     t = (df.filter(F.col(token_col) > 0)
+         .select(F.col(key_col), F.col(token_col))
          .withColumn("_h", det_hash_col(F.col(key_col), salt))
-         .withColumn("_b", F.floor(F.col("_h") / bw)))
+         .withColumn("_b", F.floor(F.col("_h") / bw))
+         .localCheckpoint(eager=False))
     sums = (t.groupBy("_b")
             .agg(F.sum(F.col(token_col).cast("long")).alias("_toks"))
             .collect())
