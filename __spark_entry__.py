@@ -184,6 +184,29 @@ def _q_min_match(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_select_all(spark, sf_dir):
+    """Full match-set EXPORT (search_select — the scroll / select-by-query
+    surface): EVERY doc matching >= 2 of the 3 query terms, with its
+    distinct-matched-term count and BM25 score — no top-k; the result is
+    the training-subset DataFrame a pipeline writes out."""
+    from searchengine_spark.operators.search import search_select
+    index = _index_for(spark, sf_dir)
+    rows = search_select(index, " ".join(AND3), mode="bm25", min_match=2)
+    return rows.select(_orig_doc_id(), "nt",
+                       F.round("score", 6).alias("score"))
+
+
+def _q_querylang_select(spark, sf_dir):
+    """Grammar full match-set export (query_select): every doc matching
+    'scan merge -hash' — any ranked term, NOT clause applied — with nt and
+    BM25 score, no top-k."""
+    from searchengine_spark.operators.querylang import query_select
+    index = _index_for(spark, sf_dir)
+    rows = query_select(index, "scan merge -hash", mode="bm25")
+    return rows.select(_orig_doc_id(), "nt",
+                       F.round("score", 6).alias("score"))
+
+
 def _q_facets(spark, sf_dir):
     """Facet counts over the query's FULL match set (match=any): matching
     docs grouped by doc_id's last digit — a 10-way facet over this corpus's
@@ -1770,6 +1793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_bm25_topk": _q_bm25_topk,
         "q_bm25_not_topk": _q_bm25_not_topk,
         "q_min_match": _q_min_match,
+        "q_select_all": _q_select_all,
+        "q_querylang_select": _q_querylang_select,
         "q_explain_score": _q_explain_score,
         "a5_term_vectors": _a5_term_vectors,
         "q_significant_terms": _q_significant_terms,
@@ -2336,6 +2361,30 @@ def oracle_sql() -> dict[str, str]:
         "q7_bm25_topk": _bm25_sql(BM25_Q, K),
         "q_bm25_not_topk": _bm25_sql(BM25_Q, K, exclude=[NOT_T]),
         "q_min_match": _bm25_sql(AND3, K, min_match=2),
+        "q_select_all": f"""
+with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+stats as (select count(*) as n, avg(dl) as avgdl from dl),
+scored as (
+  select tf.doc_id, count(*) as nt,
+         sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+  from tf join dfv using (term) join dl using (doc_id) cross join stats
+  where tf.term in ({", ".join(f"'{t}'" for t in AND3)})
+  group by tf.doc_id
+  having count(*) >= 2)
+select doc_id, cast(nt as bigint) as nt, round(s, 6) as score from scored""",
+        "q_querylang_select": f"""
+with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+stats as (select count(*) as n, avg(dl) as avgdl from dl),
+scored as (
+  select tf.doc_id, count(*) as nt,
+         sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+  from tf join dfv using (term) join dl using (doc_id) cross join stats
+  where tf.term in ('scan', 'merge')
+    and tf.doc_id not in (select doc_id from tf where term = 'hash')
+  group by tf.doc_id)
+select doc_id, cast(nt as bigint) as nt, round(s, 6) as score from scored""",
         "q_querylang_min": _bm25_sql(AND3, K, min_match=2),
         "q_querylang_count": f"""
             with tf as ({_TF}),

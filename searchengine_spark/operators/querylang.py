@@ -797,6 +797,42 @@ def query_facets(index: dict, qstr: str, by="role", mode: str = "bm25",
     return out
 
 
+def query_select(index: dict, qstr: str, mode: str = "bm25",
+                 scope=None, require_all: "bool | None" = None,
+                 synonyms: "dict | None" = None,
+                 with_text: bool = False) -> DataFrame:
+    """Full match-set export for a GRAMMAR query — ``search_select`` × the
+    query language: every doc matching the query string (phrase/span/group
+    candidate sets, NOT clauses, qualifiers, ``min:m``, wildcards/regex/
+    fuzzy/synonyms) as a distributed DataFrame with scores, no top-k. The
+    "select the training subset by query" surface: the result feeds
+    ``.write`` / dedup / sampling directly.
+
+    Pure composition: clause resolution is ``query_search``'s
+    (``_resolve_grammar``), the export is ``search_select`` over the
+    ranked words within the clause candidates minus the bans. Returns
+    ``search_select``'s shape (doc_id, conv_id, turn_idx, role, tool, ts,
+    nt, score[, text]); no ordering contract."""
+    from searchengine_spark.operators.search import search_select
+    spark = index["docs"].sparkSession
+    empty = spark.createDataFrame(
+        [], "doc_id long, conv_id string, turn_idx int, role string, "
+            "tool string, ts timestamp, nt long, score double"
+            + (", text string" if with_text else ""))
+    g = _resolve_grammar(index, qstr, scope, synonyms=synonyms)
+    if g is None:
+        return empty
+    held = index.pop("_query_persists", [])
+    out = search_select(index, " ".join(g["pos_words"]), mode=mode,
+                        scope=g["eff_scope"],
+                        exclude=" ".join(g["not_terms"]) or None,
+                        exclude_docs=g["exclude_docs"],
+                        require_all=require_all,
+                        min_match=g["min_match"], with_text=with_text)
+    index.setdefault("_query_persists", []).extend(held + g["persists"])
+    return out
+
+
 def query_search_bm25f(index: dict, fielded: dict, qstr: str, k: int = 10,
                        scope=None, offset: int = 0,
                        weights: "dict[str, float] | None" = None,

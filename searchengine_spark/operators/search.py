@@ -1187,6 +1187,138 @@ def search_count(index: dict, query: str, mode: str = "bm25", scope=None,
         F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_matches"))
 
 
+def search_select(index: dict, query: str, mode: str = "bm25",
+                  scope=None, exclude: "str | None" = None,
+                  exclude_docs: "DataFrame | None" = None,
+                  require_all: "bool | None" = None,
+                  min_match: "int | None" = None,
+                  with_text: bool = False) -> DataFrame:
+    """Full match-set EXPORT — every matching doc as a distributed
+    DataFrame with its score, no top-k. The retrieval→pipeline bridge
+    (Elasticsearch's scroll / "export all hits" pattern, done the Spark
+    way: the result IS a DataFrame, so "scroll" is just `.write` /
+    further transformations — selecting a training subset by query is one
+    call). No reference analog (its API returns flat ranked hits only,
+    reference: controllers/ApiController.java:55-58).
+
+    Match semantics and parameters follow the count-query family
+    (``search_facets``/``search_count``): ``require_all`` defaults by mode
+    (ref_compat → Q6 conjunction, bm25 → any term), ``min_match`` is the
+    OR/AND middle ground, ``scope``/``exclude``/``exclude_docs`` compose
+    identically, and terms resolve under the mode's GLOBAL dictionary
+    rules (ref_compat's 80%-df prune included; the per-scope df variant
+    is a ``search``-only refinement). Scores are the mode's: bm25 → the
+    BM25 sum over matched terms (identical expression to ``search``);
+    ref_compat → Q7's tf-sum normalized by the MATCH-SET max — computed
+    scale-safe as a broadcast 1-row aggregate joined back, never a global
+    window over the match set.
+
+    Returns (doc_id, conv_id, turn_idx, role, tool, ts, nt, score
+    [, text]) — ``nt`` is the distinct-matched-term count (the arity Q6
+    filters on), ``with_text`` carries the raw text for downstream
+    pipelines. No ordering contract (order costs a global sort on an
+    unbounded set; callers that want ranked pages use ``search``).
+
+    Plan shape: the facet family's count-query plan (bucket-pruned block
+    scan, ONE decode pass — scored this time — doc-level agg, NOT
+    anti-join; no WAND phase, every match is returned) plus one
+    match-set-sized join to docs for the metadata columns. Shuffle count
+    is fixed regardless of corpus size."""
+    spark = index["docs"].sparkSession
+    release_query_caches(index)
+    stats = index["stats"]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    qterms = _query_terms(query, index.get("mode", "general"),
+                          index.get("dictionary", "fixture"))
+    cols = ("doc_id long, conv_id string, turn_idx int, role string, "
+            "tool string, ts timestamp, nt long, score double"
+            + (", text string" if with_text else ""))
+    empty = spark.createDataFrame([], cols)
+    if not qterms:
+        return empty
+    sc = _scope_info(index, scope) if scope is not None else None
+    if scope is not None and sc is None:
+        return empty
+    trows = _resolve_terms_driver(index, qterms, mode)
+    if trows is None:
+        trows = _resolve_terms_paged(index, qterms, mode)
+    if len(trows) == 0:
+        return empty
+    n_q = len(trows)
+    idf_of = {r["term_id"]: float(np.log(1.0 + (n_docs - r["df"] + 0.5)
+                                         / (r["df"] + 0.5)))
+              for r in trows}
+    idf_map = F.create_map(
+        *[x for tid, idf in idf_of.items() for x in (F.lit(tid), F.lit(idf))])
+    cached, direct_rows = pcache_split(index, trows)
+    direct_ids = [r["term_id"] for r in direct_rows]
+    excl = _resolve_exclusions(index, exclude, sc)
+    if exclude_docs is not None:
+        xd = exclude_docs.select("doc_id")
+        excl = xd if excl is None else excl.unionByName(xd).distinct()
+
+    parts = []
+    if direct_ids:
+        blocks = index["postings"]
+        tb = stats.get("term_buckets")
+        if tb and "term_bucket" in blocks.columns:
+            blocks = blocks.filter(F.col("term_bucket").isin(
+                sorted({tid % tb for tid in direct_ids})))
+        blocks = blocks.filter(F.col("term_id").isin(direct_ids))
+        if sc is not None:
+            br, bs = stats.get("bucket_range"), stats.get("block_size")
+            if br and bs:
+                bpb = -(-br // bs)
+                bcol = F.floor(F.col("block_id") / F.lit(bpb))
+                blocks = blocks.filter(
+                    bcol.between(sc["lo"] // br, sc["hi"] // br))
+        blocks = blocks.withColumn("idf", idf_map[F.col("term_id")])
+        parts.append(_decode_blocks(blocks, mode == "bm25", n_docs, avgdl,
+                                    sum_df=sum(r["df"] for r in direct_rows)))
+    if cached is not None:
+        # codegen score with the decode path's exact operation order, so
+        # cached and direct scores are bit-identical (pcache contract)
+        tfd = F.col("tf").cast("double")
+        if mode == "bm25":
+            dld = F.col("dl").cast("double")
+            cscore = (idf_map[F.col("term_id")] * (tfd * F.lit(K1 + 1.0))
+                      / (tfd + F.lit(K1)
+                         * (F.lit(1.0 - B) + (F.lit(B) * dld) / F.lit(avgdl))))
+        else:
+            cscore = F.lit(0.0)
+        parts.append(cached.select("term_id", "doc_id", "tf",
+                                   cscore.alias("score")))
+    decoded = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    if sc is not None:
+        decoded = _scope_filter(decoded, sc)
+    if excl is not None:
+        decoded = decoded.join(excl, "doc_id", "left_anti")
+    agg = decoded.groupBy("doc_id").agg(
+        F.count("*").alias("nt"), F.sum("tf").alias("tf_sum"),
+        F.sum("score").alias("bm25"))
+    req_all = require_all if require_all is not None else (mode == "ref_compat")
+    if req_all:
+        agg = agg.filter(F.col("nt") == F.lit(n_q))
+    elif min_match is not None and int(min_match) > 1:
+        agg = agg.filter(F.col("nt") >= F.lit(int(min_match)))
+    if mode == "ref_compat":
+        # Q7's max-normalizer over the FULL match set: one 1-row aggregate
+        # broadcast-joined back — the scale-safe form (a
+        # Window.partitionBy() max would serialize the match set onto one
+        # partition; this never does)
+        mx = agg.agg(F.max(F.col("tf_sum").cast("double")).alias("_mx"))
+        matches = agg.crossJoin(F.broadcast(mx)).withColumn(
+            "score", F.col("tf_sum").cast("double") / F.col("_mx"))
+    else:
+        matches = agg.withColumn("score", F.col("bm25"))
+    docs_meta = index["docs"].select(
+        "doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+        *(["text"] if with_text else []))
+    return docs_meta.join(matches.select("doc_id", "nt", "score"), "doc_id") \
+        .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+                "nt", "score", *(["text"] if with_text else []))
+
+
 def term_vectors(index: dict, doc_ids, include_df: bool = True) -> DataFrame:
     """Per-document term vectors — the Elasticsearch ``_termvectors`` API:
     (doc_id, term, tf[, df]) for each requested doc, the exact rows the
