@@ -1438,6 +1438,31 @@ def _q_text_quality(spark, sf_dir):
     return quality_metrics(_docs(spark, sf_dir))
 
 
+def _q_text_unigram_ppl(spark, sf_dir):
+    """CCNet-style quality signal: per-doc unigram-LM perplexity,
+    self-scored (MLE model trained on the corpus itself — the in-domain
+    score; no OOV by construction)."""
+    from searchengine_spark.functions.text import unigram_lm_perplexity
+    out = unigram_lm_perplexity(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_tokens",
+                      F.round("log_ppl", 6).alias("log_ppl"),
+                      F.round("ppl", 4).alias("ppl"))
+
+
+def _q_text_unigram_xppl(spark, sf_dir):
+    """The CCNet setup proper: train a Laplace-smoothed unigram LM on the
+    even-doc_id half (the 'clean reference'), score the odd half (the
+    'crawl') — unseen tokens take the model's OOV mass."""
+    from searchengine_spark.functions.text import (train_unigram_lm,
+                                                   unigram_lm_perplexity)
+    docs = _docs(spark, sf_dir)
+    lm = train_unigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    out = unigram_lm_perplexity(docs.filter(F.col("doc_id") % 2 == 1), lm=lm)
+    return out.select("doc_id", "n_tokens",
+                      F.round("log_ppl", 6).alias("log_ppl"),
+                      F.round("ppl", 4).alias("ppl"))
+
+
 def _q_text_pii_scrub(spark, sf_dir):
     """PII redaction: deterministic synthetic PII appended per doc (an
     email + a phone), then the sequential regex scrub — the value hash
@@ -1894,6 +1919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _q_text_pii_scrub,
         "text_clean_lines": _q_text_clean_lines,
         "text_repetition": _q_text_repetition,
+        "text_unigram_ppl": _q_text_unigram_ppl,
+        "text_unigram_xppl": _q_text_unigram_xppl,
         "text_fingerprint": _q_text_fingerprint,
         "text_lang_id": _q_lang_id,
         "multimodal_features": _q_multimodal_features,
@@ -3277,6 +3304,31 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
                    coalesce(bt.top_bigram_frac, 0.0) as top_bigram_frac
             from s left join lf using (doc_id)
                    left join bt using (doc_id)""",
+        "text_unigram_ppl": f"""
+            with toks as ({_TOKS}),
+            cnt as (select term, count(*) as c from toks group by term),
+            tot as (select count(*) as n from toks),
+            lp as (select doc_id, count(*) as nt,
+                          avg(ln(c * 1.0 / tot.n)) as mlp
+                   from toks join cnt using (term) cross join tot
+                   group by doc_id)
+            select doc_id, cast(nt as bigint) as n_tokens,
+                   round(-mlp, 6) as log_ppl, round(exp(-mlp), 4) as ppl
+            from lp""",
+        "text_unigram_xppl": f"""
+            with toks as ({_TOKS}),
+            tr as (select term, count(*) as c from toks
+                   where doc_id % 2 = 0 group by term),
+            sz as (select sum(c) * 1.0 as n, count(*) * 1.0 as v from tr),
+            sc as (select t.doc_id, count(*) as nt,
+                          avg(ln(coalesce(tr.c + 1.0, 1.0) / (sz.n + sz.v)))
+                              as mlp
+                   from toks t left join tr using (term) cross join sz
+                   where t.doc_id % 2 = 1
+                   group by t.doc_id)
+            select doc_id, cast(nt as bigint) as n_tokens,
+                   round(-mlp, 6) as log_ppl, round(exp(-mlp), 4) as ppl
+            from sc""",
         "sim_neardup_pairs": """
             with e as (select vec_id, embedding::DOUBLE[] as v
                        from embeddings where vec_id < 300),

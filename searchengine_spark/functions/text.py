@@ -224,6 +224,81 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
                      top_frac.alias("top_bigram_frac"))
 
 
+def train_unigram_lm(df: DataFrame, text_col: str = "text",
+                     smoothing: str = "laplace") -> dict:
+    """Train a unigram language model over a corpus — the model half of
+    the CCNet-style perplexity quality filter (CCNet scores Common Crawl
+    against a Wikipedia-trained LM and keeps the low-perplexity tail; at
+    transcript scale the same signal separates fluent turns from
+    boilerplate/garbage). Unigram is the scale-honest choice: the model
+    IS a (term, logp) DataFrame, trainable in one aggregation over any
+    corpus size and joinable at scoring time — no n-gram state explosion.
+
+    ``smoothing="laplace"`` (the default) gives add-one probabilities
+    P(w) = (c(w)+1)/(N+V) and an OOV mass of 1/(N+V) so the model can
+    score FOREIGN corpora (the CCNet setup: train on a clean reference,
+    score the crawl); ``smoothing=None`` gives the exact MLE c(w)/N
+    (self-scoring only — OOV is impossible on the training corpus).
+
+    Returns {"probs": DataFrame[term, logp double], "oov_logp": float,
+    "n_tokens": int, "vocab": int}. Plan: one explode + one hash
+    aggregation (partial+final) over the corpus; N and V reduce to the
+    driver from the vocab-sized aggregate, never from the token stream."""
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+    cnt = toks.groupBy("term").agg(F.count("*").alias("c"))
+    cnt = cnt.localCheckpoint(eager=False)  # train once, score many
+    row = cnt.agg(F.sum("c").alias("n"), F.count("*").alias("v")).collect()[0]
+    n, v = int(row["n"] or 0), int(row["v"] or 0)
+    if smoothing == "laplace":
+        import math
+        probs = cnt.select("term", F.log((F.col("c") + F.lit(1.0))
+                                         / F.lit(float(n + v))).alias("logp"))
+        oov = math.log(1.0 / (n + v)) if n + v else 0.0
+    elif smoothing is None:
+        probs = cnt.select("term",
+                           F.log(F.col("c") / F.lit(float(n))).alias("logp"))
+        oov = None
+    else:
+        raise ValueError(f"unknown smoothing: {smoothing!r}")
+    return {"probs": probs, "oov_logp": oov, "n_tokens": n, "vocab": v}
+
+
+def unigram_lm_perplexity(df: DataFrame, lm: "dict | None" = None,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document unigram-LM perplexity — the CCNet quality signal:
+    ppl = exp(-mean token log-probability). Low ppl ⇒ the doc looks like
+    the LM's training corpus; the standard training-data filter keeps the
+    low/middle tail and drops the high-ppl garbage.
+
+    ``lm=None`` self-scores: the MLE model is trained on ``df`` itself
+    (in-domain perplexity — no OOV by construction). Pass a
+    ``train_unigram_lm`` result to score a foreign corpus under a clean
+    reference model (the CCNet setup); unseen tokens take the model's
+    smoothed OOV mass.
+
+    Returns (id, n_tokens, log_ppl, ppl). Plan: one explode, one join of
+    the token stream against the vocab-sized model (AQE broadcasts it
+    when it fits; OOV via left join + coalesce so no token is dropped),
+    one per-doc aggregation — two shuffles total at any corpus size, all
+    codegen."""
+    toks = df.select(F.col(id_col).alias("_id"),
+                     F.explode(tokens_col(F.col(text_col))).alias("term"))
+    if lm is None:
+        lm = train_unigram_lm(df, text_col=text_col, smoothing=None)
+    probs = lm["probs"]
+    if lm.get("oov_logp") is None:
+        joined = toks.join(probs, "term")
+    else:
+        joined = toks.join(probs, "term", "left").withColumn(
+            "logp", F.coalesce(F.col("logp"), F.lit(float(lm["oov_logp"]))))
+    agg = joined.groupBy("_id").agg(
+        F.count("*").alias("n_tokens"), F.avg("logp").alias("_mlp"))
+    return agg.select(F.col("_id").alias(id_col), "n_tokens",
+                      (-F.col("_mlp")).alias("log_ppl"),
+                      F.exp(-F.col("_mlp")).alias("ppl"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text — the exact-dedup key at corpus scale."""

@@ -201,3 +201,38 @@ def test_dedup_against(spark):
         "doc_id long, text string")
     kept = {r["doc_id"] for r in dedup_against(new, ref).collect()}
     assert kept == {1, 3}  # normalization folds case/whitespace
+
+
+def test_unigram_ppl_self(spark):
+    """Self-scored MLE perplexity: a doc made of the corpus's most common
+    token scores lower ppl than one of rare tokens; a uniform corpus has
+    ppl == vocab size for every doc."""
+    import math
+    from searchengine_spark.functions.text import unigram_lm_perplexity
+    rows = [(0, "the the the the"), (1, "the the zebra"), (2, "qux zebra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_lm_perplexity(df).collect()}
+    assert got[0]["n_tokens"] == 4
+    assert got[0]["ppl"] < got[1]["ppl"] < got[2]["ppl"]
+    # exact check: P(the)=6/9, P(zebra)=2/9, P(qux)=1/9
+    exp2 = math.exp(-(math.log(1 / 9) + math.log(2 / 9)) / 2)
+    assert abs(got[2]["ppl"] - exp2) < 1e-9
+
+
+def test_unigram_ppl_cross_corpus_oov(spark):
+    """Laplace model trained on one corpus scores a foreign doc: OOV
+    tokens take the 1/(N+V) mass; a fully-OOV doc has ppl == N+V."""
+    from searchengine_spark.functions.text import (train_unigram_lm,
+                                                   unigram_lm_perplexity)
+    train = spark.createDataFrame(
+        [(0, "alpha beta alpha")], "doc_id long, text string")
+    lm = train_unigram_lm(train)          # N=3, V=2
+    assert lm["n_tokens"] == 3 and lm["vocab"] == 2
+    test = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "zzz yyy xxx")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           unigram_lm_perplexity(test, lm=lm).collect()}
+    # doc 1 is all-OOV: every token logp = ln(1/5) → ppl = 5
+    assert abs(got[1]["ppl"] - 5.0) < 1e-9
+    # doc 0: P(alpha)=(2+1)/5, P(beta)=(1+1)/5 — better than OOV
+    assert got[0]["ppl"] < got[1]["ppl"]
