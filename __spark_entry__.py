@@ -1438,6 +1438,24 @@ def _q_text_quality(spark, sf_dir):
     return quality_metrics(_docs(spark, sf_dir))
 
 
+def _q_text_gopher(spark, sf_dir):
+    """Gopher/MassiveText document-quality rule battery: measured signals
+    (word count, mean word length, symbol/bullet/ellipsis/alpha
+    fractions, stop-word count) + the overall pass flag, published
+    thresholds."""
+    from searchengine_spark.functions.text import gopher_rules
+    out = gopher_rules(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", F.col("n_words").cast("long").alias("n_words"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("bullet_frac", 6).alias("bullet_frac"),
+        F.round("ellipsis_frac", 6).alias("ellipsis_frac"),
+        F.round("alpha_frac", 6).alias("alpha_frac"),
+        F.col("n_stop").cast("long").alias("n_stop"),
+        F.col("passes").cast("int").alias("passes"))
+
+
 def _q_text_unigram_ppl(spark, sf_dir):
     """CCNet-style quality signal: per-doc unigram-LM perplexity,
     self-scored (MLE model trained on the corpus itself — the in-domain
@@ -1919,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _q_text_pii_scrub,
         "text_clean_lines": _q_text_clean_lines,
         "text_repetition": _q_text_repetition,
+        "text_gopher": _q_text_gopher,
         "text_unigram_ppl": _q_text_unigram_ppl,
         "text_unigram_xppl": _q_text_unigram_xppl,
         "text_fingerprint": _q_text_fingerprint,
@@ -3304,6 +3323,55 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
                    coalesce(bt.top_bigram_frac, 0.0) as top_bigram_frac
             from s left join lf using (doc_id)
                    left join bt using (doc_id)""",
+        "text_gopher": r"""
+            with w as (
+              select doc_id, text,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') as words,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                l -> trim(l)),
+                                 l -> l <> '') as lines,
+                     list_distinct(list_filter(string_split_regex(
+                         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                         ' +'), x -> x <> '')) as toks
+              from documents),
+            m as (
+              select doc_id,
+                cast(len(words) as bigint) as n_words,
+                list_sum(list_transform(words, x -> len(x))) * 1.0
+                  / greatest(len(words), 1) as mean_word_len,
+                ((len(text) - len(replace(text, '#', '')))
+                 + (len(text) - len(replace(text, '...', ''))) // 3
+                 + (len(text) - len(replace(text, '…', '')))) * 1.0
+                  / greatest(len(words), 1) as symbol_ratio,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '^[-*•‣◦]'))) * 1.0
+                  / greatest(len(lines), 1) as bullet_frac,
+                len(list_filter(lines,
+                    l -> regexp_matches(l, '(\.\.\.|…)$'))) * 1.0
+                  / greatest(len(lines), 1) as ellipsis_frac,
+                len(list_filter(words,
+                    x -> regexp_matches(x, '[A-Za-zА-Яа-я]'))) * 1.0
+                  / greatest(len(words), 1) as alpha_frac,
+                cast(len(list_intersect(toks,
+                    ['the','be','to','of','and','that','have','with']))
+                  as bigint) as n_stop
+              from w)
+            select doc_id, n_words,
+                   round(mean_word_len, 6) as mean_word_len,
+                   round(symbol_ratio, 6) as symbol_ratio,
+                   round(bullet_frac, 6) as bullet_frac,
+                   round(ellipsis_frac, 6) as ellipsis_frac,
+                   round(alpha_frac, 6) as alpha_frac,
+                   n_stop,
+                   cast(n_words between 50 and 100000
+                        and mean_word_len between 3.0 and 10.0
+                        and symbol_ratio < 0.1
+                        and bullet_frac < 0.9
+                        and ellipsis_frac < 0.3
+                        and alpha_frac >= 0.8
+                        and n_stop >= 2 as int) as passes
+            from m""",
         "text_unigram_ppl": f"""
             with toks as ({_TOKS}),
             cnt as (select term, count(*) as c from toks group by term),

@@ -224,6 +224,90 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
                      top_frac.alias("top_bigram_frac"))
 
 
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8,
+                 min_stops: int = 2) -> DataFrame:
+    """The Gopher/MassiveText document-quality rule battery (the named
+    filter set large-scale text pipelines run first; defaults are the
+    published thresholds): word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio (# and ellipsis), bullet-started and
+    ellipsis-ended line fractions, alphabetic-word fraction, and a
+    required-stop-word count. Complements ``repetition_metrics`` (the
+    repetition half of the same paper's rules) and ``clean_lines`` (the
+    C4 line-level battery).
+
+    Returns one row per doc with every measured signal plus per-rule
+    booleans and an overall ``passes`` — keep the signals rather than
+    filtering in place so a pipeline can tune thresholds without
+    re-scanning the corpus. Pure codegen (split/filter/aggregate on
+    arrays; no UDF, no shuffle — one projection over the corpus scan)."""
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    mean_len = (F.aggregate(words, F.lit(0).cast("long"),
+                            lambda acc, w: acc + F.length(w)).cast("double")
+                / F.greatest(n_words, F.lit(1)).cast("double"))
+    # symbols: '#' occurrences + '...'/'…' occurrences, per word
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ell = ((F.length(text)
+              - F.length(F.regexp_replace(text, r"\.\.\.", "")))
+             / F.lit(3)).cast("long") \
+        + (F.length(text) - F.length(F.regexp_replace(text, "…", "")))
+    symbol_ratio = ((n_hash + n_ell).cast("double")
+                    / F.greatest(n_words, F.lit(1)).cast("double"))
+    lines = F.filter(F.transform(F.split(text, "\n"),
+                                 lambda l: F.trim(l)),
+                     lambda l: l != F.lit(""))
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (F.size(F.filter(lines,
+                                   lambda l: l.rlike(r"^[-*•‣◦]")))
+                   .cast("double") / n_lines)
+    ellipsis_frac = (F.size(F.filter(lines,
+                                     lambda l: l.rlike(r"(\.\.\.|…)$")))
+                     .cast("double") / n_lines)
+    alpha_frac = (F.size(F.filter(words, lambda w: w.rlike("[A-Za-zА-Яа-я]")))
+                  .cast("double") / F.greatest(n_words, F.lit(1)).cast("double"))
+    lower_toks = tokens_col(text)
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(lower_toks),
+        F.array(*[F.lit(s) for s in GOPHER_STOPS])))
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stop"))
+    rules = {
+        "ok_words": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_len": (F.col("mean_word_len") >= min_mean_len)
+        & (F.col("mean_word_len") <= max_mean_len),
+        "ok_symbols": F.col("symbol_ratio") < max_symbol_ratio,
+        "ok_bullets": F.col("bullet_frac") < max_bullet_frac,
+        "ok_ellipsis": F.col("ellipsis_frac") < max_ellipsis_frac,
+        "ok_alpha": F.col("alpha_frac") >= min_alpha_frac,
+        "ok_stops": F.col("n_stop") >= min_stops,
+    }
+    for name, pred in rules.items():
+        out = out.withColumn(name, pred)
+    passes = None
+    for name in rules:
+        passes = F.col(name) if passes is None else (passes & F.col(name))
+    return out.withColumn("passes", passes)
+
+
 def train_unigram_lm(df: DataFrame, text_col: str = "text",
                      smoothing: str = "laplace") -> dict:
     """Train a unigram language model over a corpus — the model half of

@@ -236,3 +236,30 @@ def test_unigram_ppl_cross_corpus_oov(spark):
     assert abs(got[1]["ppl"] - 5.0) < 1e-9
     # doc 0: P(alpha)=(2+1)/5, P(beta)=(1+1)/5 — better than OOV
     assert got[0]["ppl"] < got[1]["ppl"]
+
+
+def test_gopher_rules(spark):
+    """Published-threshold rule battery: targeted failures per rule."""
+    from searchengine_spark.functions.text import gopher_rules
+    good = ("the quick brown fox jumps with energy and grace of a creature "
+            "that seems to have wings over the lazy dog near the old barn "
+            "while the wind blows softly through the tall green trees and "
+            "the river runs past the stones with a gentle sound that every "
+            "visitor remembers fondly for many long years afterwards") * 1
+    rows = [
+        (0, good),                                     # passes all
+        (1, "# " * 60 + "the of and"),                 # symbol ratio
+        (2, "\n".join("- item %d" % i for i in range(20))),   # bullets
+        (3, "\n".join("trailing off..." for _ in range(10))), # ellipsis
+        (4, " ".join(str(i) for i in range(80))),      # alpha fraction
+        (5, "word " * 60),                             # stop words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert got[0]["passes"]
+    assert not got[1]["ok_symbols"]
+    assert not got[2]["ok_bullets"] and got[2]["bullet_frac"] == 1.0
+    assert not got[3]["ok_ellipsis"] and got[3]["ellipsis_frac"] == 1.0
+    assert not got[4]["ok_alpha"] and got[4]["alpha_frac"] == 0.0
+    assert not got[5]["ok_stops"] and got[5]["n_stop"] == 0
+    assert all(not got[i]["passes"] for i in range(1, 6))
