@@ -1687,6 +1687,42 @@ def _q_sim_lsh_topk(spark, sf_dir):
                       ANN_RECALL_FLOOR_LSH)
 
 
+SEMDEDUP_RECALL_FLOOR = 0.35  # within-cluster pair recall vs exact all-pairs
+# (measured 0.46 at sf0.01 / 0.53 at sf0.001 with n_clusters=4, seed 42; the
+# synthetic embedding space has no pairs above cos 0.5, so 0.35 is the one
+# regime with ground-truth pairs)
+
+
+def _q_sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup quantitative gate: cluster → within-cluster exact pairs →
+    components → keep-canonical. Checks, each pinned at 1.0 by the
+    oracle: cluster pairs ⊆ exact all-pairs (within-cluster cosines are
+    exact, so precision is 1 BY CONSTRUCTION — violated only by a bug),
+    kept + victims exactly partition the corpus, no two kept docs form a
+    ≥-threshold within-cluster pair (component canonicals are unique),
+    and pair recall vs the exact truth ≥ the calibrated floor (the
+    clustering is the only approximation)."""
+    from searchengine_spark.functions.similarity import (
+        cosine_neardup_pairs, semantic_dedup)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    r = semantic_dedup(emb, 64, threshold=0.35, n_clusters=4)
+    exact = {(x["id_a"], x["id_b"])
+             for x in cosine_neardup_pairs(emb, threshold=0.35).collect()}
+    cp = {(x["id_a"], x["id_b"]) for x in r["pairs"].collect()}
+    kept = {x["vec_id"] for x in r["kept"].select("vec_id").collect()}
+    victims = {x["id"] for x in
+               r["components"].filter(F.col("id") != F.col("rep")).collect()}
+    recall = len(cp & exact) / max(len(exact), 1)
+    clash = sum(1 for a, b in cp if a in kept and b in kept)
+    return _gate_df(spark, [
+        ("pairs_subset_of_exact", 1.0 if cp <= exact else 0.0),
+        ("partition_exact", 1.0 if len(kept) + len(victims) == n else 0.0),
+        ("no_kept_neardup_pair", 1.0 if clash == 0 else 0.0),
+        ("recall_ok", 1.0 if recall >= SEMDEDUP_RECALL_FLOOR else 0.0),
+    ])
+
+
 def _q_sim_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact all-pairs on a vec_id<300 slice)."""
     from searchengine_spark.functions.similarity import cosine_neardup_pairs
@@ -1926,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_ivfpq_topk": _q_sim_ivfpq_topk,
         "sim_neardup_pairs": _q_sim_neardup,
+        "sim_semantic_dedup": _q_sim_semantic_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_keep_one": _q_dedup_keep_one,
         "q_time_travel": _q_time_travel,
@@ -3526,6 +3563,11 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
                    cast(least({K}, (select count(*) from embeddings)) as double)
                    as value
             union all select 'self_hit', 1.0
+            union all select 'recall_ok', 1.0""",
+        "sim_semantic_dedup": """
+            select 'pairs_subset_of_exact' as metric, 1.0 as value
+            union all select 'partition_exact', 1.0
+            union all select 'no_kept_neardup_pair', 1.0
             union all select 'recall_ok', 1.0""",
         "sim_ivfpq_topk": f"""
             select 'n_returned' as metric,

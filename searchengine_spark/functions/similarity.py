@@ -274,6 +274,55 @@ def kmeans_centroids(df: DataFrame, dim: int, n_centroids: int = 16,
     return cents
 
 
+def semantic_dedup(df: DataFrame, dim: int, threshold: float = 0.95,
+                   n_clusters: int = 16, iters: int = 2,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   seed: int = 42) -> dict:
+    """SemDeDup — semantic deduplication over an embedding column (the
+    Abbas et al. 2023 recipe every large training-data pipeline runs):
+    cluster the embeddings with seeded spherical k-means, compare vectors
+    ONLY within their cluster (exact cosine — the approximation is the
+    clustering, never the similarity), connect the ≥-threshold pairs into
+    components, and keep one canonical doc (smallest id) per component.
+
+    The cluster partition is what makes this 100 TB-safe: the quadratic
+    pair comparison is confined to each cluster (n_clusters ≈ √n keeps the
+    per-cluster work flat as the corpus grows), the self-join co-locates
+    on the cluster id so no vector pair ever crosses partitions, and the
+    k-means step is the persisted-IVF machinery (`kmeans_centroids`:
+    sample init + distributed Lloyd steps, centroid updates reduce
+    (n_clusters × dim) rows to the driver regardless of corpus size).
+
+    Returns {"kept": deduped full rows, "pairs": within-cluster
+    (id_a, id_b, cos) near-dup pairs, "components": (id, rep),
+    "assignments": (id, cluster)}. Deterministic for fixed (seed, corpus):
+    the canonical survivor is the component's smallest id."""
+    from searchengine_spark.functions.dedup import (connected_components,
+                                                    dedup_keep_canonical)
+    cents = kmeans_centroids(df, dim, n_centroids=n_clusters, iters=iters,
+                             vec_col=vec_col, id_col=id_col, seed=seed)
+    assign = _assign_udf(cents)
+    dfa = df.withColumn("_cluster", assign(F.col(vec_col)))
+    dfa = dfa.localCheckpoint(eager=False)  # assignments reused 3× below
+    a = dfa.select(F.col("_cluster").alias("_c"),
+                   F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = dfa.select(F.col("_cluster").alias("_c"),
+                   F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    va = F.transform(F.col("_va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("_vb"), lambda x: x.cast("double"))
+    cos = _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+    pairs = (a.join(b, "_c")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", F.round(cos, 6))
+             .filter(F.col("cos") >= threshold)
+             .select("id_a", "id_b", "cos"))
+    comps = connected_components(pairs)
+    kept = dedup_keep_canonical(dfa.drop("_cluster"), comps, id_col=id_col)
+    return {"kept": kept, "pairs": pairs, "components": comps,
+            "assignments": dfa.select(F.col(id_col).alias("id"),
+                                      F.col("_cluster").alias("cluster"))}
+
+
 def _assign_udf(cents: np.ndarray):
     @F.pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:

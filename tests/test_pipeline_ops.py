@@ -263,3 +263,31 @@ def test_gopher_rules(spark):
     assert not got[4]["ok_alpha"] and got[4]["alpha_frac"] == 0.0
     assert not got[5]["ok_stops"] and got[5]["n_stop"] == 0
     assert all(not got[i]["passes"] for i in range(1, 6))
+
+
+def test_semantic_dedup_constructed(spark):
+    """Two tight duplicate groups + singletons: the groups collapse to
+    their smallest id, singletons survive, pairs stay within clusters."""
+    import numpy as np
+    from searchengine_spark.functions.similarity import semantic_dedup
+    rng = np.random.RandomState(7)
+    base_a = rng.randn(16); base_b = rng.randn(16)
+    rows = []
+    for i in range(3):        # group A: ids 0-2, near-identical
+        rows.append((i, (base_a + 0.01 * rng.randn(16)).tolist()))
+    for i in range(3, 5):     # group B: ids 3-4
+        rows.append((i, (base_b + 0.01 * rng.randn(16)).tolist()))
+    for i in range(5, 10):    # singletons: random directions
+        rows.append((i, rng.randn(16).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = semantic_dedup(df, 16, threshold=0.95, n_clusters=2, iters=2)
+    kept = sorted(x["vec_id"] for x in r["kept"].select("vec_id").collect())
+    comps = {x["id"]: x["rep"] for x in r["components"].collect()}
+    assert set(comps) == {0, 1, 2, 3, 4}
+    assert comps[0] == comps[1] == comps[2] == 0
+    assert comps[3] == comps[4] == 3
+    assert kept == [0, 3, 5, 6, 7, 8, 9]
+    # every emitted pair is >= threshold and intra-group
+    for p in r["pairs"].collect():
+        assert p["cos"] >= 0.95
+        assert (p["id_a"] < 3) == (p["id_b"] < 3)
