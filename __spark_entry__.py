@@ -1438,6 +1438,14 @@ def _q_text_quality(spark, sf_dir):
     return quality_metrics(_docs(spark, sf_dir))
 
 
+def _q_text_chunks(spark, sf_dir):
+    """Docs→passages chunking: 40-token windows overlapping by 10 — the
+    pre-index/pre-embed split every passage-retrieval pipeline runs. The
+    value hash covers every chunk's full text."""
+    from searchengine_spark.functions.text import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=40, overlap=10)
+
+
 def _q_text_gopher(spark, sf_dir):
     """Gopher/MassiveText document-quality rule battery: measured signals
     (word count, mean word length, symbol/bullet/ellipsis/alpha
@@ -1974,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": _q_text_pii_scrub,
         "text_clean_lines": _q_text_clean_lines,
         "text_repetition": _q_text_repetition,
+        "text_chunks": _q_text_chunks,
         "text_gopher": _q_text_gopher,
         "text_unigram_ppl": _q_text_unigram_ppl,
         "text_unigram_xppl": _q_text_unigram_xppl,
@@ -3360,6 +3369,25 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
                    coalesce(bt.top_bigram_frac, 0.0) as top_bigram_frac
             from s left join lf using (doc_id)
                    left join bt using (doc_id)""",
+        "text_chunks": r"""
+            with w as (
+              select doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') as words
+              from documents),
+            c as (select doc_id, words,
+                         greatest(cast(ceil((len(words) - 10) * 1.0 / 30)
+                                       as bigint), 1) as nc
+                  from w where len(words) > 0),
+            e as (select doc_id, words,
+                         unnest(range(nc)) as ci
+                  from c)
+            select doc_id, cast(ci as int) as chunk_idx,
+                   cast(len(words[ci * 30 + 1 : ci * 30 + 40]) as int)
+                       as n_tokens,
+                   array_to_string(words[ci * 30 + 1 : ci * 30 + 40], ' ')
+                       as text
+            from e""",
         "text_gopher": r"""
             with w as (
               select doc_id, text,

@@ -224,6 +224,45 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
                      top_frac.alias("top_bigram_frac"))
 
 
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 32, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token-window passages — the
+    docs→passages operator every passage-retrieval / RAG / context-window
+    pipeline runs before indexing or embedding. Windows slide by
+    ``chunk_tokens - overlap`` whitespace tokens; the final window covers
+    the tail (it may be shorter, it is never empty), docs with at most
+    ``chunk_tokens`` tokens yield exactly one chunk, and empty docs yield
+    none. Chunk text preserves the original casing/punctuation (tokens
+    split on whitespace only) so passages remain real text.
+
+    Returns (id, chunk_idx, n_tokens, text) with (id, chunk_idx) as the
+    stable passage key — feed it straight to ``build_index`` (conv_id =
+    doc key, turn_idx = chunk_idx) or an embedding stage. Pure codegen:
+    one split + one explode over a driver-computed arithmetic chunk
+    count; no UDF, no shuffle — chunking is a projection, parallel over
+    whatever partitioning the corpus scan has."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.filter(F.split(F.col(text_col), r"\s+"),
+                     lambda w: w != F.lit(""))
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)),
+        F.lit(1)).cast("int")
+    base = df.select(F.col(id_col), words.alias("_w"), n.alias("_n"),
+                     n_chunks.alias("_nc")).filter(F.col("_n") > 0)
+    ci = F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_idx")
+    out = base.select(F.col(id_col), ci, "_w")
+    piece = F.slice(F.col("_w"), F.col("chunk_idx") * stride + 1,
+                    chunk_tokens)
+    return out.select(
+        F.col(id_col), F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("text"))
+
+
 GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 

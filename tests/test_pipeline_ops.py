@@ -291,3 +291,33 @@ def test_semantic_dedup_constructed(spark):
     for p in r["pairs"].collect():
         assert p["cos"] >= 0.95
         assert (p["id_a"] < 3) == (p["id_b"] < 3)
+
+
+def test_chunk_documents(spark):
+    """Window arithmetic: tail coverage, overlap, short docs, empty docs."""
+    from searchengine_spark.functions.text import chunk_documents
+    words120 = " ".join(f"w{i}" for i in range(120))
+    rows = [(0, words120),                  # 120 tokens → 4 chunks @ 40/10
+            (1, "short doc"),               # 1 chunk
+            (2, ""),                        # no chunks
+            (3, " ".join(f"x{i}" for i in range(40)))]  # exactly one window
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = chunk_documents(df, chunk_tokens=40, overlap=10)
+    by_doc = {}
+    for r in got.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["text"] == "short doc"
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 40
+    chunks = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
+    # ceil((120-10)/30) = 4 windows, strides of 30
+    assert [c["chunk_idx"] for c in chunks] == [0, 1, 2, 3]
+    assert chunks[0]["text"].startswith("w0 ") and chunks[0]["n_tokens"] == 40
+    assert chunks[1]["text"].startswith("w30 ")
+    assert chunks[3]["text"].endswith(" w119") and chunks[3]["n_tokens"] == 30
+    # overlap: last 10 tokens of chunk 0 == first 10 of chunk 1
+    assert chunks[0]["text"].split()[-10:] == chunks[1]["text"].split()[:10]
+    # full coverage: union of chunk tokens == the doc, in order per window
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=10, overlap=10)
