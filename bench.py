@@ -200,13 +200,16 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "q_span_topk", "q_percolate",
                  "q_collapse_topk", "q_grouped_topk",
                  "text_pii_scrub", "text_clean_lines", "text_repetition",
+                 "text_chunks", "text_gopher", "text_unigram_ppl",
+                 "q_select_all", "q_querylang_select",
                  "a3_statistics_per_collection",
                  "dedup_exact", "dedup_minhash_lsh",
                  "dedup_contamination", "dedup_cross_corpus",
                  "pipeline_stratified_sample", "pipeline_token_budget_mix",
                  "pipeline_pack_sequences",
                  "sim_cosine_topk", "q_hybrid_rrf", "q_hybrid_batched", "text_quality", "text_lang_id",
-                 "events_sessionize", "text_token_count_bpe", "sim_neardup_pairs"]
+                 "events_sessionize", "text_token_count_bpe", "sim_neardup_pairs",
+                 "sim_semantic_dedup"]
     qmap = E.queries()
 
     # dedup_minhash_lsh's driver entry is now a QUANTITATIVE GATE (candidate
@@ -217,8 +220,16 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
         d = E._docs(spark_, sf_dir_).filter(F.col("doc_id") < 200)
         return minhash_lsh_pairs(d, n_hashes=32, bands=8)
 
+    # sim_semantic_dedup's entry is likewise a gate (exact all-pairs
+    # verification); time the raw cluster→pairs→components→keep pipeline
+    def _semdedup_op(spark_, sf_dir_):
+        from searchengine_spark.functions.similarity import semantic_dedup
+        emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
+        return semantic_dedup(emb, 64, threshold=0.35, n_clusters=4)["kept"]
+
     bench_fns = dict(qmap)
     bench_fns["dedup_minhash_lsh"] = _minhash_op
+    bench_fns["sim_semantic_dedup"] = _semdedup_op
     for name in table_ops:
         t0 = time.time()
         df = bench_fns[name](spark, sf_dir)
