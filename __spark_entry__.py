@@ -173,6 +173,19 @@ def _q_explain_score(spark, sf_dir):
                        F.round("weight", 6).alias("weight"))
 
 
+def _a6_doc_term_weights(spark, sf_dir):
+    """Corpus-wide sparse BM25 document vectors (doc_term_weights): every
+    doc's (term, tf, weight) under the index's exact scoring formula —
+    the classical sparse-feature export; per-doc sums over a query's
+    terms reproduce search scores."""
+    from searchengine_spark.operators.search import doc_term_weights
+    index = _index_for(spark, sf_dir)
+    # dense doc_id == original doc_id under the zero-padded conv shaping
+    rows = doc_term_weights(index, as_terms=True)
+    return rows.select("doc_id", "term", "tf",
+                       F.round("weight", 6).alias("weight"))
+
+
 def _q_min_match(spark, sf_dir):
     """minimum-should-match: BM25 over the 3-term query keeping only docs
     matching >= 2 distinct terms — the OR/AND middle ground
@@ -1884,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_querylang_select": _q_querylang_select,
         "q_explain_score": _q_explain_score,
         "a5_term_vectors": _a5_term_vectors,
+        "a6_doc_term_weights": _a6_doc_term_weights,
         "q_significant_terms": _q_significant_terms,
         "q_facets": _q_facets,
         "q_facets_multi": _q_facets_multi,
@@ -2505,6 +2519,15 @@ select doc_id, cast(nt as bigint) as nt, round(s, 6) as score from scored""",
               group by tf.doc_id)
             select doc_id, round(s, 6) as score from scored
             order by round(s, 9) desc, doc_id asc limit {K}""",
+        "a6_doc_term_weights": f"""
+with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+stats as (select count(*) as n, avg(dl) as avgdl from dl)
+select tf.doc_id, tf.term, tf.tf,
+       round( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)), 6)
+           as weight
+from tf join dfv using (term) join dl using (doc_id) cross join stats""",
         "a5_term_vectors": f"""
 with tf as ({_TF}), dfv as ({_DF})
 select tf.doc_id, tf.term, tf.tf, dfv.df

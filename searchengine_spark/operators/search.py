@@ -1351,6 +1351,58 @@ def term_vectors(index: dict, doc_ids, include_df: bool = True) -> DataFrame:
     return tv.select("doc_id", "term", "tf").orderBy("doc_id", "term")
 
 
+def doc_term_weights(index: dict, doc_ids=None,
+                     as_terms: bool = False) -> DataFrame:
+    """Corpus-wide sparse BM25 document vectors — every doc's
+    (term_id, weight) rows under the index's exact scoring formula: the
+    classical-sparse-retrieval export (what a downstream recall model,
+    linear classifier, or hybrid-serving tier consumes as features).
+    ``explain_score`` is this restricted to one query's terms and k docs;
+    here the whole corpus exports in one pass. The per-doc weight sums
+    over any query's resolved terms reproduce ``search`` scores exactly
+    (same idf, same tf saturation, same operation order).
+
+    ``doc_ids`` (optional list) restricts the export; ``as_terms`` joins
+    the dictionary to emit the term STRING instead of term_id (one extra
+    vocab-sized join).
+
+    Plan: one re-analysis pass over the docs table (the analysis chain's
+    output IS what the postings hold — equality is the hash-green
+    ``t2_t5_tokenize_tf`` oracle's subject), one per-(doc, term) count
+    aggregation, one join against the vocab-sized dictionary for df, and
+    the weight in codegen. No posting decode, no per-row Python; at
+    10^12 turns this is a map-side-combined agg + one uniform-key join —
+    the same shape as the index build's own tf stage."""
+    from searchengine_spark.functions.analysis import analyze_col
+    stats = index["stats"]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    amode = index.get("mode", "general")
+    dic = index.get("dictionary", "fixture")
+    docs = index["docs"]
+    if doc_ids is not None:
+        ids = sorted({int(d) for d in doc_ids})
+        docs = docs.filter(F.col("doc_id").isin(ids))
+    toks = docs.select("doc_id",
+                       F.explode(analyze_col(F.col("text"), amode, dic))
+                       .alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.withColumn("dl", F.sum("tf").over(
+        Window.partitionBy("doc_id")))
+    terms = index["terms"].select("term", "term_id",
+                                  F.col("df").cast("long").alias("df"))
+    j = dl.join(terms, "term")
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    weight = (idf * (tfd * F.lit(K1 + 1.0))
+              / (tfd + F.lit(K1)
+                 * (F.lit(1.0 - B) + (F.lit(B) * dld) / F.lit(avgdl))))
+    key = F.col("term").alias("term") if as_terms \
+        else F.col("term_id").alias("term_id")
+    return j.select("doc_id", key, "tf", weight.alias("weight"))
+
+
 def rescore_search(index: dict, query: str, k: int = 10, n: int = 100,
                    window: int = 8, weight: float = 1.0,
                    scope=None, exclude: "str | None" = None,

@@ -71,3 +71,31 @@ def test_term_vectors_match_golden(index_general, golden_general):
     one = term_vectors(index_general, 5, include_df=False).collect()
     assert {(r["doc_id"], r["term"]): r["tf"] for r in one} == \
         {(5, t): tf for t, tf in golden_general.tf[5].items()}
+
+
+def test_doc_term_weights_reproduce_search(index_general):
+    """Corpus-wide sparse vectors: per-doc weight sums over the query's
+    resolved terms == search scores, bit-for-bit at 1e-9."""
+    from searchengine_spark.operators.search import doc_term_weights, search
+    from pyspark.sql import functions as F
+    q = "ошибка лес"
+    hits = {r["doc_id"]: r["score"]
+            for r in search(index_general, q, k=10).collect()}
+    terms = [r["term"] for r in
+             index_general["terms"].filter(
+                 F.col("term").isin(["ошибка", "лес"])).collect()]
+    assert terms
+    w = (doc_term_weights(index_general, as_terms=True)
+         .filter(F.col("term").isin(terms))
+         .groupBy("doc_id").agg(F.sum("weight").alias("s")).collect())
+    sums = {r["doc_id"]: r["s"] for r in w}
+    for did, score in hits.items():
+        assert abs(sums[did] - score) < 1e-9
+
+
+def test_doc_term_weights_restricted_and_ids(index_general):
+    from searchengine_spark.operators.search import doc_term_weights
+    rows = doc_term_weights(index_general, doc_ids=[3, 7]).collect()
+    assert rows and {r["doc_id"] for r in rows} <= {3, 7}
+    assert all(isinstance(r["term_id"], int) for r in rows)
+    assert all(r["weight"] > 0 for r in rows)
