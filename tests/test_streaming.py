@@ -217,3 +217,46 @@ def test_streaming_stats_windowed(spark, tmp_path_factory):
     assert got[("2026-01-01 00:00:00", "user")] == (1, 2)
     assert got[("2026-01-01 00:00:00", "assistant")] == (1, 4)
     assert got[("2026-01-01 00:01:00", "user")] == (2, 4)
+
+
+def test_stream_dedup_first_seen_wins(spark, tmp_path_factory):
+    """Cross-batch content dedup: a text seen in an earlier drop (or
+    earlier within the same batch) never reaches the output again;
+    whitespace/case variants count as the same content."""
+    from searchengine_spark.streaming.stream_dedup import (read_deduped,
+                                                           stream_dedup_turns)
+    src = str(tmp_path_factory.mktemp("dd_src"))
+    out = str(tmp_path_factory.mktemp("dd_out"))
+    ckpt = str(tmp_path_factory.mktemp("dd_ckpt"))
+    drop1 = [_row("c0", 0, "alpha beta"), _row("c0", 1, "alpha  BETA"),
+             _row("c1", 0, "gamma")]
+    drop2 = [_row("c2", 0, "alpha beta"), _row("c2", 1, "delta"),
+             _row("c2", 2, "gamma")]
+    _mk_df(spark, drop1).write.parquet(f"{src}/d1")
+    q = stream_dedup_turns(spark, f"{src}/*", out, ckpt)
+    q.awaitTermination(120)
+    _mk_df(spark, drop2).write.parquet(f"{src}/d2")
+    q = stream_dedup_turns(spark, f"{src}/*", out, ckpt)
+    q.awaitTermination(120)
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"]
+            for r in read_deduped(spark, out).collect()}
+    # within-batch: (c0,0) beats its case/whitespace variant (c0,1)
+    # cross-batch: drop2's "alpha beta" and "gamma" are dropped
+    assert rows == {("c0", 0): "alpha beta", ("c1", 0): "gamma",
+                    ("c2", 1): "delta"}
+
+
+def test_stream_dedup_replay_idempotent(spark, tmp_path_factory):
+    """A replayed batch (fresh checkpoint, same data) must not duplicate
+    output: batch-keyed overwrite + the committed-pointer skip."""
+    from searchengine_spark.streaming.stream_dedup import (
+        dedup_stream_batch, read_deduped)
+    out = str(tmp_path_factory.mktemp("dd_out2"))
+    batch = _mk_df(spark, [_row("c0", 0, "one"), _row("c1", 0, "two")])
+    apply = dedup_stream_batch(out)
+    apply(batch, 0)
+    apply(batch, 0)          # replay of a committed batch: no-op
+    assert read_deduped(spark, out).count() == 2
+    # a NEW batch with the same content is state-filtered
+    apply(_mk_df(spark, [_row("c9", 0, "one")]), 1)
+    assert read_deduped(spark, out).count() == 2
