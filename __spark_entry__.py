@@ -1459,6 +1459,22 @@ def _q_text_chunks(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=40, overlap=10)
 
 
+def _q_text_ngram_counts(spark, sf_dir):
+    """Corpus top-50 trigrams by occurrence count (boilerplate/template
+    mining staple): one explode + one hash agg + TakeOrderedAndProject."""
+    from searchengine_spark.functions.text import ngram_counts
+    return ngram_counts(_docs(spark, sf_dir), n=3, k=50, min_count=2)
+
+
+def _q_text_collocations(spark, sf_dir):
+    """PMI-scored bigram collocations (Church-Hanks phrase mining), count
+    floor 5, top-30 by PMI with 9-dp tie-breaks."""
+    from searchengine_spark.functions.text import collocations
+    rows = collocations(_docs(spark, sf_dir), k=30, min_count=5)
+    return rows.select("w1", "w2", "n_ab",
+                       F.round("pmi", 6).alias("pmi"))
+
+
 def _q_text_gopher(spark, sf_dir):
     """Gopher/MassiveText document-quality rule battery: measured signals
     (word count, mean word length, symbol/bullet/ellipsis/alpha
@@ -1997,6 +2013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean_lines": _q_text_clean_lines,
         "text_repetition": _q_text_repetition,
         "text_chunks": _q_text_chunks,
+        "text_ngram_counts": _q_text_ngram_counts,
+        "text_collocations": _q_text_collocations,
         "text_gopher": _q_text_gopher,
         "text_unigram_ppl": _q_text_unigram_ppl,
         "text_unigram_xppl": _q_text_unigram_xppl,
@@ -3411,6 +3429,48 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
                    array_to_string(words[ci * 30 + 1 : ci * 30 + 40], ' ')
                        as text
             from e""",
+        "text_ngram_counts": r"""
+            with toks as (
+              select doc_id, list_filter(string_split_regex(
+                regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                x -> x <> '') as t
+              from documents),
+            g as (select unnest([array_to_string(t[i:i+2], ' ')
+                                 for i in range(1, len(t) - 1)]) as ngram
+                  from toks where len(t) >= 3),
+            c as (select ngram, count(*) as n_occurrences from g
+                  group by ngram)
+            select ngram, cast(n_occurrences as bigint) as n_occurrences
+            from c where n_occurrences >= 2
+            order by n_occurrences desc, ngram asc limit 50""",
+        "text_collocations": f"""
+            with tk as (
+              select doc_id, list_filter(string_split_regex(
+                regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+                x -> x <> '') as t
+              from documents),
+            bg as (select unnest([t[i] || ' ' || t[i+1]
+                                  for i in range(1, len(t))]) as bg
+                   from tk where len(t) >= 2),
+            bi as (select string_split(bg, ' ')[1] as w1,
+                          string_split(bg, ' ')[2] as w2,
+                          count(*) as n_ab
+                   from bg group by 1, 2),
+            nbi as (select sum(n_ab) * 1.0 as n_bi from bi),
+            uni as (select term as w, count(*) as c from ({_TOKS})
+                    group by term),
+            ntok as (select sum(c) * 1.0 as n_tok from uni),
+            j as (select bi.w1, bi.w2, bi.n_ab,
+                         ln((bi.n_ab * 1.0 / nbi.n_bi)
+                            / ((ua.c * 1.0 / ntok.n_tok)
+                               * (ub.c * 1.0 / ntok.n_tok))) as pmi
+                  from bi join uni ua on ua.w = bi.w1
+                          join uni ub on ub.w = bi.w2
+                  cross join nbi cross join ntok
+                  where bi.n_ab >= 5)
+            select w1, w2, cast(n_ab as bigint) as n_ab,
+                   round(pmi, 6) as pmi
+            from j order by round(pmi, 9) desc, w1, w2 limit 30""",
         "text_gopher": r"""
             with w as (
               select doc_id, text,

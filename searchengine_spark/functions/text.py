@@ -224,6 +224,86 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
                      top_frac.alias("top_bigram_frac"))
 
 
+def _ngrams_col(text: Column, n: int) -> Column:
+    """Word n-gram OCCURRENCES (non-distinct — dedup's ``shingles_col``
+    is the distinct-per-doc variant). Same zip_with-of-shifted-views
+    construction: lambdas touch scalar elements only, so the tokenizer
+    runs O(n) times per row, never per n-gram index."""
+    toks = tokens_col(text)
+    acc = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1)))
+        acc = F.zip_with(acc, shifted, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.filter(acc, lambda s: s.isNotNull())
+
+
+def ngram_counts(df: DataFrame, n: int = 2, k: int = 100,
+                 min_count: int = 2, text_col: str = "text") -> DataFrame:
+    """Top-k corpus n-grams by occurrence count — the corpus-statistics
+    staple behind boilerplate detection ("most common 10-grams ARE the
+    boilerplate"), template mining, and tokenizer/vocab analysis.
+    Returns (ngram, n_occurrences) ordered by count desc, ngram asc.
+
+    Plan: one explode + one partial+final hash aggregation over the
+    corpus, count floor, then TakeOrderedAndProject for the top-k — the
+    same shape as the index build's df stage; no shuffle beyond the one
+    aggregation."""
+    grams = df.select(F.explode(_ngrams_col(F.col(text_col), n))
+                      .alias("ngram"))
+    cnt = grams.groupBy("ngram").agg(F.count("*").alias("n_occurrences"))
+    return (cnt.filter(F.col("n_occurrences") >= min_count)
+            .orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+            .limit(k))
+
+
+def collocations(df: DataFrame, k: int = 50, min_count: int = 5,
+                 text_col: str = "text") -> DataFrame:
+    """PMI-scored bigram collocations — classical phrase mining (Church &
+    Hanks pointwise mutual information): bigrams whose observed frequency
+    most exceeds what their words' independent frequencies predict are
+    multi-word units ("new york", "lock contention"), the candidates for
+    phrase-aware tokenization and query suggestion.
+
+    PMI = ln( P(ab) / (P(a)·P(b)) ) with P from corpus counts; the
+    ``min_count`` floor removes the low-count PMI explosion (a hapax pair
+    of two hapax words maxes PMI — noise, not signal). Returns
+    (w1, w2, n_ab, pmi) ordered by pmi desc (9-dp tie-break), words asc.
+
+    Plan: one explode for unigram counts, one for bigram pairs, each a
+    partial+final hash agg; two vocab-sized joins to attach word counts;
+    the corpus totals reduce via two 1-row aggregates cross-joined
+    (broadcast) — never a global window. Top-k is
+    TakeOrderedAndProject."""
+    toks = df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    n_tok = uni.agg(F.sum("c").cast("double").alias("n_tok"))
+    pairs_col = F.zip_with(
+        tokens_col(F.col(text_col)),
+        F.slice(tokens_col(F.col(text_col)), 2,
+                F.greatest(F.size(tokens_col(F.col(text_col))) - 1,
+                           F.lit(1))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")))
+    bi_all = (df.select(F.explode(pairs_col).alias("p"))
+              .select("p.w1", "p.w2").filter(F.col("w2").isNotNull())
+              .groupBy("w1", "w2").agg(F.count("*").alias("n_ab")))
+    # P(ab) denominates over ALL corpus bigrams; the floor only gates
+    # which pairs are reported
+    n_bi = bi_all.agg(F.sum("n_ab").cast("double").alias("n_bi"))
+    bi = bi_all.filter(F.col("n_ab") >= min_count)
+    j = (bi.join(uni.select(F.col("w").alias("w1"),
+                            F.col("c").alias("c1")), "w1")
+         .join(uni.select(F.col("w").alias("w2"),
+                          F.col("c").alias("c2")), "w2")
+         .crossJoin(F.broadcast(n_bi)).crossJoin(F.broadcast(n_tok)))
+    pmi = F.log((F.col("n_ab") / F.col("n_bi"))
+                / ((F.col("c1") / F.col("n_tok"))
+                   * (F.col("c2") / F.col("n_tok"))))
+    return (j.select("w1", "w2", "n_ab", pmi.alias("pmi"))
+            .orderBy(F.round(F.col("pmi"), 9).desc(),
+                     F.col("w1").asc(), F.col("w2").asc())
+            .limit(k))
+
+
 def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
                     overlap: int = 32, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:

@@ -321,3 +321,28 @@ def test_chunk_documents(spark):
     import pytest
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_ngram_counts(spark):
+    import math
+    from searchengine_spark.functions.text import collocations, ngram_counts
+    rows = [(0, "a b c a b"), (1, "a b x"), (2, "zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["ngram"]: r["n_occurrences"]
+           for r in ngram_counts(df, n=2, k=10, min_count=1).collect()}
+    # doc0 bigrams: "a b","b c","c a","a b"; doc1: "a b","b x"; doc2: none
+    assert got == {"a b": 3, "b c": 1, "c a": 1, "b x": 1}
+    # collocations: PMI of the always-together pair beats the promiscuous one
+    rows2 = [(0, "new york is big"), (1, "new york was new"),
+             (2, "the big apple is big"), (3, "new york")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    cols = {(r["w1"], r["w2"]): r for r in
+            collocations(df2, k=5, min_count=2).collect()}
+    assert set(cols) == {("new", "york"), ("is", "big")}
+    ny = cols[("new", "york")]
+    assert ny["n_ab"] == 3
+    # hand-check PMI: P(ab)=3/11 bigrams, P(new)=4/15, P(york)=3/15 tokens
+    want = math.log((3 / 11) / ((4 / 15) * (3 / 15)))
+    assert abs(ny["pmi"] - want) < 1e-9
+    # "is big": 2/11 vs (2/15)(3/15) → higher PMI than "new york"
+    assert cols[("is", "big")]["pmi"] > ny["pmi"]
