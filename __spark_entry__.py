@@ -1459,6 +1459,26 @@ def _q_text_chunks(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=40, overlap=10)
 
 
+def _q_text_hot_lines(spark, sf_dir):
+    """Corpus-level line dedup (drop_hot_lines): synthetic boilerplate
+    appended per doc — a footer in EVERY doc (hot), one in every 7th
+    (hot), one in every 100th (below the floor, kept) — then lines in
+    more than 10 distinct docs are dropped and docs reassembled. The
+    value hash covers every reassembled doc string."""
+    from searchengine_spark.functions.text import drop_hot_lines
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.concat(F.regexp_replace(F.col("text"), " batch ", ".\n"),
+                 F.lit("\nsubscribe to our newsletter today"),
+                 F.when(F.col("doc_id") % 7 == 0,
+                        F.lit("\nfollow us for updates now"))
+                 .otherwise(F.lit("")),
+                 F.when(F.col("doc_id") % 100 == 0,
+                        F.lit("\nrare footer line here"))
+                 .otherwise(F.lit(""))))
+    return drop_hot_lines(docs, max_docs=10)
+
+
 def _q_text_ngram_counts(spark, sf_dir):
     """Corpus top-50 trigrams by occurrence count (boilerplate/template
     mining staple): one explode + one hash agg + TakeOrderedAndProject."""
@@ -2013,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean_lines": _q_text_clean_lines,
         "text_repetition": _q_text_repetition,
         "text_chunks": _q_text_chunks,
+        "text_hot_lines": _q_text_hot_lines,
         "text_ngram_counts": _q_text_ngram_counts,
         "text_collocations": _q_text_collocations,
         "text_gopher": _q_text_gopher,
@@ -3429,6 +3450,41 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
                    array_to_string(words[ci * 30 + 1 : ci * 30 + 40], ' ')
                        as text
             from e""",
+        "text_hot_lines": r"""
+            with s as (
+              select doc_id,
+                     replace(text, ' batch ', '.' || chr(10))
+                     || chr(10) || 'subscribe to our newsletter today'
+                     || (case when doc_id % 7 = 0
+                         then chr(10) || 'follow us for updates now'
+                         else '' end)
+                     || (case when doc_id % 100 = 0
+                         then chr(10) || 'rare footer line here'
+                         else '' end) as t
+              from documents),
+            ln as (select doc_id,
+                          unnest(string_split(t, chr(10))) as line,
+                          unnest(range(len(string_split(t, chr(10)))))
+                              as ord
+                   from s),
+            cl as (select *,
+                          len(list_filter(string_split_regex(trim(line),
+                              '\s+'), x -> x <> '')) >= 3 as countable
+                   from ln),
+            hot as (select line from cl where countable
+                    group by line having count(distinct doc_id) > 10),
+            kept as (select * from cl
+                     where not (countable
+                                and line in (select line from hot))),
+            tot as (select doc_id, count(*) as n_lines from cl
+                    group by doc_id),
+            agg as (select doc_id,
+                           string_agg(line, chr(10) order by ord) as text,
+                           count(*) as n_kept
+                    from kept group by doc_id)
+            select a.doc_id, a.text,
+                   cast(t.n_lines - a.n_kept as int) as n_dropped
+            from agg a join tot t using (doc_id)""",
         "text_ngram_counts": r"""
             with toks as (
               select doc_id, list_filter(string_split_regex(

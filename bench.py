@@ -201,7 +201,7 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "q_collapse_topk", "q_grouped_topk",
                  "text_pii_scrub", "text_clean_lines", "text_repetition",
                  "text_chunks", "text_gopher", "text_unigram_ppl",
-                 "text_ngram_counts", "text_collocations",
+                 "text_ngram_counts", "text_collocations", "text_hot_lines",
                  "q_select_all", "q_querylang_select", "a6_doc_term_weights",
                  "a3_statistics_per_collection",
                  "dedup_exact", "dedup_minhash_lsh",

@@ -224,7 +224,55 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
                      top_frac.alias("top_bigram_frac"))
 
 
-def _ngrams_col(text: Column, n: int) -> Column:
+def drop_hot_lines(df: DataFrame, max_docs: int = 10,
+                   min_words: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """CORPUS-level line deduplication — the cross-document boilerplate
+    killer (headers, footers, cookie banners, license blurbs appear
+    verbatim in thousands of docs; ``clean_lines`` only dedupes WITHIN a
+    doc). A line that occurs in more than ``max_docs`` distinct documents
+    is dropped from every document; lines shorter than ``min_words``
+    words are exempt from counting (short connectives repeat naturally
+    and removing them would shred innocent text — the C4 heuristic).
+
+    Returns (id, text, n_dropped) with each doc's surviving lines
+    rejoined in their original order; a doc whose every line was hot
+    drops out entirely (it WAS boilerplate). Plan: one posexplode over the
+    corpus, one (line → distinct-doc count) hash aggregation (map-side
+    combined; the hot-line table is tiny by definition — hotness is the
+    filter — so the second pass is a broadcast-able anti-join), one
+    per-doc reassembly aggregation (array_sort of (ord, line) structs —
+    doc-sized groups, no window). Three shuffles total at any corpus
+    size."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("ord", "line"))
+    countable = F.size(F.filter(F.split(F.trim(F.col("line")), r"\s+"),
+                                lambda w: w != F.lit(""))) >= min_words
+    lines = lines.withColumn("_countable", countable)
+    hot = (lines.filter(F.col("_countable"))
+           .groupBy("line")
+           .agg(F.count_distinct(F.col("_id")).alias("_nd"))
+           .filter(F.col("_nd") > max_docs)
+           .select("line"))
+    kept = lines.join(
+        hot.withColumn("_hot", F.lit(True)), "line", "left") \
+        .filter(~(F.col("_countable") & F.coalesce(F.col("_hot"),
+                                                   F.lit(False))))
+    dropped = lines.groupBy("_id").agg(F.count("*").alias("_n_lines"))
+    out = (kept.groupBy("_id")
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("ord"), F.col("line")))),
+                        lambda s: s.getField("line")),
+                    "\n").alias("text"),
+                F.count("*").alias("_n_kept")))
+    return (out.join(dropped, "_id")
+            .select(F.col("_id").alias(id_col), "text",
+                    (F.col("_n_lines") - F.col("_n_kept")).cast("int")
+                    .alias("n_dropped")))
     """Word n-gram OCCURRENCES (non-distinct — dedup's ``shingles_col``
     is the distinct-per-doc variant). Same zip_with-of-shifted-views
     construction: lambdas touch scalar elements only, so the tokenizer

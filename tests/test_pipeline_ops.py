@@ -346,3 +346,23 @@ def test_ngram_counts(spark):
     assert abs(ny["pmi"] - want) < 1e-9
     # "is big": 2/11 vs (2/15)(3/15) → higher PMI than "new york"
     assert cols[("is", "big")]["pmi"] > ny["pmi"]
+
+
+def test_drop_hot_lines(spark):
+    """Cross-doc boilerplate: a footer in >max_docs docs is dropped
+    everywhere, short lines are exempt, unique lines survive, order and
+    n_dropped are exact, all-boilerplate docs vanish."""
+    from searchengine_spark.functions.text import drop_hot_lines
+    footer = "subscribe to the channel now"
+    rows = [(i, f"unique line number {i} here\nok go\n{footer}")
+            for i in range(5)]
+    rows.append((99, footer))                      # all-boilerplate doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in drop_hot_lines(df, max_docs=4).collect()}
+    assert 99 not in out                           # fully hot → dropped
+    for i in range(5):
+        assert out[i]["text"] == f"unique line number {i} here\nok go"
+        assert out[i]["n_dropped"] == 1
+    # below the floor nothing is dropped; "ok go" (2 words) never counts
+    out2 = {r["doc_id"]: r for r in drop_hot_lines(df, max_docs=10).collect()}
+    assert out2[0]["n_dropped"] == 0 and footer in out2[0]["text"]
