@@ -277,7 +277,7 @@ def kmeans_centroids(df: DataFrame, dim: int, n_centroids: int = 16,
 def semantic_dedup(df: DataFrame, dim: int, threshold: float = 0.95,
                    n_clusters: int = 16, iters: int = 2,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   seed: int = 42) -> dict:
+                   seed: int = 42, ann: "dict | None" = None) -> dict:
     """SemDeDup — semantic deduplication over an embedding column (the
     Abbas et al. 2023 recipe every large training-data pipeline runs):
     cluster the embeddings with seeded spherical k-means, compare vectors
@@ -296,11 +296,23 @@ def semantic_dedup(df: DataFrame, dim: int, threshold: float = 0.95,
     Returns {"kept": deduped full rows, "pairs": within-cluster
     (id_a, id_b, cos) near-dup pairs, "components": (id, rep),
     "assignments": (id, cluster)}. Deterministic for fixed (seed, corpus):
-    the canonical survivor is the component's smallest id."""
+    the canonical survivor is the component's smallest id.
+
+    ``ann`` (a loaded/built IVF or IVF-PQ index dict) reuses the
+    PERSISTED index's centroids instead of running k-means again — the
+    corpus already paid for a clustering at ANN-ingest time, and sharing
+    it keeps dedup clusters aligned with query-time probes."""
     from searchengine_spark.functions.dedup import (connected_components,
                                                     dedup_keep_canonical)
-    cents = kmeans_centroids(df, dim, n_centroids=n_clusters, iters=iters,
-                             vec_col=vec_col, id_col=id_col, seed=seed)
+    if ann is not None:
+        if "centroids" not in ann:
+            raise ValueError("ann= needs an IVF/IVF-PQ index dict "
+                             "(LSH indexes have no centroids)")
+        cents = np.asarray(ann["centroids"], dtype=float)
+    else:
+        cents = kmeans_centroids(df, dim, n_centroids=n_clusters,
+                                 iters=iters, vec_col=vec_col,
+                                 id_col=id_col, seed=seed)
     assign = _assign_udf(cents)
     dfa = df.withColumn("_cluster", assign(F.col(vec_col)))
     dfa = dfa.localCheckpoint(eager=False)  # assignments reused 3× below

@@ -366,3 +366,27 @@ def test_drop_hot_lines(spark):
     # below the floor nothing is dropped; "ok go" (2 words) never counts
     out2 = {r["doc_id"]: r for r in drop_hot_lines(df, max_docs=10).collect()}
     assert out2[0]["n_dropped"] == 0 and footer in out2[0]["text"]
+
+
+def test_semantic_dedup_reuses_ann_centroids(spark, tmp_path_factory):
+    """ann= shares the persisted IVF index's centroids: same clusters ==
+    same pairs as an explicit k-means with identical parameters."""
+    import numpy as np
+    import pytest
+    from searchengine_spark.functions.similarity import (build_ivf_index,
+                                                         load_ann_index,
+                                                         semantic_dedup)
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(16).tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path_factory.mktemp("ann_sd"))
+    build_ivf_index(df, 16, path, n_centroids=4, iters=2, seed=11)
+    ann = load_ann_index(spark, path)
+    via_ann = semantic_dedup(df, 16, threshold=0.3, ann=ann)
+    explicit = semantic_dedup(df, 16, threshold=0.3, n_clusters=4,
+                              iters=2, seed=11)
+    pa = {(r["id_a"], r["id_b"]) for r in via_ann["pairs"].collect()}
+    pe = {(r["id_a"], r["id_b"]) for r in explicit["pairs"].collect()}
+    assert pa == pe
+    with pytest.raises(ValueError):
+        semantic_dedup(df, 16, ann={"kind": "lsh"})
