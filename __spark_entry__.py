@@ -1459,6 +1459,20 @@ def _q_text_chunks(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=40, overlap=10)
 
 
+def _q10_fragments(spark, sf_dir):
+    """Multi-fragment highlighting (ES number_of_fragments; the reference
+    snippets only the FIRST matching sentence): docs reshaped into
+    multi-sentence text, up to 3 highlighted fragments joined by ' … ',
+    value hash over every full fragment string."""
+    from searchengine_spark.functions.snippets import fragments_col
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.regexp_replace(F.col("text"), " batch ", ". "))
+    return docs.select(
+        "doc_id",
+        fragments_col(F.col("text"), " ".join(BM25_Q),
+                      n_fragments=3).alias("snippet"))
+
+
 def _q_text_hot_lines(spark, sf_dir):
     """Corpus-level line dedup (drop_hot_lines): synthetic boilerplate
     appended per doc — a footer in EVERY doc (hot), one in every 7th
@@ -2033,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean_lines": _q_text_clean_lines,
         "text_repetition": _q_text_repetition,
         "text_chunks": _q_text_chunks,
+        "q10_fragments": _q10_fragments,
         "text_hot_lines": _q_text_hot_lines,
         "text_ngram_counts": _q_text_ngram_counts,
         "text_collocations": _q_text_collocations,
@@ -3450,6 +3465,36 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
                    array_to_string(words[ci * 30 + 1 : ci * 30 + 40], ' ')
                        as text
             from e""",
+        "q10_fragments": f"""
+            with s as (select doc_id, replace(text, ' batch ', '. ') as t
+                       from documents),
+            fr as (select doc_id, list_transform(
+                     regexp_extract_all(t,
+                       '[^.!?;]*\\b(?:merge|scan)\\b[^.!?;]*', 0, 'i')[1:3],
+                     x -> trim(x)) as frs
+                   from s),
+            hl as (select doc_id, list_transform(frs,
+                     x -> regexp_replace(x, '\\b(merge|scan)\\b',
+                                         '<b>\\1</b>', 'gi')) as hls
+                   from fr),
+            tr as (select doc_id, list_transform(hls,
+                     hl -> case when length(hl) <= 300 then hl
+                           else (case when greatest(strpos(hl,'<b>')-1-120, 0)
+                                           > 0 then '…' else '' end)
+                                || substr(hl,
+                                     greatest(strpos(hl,'<b>')-1-120,0)+1,
+                                     least(length(hl), strpos(hl,'<b>')-1+120)
+                                     - greatest(strpos(hl,'<b>')-1-120,0))
+                                || (case when least(length(hl),
+                                               strpos(hl,'<b>')-1+120)
+                                              < length(hl)
+                                    then '…' else '' end)
+                           end) as ts
+                   from hl)
+            select doc_id,
+                   case when len(ts) = 0 then 'Нет совпадений для подсветки'
+                        else array_to_string(ts, ' … ') end as snippet
+            from tr""",
         "text_hot_lines": r"""
             with s as (
               select doc_id,

@@ -83,3 +83,53 @@ def snippet_col(text: Column, query: str, mode: str = "general",
         return texts.apply(lambda t: make_snippet(t, words))
 
     return snip(text)
+
+
+def _highlight_one(sentence: str, word_re) -> str:
+    """Highlight + trim ONE already-extracted fragment — exactly
+    ``make_snippet``'s per-sentence semantics (same 300-char keep
+    threshold, same ±120-char window around the first hit)."""
+    highlighted = word_re.sub(r"<b>\1</b>", sentence)
+    if len(highlighted) <= SIDE * 2 + 60:
+        return highlighted
+    first = highlighted.find("<b>")
+    lo = max(0, first - SIDE)
+    hi = min(len(highlighted), first + SIDE)
+    out = ("…" if lo > 0 else "") + highlighted[lo:hi] \
+        + ("…" if hi < len(highlighted) else "")
+    return out[:CAP] if len(out) > 300 else out
+
+
+def make_fragments(text: str, words: list[str], n_fragments: int = 3) -> str:
+    """Multi-fragment highlighting — the Elasticsearch
+    ``number_of_fragments`` behavior the reference lacks (its snippet is
+    the FIRST matching sentence only,
+    reference: services/SearchingServiceImpl.java:418-453): up to
+    ``n_fragments`` distinct matching sentences, each highlighted and
+    trimmed with the single-snippet rules, joined by ' … '. Falls back to
+    the reference's no-match string."""
+    import itertools
+    if not text or not words:
+        return NO_MATCH
+    alt = "|".join(re.escape(w) for w in words)
+    sent_re = re.compile(rf"[^.!?;]*\b(?:{alt})\b[^.!?;]*", re.IGNORECASE)
+    word_re = re.compile(rf"\b({alt})\b", re.IGNORECASE)
+    frags = [_highlight_one(m.group(0).strip(), word_re)
+             for m in itertools.islice(sent_re.finditer(text), n_fragments)]
+    if not frags:
+        return NO_MATCH
+    return " … ".join(frags)
+
+
+def fragments_col(text: Column, query: str, mode: str = "general",
+                  dictionary: str = "fixture",
+                  n_fragments: int = 3) -> Column:
+    """Column form of ``make_fragments`` (same dictionary-expanded word
+    set as ``snippet_col``); applied to k winner rows only, like Q10."""
+    words = expand_query_words(query, mode, dictionary)
+
+    @F.pandas_udf(T.StringType())
+    def snip(texts: pd.Series) -> pd.Series:
+        return texts.apply(lambda t: make_fragments(t, words, n_fragments))
+
+    return snip(text)

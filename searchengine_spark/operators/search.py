@@ -519,6 +519,7 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
            search_after: "tuple | None" = None,
            sort_by=None, sort_asc: bool = False,
            boost_by=None, min_match: "int | None" = None,
+           n_fragments: "int | None" = None,
            _stats_override: "dict | None" = None) -> DataFrame:
     """Top-k search over a built index; returns DataFrame
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, snippet]).
@@ -990,11 +991,21 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
         if not with_snippets:
             out = out.drop("text")
     if with_snippets:
-        from searchengine_spark.functions.snippets import snippet_col
-        out = out.withColumn(
-            "snippet",
-            snippet_col(F.col("text"), query, index.get("mode", "general"),
-                        index.get("dictionary", "fixture"))).drop("text")
+        # n_fragments switches Q10's first-matching-sentence snippet to the
+        # Elasticsearch number_of_fragments behavior (up to N highlighted
+        # sentences joined by ' … '); either way only k rows do regex work
+        if n_fragments is not None:
+            from searchengine_spark.functions.snippets import fragments_col
+            snip = fragments_col(F.col("text"), query,
+                                 index.get("mode", "general"),
+                                 index.get("dictionary", "fixture"),
+                                 n_fragments=n_fragments)
+        else:
+            from searchengine_spark.functions.snippets import snippet_col
+            snip = snippet_col(F.col("text"), query,
+                               index.get("mode", "general"),
+                               index.get("dictionary", "fixture"))
+        out = out.withColumn("snippet", snip).drop("text")
     return out
 
 

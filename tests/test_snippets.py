@@ -130,3 +130,35 @@ class TestSnippetDictionaryThreading:
         full_words = set(expand_query_words("мочь", "general", "ru_full"))
         assert "могла" not in fixture_words
         assert "могла" in full_words
+
+
+def test_make_fragments_multi(spark):
+    """ES-style multi-fragment highlighting: up to N distinct matching
+    sentences, joined by ' … '; degenerates to the single snippet for
+    one-match docs; no-match fallback kept."""
+    from searchengine_spark.functions.snippets import (NO_MATCH,
+                                                       make_fragments,
+                                                       make_snippet)
+    words = ["merge", "scan"]
+    text = ("the merge ran fine. nothing here. a scan followed. "
+            "another merge happened. tail sentence.")
+    got = make_fragments(text, words, n_fragments=3)
+    parts = got.split(" … ")
+    assert parts == ["the <b>merge</b> ran fine",
+                     "a <b>scan</b> followed",
+                     "another <b>merge</b> happened"]
+    # n_fragments caps the count
+    assert len(make_fragments(text, words, 2).split(" … ")) == 2
+    # single-match text == the classic snippet
+    one = "only one merge lives here. the rest is quiet."
+    assert make_fragments(one, words, 3) == make_snippet(one, words)
+    assert make_fragments("no hits at all.", words, 3) == NO_MATCH
+
+
+def test_search_n_fragments(index_general):
+    from pyspark.sql import functions as F  # noqa: F401
+    from searchengine_spark.operators.search import search
+    rows = search(index_general, "ошибка", k=5, with_snippets=True,
+                  n_fragments=2).collect()
+    assert rows and all("snippet" in r.asDict() for r in rows)
+    assert all(r["snippet"] for r in rows)
