@@ -422,7 +422,8 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
                  search_after: "tuple | None" = None,
                  sort_by=None, sort_asc: bool = False,
                  boost_by=None,
-                 synonyms: "dict | None" = None) -> DataFrame:
+                 synonyms: "dict | None" = None,
+                 n_fragments: "int | None" = None) -> DataFrame:
     """Ranked search driven by the query-string grammar (module
     docstring). Returns the same shape as ``search``:
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, title][, snippet]),
@@ -463,7 +464,7 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
                  collapse=collapse, per_group=per_group,
                  search_after=search_after, sort_by=sort_by,
                  sort_asc=sort_asc, boost_by=boost_by,
-                 min_match=g["min_match"])
+                 min_match=g["min_match"], n_fragments=n_fragments)
     index.setdefault("_query_persists", []).extend(held + g["persists"])
     return out
 

@@ -543,3 +543,10 @@ def test_query_count(qpos_index):
     assert n2 == m2
     # unsatisfiable → one row, zero
     assert query_count(qpos_index, "zz~1").collect()[0]["n_matches"] == 0
+
+
+def test_query_search_n_fragments(index_general):
+    from searchengine_spark.operators.querylang import query_search
+    rows = query_search(index_general, "ошибка", k=5, with_snippets=True,
+                        n_fragments=2).collect()
+    assert rows and all(r["snippet"] for r in rows)
