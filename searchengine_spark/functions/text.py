@@ -273,6 +273,90 @@ def drop_hot_lines(df: DataFrame, max_docs: int = 10,
             .select(F.col("_id").alias(id_col), "text",
                     (F.col("_n_lines") - F.col("_n_kept")).cast("int")
                     .alias("n_dropped")))
+
+
+def dedup_repeated_ngrams(df: DataFrame, window: int = 50,
+                          min_occurrences: int = 2,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """ExactSubstr-style repeated-span removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") as a
+    token-window approximation: any ``window``-token span whose exact text
+    occurs at least ``min_occurrences`` times in the corpus is removed
+    from every occurrence EXCEPT the first (first = smallest
+    ``(doc_id, pos)``), and each document's surviving tokens are rejoined
+    with single spaces. The reference pipeline uses suffix arrays on a
+    single machine; fixed-width window hashing is the standard
+    distributed relaxation (a repeated substring of >= ``window`` tokens
+    is covered by its repeated windows, so every such span is caught —
+    at the cost of whitespace normalization in the rebuilt text).
+
+    Tokens split on whitespace only (casing/punctuation preserved), the
+    same convention as ``chunk_documents``. Docs shorter than ``window``
+    tokens contribute no windows and pass through untouched. A document
+    whose every token is covered (an exact duplicate of an earlier doc)
+    comes back with ``text = ''`` — keep or drop is the caller's call.
+    Overlap note: a token is removed when ANY non-canonical duplicated
+    window covers it, so the kept "first occurrence" of one span can
+    still lose tokens to a different overlapping duplicated span —
+    greedy cover, deterministic.
+
+    Returns (id, text, n_removed) with n_removed = tokens cut.
+
+    Plan shape (no windows-over-data, no UDFs, every stage key-partitioned):
+    one posexplode to the token stream; one O(n*window) projection to
+    per-position window hashes (md5 — 128-bit, so hash-equality stands in
+    for string equality even at 10^12 windows; the lambda closes over a
+    projected column attribute only); a (hash -> count, first-occurrence)
+    hash aggregation (map-side combined — hot boilerplate windows collapse
+    in the mapper, so skew stays in the combiner); an occurrence join on
+    the hash (1 row per hash on the build side); a covered-position
+    explode + distinct; a left-anti join and per-doc reassembly
+    aggregation (doc-sized groups)."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"),
+                     lambda w: w != F.lit(""))
+    base = (df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+            .withColumn("_n", F.size("_w"))
+            .filter(F.col("_n") > 0))
+    # _w is a projected attribute, so the transform lambda re-reads the
+    # array per element (cheap) rather than re-running the tokenizer
+    # (the HOF capture trap — see analysis notes).
+    nw = F.col("_n") - F.lit(window) + 1
+    wins = F.transform(
+        F.sequence(F.lit(0), nw - 1),
+        lambda i: F.md5(F.array_join(F.slice("_w", i + 1, window), " ")))
+    occ = (base.filter(F.col("_n") >= window)
+           .select("_id", F.posexplode(wins).alias("pos", "h")))
+    dup = (occ.groupBy("h")
+           .agg(F.count("*").alias("_c"),
+                F.min(F.struct(F.col("_id"), F.col("pos"))).alias("_first"))
+           .filter(F.col("_c") >= min_occurrences)
+           .select("h", "_first"))
+    cut = (occ.join(dup, "h")
+           .filter(~((F.col("_id") == F.col("_first._id"))
+                     & (F.col("pos") == F.col("_first.pos")))))
+    cutpos = (cut.select(
+        "_id", F.explode(F.sequence(
+            F.col("pos"), F.col("pos") + F.lit(window - 1))).alias("tokpos"))
+        .distinct())
+    toks = base.select("_id", F.posexplode("_w").alias("tokpos", "tok"))
+    kept = toks.join(cutpos, ["_id", "tokpos"], "left_anti")
+    agg = (kept.groupBy("_id")
+           .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct(F.col("tokpos"), F.col("tok")))),
+                        lambda s: s.getField("tok")),
+                    " ").alias("text"),
+                F.count("*").alias("_n_kept")))
+    return (base.select("_id", "_n").join(agg, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce(F.col("text"), F.lit("")).alias("text"),
+                    (F.col("_n") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+                    .cast("int").alias("n_removed")))
+
+
+def _ngrams_col(text: Column, n: int) -> Column:
     """Word n-gram OCCURRENCES (non-distinct — dedup's ``shingles_col``
     is the distinct-per-doc variant). Same zip_with-of-shifted-views
     construction: lambdas touch scalar elements only, so the tokenizer
