@@ -1493,6 +1493,29 @@ def _q_text_hot_lines(spark, sf_dir):
     return drop_hot_lines(docs, max_docs=10)
 
 
+_SPAN_FIXED = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+               "do eiusmod tempor incididunt ut labore et dolore magna "
+               "aliqua")
+_SPAN_SUFFIX = " please subscribe to our channel and hit the bell icon now"
+
+
+def _q_text_span_dedup(spark, sf_dir):
+    """ExactSubstr-style repeated-span removal (dedup_repeated_ngrams):
+    every 50th doc is replaced by one fixed 19-token paragraph (mutual
+    full-doc duplicates — all but the first come back EMPTY), every
+    other 3rd doc gets an 11-token boilerplate suffix (cut everywhere
+    but its first occurrence), window=8. The value hash covers every
+    rebuilt doc string + its removed-token count."""
+    from searchengine_spark.functions.text import dedup_repeated_ngrams
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 50 == 9, F.lit(_SPAN_FIXED))
+        .when(F.col("doc_id") % 3 == 0,
+              F.concat(F.col("text"), F.lit(_SPAN_SUFFIX)))
+        .otherwise(F.col("text")))
+    return dedup_repeated_ngrams(docs, window=8)
+
+
 def _q_text_ngram_counts(spark, sf_dir):
     """Corpus top-50 trigrams by occurrence count (boilerplate/template
     mining staple): one explode + one hash agg + TakeOrderedAndProject."""
@@ -2049,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": _q_text_chunks,
         "q10_fragments": _q10_fragments,
         "text_hot_lines": _q_text_hot_lines,
+        "text_span_dedup": _q_text_span_dedup,
         "text_ngram_counts": _q_text_ngram_counts,
         "text_collocations": _q_text_collocations,
         "text_gopher": _q_text_gopher,
@@ -3530,6 +3554,47 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
             select a.doc_id, a.text,
                    cast(t.n_lines - a.n_kept as int) as n_dropped
             from agg a join tot t using (doc_id)""",
+        "text_span_dedup": f"""
+            with s as (
+              select doc_id,
+                     case when doc_id % 50 = 9 then '{_SPAN_FIXED}'
+                          when doc_id % 3 = 0 then text || '{_SPAN_SUFFIX}'
+                          else text end as text
+              from documents),
+            w as (select doc_id,
+                         list_filter(string_split_regex(text, '\\s+'),
+                                     x -> x <> '') as words
+                  from s),
+            base as (select doc_id, words, len(words) as n
+                     from w where len(words) > 0),
+            occ as (select doc_id, words, unnest(range(n - 7)) as pos
+                    from base where n >= 8),
+            wins as (select doc_id, pos,
+                            array_to_string(words[pos + 1 : pos + 8], ' ')
+                                as win
+                     from occ),
+            rk as (select doc_id, pos,
+                          row_number() over (partition by win
+                                             order by doc_id, pos) as rn,
+                          count(*) over (partition by win) as c
+                   from wins),
+            cp as (select distinct doc_id, tokpos from
+                     (select doc_id, unnest(range(pos, pos + 8)) as tokpos
+                      from rk where c >= 2 and rn > 1)),
+            toks as (select doc_id, unnest(words) as tok,
+                            unnest(range(len(words))) as tokpos
+                     from base),
+            kept as (select t.doc_id, t.tokpos, t.tok
+                     from toks t left join cp
+                       on t.doc_id = cp.doc_id and t.tokpos = cp.tokpos
+                     where cp.doc_id is null),
+            agg as (select doc_id,
+                           string_agg(tok, ' ' order by tokpos) as text,
+                           count(*) as n_kept
+                    from kept group by doc_id)
+            select b.doc_id, coalesce(a.text, '') as text,
+                   cast(b.n - coalesce(a.n_kept, 0) as int) as n_removed
+            from base b left join agg a using (doc_id)""",
         "text_ngram_counts": r"""
             with toks as (
               select doc_id, list_filter(string_split_regex(

@@ -390,3 +390,31 @@ def test_semantic_dedup_reuses_ann_centroids(spark, tmp_path_factory):
     assert pa == pe
     with pytest.raises(ValueError):
         semantic_dedup(df, 16, ann={"kind": "lsh"})
+
+
+def test_dedup_repeated_ngrams(spark):
+    """ExactSubstr-style span removal: a duplicated window-size span is
+    cut from every occurrence except the smallest (doc_id, pos); exact
+    duplicate docs come back empty; short docs and unique text pass
+    through; removal greedily covers overlapping duplicated windows."""
+    from searchengine_spark.functions.text import dedup_repeated_ngrams
+    span = "a b c d e f g h i j k l"                 # 12 tokens
+    rows = [
+        (0, span),                                   # canonical occurrence
+        (1, f"x y z {span}"),                        # shared span at tail
+        (2, "unique words only here nothing repeats in this one document"),
+        (3, span),                                   # exact dup of doc 0
+        (4, "short doc"),                            # < window: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in dedup_repeated_ngrams(df, window=8).collect()}
+    assert out[0]["text"] == span and out[0]["n_removed"] == 0
+    assert out[1]["text"] == "x y z" and out[1]["n_removed"] == 12
+    assert out[2]["n_removed"] == 0
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 12
+    assert out[4]["text"] == "short doc" and out[4]["n_removed"] == 0
+    # min_occurrences above the duplication level: nothing is cut
+    out3 = {r["doc_id"]: r for r in
+            dedup_repeated_ngrams(df, window=8, min_occurrences=4).collect()}
+    assert all(out3[i]["n_removed"] == 0 for i in out3)
