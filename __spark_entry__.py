@@ -1493,6 +1493,32 @@ def _q_text_hot_lines(spark, sf_dir):
     return drop_hot_lines(docs, max_docs=10)
 
 
+def _q_eval_retrieval(spark, sf_dir):
+    """Retrieval-quality eval harness (eval_retrieval): precision/recall/
+    RR/nDCG@10 of the engine's own batched BM25 run against deterministic
+    graded judgments (doc_id<300 pool: rel 2 on %11, rel 1 on even). The
+    oracle recomputes the full run (rank-exact BM25 SQL) AND the metrics."""
+    from searchengine_spark.operators.evaluate import eval_retrieval
+    from searchengine_spark.operators.search import search_many
+    index = _index_for(spark, sf_dir)
+    run = (search_many(index,
+                       {"qa": " ".join(BM25_Q), "qb": " ".join(BATCH_Q2)},
+                       k=K, mode="bm25")
+           .select("query_id", _orig_doc_id(), "score"))
+    rel = (F.when(F.col("doc_id") % 11 == 0, 2)
+           .when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+    j = (_docs(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 300)
+         .select(F.explode(F.array(F.lit("qa"), F.lit("qb")))
+                 .alias("query_id"),
+                 "doc_id", rel.alias("rel")))
+    out = eval_retrieval(run, j, k=K)
+    return out.select("query_id", "n_rel",
+                      F.round("precision", 6).alias("precision"),
+                      F.round("recall", 6).alias("recall"),
+                      F.round("rr", 6).alias("rr"),
+                      F.round("ndcg", 6).alias("ndcg"))
+
+
 _SPAN_FIXED = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
                "do eiusmod tempor incididunt ut labore et dolore magna "
                "aliqua")
@@ -2073,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_fragments": _q10_fragments,
         "text_hot_lines": _q_text_hot_lines,
         "text_span_dedup": _q_text_span_dedup,
+        "q_eval_retrieval": _q_eval_retrieval,
         "text_ngram_counts": _q_text_ngram_counts,
         "text_collocations": _q_text_collocations,
         "text_gopher": _q_text_gopher,
@@ -2163,6 +2190,28 @@ scored as (
   group by tf.doc_id{hv})
 select doc_id, round(s, 6) as score from scored
 order by round(s, 9) desc, doc_id asc limit {k} offset {offset}
+"""
+
+
+def _bm25_rank_sql(terms: list[str], k: int) -> str:
+    """Rank-exact BM25 top-k (doc_id, rank) — the engine's full ordering
+    (round(s, 9) desc, doc_id asc) exposed as 1-based ranks, for oracles
+    that consume positions rather than scores (retrieval eval)."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+stats as (select count(*) as n, avg(dl) as avgdl from dl),
+scored as (
+  select tf.doc_id,
+         sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+  from tf join dfv using (term) join dl using (doc_id) cross join stats
+  where tf.term in ({tl})
+  group by tf.doc_id)
+select doc_id, rank from (
+  select doc_id,
+         row_number() over (order by round(s, 9) desc, doc_id asc) as rank
+  from scored) where rank <= {k}
 """
 
 
@@ -3554,6 +3603,48 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
             select a.doc_id, a.text,
                    cast(t.n_lines - a.n_kept as int) as n_dropped
             from agg a join tot t using (doc_id)""",
+        "q_eval_retrieval": f"""
+            with ra as ({_bm25_rank_sql(BM25_Q, K)}),
+            rb as ({_bm25_rank_sql(BATCH_Q2, K)}),
+            run as (select 'qa' as query_id, doc_id, rank from ra
+                    union all
+                    select 'qb' as query_id, doc_id, rank from rb),
+            jq as (select q.query_id, d.doc_id,
+                          case when d.doc_id % 11 = 0 then 2
+                               when d.doc_id % 2 = 0 then 1 end as rel
+                   from (select 'qa' as query_id union all select 'qb') q
+                   cross join documents d
+                   where d.doc_id < 300
+                     and (d.doc_id % 11 = 0 or d.doc_id % 2 = 0)),
+            nrel as (select query_id, count(*) as n_rel
+                     from jq group by query_id),
+            ideal as (select query_id,
+                             sum((pow(2.0, rel) - 1) / log2(ir + 1)) as idcg
+                      from (select query_id, rel,
+                                   row_number() over (
+                                     partition by query_id
+                                     order by rel desc, doc_id asc) as ir
+                            from jq)
+                      where ir <= {K} group by query_id),
+            hits as (select r.query_id, r.rank, coalesce(jq.rel, 0) as rel
+                     from run r left join jq
+                       on r.query_id = jq.query_id
+                      and r.doc_id = jq.doc_id),
+            got as (select query_id,
+                           sum((pow(2.0, rel) - 1) / log2(rank + 1)) as dcg,
+                           sum(case when rel > 0 then 1 else 0 end) as n_hit,
+                           max(case when rel > 0
+                               then 1.0::double / rank end) as rr
+                    from hits group by query_id)
+            select n.query_id, cast(n.n_rel as bigint) as n_rel,
+                   round(coalesce(g.n_hit, 0) * 1.0::double / {K}, 6)
+                       as precision,
+                   round(coalesce(g.n_hit, 0) * 1.0::double / n.n_rel, 6)
+                       as recall,
+                   round(coalesce(g.rr, 0.0), 6) as rr,
+                   round(coalesce(g.dcg, 0.0) / i.idcg, 6) as ndcg
+            from nrel n join ideal i using (query_id)
+            left join got g using (query_id)""",
         "text_span_dedup": f"""
             with s as (
               select doc_id,
