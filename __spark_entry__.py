@@ -1493,6 +1493,33 @@ def _q_text_hot_lines(spark, sf_dir):
     return drop_hot_lines(docs, max_docs=10)
 
 
+def _passage_index_for(spark, sf_dir):
+    """Chunk-level index (40-token windows, 10 overlap — the text_chunks
+    shaping) over zero-padded string parent ids."""
+    key = (sf_dir, "passages")
+    if key not in _INDEX_CACHE:
+        from searchengine_spark.operators.passages import build_passage_index
+        docs = _docs(spark, sf_dir).select(
+            F.format_string("doc%08d", F.col("doc_id")).alias("doc_id"),
+            "text")
+        _INDEX_CACHE[key] = build_passage_index(docs, chunk_tokens=40,
+                                                overlap=10)
+    return _INDEX_CACHE[key]
+
+
+def _q_passage_topk(spark, sf_dir):
+    """maxP passage retrieval (passage_search): docs chunked into 40-token
+    windows (overlap 10), BM25 over the PASSAGE corpus (passage-level
+    df/avgdl/N), every matching passage folded to its parent doc by max
+    score with the best passage ordinal, doc-level top-10."""
+    from searchengine_spark.operators.passages import passage_search
+    index = _passage_index_for(spark, sf_dir)
+    out = passage_search(index, " ".join(BM25_Q), k=K, agg="max")
+    return out.select(
+        F.substring("parent_id", 4, 8).cast("long").alias("doc_id"),
+        "best_chunk", "n_chunks", F.round("score", 6).alias("score"))
+
+
 def _q_eval_retrieval(spark, sf_dir):
     """Retrieval-quality eval harness (eval_retrieval): precision/recall/
     RR/nDCG@10 of the engine's own batched BM25 run against deterministic
@@ -2100,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hot_lines": _q_text_hot_lines,
         "text_span_dedup": _q_text_span_dedup,
         "q_eval_retrieval": _q_eval_retrieval,
+        "q_passage_topk": _q_passage_topk,
         "text_ngram_counts": _q_text_ngram_counts,
         "text_collocations": _q_text_collocations,
         "text_gopher": _q_text_gopher,
@@ -3603,6 +3631,57 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
             select a.doc_id, a.text,
                    cast(t.n_lines - a.n_kept as int) as n_dropped
             from agg a join tot t using (doc_id)""",
+        "q_passage_topk": f"""
+            with w as (select doc_id,
+                              list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '') as words
+                       from documents),
+            c as (select doc_id, words,
+                         greatest(cast(ceil((len(words) - 10) * 1.0 / 30)
+                                       as bigint), 1) as nc
+                  from w where len(words) > 0),
+            e as (select doc_id, words, unnest(range(nc)) as ci from c),
+            ch as (select doc_id, cast(ci as int) as chunk_idx,
+                          array_to_string(words[ci * 30 + 1 : ci * 30 + 40],
+                                          ' ') as text
+                   from e),
+            ctoks as (select doc_id, chunk_idx,
+                             unnest(list_filter(string_split_regex(
+                               regexp_replace(lower(text), '[^a-z0-9 ]',
+                                              ' ', 'g'), ' +'),
+                               x -> x <> '')) as term
+                      from ch),
+            ctf as (select doc_id, chunk_idx, term, count(*) as tf
+                    from ctoks group by doc_id, chunk_idx, term),
+            cdf as (select term, count(*) as df from ctf group by term),
+            cdl as (select doc_id, chunk_idx, count(*) as dl
+                    from ctoks group by doc_id, chunk_idx),
+            stats as (select count(*) as n, avg(dl) as avgdl from cdl),
+            scored as (
+              select tf.doc_id, tf.chunk_idx,
+                     sum( ln(1.0 + (stats.n - cdf.df + 0.5) / (cdf.df + 0.5))
+                          * (tf.tf * 2.2)
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * cdl.dl
+                                            / stats.avgdl)) ) as s
+              from ctf tf join cdf using (term)
+              join cdl on tf.doc_id = cdl.doc_id
+                      and tf.chunk_idx = cdl.chunk_idx
+              cross join stats
+              where tf.term in ('scan', 'merge')
+              group by tf.doc_id, tf.chunk_idx),
+            rk as (select doc_id, chunk_idx, s,
+                          row_number() over (partition by doc_id
+                                             order by round(s, 9) desc,
+                                                      chunk_idx asc) as rn
+                   from scored),
+            byd as (select doc_id, max(s) as s,
+                           cast(count(*) as bigint) as n_chunks,
+                           max(case when rn = 1 then chunk_idx end)
+                               as best_chunk
+                    from rk group by doc_id)
+            select doc_id, cast(best_chunk as int) as best_chunk,
+                   n_chunks, round(s, 6) as score
+            from byd order by round(s, 9) desc, doc_id asc limit {K}""",
         "q_eval_retrieval": f"""
             with ra as ({_bm25_rank_sql(BM25_Q, K)}),
             rb as ({_bm25_rank_sql(BATCH_Q2, K)}),

@@ -1,0 +1,104 @@
+"""Passage retrieval over long documents (maxP aggregation).
+
+Long documents dilute BM25 (one giant dl swamps term weights) and defeat
+snippet locality, so production retrieval splits docs into overlapping
+passages, indexes the passages, and aggregates passage scores back to the
+parent document — "maxP" (score = best passage) is the standard, with sum
+and mean as variants. Elasticsearch models this with nested docs +
+inner_hits; the reference indexes whole pages only (its lemma rows span
+the full page text — dto/indexing/PageIndexer.java). Here it composes from
+parts the engine already has: ``chunk_documents`` (docs → overlapping
+token windows), ``build_index`` over the chunk corpus (chunk key encoded
+into conv_id, so dense ids stay ordered by (parent, chunk)), and
+``search_select``'s one-decode full match set, aggregated per parent.
+
+Scale shape: chunking is a projection; the chunk index is a normal index
+build (same salted-shuffle plan, just more, smaller docs); a query costs
+ONE decode pass + a match-set-sized hash aggregation keyed by parent +
+TakeOrderedAndProject — no window over the match set, no extra shuffle
+beyond the per-parent agg.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["build_passage_index", "passage_search"]
+
+_SEP = "#"
+
+
+def build_passage_index(docs: DataFrame, chunk_tokens: int = 128,
+                        overlap: int = 32, id_col: str = "doc_id",
+                        text_col: str = "text", mode: str = "general",
+                        dictionary: str = "fixture", **build_kw) -> dict:
+    """Chunk ``docs`` into overlapping token windows and build an inverted
+    index over the passages. The parent key and chunk ordinal are encoded
+    as ``conv_id = "<id>#<chunk_idx zero-padded>"`` — string sort order
+    preserves (parent, chunk) order provided ``id_col`` renders
+    fixed-width (zero-pad numeric ids upstream), so the engine's dense
+    doc_ids stay aligned with the corpus.
+
+    BM25 stats (df, avgdl, N) are passage-level — that's the point:
+    passage-normalized dl restores term-weight contrast inside long docs.
+    """
+    from searchengine_spark.functions.text import chunk_documents
+    from searchengine_spark.operators.indexer import build_index
+
+    chunks = chunk_documents(docs, chunk_tokens=chunk_tokens,
+                             overlap=overlap, text_col=text_col,
+                             id_col=id_col)
+    t = chunks.select(
+        F.format_string("%s" + _SEP + "%06d",
+                        F.col(id_col).cast("string"),
+                        F.col("chunk_idx")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    index = build_index(t, mode=mode, dictionary=dictionary, **build_kw)
+    index["passage_sep"] = _SEP
+    return index
+
+
+def passage_search(index: dict, query: str, k: int = 10,
+                   agg: str = "max", mode: str = "bm25",
+                   **select_kw) -> DataFrame:
+    """Doc-level top-k over a passage index: score every matching passage
+    (ONE decode pass — ``search_select`` semantics, so ``min_match`` /
+    ``exclude`` / ``scope`` compose), fold to parents with ``agg`` in
+    {"max" (maxP), "sum", "mean"}, and return the top ``k`` parents.
+
+    Returns (parent_id, best_chunk, n_chunks, score): ``best_chunk`` is
+    the highest-scoring passage's ordinal (ties → lowest ordinal) — the
+    natural snippet/highlight anchor; ``n_chunks`` the number of matching
+    passages. Ordering: (round(score, 9) desc, parent_id asc), the
+    engine-canonical tie-break.
+    """
+    from searchengine_spark.operators.search import search_select
+
+    if agg not in ("max", "sum", "mean"):
+        raise ValueError(f"agg must be max|sum|mean, got {agg!r}")
+    sep = index.get("passage_sep", _SEP)
+    hits = search_select(index, query, mode=mode, **select_kw)
+    per = hits.select(
+        F.substring_index(F.col("conv_id"), sep, 1).alias("parent_id"),
+        F.substring_index(F.col("conv_id"), sep, -1).cast("int")
+        .alias("chunk_idx"),
+        "score")
+    score = {"max": F.max("score"), "sum": F.sum("score"),
+             "mean": F.avg("score")}[agg]
+    # best passage: max of (rounded score, -ordinal) — score ties resolve
+    # to the EARLIEST chunk, deterministically, in the same aggregation.
+    best = F.max(F.struct(F.round("score", 9).alias("s"),
+                          (-F.col("chunk_idx")).alias("nc")))
+    g = (per.groupBy("parent_id")
+         .agg(score.alias("score"), best.alias("_b"),
+              F.count("*").alias("n_chunks")))
+    out = g.select("parent_id",
+                   (-F.col("_b.nc")).cast("int").alias("best_chunk"),
+                   F.col("n_chunks").cast("long").alias("n_chunks"),
+                   "score")
+    return (out.orderBy(F.round("score", 9).desc(),
+                        F.col("parent_id").asc())
+            .limit(k))

@@ -1,0 +1,73 @@
+"""Passage retrieval (maxP): chunk indexing, parent fold, agg variants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.passages import (build_passage_index,
+                                                   passage_search)
+
+
+@pytest.fixture(scope="module")
+def pindex(spark):
+    filler = " ".join(f"word{i}" for i in range(8))
+    rows = [
+        # doc 0: needle concentrated in its SECOND chunk (tokens 8..15)
+        ("d0", f"{filler} needle needle needle needle stone stone stone stone"),
+        # doc 1: one needle diluted across a long doc (chunk 0)
+        ("d1", "needle " + " ".join(f"pad{i}" for i in range(15))),
+        # doc 2: no needle at all
+        ("d2", filler + " " + filler),
+        # doc 3: needle in BOTH of its chunks
+        ("d3", "needle alpha beta gamma delta epsilon zeta eta "
+               "needle one two three four five six seven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    return build_passage_index(docs, chunk_tokens=8, overlap=0)
+
+
+def test_passage_maxp_ranks_concentrated_doc_first(spark, pindex):
+    out = passage_search(pindex, "needle", k=10, agg="max").collect()
+    got = {r["parent_id"]: r for r in out}
+    assert "d2" not in got
+    assert set(got) == {"d0", "d1", "d3"}
+    # d0's best passage has tf=4 in an 8-token chunk: highest maxP score
+    assert out[0]["parent_id"] == "d0"
+    assert got["d0"]["best_chunk"] == 1 and got["d0"]["n_chunks"] == 1
+    assert got["d1"]["best_chunk"] == 0 and got["d1"]["n_chunks"] == 1
+    assert got["d3"]["n_chunks"] == 2
+
+def test_passage_agg_consistency(spark, pindex):
+    """sum == mean * n_chunks per parent; max <= sum; single-chunk parents
+    agree across all three aggregations."""
+    mx = {r["parent_id"]: r for r in
+          passage_search(pindex, "needle", k=10, agg="max").collect()}
+    sm = {r["parent_id"]: r for r in
+          passage_search(pindex, "needle", k=10, agg="sum").collect()}
+    mn = {r["parent_id"]: r for r in
+          passage_search(pindex, "needle", k=10, agg="mean").collect()}
+    for p in mx:
+        assert abs(sm[p]["score"]
+                   - mn[p]["score"] * sm[p]["n_chunks"]) < 1e-9
+        assert mx[p]["score"] <= sm[p]["score"] + 1e-12
+        if mx[p]["n_chunks"] == 1:
+            assert abs(mx[p]["score"] - sm[p]["score"]) < 1e-12
+
+
+def test_passage_matches_search_select_fold(spark, pindex):
+    """maxP score == the max of the same index's search_select passage
+    scores folded by parent — the operator is exactly that composition."""
+    from searchengine_spark.operators.search import search_select
+    per = (search_select(pindex, "needle", mode="bm25")
+           .select(F.substring_index("conv_id", "#", 1).alias("p"), "score")
+           .groupBy("p").agg(F.max("score").alias("s")).collect())
+    want = {r["p"]: r["s"] for r in per}
+    got = {r["parent_id"]: r["score"] for r in
+           passage_search(pindex, "needle", k=10, agg="max").collect()}
+    assert set(got) == set(want)
+    for p in got:
+        assert abs(got[p] - want[p]) < 1e-12
+
+
+def test_passage_bad_agg_raises(spark, pindex):
+    with pytest.raises(ValueError):
+        passage_search(pindex, "needle", agg="median")
