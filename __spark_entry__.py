@@ -1585,6 +1585,21 @@ def _q_text_collocations(spark, sf_dir):
                        F.round("pmi", 6).alias("pmi"))
 
 
+def _q_text_nb_classify(spark, sf_dir):
+    """fasttext/CCNet-style linear quality classifier as multinomial NB:
+    train on the documents table (label = lang, add-1 smoothing over the
+    global vocab + OOV slot, log priors from doc counts), self-classify
+    every doc; score is the length-normalized log-joint, argmax with
+    (round-9 desc, label asc) tie-breaks."""
+    from searchengine_spark.functions.classify import nb_classify, train_nb
+    docs = _docs(spark, sf_dir)
+    model = train_nb(docs, label_col="lang")
+    out = nb_classify(docs, model)
+    return out.select("doc_id", "pred",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      F.round("score", 6).alias("score"))
+
+
 def _q_text_gopher(spark, sf_dir):
     """Gopher/MassiveText document-quality rule battery: measured signals
     (word count, mean word length, symbol/bullet/ellipsis/alpha
@@ -2131,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_counts": _q_text_ngram_counts,
         "text_collocations": _q_text_collocations,
         "text_gopher": _q_text_gopher,
+        "text_nb_classify": _q_text_nb_classify,
         "text_unigram_ppl": _q_text_unigram_ppl,
         "text_unigram_xppl": _q_text_unigram_xppl,
         "text_fingerprint": _q_text_fingerprint,
@@ -3807,6 +3823,48 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
             select w1, w2, cast(n_ab as bigint) as n_ab,
                    round(pmi, 6) as pmi
             from j order by round(pmi, 9) desc, w1, w2 limit 30""",
+        "text_nb_classify": r"""
+            with toks as (
+              select doc_id, lang,
+                     unnest(list_filter(string_split_regex(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                       ' +'), x -> x <> '')) as term
+              from documents),
+            cnt as (select lang as label, term, count(*) as c
+                    from toks group by 1, 2),
+            v as (select count(distinct term) as v from cnt),
+            tot as (select label, sum(c) as n from cnt group by 1),
+            dc as (select lang as label, count(*) as dcnt
+                   from documents group by 1),
+            nd as (select count(*) as nd from documents),
+            lab as (select dc.label, ln(dc.dcnt * 1.0 / nd.nd) as logprior,
+                           (coalesce(tot.n, 0) + 1.0 * (v.v + 1)) as den
+                    from dc cross join nd cross join v
+                    left join tot on tot.label = dc.label),
+            tl as (select t.doc_id, l.label, l.den, coalesce(c.c, 0) as c
+                   from toks t cross join lab l
+                   left join cnt c on c.label = l.label
+                                  and c.term = t.term),
+            per as (select doc_id, label, count(*) as n_tokens,
+                           sum(ln((c + 1.0) / den)) as s
+                    from tl group by 1, 2),
+            base as (select d.doc_id, l.label, l.logprior
+                     from documents d cross join lab l),
+            sc as (select b.doc_id, b.label,
+                          coalesce(p.n_tokens, 0) as n_tokens,
+                          (b.logprior + coalesce(p.s, 0.0))
+                          / (coalesce(p.n_tokens, 0) + 1.0) as score
+                   from base b left join per p
+                     on p.doc_id = b.doc_id and p.label = b.label),
+            rk as (select doc_id, label, n_tokens, score,
+                          row_number() over (partition by doc_id
+                                             order by round(score, 9) desc,
+                                                      label asc) as rn
+                   from sc)
+            select doc_id, label as pred,
+                   cast(n_tokens as bigint) as n_tokens,
+                   round(score, 6) as score
+            from rk where rn = 1""",
         "text_gopher": r"""
             with w as (
               select doc_id, text,

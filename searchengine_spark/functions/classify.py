@@ -1,0 +1,129 @@
+"""Distributed multinomial Naive-Bayes text classification.
+
+The fasttext-style linear classifier is the workhorse quality/domain
+filter in large-scale training-data pipelines (CCNet and its descendants
+score crawl text with a classifier trained wiki-vs-crawl and keep the
+"looks like the reference corpus" tail; the same architecture drives
+language-ID and topic routing). Multinomial NB over unigrams is the
+scale-honest Spark formulation of that filter: training is ONE
+(label, term) hash aggregation over the corpus — the model IS a small
+DataFrame — and scoring is one token explode + one broadcastable join +
+one per-doc aggregation, all codegen, no Python in the hot path.
+
+The reference engine has no classifier (its admission predicate is a
+static site list — services/IndexingServiceImpl.java); this module is
+part of the training-data-pipeline surface built alongside the index.
+
+Scale shape: train = explode + two hash aggs (term×label counts, label
+totals); the model size is vocab×labels, independent of corpus size.
+Score = explode + fan-out over L labels (constant, small) + left join
+against the model (AQE broadcasts it when it fits) + one per-doc agg —
+two shuffles at any corpus size.
+"""
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.text import tokens_col
+
+__all__ = ["train_nb", "nb_score", "nb_classify"]
+
+
+def train_nb(df: DataFrame, label_col: str = "label",
+             text_col: str = "text", alpha: float = 1.0) -> dict:
+    """Train multinomial Naive Bayes: P(term|label) with add-``alpha``
+    smoothing over the GLOBAL vocabulary plus one shared OOV slot, and
+    log priors from document counts.
+
+    log P(t|y) = log((c(t,y) + alpha) / (N_y + alpha * (V + 1))); an
+    unseen (t,y) pair — including genuinely OOV terms at scoring time —
+    takes the same denominator with c=0, so every label scores every
+    token and the comparison across labels stays calibrated.
+
+    Returns {"cond": DataFrame[label, term, logp], "labels": [...],
+    "priors": {label: logprior}, "oov": {label: logp}, "vocab": V}.
+    The per-label reductions collect only L rows to the driver (the
+    label set is small by contract — it's a classifier, not a join key).
+    """
+    toks = df.select(F.col(label_col).alias("label"),
+                     F.explode(tokens_col(F.col(text_col))).alias("term"))
+    cnt = (toks.groupBy("label", "term").agg(F.count("*").alias("c"))
+           .localCheckpoint(eager=False))  # train once, score many
+    v = cnt.select("term").distinct().count()
+    totals = {r["label"]: int(r["n"])
+              for r in cnt.groupBy("label").agg(F.sum("c").alias("n")).collect()}
+    n_docs = df.count()
+    doc_cnt = {r["label"]: int(r["c"]) for r in
+               df.groupBy(F.col(label_col).alias("label"))
+               .agg(F.count("*").alias("c")).collect()}
+    labels = sorted(doc_cnt)
+    den = {y: float(totals.get(y, 0) + alpha * (v + 1)) for y in labels}
+    den_map = F.create_map(*[x for y in labels
+                             for x in (F.lit(y), F.lit(den[y]))])
+    cond = cnt.select(
+        "label", "term",
+        F.log((F.col("c") + F.lit(float(alpha)))
+              / den_map[F.col("label")]).alias("logp"))
+    return {
+        "cond": cond,
+        "labels": labels,
+        "priors": {y: math.log(doc_cnt[y] / n_docs) for y in labels},
+        "oov": {y: math.log(alpha / den[y]) for y in labels},
+        "vocab": v,
+    }
+
+
+def nb_score(df: DataFrame, model: dict, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Full per-(doc, label) score matrix.
+
+    Returns (id, label, n_tokens, score) where score is the LENGTH-
+    NORMALIZED log-joint (log prior + Σ log P(t|y)) / (n_tokens + 1) —
+    the same argmax as the raw sum (per-doc positive scaling) but with a
+    bounded magnitude, so cross-engine float comparison stays stable at
+    fixed rounding. Docs with zero tokens still score (prior only).
+    """
+    labels = model["labels"]
+    lab = F.explode(F.array(*[F.lit(y) for y in labels])).alias("label")
+    oov_map = F.create_map(*[x for y in labels
+                             for x in (F.lit(y), F.lit(model["oov"][y]))])
+    prior_map = F.create_map(*[x for y in labels
+                               for x in (F.lit(y), F.lit(model["priors"][y]))])
+    toks = df.select(F.col(id_col).alias("_id"),
+                     F.explode(tokens_col(F.col(text_col))).alias("term"))
+    per = (toks.select("_id", "term", lab)
+           .join(model["cond"], ["label", "term"], "left")
+           .withColumn("logp", F.coalesce(F.col("logp"),
+                                          oov_map[F.col("label")]))
+           .groupBy("_id", "label")
+           .agg(F.count("*").alias("n_tokens"), F.sum("logp").alias("s")))
+    # prior-only rows for token-less docs: left join from the full id set
+    base = df.select(F.col(id_col).alias("_id")).select("_id", lab)
+    out = (base.join(per, ["_id", "label"], "left")
+           .select(F.col("_id").alias(id_col), "label",
+                   F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                   ((prior_map[F.col("label")] + F.coalesce("s", F.lit(0.0)))
+                    / (F.coalesce("n_tokens", F.lit(0)) + F.lit(1.0)))
+                   .alias("score")))
+    return out
+
+
+def nb_classify(df: DataFrame, model: dict, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Argmax prediction per document: (id, pred, n_tokens, score).
+
+    Deterministic tie-break: highest score at 9-dp quantization, then
+    lexicographically smallest label — reproducible across engines and
+    partitionings (the engine-canonical rounding contract).
+    """
+    m = nb_score(df, model, text_col=text_col, id_col=id_col)
+    best = F.min(F.struct((-F.round(F.col("score"), 9)).alias("ns"),
+                          F.col("label").alias("y"),
+                          F.col("score").alias("s"),
+                          F.col("n_tokens").alias("nt")))
+    g = m.groupBy(id_col).agg(best.alias("_b"))
+    return g.select(id_col, F.col("_b.y").alias("pred"),
+                    F.col("_b.nt").alias("n_tokens"),
+                    F.col("_b.s").alias("score"))
