@@ -1585,6 +1585,21 @@ def _q_text_collocations(spark, sf_dir):
                        F.round("pmi", 6).alias("pmi"))
 
 
+def _q_corpus_profile(spark, sf_dir):
+    """Per-(lang, source) corpus profile: doc/token/char totals + exact
+    token-count percentiles — the pre-mixing budget table."""
+    from searchengine_spark.functions.text import corpus_profile
+    out = corpus_profile(_docs(spark, sf_dir), by=["lang", "source"])
+    return out.select(
+        "lang", "source", F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.round("mean_tokens", 6).alias("mean_tokens"),
+        F.round("p50_tokens", 6).alias("p50_tokens"),
+        F.round("p90_tokens", 6).alias("p90_tokens"),
+        F.round("p99_tokens", 6).alias("p99_tokens"))
+
+
 def _q_text_nb_classify(spark, sf_dir):
     """fasttext/CCNet-style linear quality classifier as multinomial NB:
     train on the documents table (label = lang, add-1 smoothing over the
@@ -2147,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": _q_text_collocations,
         "text_gopher": _q_text_gopher,
         "text_nb_classify": _q_text_nb_classify,
+        "corpus_profile": _q_corpus_profile,
         "text_unigram_ppl": _q_text_unigram_ppl,
         "text_unigram_xppl": _q_text_unigram_xppl,
         "text_fingerprint": _q_text_fingerprint,
@@ -3823,6 +3839,23 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
             select w1, w2, cast(n_ab as bigint) as n_ab,
                    round(pmi, 6) as pmi
             from j order by round(pmi, 9) desc, w1, w2 limit 30""",
+        "corpus_profile": r"""
+            with t as (
+              select lang, source,
+                     len(list_filter(string_split_regex(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                       ' +'), x -> x <> '')) as n_tokens,
+                     length(text) as n_chars
+              from documents)
+            select lang, source,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(n_tokens) as bigint) as total_tokens,
+                   cast(sum(n_chars) as bigint) as total_chars,
+                   round(avg(n_tokens), 6) as mean_tokens,
+                   round(quantile_cont(n_tokens, 0.5), 6) as p50_tokens,
+                   round(quantile_cont(n_tokens, 0.9), 6) as p90_tokens,
+                   round(quantile_cont(n_tokens, 0.99), 6) as p99_tokens
+            from t group by lang, source""",
         "text_nb_classify": r"""
             with toks as (
               select doc_id, lang,

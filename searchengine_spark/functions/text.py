@@ -639,3 +639,35 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     lowercased text — the exact-dedup key at corpus scale."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def corpus_profile(df: DataFrame, by: "str | list[str]" = "lang",
+                   text_col: str = "text") -> DataFrame:
+    """Per-stratum corpus profile: doc/token/char totals and the exact
+    token-count distribution (mean, p50/p90/p99) — the standard
+    profiling pass before building a training mixture (token budgets per
+    language/source come straight out of this table).
+
+    Percentiles are EXACT (Spark's ``percentile``, linear interpolation —
+    the distribution fits because it aggregates per stratum, not per
+    corpus). Plan: one projection + one hash aggregation keyed by the
+    stratum columns; output is |strata| rows. At 100 TB the exact
+    percentile holds because each group's sketch state is the aggregated
+    counts-by-value map, not the row stream — for pathological strata
+    with millions of DISTINCT lengths swap in ``percentile_approx``.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    base = df.select(*keys, token_count(F.col(text_col)).alias("n_tokens"),
+                     F.length(F.col(text_col)).alias("n_chars"))
+    pct = F.expr("percentile(n_tokens, array(0.5, 0.9, 0.99))")
+    return (base.groupBy(*keys)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.avg("n_tokens").alias("mean_tokens"),
+                 pct.alias("_p"))
+            .select(*keys, "n_docs", "total_tokens", "total_chars",
+                    "mean_tokens",
+                    F.col("_p")[0].alias("p50_tokens"),
+                    F.col("_p")[1].alias("p90_tokens"),
+                    F.col("_p")[2].alias("p99_tokens")))
