@@ -1585,6 +1585,19 @@ def _q_text_collocations(spark, sf_dir):
                        F.round("pmi", 6).alias("pmi"))
 
 
+def _q_pipeline_encode_ids(spark, sf_dir):
+    """Tokenize-to-ids: frequency-ordered vocab (id 0 = <unk>, terms by
+    count desc / term asc, capped at 32) built by the distributed
+    prefix-sum id assigner, then every doc encoded as exploded
+    (doc_id, pos, token_id) rows with UNK fallback."""
+    from searchengine_spark.functions.vocab import build_vocab, encode_ids
+    docs = _docs(spark, sf_dir)
+    vocab = build_vocab(docs, size=32)
+    out = encode_ids(docs, vocab)
+    return out.select("doc_id", F.col("pos").cast("int").alias("pos"),
+                      "token_id")
+
+
 def _q_corpus_profile(spark, sf_dir):
     """Per-(lang, source) corpus profile: doc/token/char totals + exact
     token-count percentiles — the pre-mixing budget table."""
@@ -2163,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": _q_text_gopher,
         "text_nb_classify": _q_text_nb_classify,
         "corpus_profile": _q_corpus_profile,
+        "pipeline_encode_ids": _q_pipeline_encode_ids,
         "text_unigram_ppl": _q_text_unigram_ppl,
         "text_unigram_xppl": _q_text_unigram_xppl,
         "text_fingerprint": _q_text_fingerprint,
@@ -3839,6 +3853,26 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
             select w1, w2, cast(n_ab as bigint) as n_ab,
                    round(pmi, 6) as pmi
             from j order by round(pmi, 9) desc, w1, w2 limit 30""",
+        "pipeline_encode_ids": r"""
+            with w as (
+              select doc_id,
+                     list_filter(string_split_regex(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                       ' +'), x -> x <> '') as words
+              from documents),
+            toks as (select doc_id, unnest(words) as term,
+                            unnest(range(len(words))) as pos
+                     from w),
+            cnt as (select term, count(*) as c from toks group by 1),
+            ids as (select term,
+                           row_number() over (order by c desc, term asc)
+                             as token_id
+                    from cnt)
+            select t.doc_id, cast(t.pos as int) as pos,
+                   cast(coalesce(i.token_id, 0) as bigint) as token_id
+            from toks t
+            left join (select * from ids where token_id < 32) i
+              using (term)""",
         "corpus_profile": r"""
             with t as (
               select lang, source,

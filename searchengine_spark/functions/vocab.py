@@ -1,0 +1,78 @@
+"""Vocabulary building + integer token-id encoding.
+
+The tokenize-to-ids step of a training-data pipeline: build a
+frequency-ordered vocabulary over the corpus (id 0..k-1 reserved for
+specials, then terms by count desc / term asc — the ML convention where
+small ids = frequent tokens), then encode documents as token-id
+sequences with an UNK fallback.
+
+Scale shape: vocab = one (term) hash aggregation + the engine's
+three-level distributed prefix sum for dense ids (NO global window —
+frequency order is made string-sortable by zero-padding ``max_count −
+count`` into the sort key, the same trick the indexer uses for terms).
+Encoding = posexplode + one left join against the vocab (AQE broadcasts
+it when it fits) — one shuffle at any corpus size, all codegen.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.text import tokens_col
+from searchengine_spark.operators.indexer import assign_dense_ids
+
+__all__ = ["build_vocab", "encode_ids"]
+
+
+def build_vocab(df: DataFrame, size: "int | None" = None,
+                min_count: int = 1, text_col: str = "text",
+                specials: tuple = ("<unk>",)) -> dict:
+    """Frequency-ordered vocabulary: {"terms": DataFrame[term, token_id,
+    c], "specials": {token: id}, "n_specials": int}.
+
+    ``size`` caps the vocabulary at the top-``size`` terms INCLUDING the
+    specials (boundary ties resolve term-ascending, deterministically);
+    ``min_count`` drops the long tail before id assignment.
+    """
+    cnt = (df.select(F.explode(tokens_col(F.col(text_col))).alias("term"))
+           .groupBy("term").agg(F.count("*").alias("c")))
+    if min_count > 1:
+        cnt = cnt.filter(F.col("c") >= min_count)
+    cnt = cnt.localCheckpoint(eager=False)  # build once, encode many
+    row = cnt.agg(F.max("c").alias("m")).collect()[0]
+    mx = int(row["m"] or 0)
+    # string-sortable (count desc, term asc) key for the prefix-sum path
+    key = F.format_string("%019d|%s", F.lit(mx) - F.col("c"), F.col("term"))
+    ids = assign_dense_ids(cnt.withColumn("_k", key), "_k", ["term"],
+                           id_col="_vid")
+    n_sp = len(specials)
+    terms = ids.select("term",
+                       (F.col("_vid") + F.lit(n_sp)).alias("token_id"),
+                       "c")
+    if size is not None:
+        if size <= n_sp:
+            raise ValueError(f"size={size} must exceed n_specials={n_sp}")
+        terms = terms.filter(F.col("token_id") < size)
+    return {"terms": terms.localCheckpoint(eager=False),
+            "specials": {t: i for i, t in enumerate(specials)},
+            "n_specials": n_sp}
+
+
+def encode_ids(df: DataFrame, vocab: dict, text_col: str = "text",
+               id_col: str = "doc_id", unk: str = "<unk>") -> DataFrame:
+    """Encode documents to (id, pos, token_id) rows — the exploded form
+    of the token-id sequence (downstream packing/padding is one
+    ``collect_list`` sorted by pos away; exploded rows keep the op
+    testable and the shuffle key explicit). Out-of-vocabulary tokens map
+    to the ``unk`` special id."""
+    if unk not in vocab["specials"]:
+        raise ValueError(f"{unk!r} is not a registered special: "
+                         f"{sorted(vocab['specials'])}")
+    unk_id = vocab["specials"][unk]
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "term"))
+    return (toks.join(vocab["terms"].select("term", "token_id"),
+                      "term", "left")
+            .select(id_col, "pos",
+                    F.coalesce("token_id", F.lit(unk_id)).cast("long")
+                    .alias("token_id")))

@@ -1,0 +1,59 @@
+"""Vocabulary build + token-id encoding: ordering, caps, UNK, round-trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.vocab import build_vocab, encode_ids
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(0, "the the the quick fox"),
+            (1, "the quick quick dog"),
+            (2, "a fox and a dog")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_vocab_frequency_order(spark, corpus):
+    v = build_vocab(corpus)
+    got = {r["term"]: (r["token_id"], r["c"])
+           for r in v["terms"].collect()}
+    # counts: the=4, quick=3, a=2, dog=2, fox=2, and=1
+    assert got["the"] == (1, 4)       # id 0 is <unk>
+    assert got["quick"] == (2, 3)
+    # count-2 tie block resolves term-ascending: a < dog < fox
+    assert got["a"][0] == 3 and got["dog"][0] == 4 and got["fox"][0] == 5
+    assert got["and"][0] == 6
+    assert v["specials"] == {"<unk>": 0}
+
+
+def test_vocab_size_cap_and_min_count(spark, corpus):
+    v = build_vocab(corpus, size=4)
+    kept = {r["term"] for r in v["terms"].collect()}
+    assert kept == {"the", "quick", "a"}  # ids 1..3 under the cap of 4
+    v2 = build_vocab(corpus, min_count=2)
+    assert {r["term"] for r in v2["terms"].collect()} == \
+        {"the", "quick", "a", "dog", "fox"}
+    with pytest.raises(ValueError):
+        build_vocab(corpus, size=1)
+
+
+def test_encode_round_trip_and_unk(spark, corpus):
+    v = build_vocab(corpus, size=4)   # fox/dog/and fall out of vocab
+    enc = encode_ids(corpus, v).collect()
+    by_doc = {}
+    for r in enc:
+        by_doc.setdefault(r["doc_id"], {})[r["pos"]] = r["token_id"]
+    # doc 0: the the the quick fox -> [1, 1, 1, 2, 0(unk)]
+    assert [by_doc[0][p] for p in range(5)] == [1, 1, 1, 2, 0]
+    # doc 2: a fox and a dog -> [3, 0, 0, 3, 0]
+    assert [by_doc[2][p] for p in range(5)] == [3, 0, 0, 3, 0]
+    # positions are dense per doc
+    for d, ps in by_doc.items():
+        assert sorted(ps) == list(range(len(ps)))
+
+
+def test_encode_requires_registered_unk(spark, corpus):
+    v = build_vocab(corpus)
+    with pytest.raises(ValueError):
+        encode_ids(corpus, v, unk="<pad>")
