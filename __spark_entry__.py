@@ -1585,6 +1585,39 @@ def _q_text_collocations(spark, sf_dir):
                        F.round("pmi", 6).alias("pmi"))
 
 
+def _en_index_for(spark, sf_dir):
+    """en_simple-analyzed index over a plural-shaped corpus: every doc
+    gets one deterministic extra token cycling (tables, table, queries,
+    query, <none>) by doc_id%5, so the S-stemmer path is actually load-
+    bearing in retrieval (the base corpus has no plural forms)."""
+    key = (sf_dir, "en_simple")
+    if key not in _INDEX_CACHE:
+        from searchengine_spark.operators.indexer import build_index
+        d = _docs(spark, sf_dir)
+        extra = F.element_at(
+            F.array(F.lit("tables"), F.lit("table"), F.lit("queries"),
+                    F.lit("query"), F.lit("")),
+            (F.col("doc_id") % 5 + 1).cast("int"))
+        t = d.select(
+            F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+            F.concat_ws(" ", F.col("text"), extra).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"))
+        _INDEX_CACHE[key] = build_index(t, dictionary="en_simple")
+    return _INDEX_CACHE[key]
+
+
+def _q_bm25_en_topk(spark, sf_dir):
+    """BM25 top-10 through the en_simple analyzer (English stop list +
+    irregular map + Harman S-stemmer): plural surface forms (tables,
+    queries) and singulars co-retrieve under the stemmed lemmas."""
+    from searchengine_spark.operators.search import search
+    out = search(_en_index_for(spark, sf_dir), "table query", k=K,
+                 mode="bm25")
+    return out.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 def _q_pipeline_encode_ids(spark, sf_dir):
     """Tokenize-to-ids: frequency-ordered vocab (id 0 = <unk>, terms by
     count desc / term asc, capped at 32) built by the distributed
@@ -2177,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nb_classify": _q_text_nb_classify,
         "corpus_profile": _q_corpus_profile,
         "pipeline_encode_ids": _q_pipeline_encode_ids,
+        "q_bm25_en_topk": _q_bm25_en_topk,
         "text_unigram_ppl": _q_text_unigram_ppl,
         "text_unigram_xppl": _q_text_unigram_xppl,
         "text_fingerprint": _q_text_fingerprint,
@@ -3853,6 +3887,65 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
             select w1, w2, cast(n_ab as bigint) as n_ab,
                    round(pmi, 6) as pmi
             from j order by round(pmi, 9) desc, w1, w2 limit 30""",
+        "q_bm25_en_topk": f"""
+            with m as (
+              select doc_id,
+                     text || ' ' ||
+                     (case cast(doc_id % 5 as int)
+                        when 0 then 'tables' when 1 then 'table'
+                        when 2 then 'queries' when 3 then 'query'
+                        else '' end) as text
+              from documents),
+            toks as (select doc_id,
+                            unnest(list_filter(string_split_regex(
+                              regexp_replace(lower(text), '[^a-z0-9 ]',
+                                             ' ', 'g'), ' +'),
+                              x -> x <> '')) as w
+                     from m),
+            kept as (
+              select doc_id,
+                     case when len(w) <= 3 then w
+                          when w like '%ies' then
+                            case when w like '%eies' or w like '%aies'
+                                 then w
+                                 else substr(w, 1, len(w) - 3) || 'y' end
+                          when w like '%es' then
+                            case when w like '%aes' or w like '%ees'
+                                      or w like '%oes'
+                                 then w
+                                 else substr(w, 1, len(w) - 1) end
+                          when w like '%s' then
+                            case when w like '%us' or w like '%ss'
+                                 then w
+                                 else substr(w, 1, len(w) - 1) end
+                          else w end as term
+              from toks
+              where w not in ('a','an','the','and','or','but','if','then',
+                              'else','of','to','in','on','at','by','for',
+                              'with','from','as','that','this','these',
+                              'those','it','its','is','are','was','were',
+                              'be','been','being','am','do','does','did',
+                              'not','no','so','such','than','too','very',
+                              'will','would','can','could','may','might',
+                              'shall','should')),
+            tf as (select doc_id, term, count(*) as tf
+                   from kept group by 1, 2),
+            dfv as (select term, count(*) as df from tf group by 1),
+            dl as (select doc_id, count(*) as dl from kept group by 1),
+            stats as (select count(*) as n, avg(dl) as avgdl from dl),
+            scored as (
+              select tf.doc_id,
+                     sum( ln(1.0 + (stats.n - dfv.df + 0.5)
+                             / (dfv.df + 0.5))
+                          * (tf.tf * 2.2)
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                            / stats.avgdl)) ) as s
+              from tf join dfv using (term) join dl using (doc_id)
+              cross join stats
+              where tf.term in ('table', 'query')
+              group by tf.doc_id)
+            select doc_id, round(s, 6) as score from scored
+            order by round(s, 9) desc, doc_id asc limit {K}""",
         "pipeline_encode_ids": r"""
             with w as (
               select doc_id,

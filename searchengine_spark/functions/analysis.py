@@ -58,9 +58,28 @@ def get_dictionary(name: str = "fixture") -> tuple[dict[str, str], frozenset[str
             from searchengine_spark.resources.ru_morph import (
                 full_lemma_of, full_stop_words)
             _DICTIONARIES[name] = (full_lemma_of(), full_stop_words())
+        elif name == "en_simple":
+            from searchengine_spark.resources.en_morph import (
+                EN_IRREGULAR, EN_STOP_WORDS)
+            _DICTIONARIES[name] = (EN_IRREGULAR, EN_STOP_WORDS)
         else:
             raise ValueError(f"unknown dictionary: {name}")
     return _DICTIONARIES[name]
+
+
+def get_post_rule(name: str):
+    """Rule-based fallback for RULE dictionaries: what to do with a word
+    the lemma map misses (map dictionaries fall back to identity in
+    ``general`` mode). Returns ``(word_fn, series_fn, surface_forms_fn)``
+    or ``None`` — ``surface_forms_fn`` is the rules' exact finite inverse
+    image for one lemma, used by snippet highlighting in place of a
+    reverse-map scan."""
+    if name == "en_simple":
+        from searchengine_spark.resources.en_morph import (s_stem,
+                                                           s_stem_series,
+                                                           surface_forms)
+        return (s_stem, s_stem_series, surface_forms)
+    return None
 
 
 def _pattern(mode: str) -> str:
@@ -79,6 +98,7 @@ def analyze_text(text: str, mode: str = "general",
     d_lem, d_stop = get_dictionary(dictionary)
     lemma_of = d_lem if lemma_of is None else lemma_of
     stop_words = d_stop if stop_words is None else stop_words
+    rule = get_post_rule(dictionary)
     cleaned = re.sub(_pattern(mode), " ", (text or "").lower())
     out: list[str] = []
     for w in cleaned.split():
@@ -88,7 +108,7 @@ def analyze_text(text: str, mode: str = "general",
         if lemma is None:
             if mode == "ref_compat":
                 continue  # no normal form → skip (Lemmatizator.java:47-52)
-            lemma = w
+            lemma = rule[0](w) if rule else w
         out.append(lemma)
     return out
 
@@ -114,6 +134,7 @@ def make_analyze_udf(mode: str = "general",
     lemma_series_src = pd.Series(lemma_of)
     stop_set = frozenset(stop_words)
     ref_compat = mode == "ref_compat"
+    post_rule = get_post_rule(dictionary)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def analyze(texts: pd.Series) -> pd.Series:
@@ -126,7 +147,7 @@ def make_analyze_udf(mode: str = "general",
         if ref_compat:
             mapped = mapped.dropna()  # no normal form → skip (Lemmatizator.java:47-52)
         else:
-            mapped = mapped.fillna(ex)
+            mapped = mapped.fillna(post_rule[1](ex) if post_rule else ex)
         idx = mapped.index.to_numpy()  # nondecreasing row ids post-explode
         vals = mapped.to_numpy()
         bounds = np.searchsorted(idx, np.arange(len(tser) + 1))
@@ -170,6 +191,7 @@ def make_analyze_tf_udf(mode: str = "general",
     lemma_series_src = pd.Series(lemma_of)
     stop_set = frozenset(stop_words)
     ref_compat = mode == "ref_compat"
+    post_rule = get_post_rule(dictionary)
 
     @F.pandas_udf(TT_SCHEMA)
     def analyze_tf(texts: pd.Series) -> pd.DataFrame:
@@ -182,7 +204,7 @@ def make_analyze_tf_udf(mode: str = "general",
         if ref_compat:
             mapped = mapped.dropna()
         else:
-            mapped = mapped.fillna(ex)
+            mapped = mapped.fillna(post_rule[1](ex) if post_rule else ex)
         tok_idx = mapped.index.to_numpy()  # nondecreasing row ids
         n_rows = len(tser)
         tok_bounds = np.searchsorted(tok_idx, np.arange(n_rows + 1))
@@ -239,6 +261,7 @@ def make_analyze_tf_pos_udf(mode: str = "general",
     lemma_series_src = pd.Series(lemma_of)
     stop_set = frozenset(stop_words)
     ref_compat = mode == "ref_compat"
+    post_rule = get_post_rule(dictionary)
 
     @F.pandas_udf(TTP_SCHEMA)
     def analyze_tf_pos(texts: pd.Series) -> pd.DataFrame:
@@ -251,7 +274,7 @@ def make_analyze_tf_pos_udf(mode: str = "general",
         if ref_compat:
             mapped = mapped.dropna()
         else:
-            mapped = mapped.fillna(ex)
+            mapped = mapped.fillna(post_rule[1](ex) if post_rule else ex)
         tok_idx = mapped.index.to_numpy()  # nondecreasing row ids
         n_rows = len(tser)
         tok_bounds = np.searchsorted(tok_idx, np.arange(n_rows + 1))

@@ -43,7 +43,9 @@ def expand_query_words(query: str, mode: str,
     ``dictionary`` must be the INDEX's dictionary: expanding from a smaller
     dictionary than the one retrieval used re-creates the reference's
     no-match bug for hits reached through inflections outside it."""
-    from searchengine_spark.functions.analysis import analyze_text, get_dictionary
+    from searchengine_spark.functions.analysis import (analyze_text,
+                                                       get_dictionary,
+                                                       get_post_rule)
     lemma_of, _ = get_dictionary(dictionary)
     words = set(_query_words(query, mode))
     lemmas = set(analyze_text(query, mode, dictionary=dictionary))
@@ -51,6 +53,12 @@ def expand_query_words(query: str, mode: str,
     for form, lemma in lemma_of.items():
         if lemma in lemmas:
             words.add(form)
+    rule = get_post_rule(dictionary)
+    if rule is not None:
+        # rule dictionary: expand via the rules' exact finite inverse
+        # image instead of a reverse-map scan
+        for lemma in lemmas:
+            words |= rule[2](lemma)
     return sorted(words)
 
 
