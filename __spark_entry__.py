@@ -1608,6 +1608,20 @@ def _en_index_for(spark, sf_dir):
     return _INDEX_CACHE[key]
 
 
+def _q_pipeline_pack_token_ids(spark, sf_dir):
+    """Tokenize → encode (32-term vocab + <unk>) → GPT-style packing into
+    512-token sequences on the deterministic hash-ordered stream; one row
+    per token as (seq_id, pos, token_id)."""
+    from searchengine_spark.functions.vocab import (build_vocab,
+                                                    pack_token_ids)
+    docs = _docs(spark, sf_dir)
+    vocab = build_vocab(docs, size=32)
+    out = pack_token_ids(docs, vocab, seq_len=512)
+    return out.select(F.col("seq_id").cast("long").alias("seq_id"),
+                      F.col("pos").cast("long").alias("pos"),
+                      "token_id")
+
+
 def _q_bm25_en_topk(spark, sf_dir):
     """BM25 top-10 through the en_simple analyzer (English stop list +
     irregular map + Harman S-stemmer): plural surface forms (tables,
@@ -2211,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": _q_corpus_profile,
         "pipeline_encode_ids": _q_pipeline_encode_ids,
         "q_bm25_en_topk": _q_bm25_en_topk,
+        "pipeline_pack_token_ids": _q_pipeline_pack_token_ids,
         "text_unigram_ppl": _q_text_unigram_ppl,
         "text_unigram_xppl": _q_text_unigram_xppl,
         "text_fingerprint": _q_text_fingerprint,
@@ -3887,6 +3902,41 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
             select w1, w2, cast(n_ab as bigint) as n_ab,
                    round(pmi, 6) as pmi
             from j order by round(pmi, 9) desc, w1, w2 limit 30""",
+        "pipeline_pack_token_ids": r"""
+            with w as (
+              select doc_id,
+                     list_filter(string_split_regex(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                       ' +'), x -> x <> '') as words
+              from documents),
+            base as (select doc_id, len(words) as n,
+                            ((doc_id % 1000000007) * 1103515245 + 12345)
+                              % 2147483648 as h
+                     from w where len(words) > 0),
+            cum as (select doc_id,
+                           cast(sum(n) over (order by h, doc_id
+                                             rows unbounded preceding)
+                                - n as bigint) as s
+                    from base),
+            toks as (select doc_id, unnest(words) as term,
+                            unnest(range(len(words))) as pos
+                     from w),
+            cnt as (select term, count(*) as c from toks group by 1),
+            ids as (select term,
+                           row_number() over (order by c desc, term asc)
+                             as token_id
+                    from cnt),
+            enc as (select t.doc_id, t.pos,
+                           cast(coalesce(i.token_id, 0) as bigint)
+                             as token_id
+                    from toks t
+                    left join (select * from ids where token_id < 32) i
+                      using (term)),
+            off as (select c.s + e.pos as o, e.token_id
+                    from enc e join cum c using (doc_id))
+            select cast(o // 512 as bigint) as seq_id,
+                   cast(o % 512 as bigint) as pos, token_id
+            from off""",
         "q_bm25_en_topk": f"""
             with m as (
               select doc_id,

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from searchengine_spark.functions.text import tokens_col
 from searchengine_spark.operators.indexer import assign_dense_ids
 
-__all__ = ["build_vocab", "encode_ids"]
+__all__ = ["build_vocab", "encode_ids", "pack_token_ids"]
 
 
 def build_vocab(df: DataFrame, size: "int | None" = None,
@@ -76,3 +76,40 @@ def encode_ids(df: DataFrame, vocab: dict, text_col: str = "text",
             .select(id_col, "pos",
                     F.coalesce("token_id", F.lit(unk_id)).cast("long")
                     .alias("token_id")))
+
+
+def pack_token_ids(df: DataFrame, vocab: dict, seq_len: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   salt: int = 0, n_buckets: int = 1024) -> DataFrame:
+    """Tokenize → encode → pack: the full LM-pretraining prep step.
+    Documents are encoded to token ids (``encode_ids``), laid out on one
+    global stream in the deterministic hash order ``pack_sequences``
+    uses, and cut into training sequences of exactly ``seq_len`` tokens
+    (GPT-style concat-then-chunk; docs crossing a boundary split).
+
+    Returns (seq_id, pos, token_id) — one row per token, the exploded
+    form of the packed batch (grouping to arrays is one sorted
+    ``collect_list`` away; the final ragged sequence is kept).
+
+    Plan: ``pack_sequences`` computes each doc's (seq_id, slice) layout
+    from token COUNTS only (bucketed two-phase prefix sum — no global
+    window); token ids then join their doc's slices on the doc key and
+    land at ``seq_pos + (pos - tok_from)``. The slice join fans each
+    token out to its doc's slice count (≈1), never to the corpus.
+    """
+    from searchengine_spark.functions.sampling import pack_sequences
+    from searchengine_spark.functions.text import tokens_col
+
+    counted = df.select(F.col(id_col),
+                        F.size(tokens_col(F.col(text_col))).alias("_n"),
+                        F.col(text_col))
+    slices = pack_sequences(counted, seq_len, "_n", id_col,
+                            salt=salt, n_buckets=n_buckets)
+    enc = encode_ids(df, vocab, text_col=text_col, id_col=id_col)
+    j = enc.join(slices, id_col)
+    j = j.filter((F.col("pos") >= F.col("tok_from"))
+                 & (F.col("pos") < F.col("tok_from") + F.col("n_toks")))
+    return j.select(
+        "seq_id",
+        (F.col("seq_pos") + F.col("pos") - F.col("tok_from")).alias("pos"),
+        "token_id")

@@ -57,3 +57,29 @@ def test_encode_requires_registered_unk(spark, corpus):
     v = build_vocab(corpus)
     with pytest.raises(ValueError):
         encode_ids(corpus, v, unk="<pad>")
+
+
+def test_pack_token_ids_layout(spark, corpus):
+    """Every token lands exactly once on the global stream; sequences are
+    exactly seq_len except the ragged tail; per-doc token order survives."""
+    from searchengine_spark.functions.vocab import pack_token_ids
+    v = build_vocab(corpus)
+    out = pack_token_ids(corpus, v, seq_len=4).collect()
+    n_total = 5 + 4 + 5  # tokens per doc
+    assert len(out) == n_total
+    # (seq_id, pos) pairs are a dense grid: seq 0..n-1 full, tail ragged
+    cells = sorted((r["seq_id"], r["pos"]) for r in out)
+    want = [(s, p) for s in range(n_total // 4 + 1) for p in range(4)]
+    assert cells == want[:n_total]
+    # reconstruct the stream and check each doc's ids appear contiguously
+    # in doc-token order
+    stream = [r["token_id"] for r in
+              sorted(out, key=lambda r: (r["seq_id"], r["pos"]))]
+    enc = encode_ids(corpus, v).collect()
+    by_doc = {}
+    for r in sorted(enc, key=lambda r: r["pos"]):
+        by_doc.setdefault(r["doc_id"], []).append(r["token_id"])
+    for ids in by_doc.values():
+        # contiguous subsequence of the stream
+        assert any(stream[i:i + len(ids)] == ids
+                   for i in range(len(stream) - len(ids) + 1))
