@@ -983,19 +983,14 @@ def _chained_compacted_index(spark, sf_dir):
     return _INDEX_CACHE[key]
 
 
-def _q_time_travel(spark, sf_dir):
-    """Snapshot time travel (the Iceberg VERSION AS OF analog,
-    operators/upsert.py): persist the built index as snap-00000, MERGE the
-    s6 delta as an incremental snapshot (CURRENT → snap-00001), then query
-    BOTH versions from one root — the AS-OF load of snap-00000 must score
-    against the ORIGINAL corpus while CURRENT scores against the modified
-    one. Returns (version, doc_id, score) for the two rankings."""
+def _tt_root_for(spark, sf_dir):
+    """Snapshot root shared by the time-travel and snapshot-diff entries:
+    the built index persisted as snap-00000, then the s6 delta MERGEd as
+    an incremental snapshot (CURRENT → snap-00001)."""
     import shutil
     from searchengine_spark.operators.upsert import (commit_snapshot,
-                                                     load_index_as_of,
                                                      merge_into_path)
     from searchengine_spark.plans.manifest import save_index
-    from searchengine_spark.operators.search import search
     key = (sf_dir, "ttroot")
     if key not in _INDEX_CACHE:
         root = f"/root/repo/.tt_cache/{os.path.basename(sf_dir)}"
@@ -1014,7 +1009,19 @@ def _q_time_travel(spark, sf_dir):
         ).withColumn("ts", F.col("ts").cast("timestamp"))
         merge_into_path(spark, root, delta, incremental=True)
         _INDEX_CACHE[key] = root
-    root = _INDEX_CACHE[key]
+    return _INDEX_CACHE[key]
+
+
+def _q_time_travel(spark, sf_dir):
+    """Snapshot time travel (the Iceberg VERSION AS OF analog,
+    operators/upsert.py): persist the built index as snap-00000, MERGE the
+    s6 delta as an incremental snapshot (CURRENT → snap-00001), then query
+    BOTH versions from one root — the AS-OF load of snap-00000 must score
+    against the ORIGINAL corpus while CURRENT scores against the modified
+    one. Returns (version, doc_id, score) for the two rankings."""
+    from searchengine_spark.operators.upsert import load_index_as_of
+    from searchengine_spark.operators.search import search
+    root = _tt_root_for(spark, sf_dir)
     old = load_index_as_of(spark, root, "snap-00000")
     cur = load_index_as_of(spark, root)  # CURRENT == snap-00001
     q = " ".join(BM25_Q)
@@ -1025,6 +1032,20 @@ def _q_time_travel(spark, sf_dir):
         F.lit("current").alias("version"), _orig_doc_id(),
         F.round("score", 6).alias("score"))
     return a.unionByName(b)
+
+
+def _q_diff_snapshots(spark, sf_dir):
+    """Snapshot diff (the Iceberg changelog-inspection analog): the
+    dictionary-level diff between snap-00000 and CURRENT of the
+    time-travel root — every term whose df moved under the s6 delta,
+    with added terms df_a = -1 and dropped terms df_b = -1."""
+    from searchengine_spark.operators.upsert import diff_snapshots
+    root = _tt_root_for(spark, sf_dir)
+    d = diff_snapshots(spark, root, "snap-00000")
+    return d["terms_changed"].select(
+        "term",
+        F.coalesce(F.col("df_a"), F.lit(-1)).cast("long").alias("df_a"),
+        F.coalesce(F.col("df_b"), F.lit(-1)).cast("long").alias("df_b"))
 
 
 def _q_compact_term_df(spark, sf_dir):
@@ -2171,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_delete_term_df": _q_delete_term_df,
         "s6_upsert_fielded_df": _q_upsert_fielded_df,
         "s8_compact_term_df": _q_compact_term_df,
+        "s10_diff_snapshots": _q_diff_snapshots,
         "q_compacted_topk": _q_compacted_topk,
         "s9_merge_term_df": _q_merge_term_df,
         "q_merged_topk": _q_merged_topk,
@@ -3260,6 +3282,17 @@ union all select 'ps', doc_id from m_ps
             from toks group by term""",
         "q_compacted_topk": _bm25_sql(BM25_Q, K).replace(
             "from documents", f"from ({_MOD_DOCS})"),
+        # snapshot diff: per-term df before (original corpus) vs after
+        # (the s6-modified corpus), changed rows only, null → -1
+        "s10_diff_snapshots": f"""
+            with dfa as ({_DF}),
+            dfb as ({_DF.replace("from documents",
+                                 f"from ({_MOD_DOCS})")})
+            select coalesce(a.term, b.term) as term,
+                   cast(coalesce(a.df, -1) as bigint) as df_a,
+                   cast(coalesce(b.df, -1) as bigint) as df_b
+            from dfa a full join dfb b on a.term = b.term
+            where a.df is null or b.df is null or a.df <> b.df""",
         # time travel: the AS-OF version answers from the ORIGINAL corpus,
         # CURRENT (one incremental MERGE later) from the modified one
         "q_time_travel": f"""

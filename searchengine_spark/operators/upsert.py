@@ -711,3 +711,45 @@ def delete_from_path(spark: SparkSession, root: str, keys,
         save_index(pruned, os.path.join(root, snap))
     commit_snapshot(root, snap)
     return os.path.join(root, snap)
+
+
+def diff_snapshots(spark: SparkSession, root: str, a: str,
+                   b: "str | None" = None) -> dict:
+    """Snapshot diff — the Iceberg changelog-inspection analog: what
+    changed between snapshot ``a`` and snapshot ``b`` (CURRENT when None)
+    of one index root.
+
+    Returns {"docs_added": DF, "docs_removed": DF (conv_id, turn_idx,
+    role), "terms_changed": DF (term, df_a, df_b) — added terms have
+    df_a null, dropped terms df_b null, retained terms appear only when
+    their df moved, "summary": {n_docs_a, n_docs_b, n_terms_a,
+    n_terms_b, docs_added, docs_removed, terms_changed}}.
+
+    Diffs use the NATURAL keys ((conv_id, turn_idx) for docs, term for
+    the dictionary): dense ids are layout, not identity — a compaction
+    with ``reassign_ids=True`` moves every doc_id while changing nothing.
+    Plan: two anti-joins + one full outer join on the dictionary —
+    metadata tables only, postings never load.
+    """
+    ia = load_index_as_of(spark, root, a)
+    ib = load_index_as_of(spark, root, b)
+    key = ["conv_id", "turn_idx"]
+    da = ia["docs"].select(*key, "role")
+    db = ib["docs"].select(*key, "role")
+    docs_added = db.join(da.select(*key), key, "left_anti")
+    docs_removed = da.join(db.select(*key), key, "left_anti")
+    ta = ia["terms"].select("term", F.col("df").alias("df_a"))
+    tb = ib["terms"].select("term", F.col("df").alias("df_b"))
+    terms_changed = (ta.join(tb, "term", "full_outer")
+                     .filter(F.col("df_a").isNull() | F.col("df_b").isNull()
+                             | (F.col("df_a") != F.col("df_b"))))
+    summary = {
+        "n_docs_a": int(ia["stats"]["n_docs"]),
+        "n_docs_b": int(ib["stats"]["n_docs"]),
+        "n_terms_a": ta.count(), "n_terms_b": tb.count(),
+        "docs_added": docs_added.count(),
+        "docs_removed": docs_removed.count(),
+        "terms_changed": terms_changed.count(),
+    }
+    return {"docs_added": docs_added, "docs_removed": docs_removed,
+            "terms_changed": terms_changed, "summary": summary}
