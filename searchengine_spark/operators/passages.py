@@ -63,7 +63,7 @@ def build_passage_index(docs: DataFrame, chunk_tokens: int = 128,
 
 def passage_search(index: dict, query: str, k: int = 10,
                    agg: str = "max", mode: str = "bm25",
-                   **select_kw) -> DataFrame:
+                   with_text: bool = False, **select_kw) -> DataFrame:
     """Doc-level top-k over a passage index: score every matching passage
     (ONE decode pass — ``search_select`` semantics, so ``min_match`` /
     ``exclude`` / ``scope`` compose), fold to parents with ``agg`` in
@@ -74,6 +74,11 @@ def passage_search(index: dict, query: str, k: int = 10,
     natural snippet/highlight anchor; ``n_chunks`` the number of matching
     passages. Ordering: (round(score, 9) desc, parent_id asc), the
     engine-canonical tie-break.
+
+    ``with_text=True`` adds ``chunk_text`` — the best passage's stored
+    window, recovered by a k-row broadcast join against the passage
+    index's docs table (the Q9-titles plan shape: winners only, never
+    the corpus).
     """
     from searchengine_spark.operators.search import search_select
 
@@ -99,6 +104,15 @@ def passage_search(index: dict, query: str, k: int = 10,
                    (-F.col("_b.nc")).cast("int").alias("best_chunk"),
                    F.col("n_chunks").cast("long").alias("n_chunks"),
                    "score")
-    return (out.orderBy(F.round("score", 9).desc(),
-                        F.col("parent_id").asc())
-            .limit(k))
+    top = (out.orderBy(F.round("score", 9).desc(),
+                       F.col("parent_id").asc())
+           .limit(k))
+    if not with_text:
+        return top
+    key = F.format_string("%s" + sep + "%06d", F.col("parent_id"),
+                          F.col("best_chunk"))
+    chunks = index["docs"].select(F.col("conv_id").alias("_ck"),
+                                  F.col("text").alias("chunk_text"))
+    return (F.broadcast(top.withColumn("_ck", key))
+            .join(chunks, "_ck").drop("_ck")
+            .orderBy(F.round("score", 9).desc(), F.col("parent_id").asc()))

@@ -71,3 +71,16 @@ def test_passage_matches_search_select_fold(spark, pindex):
 def test_passage_bad_agg_raises(spark, pindex):
     with pytest.raises(ValueError):
         passage_search(pindex, "needle", agg="median")
+
+
+def test_passage_with_text_returns_best_chunk(spark, pindex):
+    out = passage_search(pindex, "needle", k=10, agg="max",
+                         with_text=True).collect()
+    got = {r["parent_id"]: r for r in out}
+    assert set(got) == {"d0", "d1", "d3"}
+    # d0's best chunk (ordinal 1) is its second 8-token window
+    assert got["d0"]["chunk_text"] == \
+        "needle needle needle needle stone stone stone stone"
+    assert got["d1"]["chunk_text"].startswith("needle pad0")
+    # ordering preserved after the text join
+    assert [r["parent_id"] for r in out][0] == "d0"
