@@ -22,7 +22,7 @@ beyond the per-parent agg.
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_passage_index", "passage_search"]
+__all__ = ["build_passage_index", "passage_search", "upsert_passage_docs"]
 
 _SEP = "#"
 
@@ -41,14 +41,28 @@ def build_passage_index(docs: DataFrame, chunk_tokens: int = 128,
     BM25 stats (df, avgdl, N) are passage-level — that's the point:
     passage-normalized dl restores term-weight contrast inside long docs.
     """
-    from searchengine_spark.functions.text import chunk_documents
     from searchengine_spark.operators.indexer import build_index
+
+    t = _chunks_as_turns(docs, chunk_tokens, overlap, id_col, text_col,
+                         _SEP)
+    index = build_index(t, mode=mode, dictionary=dictionary, **build_kw)
+    index["passage_sep"] = _SEP
+    index["passage_chunk_tokens"] = chunk_tokens
+    index["passage_overlap"] = overlap
+    return index
+
+
+def _chunks_as_turns(docs: DataFrame, chunk_tokens: int, overlap: int,
+                     id_col: str, text_col: str, sep: str) -> DataFrame:
+    """docs → passage rows in the index's transcript shape (shared by
+    build and upsert so the two paths can never drift)."""
+    from searchengine_spark.functions.text import chunk_documents
 
     chunks = chunk_documents(docs, chunk_tokens=chunk_tokens,
                              overlap=overlap, text_col=text_col,
                              id_col=id_col)
-    t = chunks.select(
-        F.format_string("%s" + _SEP + "%06d",
+    return chunks.select(
+        F.format_string("%s" + sep + "%06d",
                         F.col(id_col).cast("string"),
                         F.col("chunk_idx")).alias("conv_id"),
         F.lit(0).alias("turn_idx"),
@@ -56,9 +70,48 @@ def build_passage_index(docs: DataFrame, chunk_tokens: int = 128,
         F.col("text"),
         F.lit(None).cast("string").alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"))
-    index = build_index(t, mode=mode, dictionary=dictionary, **build_kw)
-    index["passage_sep"] = _SEP
-    return index
+
+
+def upsert_passage_docs(index: dict, docs_delta: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        chunk_tokens: "int | None" = None,
+                        overlap: "int | None" = None) -> dict:
+    """Incremental passage-index maintenance: replace (or insert) whole
+    PARENT documents without a rebuild. A replaced doc may re-chunk into
+    FEWER passages than before, so a plain chunk-level upsert would leave
+    stale high-ordinal chunks — this deletes every existing chunk of the
+    delta's parents first (``delete_turns``), then upserts the re-chunked
+    delta (``upsert_turns``). A parent whose new text is empty is a pure
+    delete. Same micro-batch contract as upsert/delete; chunk geometry
+    defaults to what ``build_passage_index`` recorded on the index dict
+    (pass explicitly for an index loaded from disk).
+    """
+    from searchengine_spark.operators.upsert import (delete_turns,
+                                                     upsert_turns)
+    sep = index.get("passage_sep", _SEP)
+    ct = chunk_tokens if chunk_tokens is not None \
+        else index.get("passage_chunk_tokens")
+    ov = overlap if overlap is not None else index.get("passage_overlap")
+    if ct is None or ov is None:
+        raise ValueError(
+            "chunk geometry unknown: pass chunk_tokens/overlap explicitly "
+            "(the index dict carries them only when built in-session by "
+            "build_passage_index)")
+    parents = [str(r[0]) for r in
+               docs_delta.select(F.col(id_col).cast("string"))
+               .distinct().collect()]  # micro-batch contract: small
+    t = _chunks_as_turns(docs_delta, ct, ov, id_col, text_col, sep)
+    pred = F.substring_index(F.col("conv_id"), sep, 1).isin(parents)
+    had = index["docs"].filter(pred).limit(1).count() > 0
+    idx2 = delete_turns(index, pred) if had else index
+    if t.limit(1).count() == 0:
+        idx2["passage_sep"] = sep
+        idx2["passage_chunk_tokens"], idx2["passage_overlap"] = ct, ov
+        return idx2
+    out = upsert_turns(idx2, t)
+    out["passage_sep"] = sep
+    out["passage_chunk_tokens"], out["passage_overlap"] = ct, ov
+    return out
 
 
 def passage_search(index: dict, query: str, k: int = 10,

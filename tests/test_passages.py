@@ -84,3 +84,43 @@ def test_passage_with_text_returns_best_chunk(spark, pindex):
     assert got["d1"]["chunk_text"].startswith("needle pad0")
     # ordering preserved after the text join
     assert [r["parent_id"] for r in out][0] == "d0"
+
+
+def test_upsert_passage_docs_matches_rebuild(spark):
+    """Replace one doc with a SHORTER text (fewer chunks — stale-ordinal
+    hazard), insert a new doc, pure-delete a third: the maintained index
+    must rank identically to a fresh build over the modified corpus."""
+    from searchengine_spark.operators.passages import upsert_passage_docs
+    base_rows = [
+        ("d0", "needle one two three four five six seven "
+               "needle needle alpha beta gamma delta epsilon zeta"),
+        ("d1", "needle " + " ".join(f"pad{i}" for i in range(15))),
+        ("d2", " ".join(f"word{i}" for i in range(16))),
+    ]
+    docs = spark.createDataFrame(base_rows, "doc_id string, text string")
+    idx = build_passage_index(docs, chunk_tokens=8, overlap=0)
+
+    # d0 shrinks to ONE chunk, d3 is new, d2 is deleted (empty text)
+    new_rows = [("d0", "needle stone stone"),
+                ("d3", "needle fresh insert"),
+                ("d2", "")]
+    delta = spark.createDataFrame(new_rows, "doc_id string, text string")
+    up = upsert_passage_docs(idx, delta)
+
+    mod = {r[0]: r[1] for r in base_rows} | {r[0]: r[1] for r in new_rows}
+    mod_rows = [(k, v) for k, v in sorted(mod.items()) if v]
+    rebuilt = build_passage_index(
+        spark.createDataFrame(mod_rows, "doc_id string, text string"),
+        chunk_tokens=8, overlap=0)
+
+    def ranked(ix):
+        return [(r["parent_id"], r["best_chunk"], r["n_chunks"],
+                 round(r["score"], 9))
+                for r in passage_search(ix, "needle", k=10).collect()]
+
+    assert ranked(up) == ranked(rebuilt)
+    # geometry rides along and stale chunks are gone
+    assert up["passage_chunk_tokens"] == 8
+    n_d0 = up["docs"].filter("conv_id like 'd0#%'").count()
+    assert n_d0 == 1
+    assert up["docs"].filter("conv_id like 'd2#%'").count() == 0
