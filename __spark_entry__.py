@@ -1541,6 +1541,20 @@ def _q_passage_topk(spark, sf_dir):
         "best_chunk", "n_chunks", F.round("score", 6).alias("score"))
 
 
+def _q_batched_passage(spark, sf_dir):
+    """Batched maxP (passage_search_many): two queries' doc-level top-10
+    from ONE decode pass over the passage index — per-query rows
+    identical to single passage_search."""
+    from searchengine_spark.operators.passages import passage_search_many
+    index = _passage_index_for(spark, sf_dir)
+    out = passage_search_many(
+        index, {"qa": " ".join(BM25_Q), "qb": "hash join"}, k=K, agg="max")
+    return out.select(
+        "query_id", "rank",
+        F.substring("parent_id", 4, 8).cast("long").alias("doc_id"),
+        "best_chunk", "n_chunks", F.round("score", 6).alias("score"))
+
+
 def _q_eval_retrieval(spark, sf_dir):
     """Retrieval-quality eval harness (eval_retrieval): precision/recall/
     RR/nDCG@10 of the engine's own batched BM25 run against deterministic
@@ -2240,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_span_dedup": _q_text_span_dedup,
         "q_eval_retrieval": _q_eval_retrieval,
         "q_passage_topk": _q_passage_topk,
+        "q_batched_passage": _q_batched_passage,
         "text_ngram_counts": _q_text_ngram_counts,
         "text_collocations": _q_text_collocations,
         "text_gopher": _q_text_gopher,
@@ -2268,6 +2283,35 @@ _TOKS = ("select doc_id, unnest(list_filter(string_split_regex("
 _TF = f"select doc_id, term, count(*) as tf from ({_TOKS}) group by doc_id, term"
 _DF = f"select term, count(*) as df from ({_TF}) group by term"
 _DL = f"select doc_id, count(*) as dl from ({_TOKS}) group by doc_id"
+
+# the passage corpus (40-token windows, overlap 10 → stride 30) + its
+# passage-level BM25 ingredients — shared by the single and batched
+# passage oracles
+_PASSAGE_CTES = """w as (select doc_id,
+                              list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '') as words
+                       from documents),
+            c as (select doc_id, words,
+                         greatest(cast(ceil((len(words) - 10) * 1.0 / 30)
+                                       as bigint), 1) as nc
+                  from w where len(words) > 0),
+            e as (select doc_id, words, unnest(range(nc)) as ci from c),
+            ch as (select doc_id, cast(ci as int) as chunk_idx,
+                          array_to_string(words[ci * 30 + 1 : ci * 30 + 40],
+                                          ' ') as text
+                   from e),
+            ctoks as (select doc_id, chunk_idx,
+                             unnest(list_filter(string_split_regex(
+                               regexp_replace(lower(text), '[^a-z0-9 ]',
+                                              ' ', 'g'), ' +'),
+                               x -> x <> '')) as term
+                      from ch),
+            ctf as (select doc_id, chunk_idx, term, count(*) as tf
+                    from ctoks group by doc_id, chunk_idx, term),
+            cdf as (select term, count(*) as df from ctf group by term),
+            cdl as (select doc_id, chunk_idx, count(*) as dl
+                    from ctoks group by doc_id, chunk_idx),
+            stats as (select count(*) as n, avg(dl) as avgdl from cdl)"""
 
 # the corpus after the S6 upsert delta (2 replaced docs + 1 insert) — the
 # ground truth for the upsert/compact chain oracles
@@ -3759,32 +3803,43 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
             select a.doc_id, a.text,
                    cast(t.n_lines - a.n_kept as int) as n_dropped
             from agg a join tot t using (doc_id)""",
+        "q_batched_passage": f"""
+            with {_PASSAGE_CTES},
+            qt as (select * from (values ('qa', 'scan'), ('qa', 'merge'),
+                                         ('qb', 'hash'), ('qb', 'join'))
+                   as t(query_id, term)),
+            scored as (
+              select qt.query_id, tf.doc_id, tf.chunk_idx,
+                     sum( ln(1.0 + (stats.n - cdf.df + 0.5) / (cdf.df + 0.5))
+                          * (tf.tf * 2.2)
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * cdl.dl
+                                            / stats.avgdl)) ) as s
+              from ctf tf join qt using (term) join cdf using (term)
+              join cdl on tf.doc_id = cdl.doc_id
+                      and tf.chunk_idx = cdl.chunk_idx
+              cross join stats
+              group by qt.query_id, tf.doc_id, tf.chunk_idx),
+            rk as (select query_id, doc_id, chunk_idx, s,
+                          row_number() over (partition by query_id, doc_id
+                                             order by round(s, 9) desc,
+                                                      chunk_idx asc) as rn
+                   from scored),
+            byd as (select query_id, doc_id, max(s) as s,
+                           cast(count(*) as bigint) as n_chunks,
+                           max(case when rn = 1 then chunk_idx end)
+                               as best_chunk
+                    from rk group by query_id, doc_id),
+            fin as (select query_id, doc_id, s, n_chunks, best_chunk,
+                           row_number() over (partition by query_id
+                                              order by round(s, 9) desc,
+                                                       doc_id asc) as rank
+                    from byd)
+            select query_id, cast(rank as int) as rank, doc_id,
+                   cast(best_chunk as int) as best_chunk, n_chunks,
+                   round(s, 6) as score
+            from fin where rank <= {K}""",
         "q_passage_topk": f"""
-            with w as (select doc_id,
-                              list_filter(string_split_regex(text, '\\s+'),
-                                          x -> x <> '') as words
-                       from documents),
-            c as (select doc_id, words,
-                         greatest(cast(ceil((len(words) - 10) * 1.0 / 30)
-                                       as bigint), 1) as nc
-                  from w where len(words) > 0),
-            e as (select doc_id, words, unnest(range(nc)) as ci from c),
-            ch as (select doc_id, cast(ci as int) as chunk_idx,
-                          array_to_string(words[ci * 30 + 1 : ci * 30 + 40],
-                                          ' ') as text
-                   from e),
-            ctoks as (select doc_id, chunk_idx,
-                             unnest(list_filter(string_split_regex(
-                               regexp_replace(lower(text), '[^a-z0-9 ]',
-                                              ' ', 'g'), ' +'),
-                               x -> x <> '')) as term
-                      from ch),
-            ctf as (select doc_id, chunk_idx, term, count(*) as tf
-                    from ctoks group by doc_id, chunk_idx, term),
-            cdf as (select term, count(*) as df from ctf group by term),
-            cdl as (select doc_id, chunk_idx, count(*) as dl
-                    from ctoks group by doc_id, chunk_idx),
-            stats as (select count(*) as n, avg(dl) as avgdl from cdl),
+            with {_PASSAGE_CTES},
             scored as (
               select tf.doc_id, tf.chunk_idx,
                      sum( ln(1.0 + (stats.n - cdf.df + 0.5) / (cdf.df + 0.5))

@@ -22,7 +22,8 @@ beyond the per-parent agg.
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_passage_index", "passage_search", "upsert_passage_docs"]
+__all__ = ["build_passage_index", "passage_search",
+           "passage_search_many", "upsert_passage_docs"]
 
 _SEP = "#"
 
@@ -169,3 +170,47 @@ def passage_search(index: dict, query: str, k: int = 10,
     return (F.broadcast(top.withColumn("_ck", key))
             .join(chunks, "_ck").drop("_ck")
             .orderBy(F.round("score", 9).desc(), F.col("parent_id").asc()))
+
+
+def passage_search_many(index: dict, queries: dict, k: int = 10,
+                        agg: str = "max", **kw) -> DataFrame:
+    """Batched maxP: many queries' doc-level top-k from ONE decode pass
+    (every positional/ranked family keeps its batched form — this is the
+    passage family's). ``search_many``'s union decode produces the
+    batch's full scored passage match sets; each query's passages fold
+    to parents (max/sum/mean + best-chunk ordinal) and rank per query.
+
+    Returns (query_id, rank, parent_id, best_chunk, n_chunks, score),
+    rank 1..k per query, rows identical to per-query ``passage_search``.
+    bm25 scoring only (the fold is score-additive; ref_compat's
+    match-set max-normalizer doesn't commute with the parent fold).
+    """
+    from pyspark.sql import Window
+    from searchengine_spark.operators.search import search_many
+
+    if agg not in ("max", "sum", "mean"):
+        raise ValueError(f"agg must be max|sum|mean, got {agg!r}")
+    sep = index.get("passage_sep", _SEP)
+    hits = search_many(index, queries, mode="bm25", _full_set=True, **kw)
+    per = hits.select(
+        "query_id",
+        F.substring_index(F.col("conv_id"), sep, 1).alias("parent_id"),
+        F.substring_index(F.col("conv_id"), sep, -1).cast("int")
+        .alias("chunk_idx"),
+        "score")
+    score = {"max": F.max("score"), "sum": F.sum("score"),
+             "mean": F.avg("score")}[agg]
+    best = F.max(F.struct(F.round("score", 9).alias("s"),
+                          (-F.col("chunk_idx")).alias("nc")))
+    g = (per.groupBy("query_id", "parent_id")
+         .agg(score.alias("score"), best.alias("_b"),
+              F.count("*").alias("n_chunks")))
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.round("score", 9).desc(), F.col("parent_id").asc())
+    return (g.withColumn("rank", F.row_number().over(w_q))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "parent_id",
+                    (-F.col("_b.nc")).cast("int").alias("best_chunk"),
+                    F.col("n_chunks").cast("long").alias("n_chunks"),
+                    "score")
+            .orderBy("query_id", "rank"))

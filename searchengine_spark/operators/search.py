@@ -2690,7 +2690,8 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
                 sort_by=None, sort_asc: bool = False,
                 boost_by=None,
                 min_match: "int | dict | None" = None,
-                _stats_override: "dict | None" = None) -> DataFrame:
+                _stats_override: "dict | None" = None,
+                _full_set: bool = False) -> DataFrame:
     """Batched top-k: score MANY queries in ONE Spark job.
 
     A single-query search costs ~1 fixed-latency job regardless of data;
@@ -3118,6 +3119,17 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
             elif int(min_match) > 1:
                 agg = agg.filter(F.col("nt") >= F.lit(int(min_match)))
         scored_q = agg.withColumn("score", F.col("bm25"))
+        if _full_set:
+            # internal hook (operators/passages.py): the batch's FULL
+            # scored match sets — (query_id, doc_id, conv_id, score), no
+            # rank window (the caller aggregates before any top-k, so
+            # ranking here would sort data it immediately folds). Plain
+            # join (match-set-sized, AQE picks the strategy) instead of
+            # the winners-only broadcast below.
+            return (index["docs"].select("doc_id", "conv_id")
+                    .join(scored_q.select("query_id", "doc_id", "score"),
+                          "doc_id")
+                    .select("query_id", "doc_id", "conv_id", "score"))
         if boost_by is not None:
             bcol = F.col(boost_by) if isinstance(boost_by, str) else boost_by
             scored_q = (scored_q.join(index["docs"].select(

@@ -124,3 +124,22 @@ def test_upsert_passage_docs_matches_rebuild(spark):
     n_d0 = up["docs"].filter("conv_id like 'd0#%'").count()
     assert n_d0 == 1
     assert up["docs"].filter("conv_id like 'd2#%'").count() == 0
+
+
+def test_passage_search_many_matches_single(spark, pindex):
+    """Batched passage retrieval row-for-row equals per-query maxP."""
+    from searchengine_spark.operators.passages import passage_search_many
+    qs = {"qa": "needle", "qb": "stone needle"}
+    batched = passage_search_many(pindex, qs, k=10, agg="max").collect()
+    for qid, q in qs.items():
+        single = passage_search(pindex, q, k=10, agg="max").collect()
+        got = [(r["parent_id"], r["best_chunk"], r["n_chunks"],
+                round(r["score"], 9))
+               for r in batched if r["query_id"] == qid]
+        want = [(r["parent_id"], r["best_chunk"], r["n_chunks"],
+                 round(r["score"], 9)) for r in single]
+        assert got == want, qid
+    # ranks are dense 1..n per query
+    for qid in qs:
+        ranks = [r["rank"] for r in batched if r["query_id"] == qid]
+        assert ranks == list(range(1, len(ranks) + 1))
