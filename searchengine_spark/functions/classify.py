@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from searchengine_spark.functions.text import tokens_col
 
-__all__ = ["train_nb", "nb_score", "nb_classify"]
+__all__ = ["train_nb", "nb_score", "nb_classify", "save_nb", "load_nb"]
 
 
 def train_nb(df: DataFrame, label_col: str = "label",
@@ -127,3 +127,36 @@ def nb_classify(df: DataFrame, model: dict, text_col: str = "text",
     return g.select(id_col, F.col("_b.y").alias("pred"),
                     F.col("_b.nt").alias("n_tokens"),
                     F.col("_b.s").alias("score"))
+
+
+def save_nb(model: dict, path: str) -> None:
+    """Persist a trained model: the conditional table as parquet (the
+    only corpus-sized piece) + the driver-side scalars as JSON — train
+    once on the clean reference corpus, score any number of crawls from
+    any later job (the CCNet deployment shape)."""
+    import json
+    import os
+
+    model["cond"].write.mode("overwrite").parquet(f"{path}/cond.parquet")
+    meta = {"labels": model["labels"], "priors": model["priors"],
+            "oov": model["oov"], "vocab": model["vocab"]}
+    tmp = f"{path}/meta.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, f"{path}/meta.json")
+
+
+def load_nb(spark, path: str) -> dict:
+    """Load a ``save_nb`` model; scores match the in-session original at
+    the engine's 9-dp quantization (the stored doubles are identical;
+    per-doc summation order may differ across partitionings — pytest
+    asserts round-9 score equality and identical argmax)."""
+    import json
+
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    return {"cond": spark.read.parquet(f"{path}/cond.parquet"),
+            "labels": list(meta["labels"]),
+            "priors": {k: float(v) for k, v in meta["priors"].items()},
+            "oov": {k: float(v) for k, v in meta["oov"].items()},
+            "vocab": int(meta["vocab"])}
