@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 from searchengine_spark.functions.text import tokens_col
 from searchengine_spark.operators.indexer import assign_dense_ids
 
-__all__ = ["build_vocab", "encode_ids", "pack_token_ids"]
+__all__ = ["build_vocab", "encode_ids", "pack_token_ids",
+           "save_vocab", "load_vocab"]
 
 
 def build_vocab(df: DataFrame, size: "int | None" = None,
@@ -113,3 +114,32 @@ def pack_token_ids(df: DataFrame, vocab: dict, seq_len: int,
         "seq_id",
         (F.col("seq_pos") + F.col("pos") - F.col("tok_from")).alias("pos"),
         "token_id")
+
+
+def save_vocab(vocab: dict, path: str) -> None:
+    """Persist a vocabulary. Token ids are the model's contract — every
+    later encode/pack job MUST reuse the frozen assignment (re-deriving
+    ids from a slightly different corpus silently re-numbers the
+    embedding table) — so the table goes to parquet and the specials map
+    to JSON, committed atomically last."""
+    import json
+    import os
+
+    vocab["terms"].write.mode("overwrite").parquet(f"{path}/terms.parquet")
+    tmp = f"{path}/meta.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump({"specials": vocab["specials"],
+                   "n_specials": vocab["n_specials"]}, f)
+    os.replace(tmp, f"{path}/meta.json")
+
+
+def load_vocab(spark, path: str) -> dict:
+    """Load a ``save_vocab`` vocabulary; encodes identically to the
+    in-session original (integer ids — exact, pytest-asserted)."""
+    import json
+
+    with open(f"{path}/meta.json") as f:
+        meta = json.load(f)
+    return {"terms": spark.read.parquet(f"{path}/terms.parquet"),
+            "specials": {k: int(v) for k, v in meta["specials"].items()},
+            "n_specials": int(meta["n_specials"])}

@@ -83,3 +83,14 @@ def test_pack_token_ids_layout(spark, corpus):
         # contiguous subsequence of the stream
         assert any(stream[i:i + len(ids)] == ids
                    for i in range(len(stream) - len(ids) + 1))
+
+
+def test_vocab_save_load_encodes_identically(spark, corpus, tmp_path):
+    from searchengine_spark.functions.vocab import load_vocab, save_vocab
+    v = build_vocab(corpus, size=4)
+    save_vocab(v, str(tmp_path / "vocab"))
+    v2 = load_vocab(spark, str(tmp_path / "vocab"))
+    a = sorted(tuple(r) for r in encode_ids(corpus, v).collect())
+    b = sorted(tuple(r) for r in encode_ids(corpus, v2).collect())
+    assert a == b  # integer ids: exact
+    assert v2["specials"] == {"<unk>": 0}
