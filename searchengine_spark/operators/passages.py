@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["build_passage_index", "passage_search",
-           "passage_search_many", "upsert_passage_docs"]
+           "passage_search_many", "passage_query_search",
+           "upsert_passage_docs"]
 
 _SEP = "#"
 
@@ -136,10 +137,17 @@ def passage_search(index: dict, query: str, k: int = 10,
     """
     from searchengine_spark.operators.search import search_select
 
-    if agg not in ("max", "sum", "mean"):
-        raise ValueError(f"agg must be max|sum|mean, got {agg!r}")
     sep = index.get("passage_sep", _SEP)
     hits = search_select(index, query, mode=mode, **select_kw)
+    return _fold_parents(index, hits, sep, agg, k, with_text=with_text)
+
+
+def _fold_parents(index: dict, hits: DataFrame, sep: str, agg: str,
+                  k: int, with_text: bool = False) -> DataFrame:
+    """Passage match set → doc-level top-k: the shared fold behind the
+    term, grammar, and (per-query) batched passage entry points."""
+    if agg not in ("max", "sum", "mean"):
+        raise ValueError(f"agg must be max|sum|mean, got {agg!r}")
     per = hits.select(
         F.substring_index(F.col("conv_id"), sep, 1).alias("parent_id"),
         F.substring_index(F.col("conv_id"), sep, -1).cast("int")
@@ -170,6 +178,24 @@ def passage_search(index: dict, query: str, k: int = 10,
     return (F.broadcast(top.withColumn("_ck", key))
             .join(chunks, "_ck").drop("_ck")
             .orderBy(F.round("score", 9).desc(), F.col("parent_id").asc()))
+
+
+def passage_query_search(index: dict, qstr: str, k: int = 10,
+                         agg: str = "max", with_text: bool = False,
+                         **kw) -> DataFrame:
+    """Grammar-driven maxP: the full query language (phrases, spans,
+    OR-groups, NOT clauses, qualifiers, wildcards/fuzzy/synonyms) over a
+    passage index, folded to parent documents. Pure composition:
+    ``query_select`` produces the grammar's full passage match set (one
+    clause-resolution pass + one scored decode); the fold is
+    ``passage_search``'s. Phrase/span clauses need the passage index
+    built ``with_positions=True``. Same output shape as
+    ``passage_search``."""
+    from searchengine_spark.operators.querylang import query_select
+
+    sep = index.get("passage_sep", _SEP)
+    hits = query_select(index, qstr, **kw)
+    return _fold_parents(index, hits, sep, agg, k, with_text=with_text)
 
 
 def passage_search_many(index: dict, queries: dict, k: int = 10,

@@ -143,3 +143,32 @@ def test_passage_search_many_matches_single(spark, pindex):
     for qid in qs:
         ranks = [r["rank"] for r in batched if r["query_id"] == qid]
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_passage_query_search_grammar(spark):
+    """Grammar maxP: phrase + NOT clauses resolve on the positional
+    passage index and fold to parents exactly like the term path."""
+    from searchengine_spark.operators.passages import passage_query_search
+    rows = [
+        ("d0", "alpha beta needle stone gamma delta epsilon zeta "
+               "needle alpha one two three four five six"),
+        ("d1", "needle stone " + " ".join(f"p{i}" for i in range(14))),
+        ("d2", "stone needle " + " ".join(f"q{i}" for i in range(14))),
+        ("d3", "needle alone here without the stone word pair "
+               "one two three four five six seven eight"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    idx = build_passage_index(docs, chunk_tokens=8, overlap=0,
+                              with_positions=True)
+    # phrase "needle stone": d0 chunk0, d1 chunk0 — NOT alpha bans d0
+    out = passage_query_search(idx, '"needle stone" -alpha', k=10).collect()
+    got = {r["parent_id"] for r in out}
+    assert got == {"d1"}
+    # without the ban both phrase matches fold
+    out2 = passage_query_search(idx, '"needle stone"', k=10).collect()
+    assert {r["parent_id"] for r in out2} == {"d0", "d1"}
+    # plain ranked term via the grammar == term path
+    a = passage_query_search(idx, "needle", k=10).collect()
+    b = passage_search(idx, "needle", k=10).collect()
+    assert [(r["parent_id"], round(r["score"], 9)) for r in a] == \
+           [(r["parent_id"], round(r["score"], 9)) for r in b]
