@@ -100,3 +100,27 @@ def test_en_index_retrieval_and_snippets(spark):
     # plural query hits the singular doc too (query analysis stems it)
     hits2 = {r["conv_id"] for r in search(idx, "tables", k=10).collect()}
     assert hits2 == {"c0", "c1"}
+
+
+def test_en_phrase_search_stems_inflections(spark):
+    """Positional phrase matching under en_simple: the phrase's words
+    stem (tables scans → table scan) and stop words vanish from the
+    position stream, so "table the scan" matches too (the standard
+    analyzed-phrase contraction); reversed order never matches."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.search import phrase_search
+    rows = [
+        ("c0", 0, "user", "The tables scans run nightly.", None, None),
+        ("c1", 0, "user", "table the scan", None, None),   # stop word gap
+        ("c2", 0, "user", "scan tables", None, None),       # wrong order
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    idx = build_index(t, dictionary="en_simple", with_positions=True)
+    hits = {r["conv_id"] for r in
+            phrase_search(idx, "table scan", k=10).collect()}
+    # c0: tables scans → table scan adjacent; c1: 'the' is a stop word so
+    # table/scan are adjacent in the KEPT stream (analyzed-phrase
+    # semantics); c2 is reversed → no match
+    assert hits == {"c0", "c1"}
