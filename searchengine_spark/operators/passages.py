@@ -240,3 +240,38 @@ def passage_search_many(index: dict, queries: dict, k: int = 10,
                     F.col("n_chunks").cast("long").alias("n_chunks"),
                     "score")
             .orderBy("query_id", "rank"))
+
+
+def merge_passage_docs_into_path(spark, root: str, docs_delta: DataFrame,
+                                 chunk_tokens: int, overlap: int,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> str:
+    """Persisted passage maintenance: apply ``upsert_passage_docs`` to the
+    CURRENT snapshot under ``root`` and commit ONE new snapshot (atomic
+    pointer flip — the delete of stale chunks and the re-chunked merge
+    are never separately visible). Chunk geometry is explicit: a loaded
+    snapshot doesn't carry the in-session dict keys.
+
+    Always writes a FULL snapshot: the chained delete+upsert's touched
+    sets don't compose into one delta layer (the incremental writers
+    record a single operation's rewrites); a passage stream needing
+    O(|delta|) writes should lower ``compact_every`` instead.
+    """
+    import os
+
+    from searchengine_spark.operators.upsert import (commit_snapshot,
+                                                     next_snapshot_name,
+                                                     read_current)
+    from searchengine_spark.plans.manifest import load_index, save_index
+
+    cur = read_current(root)
+    if cur is None:
+        raise ValueError(f"no CURRENT snapshot under {root}")
+    index = load_index(spark, cur)
+    out = upsert_passage_docs(index, docs_delta, id_col=id_col,
+                              text_col=text_col,
+                              chunk_tokens=chunk_tokens, overlap=overlap)
+    snap = next_snapshot_name(root)
+    save_index(out, os.path.join(root, snap))
+    commit_snapshot(root, snap)
+    return os.path.join(root, snap)

@@ -158,3 +158,50 @@ def streaming_stats(turns_stream: DataFrame, window: str = "1 minute",
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "role", "n_turns", "n_chars"))
+
+
+DOC_SCHEMA = "doc_id string, text string"
+
+
+def merge_passage_batch(root: str, chunk_tokens: int, overlap: int):
+    """foreachBatch callback for a PASSAGE index maintained from a stream
+    of whole documents (doc_id, text): each batch replaces/inserts its
+    parents via ``merge_passage_docs_into_path`` (stale-chunk-safe), with
+    the same idempotent batch_id protocol as ``merge_batch``."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        ptr = _pointer(root)
+        last = ptr.get("batch_id")
+        if last is not None and batch_id <= last:
+            return  # checkpoint replay of an already-committed batch
+        if batch_df.isEmpty():
+            return
+        from searchengine_spark.operators.passages import (
+            merge_passage_docs_into_path)
+        new_dir = merge_passage_docs_into_path(
+            batch_df.sparkSession, root, batch_df,
+            chunk_tokens=chunk_tokens, overlap=overlap)
+        _commit_with_batch(root, os.path.basename(new_dir), batch_id, 0)
+
+    return apply
+
+
+def stream_passage_docs(spark: SparkSession, source_dir: str, root: str,
+                        checkpoint_dir: str, chunk_tokens: int,
+                        overlap: int, available_now: bool = True):
+    """Maintain a passage index under ``root`` from parquet drops of
+    whole documents (doc_id, text) — the document-feed twin of
+    ``stream_index_turns``. Replayed batches are no-ops (batch_id rides
+    the commit pointer); a document appearing in a later batch replaces
+    ALL its earlier passages."""
+    stream = (spark.readStream.schema(DOC_SCHEMA)
+              .option("maxFilesPerTrigger", 4)
+              .parquet(source_dir))
+    writer = (stream.writeStream
+              .foreachBatch(merge_passage_batch(root, chunk_tokens,
+                                                overlap))
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    if available_now:
+        return writer.trigger(availableNow=True).start()
+    return writer.start()

@@ -172,3 +172,64 @@ def test_passage_query_search_grammar(spark):
     b = passage_search(idx, "needle", k=10).collect()
     assert [(r["parent_id"], round(r["score"], 9)) for r in a] == \
            [(r["parent_id"], round(r["score"], 9)) for r in b]
+
+
+def test_stream_passage_docs_matches_rebuild(spark, tmp_path_factory):
+    """Passage index maintained from a document stream == from-scratch
+    passage rebuild of the final corpus; replay is idempotent."""
+    import os
+    from searchengine_spark.operators.upsert import (commit_snapshot,
+                                                     read_current)
+    from searchengine_spark.plans.manifest import load_index, save_index
+    from searchengine_spark.streaming.stream_index import stream_passage_docs
+
+    root = str(tmp_path_factory.mktemp("pstream_root"))
+    src = str(tmp_path_factory.mktemp("pstream_src"))
+    ckpt = str(tmp_path_factory.mktemp("pstream_ckpt"))
+
+    base_rows = [
+        ("d0", "needle one two three four five six seven "
+               "needle needle eight nine ten eleven twelve thirteen"),
+        ("d1", "needle " + " ".join(f"p{i}" for i in range(15))),
+    ]
+    docs = spark.createDataFrame(base_rows, "doc_id string, text string")
+    base = build_passage_index(docs, chunk_tokens=8, overlap=0)
+    save_index(base, f"{root}/snap-00000")
+    commit_snapshot(root, "snap-00000")
+
+    # batch 1 replaces d0 with a SHORTER doc; batch 2 inserts d2
+    b1 = [("d0", "needle stone stone")]
+    b2 = [("d2", "needle fresh stream doc")]
+    spark.createDataFrame(b1, "doc_id string, text string") \
+        .write.parquet(f"{src}/b1")
+    spark.createDataFrame(b2, "doc_id string, text string") \
+        .write.parquet(f"{src}/b2")
+
+    q = stream_passage_docs(spark, f"{src}/*", root, ckpt,
+                            chunk_tokens=8, overlap=0)
+    q.awaitTermination(120)
+
+    final_rows = {r[0]: r[1] for r in base_rows} | dict(b1) | dict(b2)
+    rebuilt = build_passage_index(
+        spark.createDataFrame(sorted(final_rows.items()),
+                              "doc_id string, text string"),
+        chunk_tokens=8, overlap=0)
+
+    cur = read_current(root)
+    final = load_index(spark, cur)
+    final["passage_sep"] = "#"
+
+    def ranked(ix):
+        return [(r["parent_id"], r["best_chunk"], r["n_chunks"],
+                 round(r["score"], 9))
+                for r in passage_search(ix, "needle", k=10).collect()]
+
+    assert ranked(final) == ranked(rebuilt)
+    # stale d0 chunks are gone
+    assert final["docs"].filter("conv_id like 'd0#%'").count() == 1
+
+    # replay with the same checkpoint: no new snapshot committed
+    q2 = stream_passage_docs(spark, f"{src}/*", root, ckpt,
+                             chunk_tokens=8, overlap=0)
+    q2.awaitTermination(120)
+    assert read_current(root) == cur
