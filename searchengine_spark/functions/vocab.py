@@ -81,7 +81,9 @@ def encode_ids(df: DataFrame, vocab: dict, text_col: str = "text",
 
 def pack_token_ids(df: DataFrame, vocab: dict, seq_len: int,
                    text_col: str = "text", id_col: str = "doc_id",
-                   salt: int = 0, n_buckets: int = 1024) -> DataFrame:
+                   salt: int = 0, n_buckets: int = 1024,
+                   append_eos: bool = False,
+                   eos: str = "<eos>") -> DataFrame:
     """Tokenize → encode → pack: the full LM-pretraining prep step.
     Documents are encoded to token ids (``encode_ids``), laid out on one
     global stream in the deterministic hash order ``pack_sequences``
@@ -92,6 +94,12 @@ def pack_token_ids(df: DataFrame, vocab: dict, seq_len: int,
     form of the packed batch (grouping to arrays is one sorted
     ``collect_list`` away; the final ragged sequence is kept).
 
+    ``append_eos=True`` inserts the ``eos`` special id after EVERY
+    document on the stream (the standard GPT concat separator so the
+    model sees document boundaries); ``eos`` must be a registered
+    special (``build_vocab(..., specials=("<unk>", "<eos>"))``). An
+    empty document contributes a lone EOS, like any concat pipeline.
+
     Plan: ``pack_sequences`` computes each doc's (seq_id, slice) layout
     from token COUNTS only (bucketed two-phase prefix sum — no global
     window); token ids then join their doc's slices on the doc key and
@@ -101,12 +109,23 @@ def pack_token_ids(df: DataFrame, vocab: dict, seq_len: int,
     from searchengine_spark.functions.sampling import pack_sequences
     from searchengine_spark.functions.text import tokens_col
 
-    counted = df.select(F.col(id_col),
-                        F.size(tokens_col(F.col(text_col))).alias("_n"),
+    n_tokens = F.size(tokens_col(F.col(text_col)))
+    if append_eos:
+        if eos not in vocab["specials"]:
+            raise ValueError(f"{eos!r} is not a registered special: "
+                             f"{sorted(vocab['specials'])}")
+        n_tokens = n_tokens + F.lit(1)
+    counted = df.select(F.col(id_col), n_tokens.alias("_n"),
                         F.col(text_col))
     slices = pack_sequences(counted, seq_len, "_n", id_col,
                             salt=salt, n_buckets=n_buckets)
     enc = encode_ids(df, vocab, text_col=text_col, id_col=id_col)
+    if append_eos:
+        eos_rows = df.select(
+            F.col(id_col),
+            F.size(tokens_col(F.col(text_col))).alias("pos"),
+            F.lit(vocab["specials"][eos]).cast("long").alias("token_id"))
+        enc = enc.unionByName(eos_rows)
     j = enc.join(slices, id_col)
     j = j.filter((F.col("pos") >= F.col("tok_from"))
                  & (F.col("pos") < F.col("tok_from") + F.col("n_toks")))

@@ -94,3 +94,27 @@ def test_vocab_save_load_encodes_identically(spark, corpus, tmp_path):
     b = sorted(tuple(r) for r in encode_ids(corpus, v2).collect())
     assert a == b  # integer ids: exact
     assert v2["specials"] == {"<unk>": 0}
+
+
+def test_pack_with_eos_separators(spark, corpus):
+    """append_eos: one <eos> id lands after every document's tokens; the
+    stream length grows by n_docs; layout stays a dense grid."""
+    from searchengine_spark.functions.vocab import pack_token_ids
+    v = build_vocab(corpus, specials=("<unk>", "<eos>"))
+    out = pack_token_ids(corpus, v, seq_len=4, append_eos=True).collect()
+    n_total = (5 + 1) + (4 + 1) + (5 + 1)
+    assert len(out) == n_total
+    stream = [r["token_id"] for r in
+              sorted(out, key=lambda r: (r["seq_id"], r["pos"]))]
+    assert stream.count(1) == 3  # <eos> id = 1, once per doc
+    # every doc's ids appear contiguously, terminated by <eos>
+    enc = encode_ids(corpus, v).collect()
+    by_doc = {}
+    for r in sorted(enc, key=lambda r: r["pos"]):
+        by_doc.setdefault(r["doc_id"], []).append(r["token_id"])
+    for ids in by_doc.values():
+        want = ids + [1]
+        assert any(stream[i:i + len(want)] == want
+                   for i in range(len(stream) - len(want) + 1))
+    with pytest.raises(ValueError):
+        pack_token_ids(corpus, build_vocab(corpus), 4, append_eos=True)
