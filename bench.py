@@ -209,7 +209,8 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "pipeline_stratified_sample", "pipeline_token_budget_mix",
                  "pipeline_pack_sequences", "pipeline_encode_ids",
                  "pipeline_pack_token_ids", "text_nb_classify",
-                 "corpus_profile", "q_passage_topk", "q_bm25_en_topk",
+                 "corpus_profile", "q_passage_topk", "q_batched_passage",
+                 "q_bm25_en_topk",
                  "q_eval_retrieval", "text_span_dedup",
                  "sim_cosine_topk", "q_hybrid_rrf", "q_hybrid_batched", "text_quality", "text_lang_id",
                  "events_sessionize", "text_token_count_bpe", "sim_neardup_pairs",

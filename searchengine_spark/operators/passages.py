@@ -118,7 +118,8 @@ def upsert_passage_docs(index: dict, docs_delta: DataFrame,
 
 def passage_search(index: dict, query: str, k: int = 10,
                    agg: str = "max", mode: str = "bm25",
-                   with_text: bool = False, **select_kw) -> DataFrame:
+                   with_text: bool = False, highlight: bool = False,
+                   **select_kw) -> DataFrame:
     """Doc-level top-k over a passage index: score every matching passage
     (ONE decode pass — ``search_select`` semantics, so ``min_match`` /
     ``exclude`` / ``scope`` compose), fold to parents with ``agg`` in
@@ -133,13 +134,23 @@ def passage_search(index: dict, query: str, k: int = 10,
     ``with_text=True`` adds ``chunk_text`` — the best passage's stored
     window, recovered by a k-row broadcast join against the passage
     index's docs table (the Q9-titles plan shape: winners only, never
-    the corpus).
+    the corpus). ``highlight=True`` (implies ``with_text``) adds
+    ``snippet`` — the chunk highlighted with the Q10 snippet rules, the
+    query's word set expanded through the index's own dictionary.
     """
     from searchengine_spark.operators.search import search_select
 
     sep = index.get("passage_sep", _SEP)
     hits = search_select(index, query, mode=mode, **select_kw)
-    return _fold_parents(index, hits, sep, agg, k, with_text=with_text)
+    out = _fold_parents(index, hits, sep, agg, k,
+                        with_text=with_text or highlight)
+    if highlight:
+        from searchengine_spark.functions.snippets import snippet_col
+        out = out.withColumn(
+            "snippet", snippet_col(F.col("chunk_text"), query,
+                                   index.get("mode", "general"),
+                                   index.get("dictionary", "fixture")))
+    return out
 
 
 def _fold_parents(index: dict, hits: DataFrame, sep: str, agg: str,

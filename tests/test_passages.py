@@ -233,3 +233,12 @@ def test_stream_passage_docs_matches_rebuild(spark, tmp_path_factory):
                              chunk_tokens=8, overlap=0)
     q2.awaitTermination(120)
     assert read_current(root) == cur
+
+
+def test_passage_highlight(spark, pindex):
+    from pyspark.sql import functions as F  # noqa: F811
+    out = passage_search(pindex, "needle", k=10, agg="max",
+                         highlight=True).collect()
+    got = {r["parent_id"]: r for r in out}
+    assert "<b>needle</b>" in got["d0"]["snippet"]
+    assert got["d0"]["chunk_text"].startswith("needle")
