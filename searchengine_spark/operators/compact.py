@@ -156,7 +156,9 @@ def compact_index(index: dict, bucket_range: int | None = None,
                  "total_tokens": stats["total_tokens"],
                  "n_terms": stats.get("n_terms"),
                  "bucket_range": bucket_range, "block_size": block_size,
-                 **({"positions": True} if positional else {})}
+                 **({"positions": True} if positional else {}),
+                 **({"passage": stats["passage"]}
+                    if "passage" in stats else {})}
     if new_stats["n_terms"] is None:  # upserted chains drop n_terms
         new_stats["n_terms"] = terms_out.count()
     return {"mode": index.get("mode", "general"),

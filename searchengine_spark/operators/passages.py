@@ -51,7 +51,21 @@ def build_passage_index(docs: DataFrame, chunk_tokens: int = 128,
     index["passage_sep"] = _SEP
     index["passage_chunk_tokens"] = chunk_tokens
     index["passage_overlap"] = overlap
+    # geometry also rides stats.json, so a saved/loaded (or upserted /
+    # deleted / compacted — the maintenance ops carry the key) passage
+    # index keeps its chunking contract without explicit arguments
+    index["stats"]["passage"] = {"sep": _SEP, "chunk_tokens": chunk_tokens,
+                                 "overlap": overlap}
     return index
+
+
+def _geometry(index: dict) -> tuple:
+    """(sep, chunk_tokens, overlap) from the in-session dict keys or the
+    persisted stats["passage"] block (save/load + maintenance carry it)."""
+    ps = index.get("stats", {}).get("passage", {})
+    return (index.get("passage_sep", ps.get("sep", _SEP)),
+            index.get("passage_chunk_tokens", ps.get("chunk_tokens")),
+            index.get("passage_overlap", ps.get("overlap")))
 
 
 def _chunks_as_turns(docs: DataFrame, chunk_tokens: int, overlap: int,
@@ -85,20 +99,21 @@ def upsert_passage_docs(index: dict, docs_delta: DataFrame,
     delta's parents first (``delete_turns``), then upserts the re-chunked
     delta (``upsert_turns``). A parent whose new text is empty is a pure
     delete. Same micro-batch contract as upsert/delete; chunk geometry
-    defaults to what ``build_passage_index`` recorded on the index dict
-    (pass explicitly for an index loaded from disk).
+    defaults to what ``build_passage_index`` recorded — on the index
+    dict AND in ``stats["passage"]``, which save/load and the
+    maintenance ops all carry, so loaded indexes need no arguments.
     """
     from searchengine_spark.operators.upsert import (delete_turns,
                                                      upsert_turns)
-    sep = index.get("passage_sep", _SEP)
-    ct = chunk_tokens if chunk_tokens is not None \
-        else index.get("passage_chunk_tokens")
-    ov = overlap if overlap is not None else index.get("passage_overlap")
+    sep, d_ct, d_ov = _geometry(index)
+    ct = chunk_tokens if chunk_tokens is not None else d_ct
+    ov = overlap if overlap is not None else d_ov
     if ct is None or ov is None:
         raise ValueError(
             "chunk geometry unknown: pass chunk_tokens/overlap explicitly "
-            "(the index dict carries them only when built in-session by "
-            "build_passage_index)")
+            "(build_passage_index records it on the index dict AND in "
+            "stats['passage'], which save/load and the maintenance ops "
+            "carry — only indexes saved before that change need it)")
     parents = [str(r[0]) for r in
                docs_delta.select(F.col(id_col).cast("string"))
                .distinct().collect()]  # micro-batch contract: small
@@ -140,7 +155,7 @@ def passage_search(index: dict, query: str, k: int = 10,
     """
     from searchengine_spark.operators.search import search_select
 
-    sep = index.get("passage_sep", _SEP)
+    sep = _geometry(index)[0]
     hits = search_select(index, query, mode=mode, **select_kw)
     out = _fold_parents(index, hits, sep, agg, k,
                         with_text=with_text or highlight)
@@ -204,7 +219,7 @@ def passage_query_search(index: dict, qstr: str, k: int = 10,
     ``passage_search``."""
     from searchengine_spark.operators.querylang import query_select
 
-    sep = index.get("passage_sep", _SEP)
+    sep = _geometry(index)[0]
     hits = query_select(index, qstr, **kw)
     return _fold_parents(index, hits, sep, agg, k, with_text=with_text)
 
@@ -227,7 +242,7 @@ def passage_search_many(index: dict, queries: dict, k: int = 10,
 
     if agg not in ("max", "sum", "mean"):
         raise ValueError(f"agg must be max|sum|mean, got {agg!r}")
-    sep = index.get("passage_sep", _SEP)
+    sep = _geometry(index)[0]
     hits = search_many(index, queries, mode="bm25", _full_set=True, **kw)
     per = hits.select(
         "query_id",

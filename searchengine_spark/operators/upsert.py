@@ -249,7 +249,9 @@ def upsert_turns(index: dict, delta: DataFrame,
     new_stats = {"n_docs": n_docs, "avgdl": avgdl, "total_tokens": total_tokens,
                  "tf_bounds": True,
                  "bucket_range": bucket_range, "block_size": block_size,
-                 **({"positions": True} if positional else {})}
+                 **({"positions": True} if positional else {}),
+                 **({"passage": stats["passage"]}
+                    if "passage" in stats else {})}
 
     # --- terms merge: per-term df delta (A1 incremental) ------------------
     old_flat = tf_pairs(replaced).persist()   # postings to remove
@@ -458,7 +460,9 @@ def delete_turns(index: dict, keys,
     new_stats = {"n_docs": n_docs, "avgdl": avgdl,
                  "total_tokens": total_tokens, "tf_bounds": True,
                  "bucket_range": bucket_range, "block_size": block_size,
-                 **({"positions": True} if positional else {})}
+                 **({"positions": True} if positional else {}),
+                 **({"passage": stats["passage"]}
+                    if "passage" in stats else {})}
 
     # --- terms: df decrement; df→0 dropped (reference's lemma delete) ------
     old_flat = tf_pairs(removed).persist()

@@ -242,3 +242,37 @@ def test_passage_highlight(spark, pindex):
     got = {r["parent_id"]: r for r in out}
     assert "<b>needle</b>" in got["d0"]["snippet"]
     assert got["d0"]["chunk_text"].startswith("needle")
+
+
+def test_passage_geometry_persists_through_save_load_and_maintenance(
+        spark, tmp_path_factory):
+    """stats['passage'] rides save/load AND the upsert/delete/compact
+    rebuilds, so a loaded passage index upserts with no explicit
+    geometry arguments."""
+    from searchengine_spark.operators.compact import compact_index
+    from searchengine_spark.operators.passages import upsert_passage_docs
+    from searchengine_spark.operators.upsert import (commit_snapshot,
+                                                     read_current)
+    from searchengine_spark.plans.manifest import load_index, save_index
+
+    root = str(tmp_path_factory.mktemp("pgeo_root"))
+    docs = spark.createDataFrame(
+        [("d0", "needle one two three four five six seven eight nine"),
+         ("d1", "needle alpha beta")],
+        "doc_id string, text string")
+    idx = build_passage_index(docs, chunk_tokens=8, overlap=2)
+    save_index(idx, f"{root}/snap-00000")
+    commit_snapshot(root, "snap-00000")
+
+    loaded = load_index(spark, read_current(root))
+    assert loaded["stats"]["passage"] == \
+        {"sep": "#", "chunk_tokens": 8, "overlap": 2}
+    # no explicit geometry: resolved from stats
+    delta = spark.createDataFrame([("d2", "needle fresh")],
+                                  "doc_id string, text string")
+    up = upsert_passage_docs(loaded, delta)
+    assert up["stats"]["passage"]["chunk_tokens"] == 8
+    assert up["docs"].filter("conv_id like 'd2#%'").count() == 1
+    # compaction carries it too
+    comp = compact_index(up, reassign_ids=True)
+    assert comp["stats"]["passage"]["overlap"] == 2
