@@ -126,6 +126,23 @@ def _q_bm25_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+TUNED_K1, TUNED_B = 0.9, 0.4  # query-time similarity params for q_bm25_tuned
+
+
+def _q_bm25_tuned_topk(spark, sf_dir):
+    """Query-time BM25 similarity parameters (search(k1=, b=), the
+    Elasticsearch per-query similarity surface): the standard BM25 query
+    ranked under k1=0.9, b=0.4. Stored block-max bounds (built under
+    k1=1.2, b=0.75) are stale for this query, so WAND runs on the
+    stats-independent idf·f(block_max_tf, block_min_dl) bound evaluated
+    at the QUERY's constants — exact for any k1≥0, 0≤b≤1."""
+    from searchengine_spark.operators.search import search
+    index = _index_for(spark, sf_dir)
+    hits = search(index, " ".join(BM25_Q), k=K, mode="bm25",
+                  k1=TUNED_K1, b=TUNED_B)
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 NOT_T = "hash"  # NOT-clause term (mid-frequency in the documents corpus)
 
 
@@ -1710,6 +1727,21 @@ def _q_text_nb_classify(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+def _q_text_cnb_classify(spark, sf_dir):
+    """Complement NB (Rennie et al. 2003) — the class-imbalance-robust
+    variant: each label's weights are estimated from every OTHER label's
+    counts (w(t,y) = −log((Σ_{y'≠y} c(t,y') + α)/(N_¬y + α(V+1)))), the
+    dense vocab×labels conditional grid, argmax with the engine-canonical
+    (round-9 desc, label asc) tie-break."""
+    from searchengine_spark.functions.classify import nb_classify, train_nb
+    docs = _docs(spark, sf_dir)
+    model = train_nb(docs, label_col="lang", complement=True)
+    out = nb_classify(docs, model)
+    return out.select("doc_id", "pred",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      F.round("score", 6).alias("score"))
+
+
 def _q_text_gopher(spark, sf_dir):
     """Gopher/MassiveText document-quality rule battery: measured signals
     (word count, mean word length, symbol/bullet/ellipsis/alpha
@@ -2142,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_conjunctive_and": _q_conjunctive_and,
         "q7_ref_topk": _q_ref_topk,
         "q7_bm25_topk": _q_bm25_topk,
+        "q_bm25_tuned": _q_bm25_tuned_topk,
         "q_bm25_not_topk": _q_bm25_not_topk,
         "q_min_match": _q_min_match,
         "q_select_all": _q_select_all,
@@ -2259,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": _q_text_collocations,
         "text_gopher": _q_text_gopher,
         "text_nb_classify": _q_text_nb_classify,
+        "text_cnb_classify": _q_text_cnb_classify,
         "corpus_profile": _q_corpus_profile,
         "pipeline_encode_ids": _q_pipeline_encode_ids,
         "q_bm25_en_topk": _q_bm25_en_topk,
@@ -2351,7 +2385,8 @@ def _jaccard_truth_sql(id_cap: int, threshold: float) -> str:
 
 def _bm25_sql(terms: list[str], k: int, offset: int = 0, scope: str = "",
               exclude: "list[str] | None" = None,
-              min_match: int = 0) -> str:
+              min_match: int = 0,
+              k1: float = 1.2, b: float = 0.75) -> str:
     """BM25 oracle; ``scope`` is an extra predicate on tf.doc_id (candidates
     scoped, idf/avgdl stay corpus-wide — the engine's filtered-search
     semantics for ``search(..., scope=)``); ``exclude`` models the NOT
@@ -2373,7 +2408,7 @@ stats as (select count(*) as n, avg(dl) as avgdl from dl),
 scored as (
   select tf.doc_id,
          sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
-              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+              * (tf.tf * {k1 + 1.0!r}) / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl.dl / stats.avgdl)) ) as s
   from tf join dfv using (term) join dl using (doc_id) cross join stats
   where tf.term in ({tl}){sc}{xc}
   group by tf.doc_id{hv})
@@ -2781,6 +2816,7 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, round(tf_sum / (select max(tf_sum) from m), 6) as score
             from m order by tf_sum desc, doc_id asc limit {K}""",
         "q7_bm25_topk": _bm25_sql(BM25_Q, K),
+        "q_bm25_tuned": _bm25_sql(BM25_Q, K, k1=TUNED_K1, b=TUNED_B),
         "q_bm25_not_topk": _bm25_sql(BM25_Q, K, exclude=[NOT_T]),
         "q_min_match": _bm25_sql(AND3, K, min_match=2),
         "q_select_all": f"""
@@ -4145,6 +4181,53 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
                                   and c.term = t.term),
             per as (select doc_id, label, count(*) as n_tokens,
                            sum(ln((c + 1.0) / den)) as s
+                    from tl group by 1, 2),
+            base as (select d.doc_id, l.label, l.logprior
+                     from documents d cross join lab l),
+            sc as (select b.doc_id, b.label,
+                          coalesce(p.n_tokens, 0) as n_tokens,
+                          (b.logprior + coalesce(p.s, 0.0))
+                          / (coalesce(p.n_tokens, 0) + 1.0) as score
+                   from base b left join per p
+                     on p.doc_id = b.doc_id and p.label = b.label),
+            rk as (select doc_id, label, n_tokens, score,
+                          row_number() over (partition by doc_id
+                                             order by round(score, 9) desc,
+                                                      label asc) as rn
+                   from sc)
+            select doc_id, label as pred,
+                   cast(n_tokens as bigint) as n_tokens,
+                   round(score, 6) as score
+            from rk where rn = 1""",
+        "text_cnb_classify": r"""
+            with toks as (
+              select doc_id, lang,
+                     unnest(list_filter(string_split_regex(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                       ' +'), x -> x <> '')) as term
+              from documents),
+            cnt as (select lang as label, term, count(*) as c
+                    from toks group by 1, 2),
+            v as (select count(distinct term) as v from cnt),
+            termtot as (select term, sum(c) as tc from cnt group by 1),
+            tot as (select label, sum(c) as n from cnt group by 1),
+            grand as (select sum(c) as g from cnt),
+            dc as (select lang as label, count(*) as dcnt
+                   from documents group by 1),
+            nd as (select count(*) as nd from documents),
+            lab as (select dc.label, ln(dc.dcnt * 1.0 / nd.nd) as logprior,
+                           ((grand.g - coalesce(tot.n, 0))
+                            + 1.0 * (v.v + 1)) as den
+                    from dc cross join nd cross join v cross join grand
+                    left join tot on tot.label = dc.label),
+            tl as (select t.doc_id, l.label, l.den,
+                          coalesce(tt.tc, 0) - coalesce(c.c, 0) as cc
+                   from toks t cross join lab l
+                   left join termtot tt on tt.term = t.term
+                   left join cnt c on c.label = l.label
+                                  and c.term = t.term),
+            per as (select doc_id, label, count(*) as n_tokens,
+                           sum(-ln((cc + 1.0) / den)) as s
                     from tl group by 1, 2),
             base as (select d.doc_id, l.label, l.logprior
                      from documents d cross join lab l),

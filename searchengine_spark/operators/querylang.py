@@ -423,7 +423,9 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
                  sort_by=None, sort_asc: bool = False,
                  boost_by=None,
                  synonyms: "dict | None" = None,
-                 n_fragments: "int | None" = None) -> DataFrame:
+                 n_fragments: "int | None" = None,
+                 k1: "float | None" = None,
+                 b: "float | None" = None) -> DataFrame:
     """Ranked search driven by the query-string grammar (module
     docstring). Returns the same shape as ``search``:
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, title][, snippet]),
@@ -464,7 +466,8 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
                  collapse=collapse, per_group=per_group,
                  search_after=search_after, sort_by=sort_by,
                  sort_asc=sort_asc, boost_by=boost_by,
-                 min_match=g["min_match"], n_fragments=n_fragments)
+                 min_match=g["min_match"], n_fragments=n_fragments,
+                 k1=k1, b=b)
     index.setdefault("_query_persists", []).extend(held + g["persists"])
     return out
 
@@ -477,7 +480,9 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       search_after: "dict | tuple | None" = None,
                       sort_by=None, sort_asc: bool = False,
                       boost_by=None,
-                      synonyms: "dict | None" = None) -> DataFrame:
+                      synonyms: "dict | None" = None,
+                      k1: "float | None" = None,
+                      b: "float | None" = None) -> DataFrame:
     """Batched query-LANGUAGE replay: run MANY grammar query strings
     (module docstring — terms, "phrases", "spans"~N, (or|groups),
     -NOT clauses, field:qualifiers) with the amortized plan shape of
@@ -734,7 +739,8 @@ def query_search_many(index: dict, queries: dict[str, str], k: int = 10,
                       exclude_pairs=exclude_pairs,
                       collapse=collapse, per_group=per_group,
                       search_after=search_after, sort_by=sort_by,
-                      sort_asc=sort_asc, boost_by=boost_by)
+                      sort_asc=sort_asc, boost_by=boost_by,
+                      k1=k1, b=b)
     index.setdefault("_query_persists", []).extend(held + persists)
     return out
 

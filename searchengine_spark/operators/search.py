@@ -57,6 +57,30 @@ PRUNE_MIN_POSTINGS = 100_000  # auto mode: Σdf below this → exhaustive decode
 # dominates warm batched queries. Above the cap (huge query-log replays)
 # the broadcast join is the right plan and the sites fall back to it.
 LIT_MAP_MAX = 4096
+
+
+def _sim_params(k1, b, mode: str) -> tuple:
+    """Resolve query-time BM25 similarity parameters (the Elasticsearch
+    per-query ``similarity`` surface). Returns (k1, b, custom) where
+    ``custom`` flags any deviation from the index-build constants — the
+    signal that STORED block-max bounds (computed under K1/B at build
+    time) are stale and the stats-independent (max_tf, min_dl) derivation
+    must be used instead, exactly like the post-upsert ``tf_bounds`` path.
+    ref_compat has no similarity parameters (its score is a tf sum)."""
+    if k1 is None and b is None:
+        return K1, B, False
+    if mode != "bm25":
+        raise ValueError("k1/b are BM25 similarity parameters; "
+                         "mode='ref_compat' scores a plain tf sum")
+    k1e = K1 if k1 is None else float(k1)
+    be = B if b is None else float(b)
+    if k1e < 0.0:
+        raise ValueError("k1 must be >= 0")
+    if not 0.0 <= be <= 1.0:
+        raise ValueError("b must be in [0, 1]")
+    return k1e, be, (k1e != K1 or be != B)
+
+
 def _ord():
     """Canonical ordering: score rounded to 9 dp desc (deterministic under
     float reassociation), then doc_id asc (== stable (conv_id, turn_idx))."""
@@ -194,7 +218,8 @@ DECODE_POSTINGS_PER_PARTITION = 50_000  # decode-task sizing (see below)
 
 def _decode_blocks(blocks: DataFrame, with_score_params: bool,
                    n_docs: int, avgdl: float,
-                   sum_df: "int | None" = None) -> DataFrame:
+                   sum_df: "int | None" = None,
+                   k1: float = K1, b: float = B) -> DataFrame:
     """Vectorized block decode: (term blocks) → (term_id, doc_id, tf, score).
 
     The whole Arrow batch is decoded in ONE numpy pass (segmented varint +
@@ -229,7 +254,7 @@ def _decode_blocks(blocks: DataFrame, with_score_params: bool,
                 dls = varint_decode(b"".join(pdf["dls"])).astype(np.float64)
                 idf = np.repeat(pdf["idf"].to_numpy(dtype=np.float64), ns)
                 tff = tfs.astype(np.float64)
-                score = idf * (tff * (K1 + 1.0)) / (tff + K1 * (1.0 - B + B * dls / avgdl))
+                score = idf * (tff * (k1 + 1.0)) / (tff + k1 * (1.0 - b + b * dls / avgdl))
             else:
                 score = np.zeros(len(doc_ids))
             yield pd.DataFrame({
@@ -520,6 +545,7 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
            sort_by=None, sort_asc: bool = False,
            boost_by=None, min_match: "int | None" = None,
            n_fragments: "int | None" = None,
+           k1: "float | None" = None, b: "float | None" = None,
            _stats_override: "dict | None" = None) -> DataFrame:
     """Top-k search over a built index; returns DataFrame
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, snippet]).
@@ -618,8 +644,23 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     returns empty. Block-max pruning turns off for m > 1: θ from the
     unfiltered top-k can exceed the kth QUALIFYING doc's score, which
     would make skips unsound. bm25 mode only (ref_compat is already the
-    full conjunction, Q6)."""
+    full conjunction, Q6).
+
+    ``k1``/``b`` are QUERY-TIME BM25 similarity parameters (the
+    Elasticsearch per-field ``similarity`` surface): k1 controls tf
+    saturation (k1→0: presence-only; large k1: raw-tf-ish), b the length
+    normalization (b=0: none, b=1: full). Defaults are the build
+    constants (k1=1.2, b=0.75). Under custom values the STORED block-max
+    bounds are stale (computed under K1/B at build time), so WAND
+    switches to the stats-independent derivation the upsert path uses —
+    idf·f(block_max_tf, block_min_dl) evaluated under the QUERY's
+    (k1, b) — which stays exact because f is increasing in tf and
+    decreasing in dl for any k1≥0, 0≤b≤1; legacy indexes without
+    block_max_tf fall back to the exhaustive decode. Postings-cache
+    entries store raw (tf, dl) rows, so cache hits score correctly (and
+    bit-identically to the decode path) under any (k1, b). bm25 only."""
     spark = index["docs"].sparkSession
+    k1e, be, custom_sim = _sim_params(k1, b, mode)
     if min_match is not None:
         if mode != "bm25":
             raise ValueError("min_match requires mode='bm25': ref_compat "
@@ -737,7 +778,10 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     # bound for legacy blocks without block_min_dl). WAND stays exact.
     # The sharded-stats override takes the same derivation: stored bounds
     # were computed under SHARD stats, the query scores under GLOBAL ones.
-    tfb = bool(stats.get("tf_bounds")) or _stats_override is not None
+    # Custom (k1, b) similarity params do too: stored bounds cap the score
+    # under the BUILD constants, not the query's.
+    tfb = (bool(stats.get("tf_bounds")) or _stats_override is not None
+           or custom_sim)
     if tfb and "block_max_tf" not in blocks.columns:
         tfb = None  # legacy blocks, overridden stats: no sound bound exists
     if tfb:
@@ -746,9 +790,9 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
                if "block_min_dl" in blocks.columns else F.lit(0.0))
         blocks = blocks.withColumn(
             "block_max_score",
-            F.col("idf") * bmt * F.lit(K1 + 1.0)
-            / (bmt + F.lit(K1 * (1.0 - B))
-               + F.lit(K1 * B / max(avgdl, 1e-9)) * bmd))
+            F.col("idf") * bmt * F.lit(k1e + 1.0)
+            / (bmt + F.lit(k1e * (1.0 - be))
+               + F.lit(k1e * be / max(avgdl, 1e-9)) * bmd))
 
     k_eff = offset + k  # Q11: paging retrieves offset+k winners, slices after
 
@@ -787,9 +831,9 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
                 # pair the term's max tf with its min dl — decoupled maxima,
                 # still an upper bound (f increasing in tf, decreasing in dl)
                 bmd = float(r.get("min_dl") or 0)
-                return (idf_of[r["term_id"]] * bmt * (K1 + 1.0)
-                        / (bmt + K1 * (1.0 - B)
-                           + K1 * B * bmd / max(avgdl, 1e-9)))
+                return (idf_of[r["term_id"]] * bmt * (k1e + 1.0)
+                        / (bmt + k1e * (1.0 - be)
+                           + k1e * be * bmd / max(avgdl, 1e-9)))
             return r["max_score"]
 
         m_of = {r["term_id"]: _m_driver(r) for r in trows}
@@ -821,8 +865,8 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
                     np.array([b["first_doc_id"]]), np.array([b["n"]]), b["doc_deltas"])
                 tff = varint_decode(b["tfs"]).astype(np.float64)
                 dls = varint_decode(b["dls"]).astype(np.float64)
-                sco = (idf_of[r["term_id"]] * (tff * (K1 + 1.0))
-                       / (tff + K1 * (1.0 - B + B * dls / avgdl)))
+                sco = (idf_of[r["term_id"]] * (tff * (k1e + 1.0))
+                       / (tff + k1e * (1.0 - be + be * dls / avgdl)))
                 if sc is not None:  # θ must come from in-scope docs only
                     m = (ids >= sc["lo"]) & (ids <= sc["hi"])
                     ids, sco = ids[m], sco[m]
@@ -838,7 +882,8 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
             w = Window.partitionBy("term_id").orderBy(F.col("block_max_score").desc(), "block_id")
             top_blocks = blocks.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") == 1).drop("_r")
             p1_dec = _decode_blocks(top_blocks, True, n_docs, avgdl,
-                                    sum_df=n_q * stats.get("block_size", 128))
+                                    sum_df=n_q * stats.get("block_size", 128),
+                                    k1=k1e, b=be)
             if sc is not None:
                 p1_dec = _scope_filter(p1_dec, sc)
             if excl is not None:
@@ -857,7 +902,7 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     parts = []
     if direct_ids:
         parts.append(_decode_blocks(blocks, mode == "bm25", n_docs, avgdl,
-                                    sum_df=sum_df_direct))
+                                    sum_df=sum_df_direct, k1=k1e, b=be))
     if cached is not None:
         # Score cached rows in codegen with the EXACT operation order of the
         # numpy decode path (_decode_blocks), so cached and uncached scores
@@ -866,9 +911,9 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
         tfd = F.col("tf").cast("double")
         if mode == "bm25":
             dld = F.col("dl").cast("double")
-            cscore = (idf_map[F.col("term_id")] * (tfd * F.lit(K1 + 1.0))
-                      / (tfd + F.lit(K1)
-                         * (F.lit(1.0 - B) + (F.lit(B) * dld) / F.lit(avgdl))))
+            cscore = (idf_map[F.col("term_id")] * (tfd * F.lit(k1e + 1.0))
+                      / (tfd + F.lit(k1e)
+                         * (F.lit(1.0 - be) + (F.lit(be) * dld) / F.lit(avgdl))))
         else:
             cscore = F.lit(0.0)
         parts.append(cached.select("term_id", "doc_id", "tf",
@@ -1203,7 +1248,9 @@ def search_select(index: dict, query: str, mode: str = "bm25",
                   exclude_docs: "DataFrame | None" = None,
                   require_all: "bool | None" = None,
                   min_match: "int | None" = None,
-                  with_text: bool = False) -> DataFrame:
+                  with_text: bool = False,
+                  k1: "float | None" = None,
+                  b: "float | None" = None) -> DataFrame:
     """Full match-set EXPORT — every matching doc as a distributed
     DataFrame with its score, no top-k. The retrieval→pipeline bridge
     (Elasticsearch's scroll / "export all hits" pattern, done the Spark
@@ -1236,6 +1283,7 @@ def search_select(index: dict, query: str, mode: str = "bm25",
     match-set-sized join to docs for the metadata columns. Shuffle count
     is fixed regardless of corpus size."""
     spark = index["docs"].sparkSession
+    k1e, be, _ = _sim_params(k1, b, mode)
     release_query_caches(index)
     stats = index["stats"]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -1285,16 +1333,17 @@ def search_select(index: dict, query: str, mode: str = "bm25",
                     bcol.between(sc["lo"] // br, sc["hi"] // br))
         blocks = blocks.withColumn("idf", idf_map[F.col("term_id")])
         parts.append(_decode_blocks(blocks, mode == "bm25", n_docs, avgdl,
-                                    sum_df=sum(r["df"] for r in direct_rows)))
+                                    sum_df=sum(r["df"] for r in direct_rows),
+                                    k1=k1e, b=be))
     if cached is not None:
         # codegen score with the decode path's exact operation order, so
         # cached and direct scores are bit-identical (pcache contract)
         tfd = F.col("tf").cast("double")
         if mode == "bm25":
             dld = F.col("dl").cast("double")
-            cscore = (idf_map[F.col("term_id")] * (tfd * F.lit(K1 + 1.0))
-                      / (tfd + F.lit(K1)
-                         * (F.lit(1.0 - B) + (F.lit(B) * dld) / F.lit(avgdl))))
+            cscore = (idf_map[F.col("term_id")] * (tfd * F.lit(k1e + 1.0))
+                      / (tfd + F.lit(k1e)
+                         * (F.lit(1.0 - be) + (F.lit(be) * dld) / F.lit(avgdl))))
         else:
             cscore = F.lit(0.0)
         parts.append(cached.select("term_id", "doc_id", "tf",
@@ -1363,7 +1412,9 @@ def term_vectors(index: dict, doc_ids, include_df: bool = True) -> DataFrame:
 
 
 def doc_term_weights(index: dict, doc_ids=None,
-                     as_terms: bool = False) -> DataFrame:
+                     as_terms: bool = False,
+                     k1: "float | None" = None,
+                     b: "float | None" = None) -> DataFrame:
     """Corpus-wide sparse BM25 document vectors — every doc's
     (term_id, weight) rows under the index's exact scoring formula: the
     classical-sparse-retrieval export (what a downstream recall model,
@@ -1385,6 +1436,7 @@ def doc_term_weights(index: dict, doc_ids=None,
     10^12 turns this is a map-side-combined agg + one uniform-key join —
     the same shape as the index build's own tf stage."""
     from searchengine_spark.functions.analysis import analyze_col
+    k1e, be, _ = _sim_params(k1, b, "bm25")
     stats = index["stats"]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     amode = index.get("mode", "general")
@@ -1406,9 +1458,9 @@ def doc_term_weights(index: dict, doc_ids=None,
                 / (F.col("df") + F.lit(0.5)))
     tfd = F.col("tf").cast("double")
     dld = F.col("dl").cast("double")
-    weight = (idf * (tfd * F.lit(K1 + 1.0))
-              / (tfd + F.lit(K1)
-                 * (F.lit(1.0 - B) + (F.lit(B) * dld) / F.lit(avgdl))))
+    weight = (idf * (tfd * F.lit(k1e + 1.0))
+              / (tfd + F.lit(k1e)
+                 * (F.lit(1.0 - be) + (F.lit(be) * dld) / F.lit(avgdl))))
     key = F.col("term").alias("term") if as_terms \
         else F.col("term_id").alias("term_id")
     return j.select("doc_id", key, "tf", weight.alias("weight"))
@@ -1417,7 +1469,9 @@ def doc_term_weights(index: dict, doc_ids=None,
 def rescore_search(index: dict, query: str, k: int = 10, n: int = 100,
                    window: int = 8, weight: float = 1.0,
                    scope=None, exclude: "str | None" = None,
-                   ordered: bool = False) -> DataFrame:
+                   ordered: bool = False,
+                   k1: "float | None" = None,
+                   b: "float | None" = None) -> DataFrame:
     """Two-phase retrieval with proximity rescoring — the Elasticsearch
     rescorer pattern (no reference analog; its ranking is tf-sum only,
     services/SearchingServiceImpl.java:300-329): rank by plain BM25
@@ -1442,7 +1496,7 @@ def rescore_search(index: dict, query: str, k: int = 10, n: int = 100,
     (score desc at 9 dp, doc_id asc)."""
     spark = index["docs"].sparkSession
     hits = search(index, query, k=int(n), mode="bm25", scope=scope,
-                  exclude=exclude)
+                  exclude=exclude, k1=k1, b=b)
     rows = hits.collect()
     if not rows:
         return hits
@@ -1535,7 +1589,8 @@ def significant_terms(index: dict, query: str, k: int = 20,
 
 
 def explain_score(index: dict, query: str, doc_ids=None, k: int = 10,
-                  mode: str = "bm25") -> DataFrame:
+                  mode: str = "bm25", k1: "float | None" = None,
+                  b: "float | None" = None) -> DataFrame:
     """Per-(doc, term) relevance breakdown — the Elasticsearch ``_explain``
     analog (the reference has no debugging surface at all; its score is
     assembled invisibly inside ``calculateRelevance``,
@@ -1557,8 +1612,12 @@ def explain_score(index: dict, query: str, doc_ids=None, k: int = 10,
     Plan: bucket-pruned posting scan for the query's terms, block-level
     pruning to the requested docs' buckets (≤ |docs| buckets decode
     regardless of posting-list length), one decode pass, literal-map
-    joins for term/df/idf — no shuffle grows with the corpus."""
+    joins for term/df/idf — no shuffle grows with the corpus.
+
+    ``k1``/``b`` mirror ``search``'s query-time similarity parameters, so
+    a tuned query's scores can be explained term by term."""
     spark = index["docs"].sparkSession
+    k1e, be, _ = _sim_params(k1, b, mode)
     stats = index["stats"]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     qterms = _query_terms(query, index.get("mode", "general"),
@@ -1575,7 +1634,7 @@ def explain_score(index: dict, query: str, doc_ids=None, k: int = 10,
         return empty
     if doc_ids is None:
         doc_ids = [r["doc_id"] for r in
-                   search(index, query, k=k, mode=mode)
+                   search(index, query, k=k, mode=mode, k1=k1, b=b)
                    .select("doc_id").collect()]
     doc_ids = sorted(int(d) for d in doc_ids)
     if not doc_ids:
@@ -1608,9 +1667,9 @@ def explain_score(index: dict, query: str, doc_ids=None, k: int = 10,
     if mode == "bm25":
         # same operation order as the cached-rows scorer (bit-identical)
         dld = F.col("dl").cast("double")
-        weight = (idf_map[F.col("term_id")] * (tfd * F.lit(K1 + 1.0))
-                  / (tfd + F.lit(K1)
-                     * (F.lit(1.0 - B) + (F.lit(B) * dld) / F.lit(float(avgdl)))))
+        weight = (idf_map[F.col("term_id")] * (tfd * F.lit(k1e + 1.0))
+                  / (tfd + F.lit(k1e)
+                     * (F.lit(1.0 - be) + (F.lit(be) * dld) / F.lit(float(avgdl)))))
     else:
         weight = tfd
     out = dec.select("doc_id",
@@ -2690,6 +2749,7 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
                 sort_by=None, sort_asc: bool = False,
                 boost_by=None,
                 min_match: "int | dict | None" = None,
+                k1: "float | None" = None, b: "float | None" = None,
                 _stats_override: "dict | None" = None,
                 _full_set: bool = False) -> DataFrame:
     """Batched top-k: score MANY queries in ONE Spark job.
@@ -2789,6 +2849,10 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     80% prune only when they're site_like (matching single-query scoped
     resolution); clause-restricted queries keep the global prune
     (matching ``search(scope=<DataFrame>)``).
+
+    ``k1``/``b`` — query-time BM25 similarity parameters shared by the
+    whole batch (see ``search``); no WAND here, so only the one shared
+    scoring expression changes. bm25 mode only.
     """
     if (search_after is not None or sort_by is not None
             or boost_by is not None or min_match is not None) \
@@ -2797,6 +2861,7 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
                          "mode='bm25' (see search()'s docstring)")
     if search_after is not None and offset:
         raise ValueError("search_after and offset are mutually exclusive")
+    k1e, be, _ = _sim_params(k1, b, mode)
     spark = index["docs"].sparkSession
     release_query_caches(index)
     stats = index["stats"]
@@ -3049,8 +3114,8 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
         q_by_tid.setdefault(tid, []).append((qid, idf))
     fanned = _fanout_by_term(decoded, q_by_tid,
                              [("query_id", "string"), ("idf", "double")])
-    score = F.col("idf") * (F.col("tf") * F.lit(K1 + 1.0)) / (
-        F.col("tf") + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(float(avgdl))))
+    score = F.col("idf") * (F.col("tf") * F.lit(k1e + 1.0)) / (
+        F.col("tf") + F.lit(k1e) * (F.lit(1.0 - be) + F.lit(be) * F.col("dl") / F.lit(float(avgdl))))
     scored = fanned.withColumn("s", score)
 
     agg = scored.groupBy("query_id", "doc_id").agg(
@@ -3351,7 +3416,9 @@ def search_grouped(index: dict, query: str, k: int = 10,
                    mode: str = "bm25", scope=None,
                    exclude: "str | None" = None,
                    require_all: "bool | None" = None,
-                   min_match: "int | None" = None) -> DataFrame:
+                   min_match: "int | None" = None,
+                   k1: "float | None" = None,
+                   b: "float | None" = None) -> DataFrame:
     """Conversation-level ranking: aggregate every matching TURN's score up
     to its conversation (or any docs attribute) and return the top-k
     GROUPS — the parent-child / grouped-retrieval query a transcript
@@ -3380,6 +3447,7 @@ def search_grouped(index: dict, query: str, k: int = 10,
     TakeOrderedAndProject. Shuffle count is fixed regardless of corpus
     size; the group agg is the same shape as the facet count."""
     spark = index["docs"].sparkSession
+    k1e, be, _ = _sim_params(k1, b, mode)
     release_query_caches(index)
     stats = index["stats"]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
@@ -3427,14 +3495,14 @@ def search_grouped(index: dict, query: str, k: int = 10,
         blocks = blocks.withColumn("idf", idf_map[F.col("term_id")])
         parts.append(_decode_blocks(
             blocks, mode == "bm25", n_docs, avgdl,
-            sum_df=sum(r["df"] for r in direct_rows)))
+            sum_df=sum(r["df"] for r in direct_rows), k1=k1e, b=be))
     if cached is not None:
         tfd = F.col("tf").cast("double")
         if mode == "bm25":
             dld = F.col("dl").cast("double")
-            cscore = (idf_map[F.col("term_id")] * (tfd * F.lit(K1 + 1.0))
-                      / (tfd + F.lit(K1)
-                         * (F.lit(1.0 - B) + (F.lit(B) * dld) / F.lit(avgdl))))
+            cscore = (idf_map[F.col("term_id")] * (tfd * F.lit(k1e + 1.0))
+                      / (tfd + F.lit(k1e)
+                         * (F.lit(1.0 - be) + (F.lit(be) * dld) / F.lit(avgdl))))
         else:
             cscore = F.lit(0.0)
         parts.append(cached.select("term_id", "doc_id", "tf",

@@ -1,0 +1,175 @@
+"""Query-time BM25 similarity parameters (`search(k1=, b=)`).
+
+The Elasticsearch per-query similarity surface (no reference analog — its
+score has no parameters at all, a raw tf sum at
+services/SearchingServiceImpl.java:300-329). Invariants:
+
+- explicit defaults are BIT-identical to the unparameterized call;
+- custom (k1, b) match a brute-force golden recomputation, including the
+  k1=0 (presence-only) and b=0 / b=1 (no / full length norm) edges;
+- WAND block-max pruning stays EXACT under custom params (the stored
+  bounds are stale, so the stats-independent (block_max_tf, block_min_dl)
+  derivation is evaluated under the query's constants);
+- postings-cache hits score bit-identically to the decode path under
+  custom params (entries store raw (tf, dl) rows, not scores);
+- the batched / grouped / export / explain surfaces agree with the single
+  path under the same params;
+- validation: ref_compat rejects the params, out-of-range values raise.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import searchengine_spark.operators.pcache as PC
+from searchengine_spark.operators.pcache import clear_postings_cache
+from searchengine_spark.operators.search import (
+    explain_score, search, search_grouped, search_many, search_select)
+from tests.golden_model import golden_analyze
+
+K = 10
+QUERIES = ["лес дом", "система файл код", "ошибка лес", "timeout merge"]
+PARAMS = [(0.9, 0.4), (2.0, 0.0), (0.0, 1.0), (1.2, 0.75)]
+
+
+def _golden_topk(g, query: str, k1: float, b: float, k: int = K):
+    qterms = sorted(set(golden_analyze(query, g.mode)))
+    acc: dict[int, float] = {}
+    for t in qterms:
+        if g.df.get(t, 0) == 0:
+            continue
+        idf = g._idf(t)
+        for did in range(g.n_docs):
+            tf = g.tf[did].get(t, 0)
+            if tf:
+                s = idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * g.dl[did] / g.avgdl))
+                acc[did] = acc.get(did, 0.0) + s
+    scored = sorted(acc.items(), key=lambda p: (-round(p[1], 9), p[0]))
+    return scored[:k]
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_explicit_defaults_bit_identical(index_general):
+    for q in QUERIES:
+        base = _rows(search(index_general, q, k=K))
+        expl = _rows(search(index_general, q, k=K, k1=1.2, b=0.75))
+        assert expl == base, q  # same floats, bitwise
+
+
+@pytest.mark.parametrize("k1,b", PARAMS)
+def test_custom_params_brute_force(index_general, golden_general, k1, b):
+    for q in QUERIES:
+        got = _rows(search(index_general, q, k=K, k1=k1, b=b,
+                           prune_blocks=False))
+        expected = _golden_topk(golden_general, q, k1, b)
+        assert len(got) == len(expected), (q, k1, b, got, expected)
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert gd == ed and abs(gs - es) < 1e-9, (q, k1, b, got, expected)
+
+
+@pytest.mark.parametrize("k1,b", [(0.9, 0.4), (0.0, 1.0), (3.0, 0.2)])
+def test_wand_exact_under_custom_params(index_general, k1, b):
+    """Forced block-max pruning == exhaustive decode under custom params:
+    the stale stored bounds are replaced by the stats-independent
+    derivation evaluated at the query's (k1, b)."""
+    for q in QUERIES:
+        pruned = _rows(search(index_general, q, k=K, k1=k1, b=b,
+                              prune_blocks=True))
+        full = _rows(search(index_general, q, k=K, k1=k1, b=b,
+                            prune_blocks=False))
+        assert pruned == full, (q, k1, b)
+
+
+def test_pcache_bit_identical_under_custom_params(index_general, monkeypatch):
+    """Cache hits score raw (tf, dl) rows at query time, so a warm cache
+    returns bitwise the same result for ANY (k1, b) — including switching
+    params between queries against the same warm entries."""
+    clear_postings_cache(index_general)
+    try:
+        q = QUERIES[0]
+        monkeypatch.setattr(PC, "PCACHE_MIN_DF", 10**9)  # bypass
+        cold_a = _rows(search(index_general, q, k=K, k1=0.9, b=0.4,
+                              prune_blocks=False))
+        cold_b = _rows(search(index_general, q, k=K, k1=2.0, b=0.1,
+                              prune_blocks=False))
+        monkeypatch.setattr(PC, "PCACHE_MIN_DF", 1)  # everything eligible
+        _rows(search(index_general, q, k=K, prune_blocks=False))  # populate
+        assert index_general["_pcache"]["entries"]
+        warm_a = _rows(search(index_general, q, k=K, k1=0.9, b=0.4,
+                              prune_blocks=False))
+        warm_b = _rows(search(index_general, q, k=K, k1=2.0, b=0.1,
+                              prune_blocks=False))
+        assert warm_a == cold_a and warm_b == cold_b
+    finally:
+        clear_postings_cache(index_general)
+
+
+def test_search_many_matches_single(index_general):
+    qd = {f"q{i}": q for i, q in enumerate(QUERIES)}
+    batched = search_many(index_general, qd, k=K, k1=0.9, b=0.4)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qd.items():
+        single = _rows(search(index_general, q, k=K, k1=0.9, b=0.4))
+        assert got.get(qid, []) == single, q
+
+
+def test_grouped_and_select_and_explain_agree(index_general):
+    q = "ошибка лес"
+    k1, b = 0.5, 0.9
+    hits = search(index_general, q, k=K, k1=k1, b=b).collect()
+    assert hits
+    # explain: per-(doc, term) weights sum to the search score bit-for-bit
+    exp = explain_score(index_general, q, k=K, k1=k1, b=b).collect()
+    sums: dict[int, float] = {}
+    for r in exp:
+        sums[r["doc_id"]] = sums.get(r["doc_id"], 0.0) + r["weight"]
+    for h in hits:
+        assert abs(sums[h["doc_id"]] - h["score"]) < 1e-9
+    # select: the full-export score for the top doc matches
+    sel = {r["doc_id"]: r["score"]
+           for r in search_select(index_general, q, k1=k1, b=b).collect()}
+    for h in hits:
+        assert abs(sel[h["doc_id"]] - h["score"]) < 1e-9
+    # grouped(max): each group's score is its best turn's single score
+    grp = search_grouped(index_general, q, k=5, agg="max",
+                         k1=k1, b=b).collect()
+    by_doc = {r["doc_id"]: r["score"]
+              for r in search_select(index_general, q, k1=k1, b=b).collect()}
+    for g in grp:
+        assert abs(g["best_doc_score"] - by_doc[g["best_doc_id"]]) < 1e-9
+
+
+def test_k1_zero_is_presence_scoring(index_general, golden_general):
+    """k1=0 degenerates to score = Σ idf over matched terms — tf and dl
+    drop out entirely."""
+    q = "лес дом"
+    got = _rows(search(index_general, q, k=K, k1=0.0, b=0.75))
+    g = golden_general
+    qterms = sorted(set(golden_analyze(q, g.mode)))
+    acc: dict[int, float] = {}
+    for t in qterms:
+        if g.df.get(t, 0) == 0:
+            continue
+        for did in range(g.n_docs):
+            if g.tf[did].get(t, 0):
+                acc[did] = acc.get(did, 0.0) + g._idf(t)
+    expected = sorted(acc.items(), key=lambda p: (-round(p[1], 9), p[0]))[:K]
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gd == ed and abs(gs - es) < 1e-9
+
+
+def test_validation(index_general):
+    with pytest.raises(ValueError, match="ref_compat"):
+        search(index_general, "лес", mode="ref_compat", k1=0.9)
+    with pytest.raises(ValueError, match="k1"):
+        search(index_general, "лес", k1=-0.1)
+    with pytest.raises(ValueError, match="b must"):
+        search(index_general, "лес", b=1.5)
+    with pytest.raises(ValueError):
+        search_many(index_general, {"a": "лес"}, mode="ref_compat", b=0.2)
