@@ -743,6 +743,23 @@ def _q_querylang_wildcard_suffix(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_trigram_infix(spark, sf_dir):
+    """Char-3-gram dictionary sidecar (build_trigram_index /
+    suggest_infix): the leading-wildcard glob `*er` resolved by
+    intersecting the pattern's padded 3-grams (here the boundary gram
+    `er$`) against the bucket-pruned gram→term index and verifying the
+    survivors — identical rows to the full dictionary walk without
+    visiting every term (the Lucene/ES ngram-filter answer to leading
+    wildcards)."""
+    from searchengine_spark.operators.suggest import (build_trigram_index,
+                                                      suggest_infix)
+    index = _index_for(spark, sf_dir)
+    if index.get("trigrams") is None:
+        build_trigram_index(index)
+    out = suggest_infix(index, "*er", k=16)
+    return out.select("term", F.col("df").cast("long").alias("df"))
+
+
 def _q_querylang_count(spark, sf_dir):
     """Grammar total-hits count (query_count): |docs matching >= 2 of
     {merge, scan, hash} restricted to docs containing scan or hash| —
@@ -1948,6 +1965,15 @@ def _ann_index_for(spark, sf_dir: str, kind: str) -> dict:
             build_ivfpq_index(emb, dim, path,
                               n_centroids=max(8, int(n ** 0.5)),
                               m=8, nbits=4, iters=2)
+        elif kind == "opq":
+            # IVF-PQ under a learned orthogonal rotation (OPQ): same
+            # layout and budgets as the plain-PQ index, rotation in meta
+            from searchengine_spark.functions.similarity import (
+                build_ivfpq_index)
+            n = emb.count()
+            build_ivfpq_index(emb, dim, path,
+                              n_centroids=max(8, int(n ** 0.5)),
+                              m=8, nbits=4, iters=2, opq=True)
         else:
             # standard IVF sizing: n_centroids ~ sqrt(n). A fixed 16 cells
             # let per-cell population grow linearly with the corpus, and
@@ -2124,6 +2150,52 @@ def _q_sim_ivfpq_topk(spark, sf_dir):
     ])
 
 
+def _q_sim_opq_topk(spark, sf_dir):
+    """OPQ: IVF-PQ under a LEARNED orthogonal rotation (Ge et al. 2013) —
+    the rotation balances variance across PQ subspaces before coding.
+    Gated like the plain IVF-PQ row (recall@10 vs exact cosine, self-hit,
+    scores-exact via the re-rank) plus the OPQ-specific quantitative
+    claims: the stored rotation is orthogonal, and it reconstructs the
+    normalized training sample AT LEAST as well as plain PQ under the
+    same budgets (each alternation half-step is non-increasing in
+    quantization error)."""
+    import numpy as np
+    from searchengine_spark.functions.similarity import (
+        _pq_reconstruct, _pq_train, cosine_topk, ivfpq_topk)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    idx = _ann_index_for(spark, sf_dir, "opq")
+    n_probe = max(2, round(0.25 * len(idx["centroids"])))
+    ann = ivfpq_topk(idx, qvec, k=K, n_probe=n_probe, rerank=5 * K).collect()
+    exact = {r["vec_id"]: r["cos"] for r in
+             cosine_topk(emb, qvec, k=K).collect()}
+    recall = (len(set(exact) & {r["vec_id"] for r in ann}) / len(exact)
+              if exact else 1.0)
+    self_hit = bool(ann) and ann[0]["vec_id"] == 0 and ann[0]["cos"] >= 0.999999
+    scores_exact = all(r["cos"] == exact[r["vec_id"]] for r in ann
+                      if r["vec_id"] in exact)
+    R = np.asarray(idx["rotation"], dtype=float)
+    orthogonal = bool(np.allclose(R @ R.T, np.eye(len(R)), atol=1e-9))
+    # reconstruction: OPQ (stored books under R) vs plain PQ, same sample
+    sample = emb.select("embedding").orderBy(F.col("vec_id")) \
+        .limit(8192).collect()
+    mat = np.vstack([np.asarray(r[0], dtype=float) for r in sample])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    books = np.asarray(idx["codebooks"], dtype=float)
+    plain = _pq_train(mat, m=8, nbits=4, iters=8, seed=42)
+    err_plain = float(((mat - _pq_reconstruct(mat, plain)) ** 2).sum())
+    err_opq = float(((mat @ R - _pq_reconstruct(mat @ R, books)) ** 2).sum())
+    return _gate_df(spark, [
+        ("n_returned", float(len(ann))),
+        ("self_hit", 1.0 if self_hit else 0.0),
+        ("recall_ok", 1.0 if recall >= ANN_RECALL_FLOOR_IVFPQ else 0.0),
+        ("scores_exact", 1.0 if scores_exact else 0.0),
+        ("rotation_orthogonal", 1.0 if orthogonal else 0.0),
+        ("opq_no_worse", 1.0 if err_opq <= err_plain + 1e-9 else 0.0),
+    ])
+
+
 def _q_token_count_bpe(spark, sf_dir):
     """BPE-ish pre-tokenizer token counts per doc."""
     from searchengine_spark.functions.text import token_count_bpe
@@ -2222,6 +2294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suggest_fuzzy": _q_suggest_fuzzy,
         "q_querylang_wildcard": _q_querylang_wildcard,
         "q_querylang_wildcard_suffix": _q_querylang_wildcard_suffix,
+        "q_trigram_infix": _q_trigram_infix,
         "q_querylang_min": _q_querylang_min,
         "q_querylang_fuzzy": _q_querylang_fuzzy,
         "q_querylang_count": _q_querylang_count,
@@ -2268,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_ivfpq_topk": _q_sim_ivfpq_topk,
+        "sim_opq_topk": _q_sim_opq_topk,
         "sim_neardup_pairs": _q_sim_neardup,
         "sim_semantic_dedup": _q_sim_semantic_dedup,
         "dedup_clusters": _q_dedup_clusters,
@@ -3227,6 +3301,10 @@ union all select 'ps', doc_id from m_ps
               group by tf.doc_id)
             select doc_id, round(s, 6) as score from scored
             order by round(s, 9) desc, doc_id asc limit {K}""",
+        "q_trigram_infix": f"""
+            select term, cast(df as bigint) as df
+            from ({_DF}) where term like '%er'
+            order by df desc, term asc limit 16""",
         "q_more_like_this": f"""
             with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
             stats as (select count(*) as n, avg(dl) as avgdl from dl),
@@ -4462,6 +4540,15 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
             union all select 'self_hit', 1.0
             union all select 'recall_ok', 1.0
             union all select 'scores_exact', 1.0""",
+        "sim_opq_topk": f"""
+            select 'n_returned' as metric,
+                   cast(least({K}, (select count(*) from embeddings)) as double)
+                   as value
+            union all select 'self_hit', 1.0
+            union all select 'recall_ok', 1.0
+            union all select 'scores_exact', 1.0
+            union all select 'rotation_orthogonal', 1.0
+            union all select 'opq_no_worse', 1.0""",
         "sim_lsh_neardup_pairs": """
             with e as (select vec_id, embedding::DOUBLE[] as v
                        from embeddings where vec_id < 300),

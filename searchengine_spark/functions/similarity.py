@@ -409,13 +409,17 @@ def upsert_ann_index(spark: SparkSession, path: str,
         part_cols = ["centroid"]
     elif meta["kind"] == "ivfpq":
         # assign under the stored centroids AND encode under the stored
-        # codebooks — appended rows are layout- and code-identical to what
-        # the original build would have produced for them
+        # codebooks (+ OPQ rotation when present) — appended rows are
+        # layout- and code-identical to what the original build would
+        # have produced for them
         cents = np.asarray(meta["centroids"], dtype=float)
         books = np.asarray(meta["codebooks"], dtype=float)
+        rot = (np.asarray(meta["rotation"], dtype=float)
+               if meta.get("rotation") is not None else None)
         out = (delta.withColumn("centroid",
                                 _assign_udf(cents)(F.col(vec_col)))
-               .withColumn("codes", _pq_encode_udf(books)(F.col(vec_col))))
+               .withColumn("codes",
+                           _pq_encode_udf(books, rot)(F.col(vec_col))))
         part_cols = ["centroid"]
     else:
         raise ValueError(f"unknown ANN index kind {meta['kind']!r}")
@@ -591,7 +595,42 @@ def _pq_train(sample: np.ndarray, m: int, nbits: int, iters: int,
     return books
 
 
-def _pq_encode_udf(books: np.ndarray):
+def _pq_reconstruct(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Encode+decode a matrix under the codebooks: each subvector snaps to
+    its nearest code centroid. The PQ approximation the scorer sees."""
+    m, _, ds = books.shape
+    out = np.empty_like(mat)
+    for j in range(m):
+        sub = mat[:, j * ds:(j + 1) * ds]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+        out[:, j * ds:(j + 1) * ds] = books[j][d2.argmin(1)]
+    return out
+
+
+def _opq_train(sample: np.ndarray, m: int, nbits: int, pq_iters: int,
+               opq_iters: int, seed: int) -> "tuple[np.ndarray, np.ndarray]":
+    """OPQ (Ge et al., "Optimized Product Quantization", CVPR 2013,
+    non-parametric variant): learn an ORTHOGONAL rotation R so the
+    rotated vectors x' = xR quantize with lower error than raw subspace
+    splits (the rotation decorrelates and balances variance across
+    subspaces). Alternate: (1) train codebooks on the rotated sample,
+    (2) fix the codes' reconstruction Y and solve the Procrustes problem
+    min_R ||XR − Y||_F over orthogonal R — R = UVᵀ from SVD(XᵀY). Each
+    half-step is non-increasing in quantization error, so the final
+    (R, books) reconstruct the sample at least as well as the R=I start
+    (plain PQ). Driver-side numpy over the O(sample) matrix."""
+    dim = sample.shape[1]
+    R = np.eye(dim)
+    books = _pq_train(sample, m, nbits, pq_iters, seed)
+    for _ in range(opq_iters):
+        Y = _pq_reconstruct(sample @ R, books)
+        U, _, Vt = np.linalg.svd(sample.T @ Y)
+        R = U @ Vt
+        books = _pq_train(sample @ R, m, nbits, pq_iters, seed)
+    return R, books
+
+
+def _pq_encode_udf(books: np.ndarray, rotation: "np.ndarray | None" = None):
     m, _, ds = books.shape
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -599,6 +638,8 @@ def _pq_encode_udf(books: np.ndarray):
         mat = np.vstack(vecs.to_numpy()).astype(float)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
                                1e-12)
+        if rotation is not None:
+            mat = mat @ rotation
         codes = np.empty((len(mat), m), dtype="int32")
         for j in range(m):
             sub = mat[:, j * ds:(j + 1) * ds]
@@ -612,7 +653,8 @@ def build_ivfpq_index(df: DataFrame, dim: int, path: str,
                       n_centroids: int = 16, m: int = 8, nbits: int = 4,
                       iters: int = 2, pq_iters: int = 8,
                       vec_col: str = "embedding", id_col: str = "vec_id",
-                      seed: int = 42, sample_cap: int = 8192) -> dict:
+                      seed: int = 42, sample_cap: int = 8192,
+                      opq: bool = False, opq_iters: int = 4) -> dict:
     """Ingest-time IVF-PQ index: coarse k-means centroids (the same Lloyd
     build as ``build_ivf_index``) partition the vectors; per-subspace
     codebooks (trained on a deterministic sample of NORMALIZED vectors)
@@ -622,22 +664,38 @@ def build_ivfpq_index(df: DataFrame, dim: int, path: str,
     column pruning keeps the scan at ~m bytes/vector — while the re-rank
     step reads the vector column for just the shortlisted rows. Centroids
     AND codebooks persist in the meta file, so queries build their lookup
-    tables driver-side with zero jobs."""
+    tables driver-side with zero jobs.
+
+    ``opq=True`` learns an ORTHOGONAL rotation first (``_opq_train`` —
+    Ge et al. 2013) and quantizes the ROTATED vectors; the rotation rides
+    the meta file, encoders (build, upsert) apply it before coding and
+    queries rotate the query vector before building the lookup table.
+    Rotations preserve inner products, so the PQ approximation still
+    estimates the same cosine; coarse centroids partition the RAW vectors
+    (unchanged layout and maintenance contract), and the exact re-rank is
+    rotation-oblivious — OPQ can only improve recall, never scores."""
     cents = kmeans_centroids(df, dim, n_centroids, iters, vec_col, id_col,
                              seed)
     sample = df.select(vec_col).orderBy(F.col(id_col)).limit(sample_cap) \
         .collect()
     mat = np.vstack([np.asarray(r[0], dtype=float) for r in sample])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    books = _pq_train(mat, m, nbits, pq_iters, seed)
+    rot = None
+    if opq:
+        rot, books = _opq_train(mat, m, nbits, pq_iters, opq_iters, seed)
+    else:
+        books = _pq_train(mat, m, nbits, pq_iters, seed)
     out = (df.withColumn("centroid", _assign_udf(cents)(F.col(vec_col)))
-           .withColumn("codes", _pq_encode_udf(books)(F.col(vec_col))))
+           .withColumn("codes",
+                       _pq_encode_udf(books, rot)(F.col(vec_col))))
     out.write.mode("overwrite").partitionBy("centroid") \
         .parquet(os.path.join(path, "vectors"))
     meta = {"kind": "ivfpq", "dim": dim, "n_centroids": int(len(cents)),
             "m": m, "nbits": nbits, "seed": seed,
             "vec_col": vec_col, "id_col": id_col,
             "centroids": cents.tolist(), "codebooks": books.tolist()}
+    if rot is not None:
+        meta["rotation"] = rot.tolist()
     with open(os.path.join(path, "ann_meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -660,9 +718,14 @@ def ivfpq_topk(ann: dict, qvec: list[float], k: int = 10, n_probe: int = 2,
     m = books.shape[0]
     q = np.asarray(qvec, dtype=float)
     q = q / max(np.linalg.norm(q), 1e-12)
-    ds = len(q) // m
-    lut = np.stack([books[j] @ q[j * ds:(j + 1) * ds] for j in range(m)])
+    # centroid probing uses the RAW query (partitions hold raw vectors);
+    # the PQ lookup table uses the ROTATED query when the index is OPQ —
+    # ⟨xR, qR⟩ = ⟨x, q⟩, so the approximation targets the same cosine
     probe_ids = [int(i) for i in np.argsort(-(cents @ q))[:n_probe]]
+    qr = q @ np.asarray(ann["rotation"], dtype=float) \
+        if ann.get("rotation") is not None else q
+    ds = len(q) // m
+    lut = np.stack([books[j] @ qr[j * ds:(j + 1) * ds] for j in range(m)])
     id_col, vec_col = ann["id_col"], ann["vec_col"]
     probed = ann["vectors"].filter(F.col("centroid").isin(probe_ids))
 

@@ -117,7 +117,104 @@ def suggest_pattern(index: dict, pattern: str, k: int = 10) -> DataFrame:
                       key=lambda x: (-x[1], x[0]))[:k]
         return spark.createDataFrame(rows, "term string, df long") \
             if rows else empty
+    if index.get("trigrams") is not None and _pattern_grams(chunks):
+        # big-dictionary path: gram intersection beats the full term walk
+        return suggest_infix(index, pattern, k)
     return (index["terms"].filter(F.col("term").rlike(rx))
+            .select("term", F.col("df").cast("long").alias("df"))
+            .orderBy(F.col("df").desc(), F.col("term").asc()).limit(k))
+
+
+# --- char-trigram infix index: true substring search over the dictionary ---
+# The Lucene/ES answer to the leading-wildcard problem is an ngram side
+# index over the TERM DICTIONARY: resolve `*frag*` by intersecting the
+# pattern's character 3-grams against gram→term postings, then verify the
+# few candidates with the real pattern — instead of walking all 10^8 terms.
+TRIGRAM_BUCKETS = 64
+
+
+def _gram_bucket(gram: str) -> int:
+    import zlib
+    return zlib.crc32(gram.encode("utf-8")) % TRIGRAM_BUCKETS
+
+
+def build_trigram_index(index: dict) -> None:
+    """Attach ``index["trigrams"]``: one row per DISTINCT (char-3-gram,
+    term) over the dictionary, with the term string and df denormalized so
+    pattern resolution never joins back. Terms are padded ``^term$`` so
+    anchored chunks (prefix/suffix literals) contribute boundary grams.
+
+    Size: Σ len(term)+2 − 2 rows ≈ ~8× the dictionary's row count —
+    INDEPENDENT of corpus size (it indexes the vocabulary, not the
+    postings). Bucketed by crc32(gram) % 64 (driver-computable, same
+    contract as the term-page hash): a pattern touches ≤ |grams| of 64
+    buckets, and ``save_index`` persists the buckets as partition dirs so
+    a cold probe prunes directories. Rebuild after upserts (the upsert
+    path returns a fresh index dict without this key; new terms would
+    otherwise be invisible to globs — same contract as the ANN sidecars).
+    """
+    terms = index["terms"].select(
+        "term", "term_id", F.col("df").cast("long").alias("df"))
+    padded = terms.withColumn("_p", F.concat(F.lit("^"), F.col("term"),
+                                             F.lit("$")))
+    # transform's lambda closes over the padded COLUMN (per-element
+    # re-evaluation of a column ref is free; never capture expressions)
+    grams = padded.select(
+        "term", "term_id", "df",
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.length("_p") - F.lit(2)),
+            lambda i: F.substring(F.col("_p"), i, F.lit(3))))).alias("gram"))
+    out = grams.withColumn(
+        "gram_bucket",
+        (F.crc32(F.encode(F.col("gram"), "utf-8"))
+         % TRIGRAM_BUCKETS).cast("int"))
+    index["trigrams"] = out.repartition("gram_bucket") \
+        .localCheckpoint(eager=False)
+
+
+def _pattern_grams(chunks: list[str]) -> list[str]:
+    """3-grams of a glob's literal chunks under ``^…$`` padding: the first
+    chunk is prefix-anchored, the last suffix-anchored (empty when the
+    glob starts/ends with ``*``). Every returned gram must appear in any
+    matching term's padded form — the intersection is a SUPERSET filter;
+    the caller still verifies the full pattern."""
+    grams: set[str] = set()
+    n = len(chunks)
+    for i, c in enumerate(chunks):
+        pc = ("^" if i == 0 else "") + c + ("$" if i == n - 1 else "")
+        grams.update(pc[j:j + 3] for j in range(len(pc) - 2))
+    return sorted(grams)
+
+
+def suggest_infix(index: dict, pattern: str, k: int = 10) -> DataFrame:
+    """Glob resolution through the trigram index (requires
+    ``build_trigram_index``): candidates = terms containing ALL of the
+    pattern's literal 3-grams (bucket-pruned gram scan + one small
+    count-distinct aggregate), verified against the full glob, as
+    (term, df) by (df desc, term asc) top-k — identical rows to
+    ``suggest_pattern``'s dictionary walk. Patterns whose literals yield
+    no 3-gram (e.g. ``*ab*``) fall back to ``suggest_pattern``."""
+    tg = index.get("trigrams")
+    if tg is None:
+        raise ValueError("no trigram index: call build_trigram_index(index)")
+    spark = index["docs"].sparkSession
+    mode = index.get("mode", "general")
+    chunks = [re.sub(_pattern(mode), "", c)
+              for c in (pattern or "").lower().split("*")]
+    empty = spark.createDataFrame([], "term string, df long")
+    if sum(len(c) for c in chunks) < 2:
+        return empty
+    grams = _pattern_grams(chunks)
+    if not grams:
+        return suggest_pattern(index, pattern, k)
+    rx = "^" + ".*".join(re.escape(c) for c in chunks) + "$"
+    buckets = sorted({_gram_bucket(g) for g in grams})
+    cand = (tg.filter(F.col("gram_bucket").isin(buckets))
+            .filter(F.col("gram").isin(grams))
+            .groupBy("term", "df")
+            .agg(F.count("*").alias("ng"))  # rows are distinct per (gram, term)
+            .filter(F.col("ng") == len(grams)))
+    return (cand.filter(F.col("term").rlike(rx))
             .select("term", F.col("df").cast("long").alias("df"))
             .orderBy(F.col("df").desc(), F.col("term").asc()).limit(k))
 

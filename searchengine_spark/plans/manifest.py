@@ -236,6 +236,12 @@ def save_index(index: dict, path: str, term_buckets: int = 16) -> None:
      .write.mode("overwrite").partitionBy("term_bucket")
      .option("compression", "zstd")  # binary block columns compress well
      .parquet(os.path.join(path, "postings")))
+    if index.get("trigrams") is not None:
+        # char-3-gram dictionary sidecar (operators/suggest.py): partition
+        # dirs by gram bucket so a cold glob probe prunes directories
+        (index["trigrams"].write.mode("overwrite")
+         .partitionBy("gram_bucket")
+         .parquet(os.path.join(path, "trigrams")))
     with open(os.path.join(path, "stats.json"), "w") as f:
         json.dump({**index["stats"], "mode": index["mode"],
                    "dictionary": index.get("dictionary", "fixture"),
@@ -298,7 +304,7 @@ def load_index(spark: SparkSession, path: str) -> dict:
     dictionary = stats.pop("dictionary", "fixture")
     parent = stats.pop("parent", None)
     if parent is None:
-        return {
+        out = {
             "mode": mode,
             "dictionary": dictionary,
             "docs": spark.read.parquet(os.path.join(path, "docs")),
@@ -307,6 +313,10 @@ def load_index(spark: SparkSession, path: str) -> dict:
             "postings_flat": None,
             "stats": stats,
         }
+        tgp = os.path.join(path, "trigrams")
+        if os.path.isdir(tgp):
+            out["trigrams"] = spark.read.parquet(tgp)
+        return out
     # delta snapshot: resolve the parent chain, then overlay this layer —
     # docs: parent minus the layer's keys, plus the layer's delta rows;
     # postings: parent minus the touched (term_id, bucket) groups, plus

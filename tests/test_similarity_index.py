@@ -281,3 +281,97 @@ def test_ivfpq_upsert_codes_match_rebuild(spark, vecs, tmp_path_factory):
                         _pq_encode_udf(books)(F.col("embedding")).alias("k"))
            .collect()}
     assert rows == exp and len(rows) == 20
+
+
+def test_opq_rotation_properties(spark, vecs, tmp_path_factory):
+    """OPQ (build_ivfpq_index(opq=True)): the learned rotation is
+    orthogonal, it reconstructs the training sample at least as well as
+    plain PQ under the same budgets, and the persisted meta round-trips
+    it."""
+    from searchengine_spark.functions.similarity import (
+        _opq_train, _pq_reconstruct, _pq_train, build_ivfpq_index)
+    mat = np.vstack([np.asarray(r["embedding"], dtype=float)
+                     for r in vecs.orderBy("vec_id").collect()])
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    R, books = _opq_train(mat, m=4, nbits=4, pq_iters=8, opq_iters=4,
+                          seed=42)
+    assert np.allclose(R @ R.T, np.eye(DIM), atol=1e-9)  # orthogonal
+    plain = _pq_train(mat, m=4, nbits=4, iters=8, seed=42)
+    err_plain = ((mat - _pq_reconstruct(mat, plain)) ** 2).sum()
+    err_opq = ((mat @ R - _pq_reconstruct(mat @ R, books)) ** 2).sum()
+    assert err_opq <= err_plain + 1e-9
+    path = str(tmp_path_factory.mktemp("opq_meta"))
+    build_ivfpq_index(vecs, DIM, path, n_centroids=4, m=4, nbits=4,
+                      opq=True)
+    from searchengine_spark.functions.similarity import load_ann_index
+    ann = load_ann_index(spark, path)
+    assert np.asarray(ann["rotation"]).shape == (DIM, DIM)
+
+
+def test_opq_index_recall_and_exact_scores(spark, vecs, tmp_path_factory):
+    """The OPQ-rotated index keeps the IVF-PQ contract: partition layout
+    on raw vectors, exact re-ranked scores, recall at least the plain-PQ
+    floor."""
+    from searchengine_spark.functions.similarity import (build_ivfpq_index,
+                                                         ivfpq_topk,
+                                                         load_ann_index)
+    path = str(tmp_path_factory.mktemp("opq"))
+    build_ivfpq_index(vecs, DIM, path, n_centroids=4, m=4, nbits=4,
+                      opq=True)
+    ann = load_ann_index(spark, path)
+    q = [float(x) for x in vecs.filter("vec_id = 3").first()["embedding"]]
+    exact_rows = {r["vec_id"]: r["cos"] for r in
+                  cosine_topk(vecs, q, k=5).collect()}
+    got = ivfpq_topk(ann, q, k=5, n_probe=2, rerank=30).collect()
+    assert got[0]["vec_id"] == 3 and got[0]["cos"] >= 0.999999
+    recall = len({r["vec_id"] for r in got} & set(exact_rows)) / len(exact_rows)
+    assert recall >= 0.8
+    for r in got:
+        if r["vec_id"] in exact_rows:
+            assert r["cos"] == exact_rows[r["vec_id"]]
+    # LUT-path consistency under rotation: the distributed PQ score of
+    # any returned row equals the driver-side lookup-table sum over that
+    # row's stored code (at the entry's 6-dp rounding)
+    approx = {r["vec_id"]: r["cos"] for r in
+              ivfpq_topk(ann, q, k=5, n_probe=2, rerank=0).collect()}
+    books = np.asarray(ann["codebooks"], dtype=float)
+    rot = np.asarray(ann["rotation"], dtype=float)
+    qn = np.asarray(q) / np.linalg.norm(q)
+    qr = qn @ rot
+    m, ds = books.shape[0], DIM // books.shape[0]
+    lut = np.stack([books[j] @ qr[j * ds:(j + 1) * ds] for j in range(m)])
+    codes = {r["vec_id"]: r["codes"] for r in
+             ann["vectors"].filter(F.col("vec_id").isin(list(approx)))
+             .select("vec_id", "codes").collect()}
+    for vid, cos in approx.items():
+        want = float(sum(lut[j][codes[vid][j]] for j in range(m)))
+        assert abs(cos - round(want, 6)) < 1e-9, vid
+
+
+def test_opq_upsert_codes_match_rebuild(spark, vecs, tmp_path_factory):
+    """Appending under a stored rotation produces the same codes a fresh
+    build (same rotation) would give those rows."""
+    from searchengine_spark.functions.similarity import (build_ivfpq_index,
+                                                         load_ann_index,
+                                                         upsert_ann_index)
+    base = vecs.filter("vec_id < 100")
+    delta = vecs.filter("vec_id >= 100")
+    p_inc = str(tmp_path_factory.mktemp("opq_inc"))
+    build_ivfpq_index(base, DIM, p_inc, n_centroids=4, m=4, nbits=4,
+                      opq=True)
+    upsert_ann_index(spark, p_inc, delta)
+    inc = load_ann_index(spark, p_inc)
+    import numpy as np
+    from searchengine_spark.functions.similarity import (_pq_encode_udf,
+                                                         _assign_udf)
+    books = np.asarray(inc["codebooks"], dtype=float)
+    rot = np.asarray(inc["rotation"], dtype=float)
+    expected = {r["vec_id"]: (r["c"], r["k"]) for r in delta.select(
+        "vec_id",
+        _assign_udf(np.asarray(inc["centroids"], dtype=float))(
+            F.col("embedding")).alias("c"),
+        _pq_encode_udf(books, rot)(F.col("embedding")).alias("k")).collect()}
+    got = {r["vec_id"]: (r["centroid"], r["codes"]) for r in
+           inc["vectors"].filter("vec_id >= 100")
+           .select("vec_id", "centroid", "codes").collect()}
+    assert got == expected
