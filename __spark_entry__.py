@@ -1638,6 +1638,24 @@ def _q_text_span_dedup(spark, sf_dir):
     return dedup_repeated_ngrams(docs, window=8)
 
 
+def _q_text_sa_dedup(spark, sf_dir):
+    """Exact-substring dedup via PREFIX-DOUBLING SUFFIX RANKS
+    (functions/suffix.py — the corpus-scale ExactSubstr formulation:
+    O(log L) shift-join + re-rank rounds over O(n) integer rows, vs the
+    windowed op's O(n·L) string hashing). Same corpus shaping and the
+    SAME oracle as text_span_dedup: the two formulations are
+    contractually row-identical at window == min_len, so the value hash
+    pins both the dedup output AND the equivalence."""
+    from searchengine_spark.functions.suffix import dedup_exact_substr
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 50 == 9, F.lit(_SPAN_FIXED))
+        .when(F.col("doc_id") % 3 == 0,
+              F.concat(F.col("text"), F.lit(_SPAN_SUFFIX)))
+        .otherwise(F.col("text")))
+    return dedup_exact_substr(docs, min_len=8)
+
+
 def _q_text_ngram_counts(spark, sf_dir):
     """Corpus top-50 trigrams by occurrence count (boilerplate/template
     mining staple): one explode + one hash agg + TakeOrderedAndProject."""
@@ -2359,6 +2377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_fragments": _q10_fragments,
         "text_hot_lines": _q_text_hot_lines,
         "text_span_dedup": _q_text_span_dedup,
+        "text_sa_dedup": _q_text_sa_dedup,
         "q_eval_retrieval": _q_eval_retrieval,
         "q_passage_topk": _q_passage_topk,
         "q_batched_passage": _q_batched_passage,
@@ -2863,7 +2882,7 @@ order by n_pairs desc, doc_id asc limit {k}
 def oracle_sql() -> dict[str, str]:
     and3 = ", ".join(f"'{t}'" for t in AND3)
     lookup = ", ".join(f"'{t}'" for t in sorted(set(AND3 + BM25_Q)))
-    return {
+    d = {
         "t2_t5_tokenize_tf": _TF,
         "a1_term_df": _DF,
         "q2_dictionary_lookup": f"select * from ({_DF}) where term in ({lookup})",
@@ -4573,3 +4592,7 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
             select * from read_parquet(
               '/root/repo/tests/data/expected_multimodal_audio.parquet')""",
     }
+    # suffix-rank exact-substring dedup: contractually row-identical to
+    # the windowed op at window == min_len → literally the same oracle
+    d["text_sa_dedup"] = d["text_span_dedup"]
+    return d

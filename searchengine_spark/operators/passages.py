@@ -103,7 +103,8 @@ def upsert_passage_docs(index: dict, docs_delta: DataFrame,
     dict AND in ``stats["passage"]``, which save/load and the
     maintenance ops all carry, so loaded indexes need no arguments.
     """
-    from searchengine_spark.operators.upsert import (delete_turns,
+    from searchengine_spark.operators.upsert import (compose_deltas,
+                                                     delete_turns,
                                                      upsert_turns)
     sep, d_ct, d_ov = _geometry(index)
     ct = chunk_tokens if chunk_tokens is not None else d_ct
@@ -126,6 +127,11 @@ def upsert_passage_docs(index: dict, docs_delta: DataFrame,
         idx2["passage_chunk_tokens"], idx2["passage_overlap"] = ct, ov
         return idx2
     out = upsert_turns(idx2, t)
+    # fold the delete's and upsert's layers into ONE descriptor against
+    # the pre-call index, so the chained op persists as a single
+    # O(|delta|) snapshot (save_index_delta) instead of a full rewrite
+    out["_delta"] = compose_deltas(idx2.get("_delta") if had else None,
+                                   out.get("_delta"))
     out["passage_sep"] = sep
     out["passage_chunk_tokens"], out["passage_overlap"] = ct, ov
     return out
@@ -278,17 +284,20 @@ def merge_passage_docs_into_path(spark, root: str, docs_delta: DataFrame,
     are never separately visible). Chunk geometry is explicit: a loaded
     snapshot doesn't carry the in-session dict keys.
 
-    Always writes a FULL snapshot: the chained delete+upsert's touched
-    sets don't compose into one delta layer (the incremental writers
-    record a single operation's rewrites); a passage stream needing
-    O(|delta|) writes should lower ``compact_every`` instead.
-    """
+    Writes a DELTA layer (O(|delta|) bytes): the chained delete+upsert's
+    descriptors fold into one via ``compose_deltas``, so a passage feed
+    pays Iceberg-MERGE write amplification per batch, with the usual
+    chain-depth bound via periodic compaction. Falls back to a full
+    snapshot only when the chain recorded no delta (degenerate no-op
+    inputs)."""
     import os
 
     from searchengine_spark.operators.upsert import (commit_snapshot,
                                                      next_snapshot_name,
                                                      read_current)
-    from searchengine_spark.plans.manifest import load_index, save_index
+    from searchengine_spark.plans.manifest import (load_index,
+                                                   save_index,
+                                                   save_index_delta)
 
     cur = read_current(root)
     if cur is None:
@@ -298,6 +307,10 @@ def merge_passage_docs_into_path(spark, root: str, docs_delta: DataFrame,
                               text_col=text_col,
                               chunk_tokens=chunk_tokens, overlap=overlap)
     snap = next_snapshot_name(root)
-    save_index(out, os.path.join(root, snap))
+    if out.get("_delta") is not None:
+        save_index_delta(out, os.path.join(root, snap),
+                         parent=os.path.basename(cur))
+    else:
+        save_index(out, os.path.join(root, snap))
     commit_snapshot(root, snap)
     return os.path.join(root, snap)

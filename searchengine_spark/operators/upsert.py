@@ -394,6 +394,34 @@ def upsert_turns(index: dict, delta: DataFrame,
                        "removed_only": False}}
 
 
+def compose_deltas(d1: "dict | None", d2: "dict | None") -> "dict | None":
+    """Fold two CONSECUTIVE operations' ``_delta`` descriptors (d1 applied
+    first, then d2 on its output) into one descriptor valid against the
+    ORIGINAL parent — so a chained delete+upsert (the passage-maintenance
+    shape) persists as a single O(|delta|) layer via ``save_index_delta``
+    instead of a full snapshot.
+
+    Soundness: ``load_index`` applies a layer as (parent.docs ANTI-JOIN
+    keys) ∪ (this.docs SEMI-JOIN keys) and (parent.postings ANTI-JOIN
+    touched) ∪ (this.postings SEMI-JOIN touched). With keys = keys₁∪keys₂
+    and touched = touched₁∪touched₂ against the FINAL index: a doc key
+    deleted and not re-added is absent from the final docs (anti-join
+    removes it, the semi-join adds nothing); a re-added or new key's
+    final row rides the semi-join. A (term_id, bucket) group in either
+    touched set was rewritten by the chain (groups d1 rewrote and d2
+    didn't are unchanged between the intermediate and final postings),
+    and groups in neither are byte-identical to the parent. Both
+    descriptors must come from the same stats geometry (block_size /
+    bucket_range are invariant under upsert/delete)."""
+    if d1 is None:
+        return d2
+    if d2 is None:
+        return d1
+    return {"keys": d1["keys"].unionByName(d2["keys"]).distinct(),
+            "touched": d1["touched"].unionByName(d2["touched"]).distinct(),
+            "removed_only": bool(d1["removed_only"] and d2["removed_only"])}
+
+
 def delete_turns(index: dict, keys,
                  max_delta_fraction: float = MAX_DELTA_FRACTION) -> dict:
     """Incremental DELETE: remove turns from a built index; returns a new

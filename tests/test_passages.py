@@ -276,3 +276,72 @@ def test_passage_geometry_persists_through_save_load_and_maintenance(
     # compaction carries it too
     comp = compact_index(up, reassign_ids=True)
     assert comp["stats"]["passage"]["overlap"] == 2
+
+
+def test_persisted_passage_merge_writes_delta_layer(spark, tmp_path_factory):
+    """merge_passage_docs_into_path persists the chained delete+upsert as
+    ONE delta layer (compose_deltas) — the snapshot dir carries
+    postings_delta/keys/touched and names its parent — and a chain of
+    two merges loads rank-identical to a fresh rebuild of the final
+    corpus."""
+    import json
+    import os
+
+    from searchengine_spark.operators.passages import (
+        build_passage_index, merge_passage_docs_into_path)
+    from searchengine_spark.operators.upsert import (commit_snapshot,
+                                                     read_current)
+    from searchengine_spark.plans.manifest import load_index, save_index
+
+    root = str(tmp_path_factory.mktemp("proot"))
+    base_rows = [
+        ("d0", "needle one two three four five six seven "
+               "needle needle alpha beta gamma delta epsilon zeta"),
+        ("d1", "needle " + " ".join(f"pad{i}" for i in range(15))),
+        ("d2", " ".join(f"word{i}" for i in range(16))),
+    ]
+    docs = spark.createDataFrame(base_rows, "doc_id string, text string")
+    idx = build_passage_index(docs, chunk_tokens=8, overlap=0)
+    save_index(idx, os.path.join(root, "snap-000000"))
+    commit_snapshot(root, "snap-000000")
+
+    d1 = spark.createDataFrame(
+        [("d0", "needle stone stone"), ("d3", "needle fresh insert")],
+        "doc_id string, text string")
+    p1 = merge_passage_docs_into_path(spark, root, d1,
+                                      chunk_tokens=8, overlap=0)
+    # the committed layer is a DELTA, not a full rewrite
+    assert os.path.isdir(os.path.join(p1, "postings_delta"))
+    assert not os.path.isdir(os.path.join(p1, "postings"))
+    with open(os.path.join(p1, "stats.json")) as f:
+        assert json.load(f)["parent"] == "snap-000000"
+
+    d2 = spark.createDataFrame(
+        [("d2", ""), ("d3", "needle rewritten much longer text here "
+                            "with a second chunk needle inside it yes")],
+        "doc_id string, text string")
+    p2 = merge_passage_docs_into_path(spark, root, d2,
+                                      chunk_tokens=8, overlap=0)
+    assert os.path.isdir(os.path.join(p2, "postings_delta"))
+    assert read_current(root) == p2
+
+    mod = {r[0]: r[1] for r in base_rows}
+    mod.update({r[0]: r[1] for r in d1.collect()})
+    mod.update({r[0]: r[1] for r in d2.collect()})
+    rebuilt = build_passage_index(
+        spark.createDataFrame(
+            [(k, v) for k, v in sorted(mod.items()) if v],
+            "doc_id string, text string"),
+        chunk_tokens=8, overlap=0)
+    loaded = load_index(spark, read_current(root))
+
+    def ranked(ix):
+        return [(r["parent_id"], r["best_chunk"], r["n_chunks"],
+                 round(r["score"], 9))
+                for r in passage_search(ix, "needle", k=10).collect()]
+
+    assert ranked(loaded) == ranked(rebuilt)
+    # chunk counts reconcile through the chain (stale ordinals gone)
+    assert loaded["docs"].filter("conv_id like 'd0#%'").count() == 1
+    assert loaded["docs"].filter("conv_id like 'd2#%'").count() == 0
+    assert loaded["docs"].filter("conv_id like 'd3#%'").count() == 2
