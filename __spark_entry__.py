@@ -1274,6 +1274,22 @@ def _q_token_budget_mix(spark, sf_dir):
                       F.col("n_tokens").cast("long").alias("n_tokens"))
 
 
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature-based corpus mixing (the multilingual-LM size^alpha
+    rule): a 60/30/10 source shaping, alpha=0.5, 100-doc budget —
+    targets are the floor shares with rounding leftovers to the largest
+    strata (no stratum clamps at this shaping, so the closed form is
+    SQL-expressible), realized as each stratum's exact hash-order
+    prefix (the deterministic reproducible shuffle)."""
+    from searchengine_spark.functions.sampling import temperature_mix
+    d = _docs(spark, sf_dir).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 10 < 6, "big")
+        .when(F.col("doc_id") % 10 < 9, "mid").otherwise("small"))
+    out = temperature_mix(d, "source", "doc_id", alpha=0.5, budget=100)
+    return out.select("doc_id", "source")
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Sequence packing: the corpus' tokens laid on one deterministic
     hash-ordered stream, cut into 512-token training sequences; one row
@@ -2168,6 +2184,18 @@ def _q_sim_ivfpq_topk(spark, sf_dir):
     ])
 
 
+def _q_sim_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: for each anchor (anchor →
+    positives map), the top-5 most-similar corpus vectors excluding the
+    anchor itself and its positives — one shared-norm corpus scan for
+    the whole anchor batch, literal anti-join for the exclusions."""
+    from searchengine_spark.functions.similarity import mine_hard_negatives
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = mine_hard_negatives(emb, {0: [1, 2], 7: [3]}, k=5)
+    return out.select("anchor_id", "vec_id",
+                      F.round("cos", 6).alias("cos"), "rank")
+
+
 def _q_sim_opq_topk(spark, sf_dir):
     """OPQ: IVF-PQ under a LEARNED orthogonal rotation (Ge et al. 2013) —
     the rotation balances variance across PQ subspaces before coding.
@@ -2342,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_statistics_per_collection": _q_statistics_per_collection,
         "pipeline_stratified_sample": _q_stratified_sample,
         "pipeline_token_budget_mix": _q_token_budget_mix,
+        "pipeline_temperature_mix": _q_temperature_mix,
         "pipeline_pack_sequences": _q_pack_sequences,
         "q_grouped_topk": _q_grouped_topk,
         "dedup_contamination": _q_contamination,
@@ -2360,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_ivfpq_topk": _q_sim_ivfpq_topk,
         "sim_opq_topk": _q_sim_opq_topk,
+        "sim_hard_negatives": _q_sim_hard_negatives,
         "sim_neardup_pairs": _q_sim_neardup,
         "sim_semantic_dedup": _q_sim_semantic_dedup,
         "dedup_clusters": _q_dedup_clusters,
@@ -3554,6 +3584,35 @@ union all select 'ps', doc_id from m_ps
             from cum
             where (source = 's0' and c <= 20000)
                or (source = 's1' and c <= 8000)""",
+        "pipeline_temperature_mix": """
+            with base as (
+              select doc_id,
+                     case when doc_id % 10 < 6 then 'big'
+                          when doc_id % 10 < 9 then 'mid'
+                          else 'small' end as source,
+                     ((doc_id % 1000000007) * 1103515245 + 12345)
+                       % 2147483648 as h
+              from documents),
+            sz as (select source, count(*) as n from base group by source),
+            tot as (select sum(pow(n, 0.5)) as w from sz),
+            tgt0 as (select source, n,
+                            cast(floor(100 * pow(n, 0.5)
+                                       / (select w from tot)) as bigint) as t
+                     from sz),
+            lo as (select 100 - sum(t) as rem from tgt0),
+            tgt as (select source,
+                           t + case when rnk <= (select rem from lo)
+                                    then 1 else 0 end as t
+                    from (select source, n, t,
+                                 row_number() over (order by n desc,
+                                                    source asc) as rnk
+                          from tgt0)),
+            rk as (select b.doc_id, b.source,
+                          row_number() over (partition by b.source
+                                             order by b.h, b.doc_id) as rn
+                   from base b)
+            select doc_id, source
+            from rk join tgt using (source) where rn <= t""",
         # the naive formulation of sequence packing: ONE global cumsum over
         # the hash-ordered token stream (the engine's bucketed two-phase
         # prefix sum must reproduce it exactly), then per-doc slice explode
@@ -4568,6 +4627,31 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
             union all select 'scores_exact', 1.0
             union all select 'rotation_orthogonal', 1.0
             union all select 'opq_no_worse', 1.0""",
+        "sim_hard_negatives": """
+            with e as (select vec_id, embedding::DOUBLE[] as v
+                       from embeddings),
+            anchors as (select * from (values (0), (7)) a(aid)),
+            banned as (select * from (values (0, 0), (0, 1), (0, 2),
+                                             (7, 7), (7, 3)) b(aid, vid)),
+            cos as (
+              select a.aid, e.vec_id,
+                     round(list_dot_product(q.v, e.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(e.v, e.v))), 6) as cos
+              from anchors a join e q on q.vec_id = a.aid
+              cross join e),
+            kept as (select c.aid, c.vec_id, c.cos
+                     from cos c left join banned b
+                       on b.aid = c.aid and b.vid = c.vec_id
+                     where b.aid is null),
+            rk as (select aid, vec_id, cos,
+                          row_number() over (partition by aid
+                                             order by cos desc,
+                                                      vec_id asc) as rank
+                   from kept)
+            select cast(aid as bigint) as anchor_id, vec_id,
+                   cos, cast(rank as int) as rank
+            from rk where rank <= 5""",
         "sim_lsh_neardup_pairs": """
             with e as (select vec_id, embedding::DOUBLE[] as v
                        from embeddings where vec_id < 300),

@@ -207,11 +207,13 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "dedup_exact", "dedup_minhash_lsh",
                  "dedup_contamination", "dedup_cross_corpus",
                  "pipeline_stratified_sample", "pipeline_token_budget_mix",
+                 "pipeline_temperature_mix", "sim_hard_negatives",
                  "pipeline_pack_sequences", "pipeline_encode_ids",
                  "pipeline_pack_token_ids", "text_nb_classify",
                  "corpus_profile", "q_passage_topk", "q_batched_passage",
                  "q_bm25_en_topk",
-                 "q_eval_retrieval", "text_span_dedup",
+                 "q_eval_retrieval", "text_span_dedup", "text_sa_dedup",
+                 "q_bm25_tuned", "q_trigram_infix", "text_cnb_classify",
                  "sim_cosine_topk", "q_hybrid_rrf", "q_hybrid_batched", "text_quality", "text_lang_id",
                  "events_sessionize", "text_token_count_bpe", "sim_neardup_pairs",
                  "sim_semantic_dedup"]

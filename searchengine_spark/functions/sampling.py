@@ -123,6 +123,67 @@ def token_budget_mix(df: DataFrame, budgets: dict, strata_col: str,
     return out.select(*df.columns)
 
 
+def temperature_budgets(sizes: dict, alpha: float, budget: int) -> dict:
+    """Water-filled temperature targets: stratum s gets a share of
+    ``budget`` proportional to size_s^alpha (the multilingual-LM
+    exponentiated-smoothing rule — alpha=1 is natural proportions,
+    alpha=0 uniform, alpha≈0.3-0.7 the usual upsample-the-tail range),
+    clamped at its actual size with the excess re-distributed over the
+    unclamped strata (iterative water-filling, deterministic driver-side
+    loop over ≤ |strata| rounds). Returns {stratum: integer target}."""
+    if not 0.0 <= float(alpha) <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    open_s = {s: int(n) for s, n in sizes.items() if n > 0}
+    out = {s: 0 for s in sizes}
+    left = int(budget)
+    while open_s and left > 0:
+        wsum = sum(n ** alpha for n in open_s.values())
+        tgt = {s: int(left * (n ** alpha) / wsum)
+               for s, n in open_s.items()}
+        clamped = {s for s, t in tgt.items() if t >= open_s[s]}
+        if not clamped:
+            # give floors; the ≤|strata| rounding leftover goes to the
+            # largest-weight strata in sorted order (deterministic)
+            rem = left - sum(tgt.values())
+            order = sorted(open_s, key=lambda s: (-open_s[s], s))
+            for s in order[:rem]:
+                tgt[s] += 1
+            for s, t in tgt.items():
+                out[s] += min(t, open_s[s])
+            break
+        for s in clamped:
+            out[s] += open_s[s]
+            left -= open_s.pop(s)
+    return out
+
+
+def temperature_mix(df: DataFrame, strata_col: str, key_col: str,
+                    alpha: float = 0.5, budget: int = 0,
+                    token_col: "str | None" = None,
+                    salt: int = 0, n_buckets: int = 1024) -> DataFrame:
+    """Temperature-based corpus mixing: allocate a global ``budget``
+    (documents, or tokens when ``token_col`` is given) across strata
+    proportionally to size^alpha (``temperature_budgets``), then take
+    each stratum's allocation in the deterministic hash order
+    (``token_budget_mix`` — exact budgets, reproducible across runs,
+    layouts, and engines). One small per-stratum size aggregation plus
+    the budget-mix plan; no stratum ever lands on one partition."""
+    unit = (F.col(token_col).cast("long") if token_col is not None
+            else F.lit(1).cast("long"))
+    sizes = {r[strata_col]: int(r["_n"]) for r in
+             df.groupBy(strata_col).agg(F.sum(unit).alias("_n")).collect()}
+    budgets = temperature_budgets(sizes, alpha, budget)
+    if token_col is not None:
+        return token_budget_mix(df, budgets, strata_col, token_col,
+                                key_col, salt, n_buckets)
+    out = token_budget_mix(df.withColumn("_one", F.lit(1)),
+                           budgets, strata_col, "_one", key_col,
+                           salt, n_buckets)
+    return out.drop("_one")
+
+
 def pack_sequences(df: DataFrame, seq_len: int, token_col: str,
                    key_col: str, salt: int = 0,
                    n_buckets: int = 1024) -> DataFrame:

@@ -79,6 +79,53 @@ def cosine_topk_many(df: DataFrame, qvecs: "dict[str, list[float]]",
             .select("query_id", id_col, "cos"))
 
 
+def mine_hard_negatives(df: DataFrame, positives: "dict[int, list[int]]",
+                        k: int = 5, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor id
+    in ``positives`` (anchor → its positive ids), return the ``k`` corpus
+    vectors MOST similar to the anchor that are neither the anchor nor
+    one of its positives — the highest-loss negatives a contrastive or
+    retrieval objective wants (the standard DPR/SimCSE mining step).
+
+    Plan: collect the |anchors| anchor vectors (bounded batch contract —
+    a query-log-sized driver set, like ``search_many``), score the WHOLE
+    corpus against all anchors in ONE scan (``cosine_topk_many``'s
+    shared-norm codegen, retrieving k + |positives| + 1 per anchor so
+    exclusions can't starve the page), drop each anchor's self/positive
+    rows with a literal filter, and re-rank to k. One corpus scan total,
+    independent of |anchors|.
+
+    Returns (anchor_id, <id_col>, cos, rank), rank 1..k per anchor by
+    (cos desc at the 6-dp quantization, id asc)."""
+    from pyspark.sql import Window
+    anchors = sorted(int(a) for a in positives)
+    if not anchors:
+        return df.sparkSession.createDataFrame(
+            [], f"anchor_id long, {id_col} long, cos double, rank int")
+    rows = (df.filter(F.col(id_col).isin(anchors))
+            .select(id_col, vec_col).collect())
+    vec_of = {int(r[id_col]): [float(x) for x in r[vec_col]] for r in rows}
+    missing = [a for a in anchors if a not in vec_of]
+    if missing:
+        raise ValueError(f"anchor ids not in corpus: {missing[:5]}")
+    max_pos = max(len(v) for v in positives.values())
+    fetch = int(k) + max_pos + 1
+    hits = cosine_topk_many(df, {str(a): vec_of[a] for a in anchors},
+                            k=fetch, vec_col=vec_col, id_col=id_col)
+    banned = [(str(a), int(p)) for a, ps in positives.items()
+              for p in set(ps) | {int(a)}]
+    bdf = F.broadcast(df.sparkSession.createDataFrame(
+        banned, f"query_id string, {id_col} long"))
+    kept = hits.join(bdf, ["query_id", id_col], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col(id_col).asc())
+    return (kept.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select(F.col("query_id").cast("long").alias("anchor_id"),
+                    id_col, "cos", F.col("rank").cast("int")))
+
+
 def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return np.random.RandomState(seed).normal(size=(dim, n_planes))
 

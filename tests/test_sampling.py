@@ -172,3 +172,78 @@ def test_pack_sequences_empty_and_validation(corpus, spark):
                           "doc_id").count() == 0
     with pytest.raises(ValueError):
         pack_sequences(sdf, 0, "n_tokens", "doc_id")
+
+
+def test_temperature_budgets_math():
+    from searchengine_spark.functions.sampling import temperature_budgets
+    # no clamping: floor shares + leftover to largest strata
+    b = temperature_budgets({"a": 300, "b": 150, "c": 50}, 0.5, 100)
+    import math
+    w = {s: math.sqrt(n) for s, n in [("a", 300), ("b", 150), ("c", 50)]}
+    ws = sum(w.values())
+    floors = {s: int(100 * w[s] / ws) for s in w}
+    rem = 100 - sum(floors.values())
+    for s in sorted(w, key=lambda s: (-{"a": 300, "b": 150, "c": 50}[s], s))[:rem]:
+        floors[s] += 1
+    assert b == floors and sum(b.values()) == 100
+    # alpha=1 is proportional, alpha=0 uniform
+    p = temperature_budgets({"a": 300, "b": 100}, 1.0, 100)
+    assert p == {"a": 75, "b": 25}
+    u = temperature_budgets({"a": 300, "b": 100}, 0.0, 100)
+    assert u == {"a": 50, "b": 50}
+    # clamping: a tiny stratum caps at its size, excess re-distributed
+    c = temperature_budgets({"a": 1000, "b": 5}, 0.0, 100)
+    assert c["b"] == 5 and c["a"] == 95
+    # budget above corpus: everything kept
+    full = temperature_budgets({"a": 10, "b": 5}, 0.5, 1000)
+    assert full == {"a": 10, "b": 5}
+    with pytest.raises(ValueError):
+        temperature_budgets({"a": 1}, 1.5, 10)
+
+
+def test_temperature_mix_doc_budget_golden(corpus):
+    """Doc-count mixing: each stratum contributes exactly its water-filled
+    target, taken as the hash-order prefix (golden recomputation)."""
+    from searchengine_spark.functions.sampling import (temperature_budgets,
+                                                       temperature_mix)
+    sdf, rows = corpus
+    sizes: dict = {}
+    for _, s, _ in rows:
+        sizes[s] = sizes.get(s, 0) + 1
+    budgets = temperature_budgets(sizes, 0.5, 120)
+    got = {r["doc_id"] for r in
+           temperature_mix(sdf, "source", "doc_id",
+                           alpha=0.5, budget=120).collect()}
+    expected = set()
+    for s in sizes:
+        members = sorted((d for d, src, _ in rows if src == s),
+                         key=lambda d: (_h(d), d))
+        expected.update(members[:budgets[s]])
+    assert got == expected and len(got) == 120
+
+
+def test_temperature_mix_token_budget(corpus):
+    """Token mixing: per-stratum kept token sums stay within the
+    water-filled token targets and are maximal hash-order prefixes."""
+    from searchengine_spark.functions.sampling import (temperature_budgets,
+                                                       temperature_mix)
+    sdf, rows = corpus
+    sizes: dict = {}
+    for _, s, t in rows:
+        sizes[s] = sizes.get(s, 0) + t
+    budgets = temperature_budgets(sizes, 0.5, 30_000)
+    out = temperature_mix(sdf, "source", "doc_id", alpha=0.5,
+                          budget=30_000, token_col="n_tokens").collect()
+    kept = {r["doc_id"] for r in out}
+    toks = {r[0]: r[2] for r in rows}
+    src = {r[0]: r[1] for r in rows}
+    for s, cap in budgets.items():
+        members = sorted((d for d, sc, _ in rows if sc == s),
+                         key=lambda d: (_h(d), d))
+        run, exp = 0, set()
+        for d in members:
+            if run + toks[d] > cap:
+                break
+            run += toks[d]
+            exp.add(d)
+        assert {d for d in kept if src[d] == s} == exp, s

@@ -375,3 +375,36 @@ def test_opq_upsert_codes_match_rebuild(spark, vecs, tmp_path_factory):
            inc["vectors"].filter("vec_id >= 100")
            .select("vec_id", "centroid", "codes").collect()}
     assert got == expected
+
+
+def test_mine_hard_negatives_golden(spark, vecs):
+    """Per-anchor results equal a brute-force cosine ranking with the
+    anchor and its positives removed; one corpus scan serves the batch."""
+    import numpy as np
+    from searchengine_spark.functions.similarity import mine_hard_negatives
+    positives = {3: [4, 5], 40: [41]}
+    got = {}
+    for r in mine_hard_negatives(vecs, positives, k=5).collect():
+        got.setdefault(r["anchor_id"], []).append(
+            (r["vec_id"], r["cos"], r["rank"]))
+    mat = {r["vec_id"]: np.asarray(r["embedding"], dtype=float)
+           for r in vecs.collect()}
+    for a, pos in positives.items():
+        q = mat[a] / np.linalg.norm(mat[a])
+        scored = sorted(
+            ((vid, round(float(q @ (v / np.linalg.norm(v))), 6))
+             for vid, v in mat.items() if vid not in set(pos) | {a}),
+            key=lambda p: (-p[1], p[0]))[:5]
+        expected = [(vid, c, i + 1) for i, (vid, c) in enumerate(scored)]
+        assert got[a] == expected, a
+    # positives and self never leak into the negatives
+    for a, rows in got.items():
+        ids = {vid for vid, _, _ in rows}
+        assert a not in ids and not ids & set(positives[a])
+
+
+def test_mine_hard_negatives_validation(spark, vecs):
+    from searchengine_spark.functions.similarity import mine_hard_negatives
+    with pytest.raises(ValueError, match="not in corpus"):
+        mine_hard_negatives(vecs, {10**9: [1]}, k=3)
+    assert mine_hard_negatives(vecs, {}, k=3).count() == 0
