@@ -760,6 +760,28 @@ def _q_trigram_infix(spark, sf_dir):
     return out.select("term", F.col("df").cast("long").alias("df"))
 
 
+BOOL_EXPR = "(merge AND (scan OR hash)) AND NOT stream"
+
+
+def _q_bool_search(spark, sf_dir):
+    """Recursive boolean query (operators/boolean.py — Lucene
+    BooleanQuery nesting): the tree decides candidates by doc-set
+    algebra (AND → semi-join, OR → union, AND NOT → anti-join), the
+    ranking is ordinary BM25 over the tree's scoring terms restricted to
+    the candidates via the DataFrame-scope path."""
+    from searchengine_spark.operators.boolean import bool_search
+    hits = bool_search(_index_for(spark, sf_dir), BOOL_EXPR, k=K)
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
+def _q_bool_count(spark, sf_dir):
+    """Candidate-set size of the same boolean tree (the `_count` twin —
+    qualifier-only branches would count here even though they rank
+    nothing)."""
+    from searchengine_spark.operators.boolean import bool_count
+    return bool_count(_index_for(spark, sf_dir), BOOL_EXPR)
+
+
 def _q_querylang_count(spark, sf_dir):
     """Grammar total-hits count (query_count): |docs matching >= 2 of
     {merge, scan, hash} restricted to docs containing scan or hash| —
@@ -1822,6 +1844,19 @@ def _q_text_unigram_ppl(spark, sf_dir):
                       F.round("ppl", 4).alias("ppl"))
 
 
+def _q_text_bigram_ppl(spark, sf_dir):
+    """Stupid-Backoff bigram-LM score-perplexity (Brants 2007 — the
+    web-scale smoothing: relative frequencies + fixed backoff, no
+    normalization pass), self-scored: first token at the add-one unigram
+    base, later tokens at c(v,w)/c(v) or alpha·S1(w) on unseen bigrams.
+    The order-sensitive signal unigram perplexity can't see."""
+    from searchengine_spark.functions.text import bigram_lm_perplexity
+    out = bigram_lm_perplexity(_docs(spark, sf_dir))
+    return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                      F.round("log_ppl", 6).alias("log_ppl"),
+                      F.round("ppl", 4).alias("ppl"))
+
+
 def _q_text_unigram_xppl(spark, sf_dir):
     """The CCNet setup proper: train a Laplace-smoothed unigram LM on the
     even-doc_id half (the 'clean reference'), score the odd half (the
@@ -2341,6 +2376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_querylang_wildcard": _q_querylang_wildcard,
         "q_querylang_wildcard_suffix": _q_querylang_wildcard_suffix,
         "q_trigram_infix": _q_trigram_infix,
+        "q_bool_search": _q_bool_search,
+        "q_bool_count": _q_bool_count,
         "q_querylang_min": _q_querylang_min,
         "q_querylang_fuzzy": _q_querylang_fuzzy,
         "q_querylang_count": _q_querylang_count,
@@ -2421,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_en_topk": _q_bm25_en_topk,
         "pipeline_pack_token_ids": _q_pipeline_pack_token_ids,
         "text_unigram_ppl": _q_text_unigram_ppl,
+        "text_bigram_ppl": _q_text_bigram_ppl,
         "text_unigram_xppl": _q_text_unigram_xppl,
         "text_fingerprint": _q_text_fingerprint,
         "text_lang_id": _q_lang_id,
@@ -3354,6 +3392,38 @@ union all select 'ps', doc_id from m_ps
             select term, cast(df as bigint) as df
             from ({_DF}) where term like '%er'
             order by df desc, term asc limit 16""",
+        "q_bool_search": f"""
+            with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+            stats as (select count(*) as n, avg(dl) as avgdl from dl),
+            cand as (
+              (select doc_id from tf where term = 'merge'
+               intersect
+               (select doc_id from tf where term = 'scan'
+                union
+                select doc_id from tf where term = 'hash'))
+              except
+              select doc_id from tf where term = 'stream'),
+            scored as (
+              select tf.doc_id,
+                     sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+              from tf join dfv using (term) join dl using (doc_id) cross join stats
+              where tf.term in ('hash', 'merge', 'scan')
+                and tf.doc_id in (select doc_id from cand)
+              group by tf.doc_id)
+            select doc_id, round(s, 6) as score from scored
+            order by round(s, 9) desc, doc_id asc limit {K}""",
+        "q_bool_count": f"""
+            with tf as ({_TF}),
+            cand as (
+              (select doc_id from tf where term = 'merge'
+               intersect
+               (select doc_id from tf where term = 'scan'
+                union
+                select doc_id from tf where term = 'hash'))
+              except
+              select doc_id from tf where term = 'stream')
+            select cast(count(*) as bigint) as n_matches from cand""",
         "q_more_like_this": f"""
             with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
             stats as (select count(*) as n, avg(dl) as avgdl from dl),
@@ -4451,6 +4521,43 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
                         and alpha_frac >= 0.8
                         and n_stop >= 2 as int) as passes
             from m""",
+        "text_bigram_ppl": r"""
+            with t as (select doc_id, list_filter(string_split_regex(
+                         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                         ' +'), x -> x <> '') as w
+                       from documents),
+            tw as (select doc_id, w from t where len(w) > 0),
+            toks as (select doc_id, unnest(w) as term from tw),
+            uni as (select term, count(*) as c from toks group by term),
+            nv as (select sum(c) as n, count(*) as v from uni),
+            pairs as (select doc_id, w[i] as pv, w[i+1] as pw
+                      from (select doc_id, w, unnest(range(1, len(w))) as i
+                            from tw)),
+            big as (select pv, pw, count(*) as c from pairs group by pv, pw),
+            ctx as (select pv, sum(c) as cv from big group by pv),
+            rows_ as (select doc_id,
+                             case when i = 1 then null else w[i-1] end as pv,
+                             w[i] as pw
+                      from (select doc_id, w,
+                                   unnest(range(1, len(w) + 1)) as i
+                            from tw)),
+            sc as (select r.doc_id,
+                          case when r.pv is null
+                               then ln((coalesce(u.c, 0) + 1.0)
+                                       / (nv.n + nv.v))
+                               when b.c is not null
+                               then ln(b.c * 1.0 / cx.cv)
+                               else ln(0.4) + ln((coalesce(u.c, 0) + 1.0)
+                                                 / (nv.n + nv.v)) end as s
+                   from rows_ r cross join nv
+                   left join uni u on u.term = r.pw
+                   left join big b on b.pv = r.pv and b.pw = r.pw
+                   left join ctx cx on cx.pv = r.pv),
+            agg as (select doc_id, count(*) as n_tokens, avg(s) as mls
+                    from sc group by doc_id)
+            select doc_id, cast(n_tokens as bigint) as n_tokens,
+                   round(-mls, 6) as log_ppl, round(exp(-mls), 4) as ppl
+            from agg""",
         "text_unigram_ppl": f"""
             with toks as ({_TOKS}),
             cnt as (select term, count(*) as c from toks group by term),

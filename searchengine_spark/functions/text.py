@@ -634,6 +634,109 @@ def unigram_lm_perplexity(df: DataFrame, lm: "dict | None" = None,
                       F.exp(-F.col("_mlp")).alias("ppl"))
 
 
+def train_bigram_lm(df: DataFrame, text_col: str = "text",
+                    alpha: float = 0.4) -> dict:
+    """Bigram LM with STUPID BACKOFF (Brants et al. 2007, "Large Language
+    Models in Machine Translation") — the web-scale n-gram smoothing:
+    relative frequencies with a fixed backoff factor and NO normalization
+    pass, which is what makes it trainable as two hash aggregations at
+    any corpus size:
+
+        S(w | v) = c(v, w) / c(v)          when the bigram was seen
+                 = alpha · S1(w)           otherwise
+        S1(w)    = (c(w) + 1) / (N + V)    (add-one unigram base, so OOV
+                                            scores the shared 1/(N+V))
+
+    ``c(v)`` is the CONTEXT count (occurrences of v with a following
+    token), so every seen bigram's score is a true relative frequency.
+    Scores are not probabilities (the Stupid Backoff point) — the scorer
+    reports the score-perplexity exp(−mean log S), monotone with the
+    real thing and just as good a quality filter.
+
+    Returns {"bigrams": DataFrame[v, w, logs], "unigrams":
+    DataFrame[term, logp], "oov_logp": float, "alpha": alpha,
+    "n_tokens": N, "vocab": V}."""
+    import math
+
+    a = float(alpha)
+    if not 0.0 < a <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    t = df.select(tokens_col(F.col(text_col)).alias("_w")) \
+        .filter(F.size("_w") > 0)
+    # adjacent pairs from the materialized token array (zip_with over
+    # shifted slices — arguments evaluate once per row, the HOF contract)
+    sz1 = F.greatest(F.size("_w") - F.lit(1), F.lit(0))
+    pairs = t.select(F.explode(F.zip_with(
+        F.slice("_w", F.lit(1), sz1), F.slice("_w", F.lit(2), sz1),
+        lambda v, w: F.struct(v.alias("v"), w.alias("w")))).alias("p")) \
+        .select("p.v", "p.w")
+    big = pairs.groupBy("v", "w").agg(F.count("*").alias("c")) \
+        .localCheckpoint(eager=False)
+    ctx = big.groupBy("v").agg(F.sum("c").alias("cv"))
+    uni = (t.select(F.explode("_w").alias("term"))
+           .groupBy("term").agg(F.count("*").alias("c"))
+           .localCheckpoint(eager=False))
+    row = uni.agg(F.sum("c").alias("n"), F.count("*").alias("v")).collect()[0]
+    n, v = int(row["n"] or 0), int(row["v"] or 0)
+    unigrams = uni.select("term", F.log((F.col("c") + F.lit(1.0))
+                                        / F.lit(float(n + v))).alias("logp"))
+    bigrams = (big.join(ctx, "v")
+               .select("v", "w",
+                       F.log(F.col("c") / F.col("cv")).alias("logs")))
+    return {"bigrams": bigrams.localCheckpoint(eager=False),
+            "unigrams": unigrams.localCheckpoint(eager=False),
+            "oov_logp": math.log(1.0 / (n + v)) if n + v else 0.0,
+            "alpha": a, "n_tokens": n, "vocab": v}
+
+
+def bigram_lm_perplexity(df: DataFrame, lm: "dict | None" = None,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-document Stupid-Backoff score-perplexity
+    (see ``train_bigram_lm``): exp(−mean log S) with the first token
+    scored by the unigram base and every later token by its bigram score
+    (backing off to alpha·S1 on unseen bigrams, OOV at the shared
+    add-one floor). Fluent in-domain text scores low; shuffled or
+    garbage text loses its bigram hits and pays the backoff penalty —
+    the signal a unigram model can't see.
+
+    ``lm=None`` self-scores (trains on ``df``). Returns
+    (id, n_tokens, log_ppl, ppl). Plan: one pair-explode, TWO
+    model-sized left joins (bigram table on (v, w), unigram on w — AQE
+    broadcasts when they fit), one per-doc aggregation."""
+    import math
+
+    if lm is None:
+        lm = train_bigram_lm(df, text_col=text_col)
+    a, oov = float(lm["alpha"]), float(lm["oov_logp"])
+    t = df.select(F.col(id_col).alias("_id"),
+                  tokens_col(F.col(text_col)).alias("_w")) \
+        .filter(F.size("_w") > 0)
+    sz1 = F.greatest(F.size("_w") - F.lit(1), F.lit(0))
+    prevs = F.concat(F.array(F.lit(None).cast("string")),
+                     F.slice("_w", F.lit(1), sz1))
+    pairs = t.select("_id", F.explode(F.zip_with(
+        prevs, F.col("_w"),
+        lambda v, w: F.struct(v.alias("v"), w.alias("w")))).alias("p")) \
+        .select("_id", "p.v", "p.w")
+    joined = (pairs
+              .join(lm["bigrams"].withColumnRenamed("logs", "_lb"),
+                    ["v", "w"], "left")
+              .join(lm["unigrams"].select(F.col("term").alias("w"),
+                                          F.col("logp").alias("_lu")),
+                    "w", "left")
+              .withColumn("_u", F.coalesce(F.col("_lu"), F.lit(oov)))
+              .withColumn("_s", F.when(F.col("v").isNull(), F.col("_u"))
+                          .otherwise(F.coalesce(
+                              F.col("_lb"),
+                              F.lit(math.log(a)) + F.col("_u")))))
+    agg = joined.groupBy("_id").agg(
+        F.count("*").alias("n_tokens"), F.avg("_s").alias("_mls"))
+    return agg.select(F.col("_id").alias(id_col), "n_tokens",
+                      (-F.col("_mls")).alias("log_ppl"),
+                      F.exp(-F.col("_mls")).alias("ppl"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text — the exact-dedup key at corpus scale."""

@@ -418,3 +418,56 @@ def test_dedup_repeated_ngrams(spark):
     out3 = {r["doc_id"]: r for r in
             dedup_repeated_ngrams(df, window=8, min_occurrences=4).collect()}
     assert all(out3[i]["n_removed"] == 0 for i in out3)
+
+
+def test_bigram_ppl_golden_and_order_sensitivity(spark):
+    """Stupid-Backoff bigram perplexity: hand-computed golden on a tiny
+    corpus, and the order signal — a shuffled doc with IDENTICAL
+    unigrams scores strictly worse than the fluent original."""
+    import math
+
+    from searchengine_spark.functions.text import (bigram_lm_perplexity,
+                                                   train_bigram_lm,
+                                                   unigram_lm_perplexity)
+    rows = [(0, "the cat sat on the mat"),
+            (1, "the cat sat on the hat"),
+            (2, "mat the on sat cat the"),
+            (3, "zzz qqq unseen words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = train_bigram_lm(df)
+    got = {r["doc_id"]: r for r in bigram_lm_perplexity(df, lm).collect()}
+    bg = {(r["v"], r["w"]): r["logs"] for r in lm["bigrams"].collect()}
+    un = {r["term"]: r["logp"] for r in lm["unigrams"].collect()}
+    la = math.log(lm["alpha"])
+    for did, text in rows:
+        toks = text.split()
+        s = [un.get(toks[0], lm["oov_logp"])]
+        for v, w in zip(toks, toks[1:]):
+            s.append(bg.get((v, w), la + un.get(w, lm["oov_logp"])))
+        want = math.exp(-sum(s) / len(s))
+        assert abs(got[did]["ppl"] - want) < 1e-9, did
+        assert got[did]["n_tokens"] == len(toks)
+    # order sensitivity: unigram ppl can't tell 0 from 2; bigram can
+    u = {r["doc_id"]: r["ppl"] for r in unigram_lm_perplexity(df).collect()}
+    assert abs(u[0] - u[2]) < 1e-9
+    assert got[2]["ppl"] > got[0]["ppl"] * 1.2
+    # context counts: c(v) sums pair occurrences, so every seen bigram
+    # score is a true relative frequency in (0, 1]
+    assert all(s <= 0.0 for s in bg.values())
+
+
+def test_bigram_ppl_cross_corpus(spark):
+    """CCNet shape: train on a clean reference, score a foreign corpus —
+    OOV tokens take the shared add-one floor, in-domain text wins."""
+    from searchengine_spark.functions.text import (bigram_lm_perplexity,
+                                                   train_bigram_lm)
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string")
+    lm = train_bigram_lm(ref)
+    probe = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "xyzzy plugh foobar qux")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["ppl"]
+           for r in bigram_lm_perplexity(probe, lm).collect()}
+    assert got[0] * 5 < got[1]  # in-domain ≪ garbage
