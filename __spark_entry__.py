@@ -774,6 +774,21 @@ def _q_bool_search(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+BOOL_EXPR2 = "scan OR (stream AND NOT hash)"
+
+
+def _q_batched_bool(spark, sf_dir):
+    """Batched boolean replay (bool_search_many): two trees ranked in one
+    shared job — distinct leaves resolve once, candidates ride
+    search_many's scope_clauses hook; rows identical to per-query
+    bool_search."""
+    from searchengine_spark.operators.boolean import bool_search_many
+    out = bool_search_many(_index_for(spark, sf_dir),
+                           {"b1": BOOL_EXPR, "b2": BOOL_EXPR2}, k=K)
+    return out.select("query_id", _orig_doc_id(),
+                      F.round("score", 6).alias("score"))
+
+
 def _q_bool_count(spark, sf_dir):
     """Candidate-set size of the same boolean tree (the `_count` twin —
     qualifier-only branches would count here even though they rank
@@ -2377,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_querylang_wildcard_suffix": _q_querylang_wildcard_suffix,
         "q_trigram_infix": _q_trigram_infix,
         "q_bool_search": _q_bool_search,
+        "q_batched_bool": _q_batched_bool,
         "q_bool_count": _q_bool_count,
         "q_querylang_min": _q_querylang_min,
         "q_querylang_fuzzy": _q_querylang_fuzzy,
@@ -3424,6 +3440,44 @@ union all select 'ps', doc_id from m_ps
               except
               select doc_id from tf where term = 'stream')
             select cast(count(*) as bigint) as n_matches from cand""",
+        "q_batched_bool": f"""
+            with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+            stats as (select count(*) as n, avg(dl) as avgdl from dl),
+            cand1 as (
+              (select doc_id from tf where term = 'merge'
+               intersect
+               (select doc_id from tf where term = 'scan'
+                union
+                select doc_id from tf where term = 'hash'))
+              except
+              select doc_id from tf where term = 'stream'),
+            cand2 as (
+              select doc_id from tf where term = 'scan'
+              union
+              (select doc_id from tf where term = 'stream'
+               except
+               select doc_id from tf where term = 'hash')),
+            s1 as (
+              select 'b1' as query_id, tf.doc_id,
+                     sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+              from tf join dfv using (term) join dl using (doc_id) cross join stats
+              where tf.term in ('hash', 'merge', 'scan')
+                and tf.doc_id in (select doc_id from cand1)
+              group by tf.doc_id
+              order by round(s, 9) desc, tf.doc_id asc limit {K}),
+            s2 as (
+              select 'b2' as query_id, tf.doc_id,
+                     sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+              from tf join dfv using (term) join dl using (doc_id) cross join stats
+              where tf.term in ('scan', 'stream')
+                and tf.doc_id in (select doc_id from cand2)
+              group by tf.doc_id
+              order by round(s, 9) desc, tf.doc_id asc limit {K})
+            select query_id, doc_id, round(s, 6) as score from s1
+            union all
+            select query_id, doc_id, round(s, 6) as score from s2""",
         "q_more_like_this": f"""
             with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
             stats as (select count(*) as n, avg(dl) as avgdl from dl),

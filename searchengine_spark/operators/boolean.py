@@ -271,6 +271,77 @@ def bool_search(index: dict, expr: str, k: int = 10,
     return out
 
 
+def bool_search_many(index: dict, exprs: "dict[str, str]", k: int = 10,
+                     with_snippets: bool = False,
+                     with_titles: bool = False, offset: int = 0,
+                     k1=None, b=None) -> DataFrame:
+    """Batched recursive-boolean replay: MANY boolean trees ranked in ONE
+    shared job. Distinct LEAVES resolve once across the whole batch (a
+    term/phrase/span appearing in several trees decodes a single time —
+    the leaf cache), each query's algebra is doc_id-keyed joins over the
+    shared sets, and the ranked pass rides ``search_many``'s union
+    decode with the candidate sets applied through its
+    ``scope_clauses``/``clause_arity`` hooks (each query restricted to
+    its own tree's doc set). Returns (query_id, rank, doc_id, conv_id,
+    turn_idx, role, tool, ts, score[, title][, snippet]) — row-identical
+    to per-query ``bool_search``. Queries whose trees carry no scoring
+    term contribute no rows (single-path contract)."""
+    from searchengine_spark.operators.search import search_many
+    spark = index["docs"].sparkSession
+    trees = {qid: parse_bool(e) for qid, e in exprs.items()}
+    words = {qid: sorted(set(_scoring_words(t)))
+             for qid, t in trees.items()}
+    ranked_q = {qid: " ".join(ws) for qid, ws in words.items() if ws}
+    empty = spark.createDataFrame(
+        [], "query_id string, rank int, doc_id long, conv_id string, "
+            "turn_idx int, role string, tool string, ts timestamp, "
+            "score double")
+    if not ranked_q:
+        return empty
+    release_query_caches(index)
+    cache: dict = {}
+
+    def _eval_shared(node) -> DataFrame:
+        kind = node[0]
+        if kind in ("term", "phrase", "span", "qual"):
+            if node not in cache:
+                cache[node] = _leaf_docs(index, node, spark)
+            return cache[node]
+        if kind == "or":
+            out = None
+            for c in node[1]:
+                ds = _eval_shared(c)
+                out = ds if out is None else out.unionByName(ds)
+            return out.distinct()
+        pos = [c for c in node[1] if c[0] != "not"]
+        neg = [c[1] for c in node[1] if c[0] == "not"]
+        out = None
+        for c in pos:
+            ds = _eval_shared(c)
+            out = ds if out is None else out.join(ds, "doc_id", "left_semi")
+        for c in neg:
+            out = out.join(_eval_shared(c), "doc_id", "left_anti")
+        return out
+
+    parts = []
+    for qid in ranked_q:
+        parts.append(_eval_shared(trees[qid])
+                     .select(F.lit(qid).alias("query_id"),
+                             F.lit(0).alias("clause"), "doc_id"))
+    clauses = parts[0] if len(parts) == 1 else parts[0]
+    for p in parts[1:]:
+        clauses = clauses.unionByName(p)
+    clauses = clauses.persist()
+    held = index.pop("_query_persists", [])
+    out = search_many(index, ranked_q, k=k, with_snippets=with_snippets,
+                      with_titles=with_titles, offset=offset,
+                      scope_clauses=clauses,
+                      clause_arity={qid: 1 for qid in ranked_q},
+                      k1=k1, b=b)
+    index.setdefault("_query_persists", []).extend(held + [clauses])
+    return out
+
+
 def bool_count(index: dict, expr: str) -> DataFrame:
     """Candidate-set size of a boolean expression — EXACTLY ONE row
     ``(n_matches long)``, qualifier-only branches included (unlike the

@@ -2749,7 +2749,8 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
                 sort_by=None, sort_asc: bool = False,
                 boost_by=None,
                 min_match: "int | dict | None" = None,
-                k1: "float | None" = None, b: "float | None" = None,
+                k1: "float | dict | None" = None,
+                b: "float | dict | None" = None,
                 _stats_override: "dict | None" = None,
                 _full_set: bool = False) -> DataFrame:
     """Batched top-k: score MANY queries in ONE Spark job.
@@ -2850,9 +2851,13 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
     resolution); clause-restricted queries keep the global prune
     (matching ``search(scope=<DataFrame>)``).
 
-    ``k1``/``b`` — query-time BM25 similarity parameters shared by the
-    whole batch (see ``search``); no WAND here, so only the one shared
-    scoring expression changes. bm25 mode only.
+    ``k1``/``b`` — query-time BM25 similarity parameters (see
+    ``search``): one float shared by the whole batch, or a PER-QUERY
+    dict ({query_id → value}, absent queries take the build constants) —
+    the per-query form turns the scoring constants into literal-map
+    lookups on query_id, so an A/B similarity sweep replays in ONE job.
+    No WAND here, so only the scoring expression changes; rows are
+    identical to per-query ``search(k1=, b=)``. bm25 mode only.
     """
     if (search_after is not None or sort_by is not None
             or boost_by is not None or min_match is not None) \
@@ -2861,7 +2866,19 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
                          "mode='bm25' (see search()'s docstring)")
     if search_after is not None and offset:
         raise ValueError("search_after and offset are mutually exclusive")
-    k1e, be, _ = _sim_params(k1, b, mode)
+    if isinstance(k1, dict) or isinstance(b, dict):
+        if len(queries) > LIT_MAP_MAX:
+            raise ValueError("per-query k1/b supports at most "
+                             f"{LIT_MAP_MAX} queries per batch (the "
+                             "constants inline as a literal map)")
+        k1d = k1 if isinstance(k1, dict) else {q: k1 for q in queries}
+        bd = b if isinstance(b, dict) else {q: b for q in queries}
+        sim_of = {q: _sim_params(k1d.get(q), bd.get(q), mode)
+                  for q in queries}  # validates every entry
+        k1e = be = None
+    else:
+        sim_of = None
+        k1e, be, _ = _sim_params(k1, b, mode)
     spark = index["docs"].sparkSession
     release_query_caches(index)
     stats = index["stats"]
@@ -3114,8 +3131,21 @@ def search_many(index: dict, queries: dict[str, str], k: int = 10,
         q_by_tid.setdefault(tid, []).append((qid, idf))
     fanned = _fanout_by_term(decoded, q_by_tid,
                              [("query_id", "string"), ("idf", "double")])
-    score = F.col("idf") * (F.col("tf") * F.lit(k1e + 1.0)) / (
-        F.col("tf") + F.lit(k1e) * (F.lit(1.0 - be) + F.lit(be) * F.col("dl") / F.lit(float(avgdl))))
+    if sim_of is not None:
+        # per-query similarity params: the constants become literal-map
+        # lookups on query_id — same operation ORDER as the scalar form
+        # (and as single-query search's numpy path), so rows stay
+        # bit-identical to per-query search(k1=, b=)
+        k1c = _lit_lookup({q: s[0] for q, s in sim_of.items()},
+                          "double")[F.col("query_id")]
+        bc = _lit_lookup({q: s[1] for q, s in sim_of.items()},
+                         "double")[F.col("query_id")]
+        score = F.col("idf") * (F.col("tf") * (k1c + F.lit(1.0))) / (
+            F.col("tf") + k1c * ((F.lit(1.0) - bc)
+                                 + bc * F.col("dl") / F.lit(float(avgdl))))
+    else:
+        score = F.col("idf") * (F.col("tf") * F.lit(k1e + 1.0)) / (
+            F.col("tf") + F.lit(k1e) * (F.lit(1.0 - be) + F.lit(be) * F.col("dl") / F.lit(float(avgdl))))
     scored = fanned.withColumn("s", score)
 
     agg = scored.groupBy("query_id", "doc_id").agg(

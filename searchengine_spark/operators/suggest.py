@@ -149,9 +149,10 @@ def build_trigram_index(index: dict) -> None:
     postings). Bucketed by crc32(gram) % 64 (driver-computable, same
     contract as the term-page hash): a pattern touches ≤ |grams| of 64
     buckets, and ``save_index`` persists the buckets as partition dirs so
-    a cold probe prunes directories. Rebuild after upserts (the upsert
-    path returns a fresh index dict without this key; new terms would
-    otherwise be invisible to globs — same contract as the ANN sidecars).
+    a cold probe prunes directories. Maintenance carries the sidecar
+    automatically: ``upsert_turns``/``delete_turns`` call
+    ``refresh_trigram_index`` (O(|changed terms|) append + dropped-term
+    anti-join — never the 8×-vocab re-explode).
     """
     terms = index["terms"].select(
         "term", "term_id", F.col("df").cast("long").alias("df"))
@@ -170,6 +171,48 @@ def build_trigram_index(index: dict) -> None:
          % TRIGRAM_BUCKETS).cast("int"))
     index["trigrams"] = out.repartition("gram_bucket") \
         .localCheckpoint(eager=False)
+
+
+def refresh_trigram_index(new_index: dict, prev_index: dict) -> None:
+    """Carry the trigram sidecar across an upsert/delete WITHOUT the full
+    vocabulary re-explode: grams of terms the maintenance ADDED are
+    appended (new term_ids are assigned above the previous max, but the
+    general anti-join form also covers merges), grams of DROPPED terms
+    (df→0 deletions) are anti-joined out. Two dictionary-sized key joins
+    + one O(|added|) gram explode — never the 8×-vocab rebuild.
+
+    No-op when ``prev_index`` has no sidecar. ``upsert_turns`` /
+    ``delete_turns`` call this automatically, so an index with a trigram
+    sidecar keeps it through maintenance (pytest: refreshed rows ==
+    a fresh ``build_trigram_index`` over the new dictionary)."""
+    old_tg = prev_index.get("trigrams")
+    if old_tg is None:
+        return
+    old_ids = prev_index["terms"].select("term_id")
+    new_terms = new_index["terms"].select(
+        "term", "term_id", F.col("df").cast("long").alias("df"))
+    dropped = old_ids.join(new_terms.select("term_id"), "term_id",
+                           "left_anti")
+    added = new_terms.join(old_ids, "term_id", "left_anti")
+    padded = added.withColumn("_p", F.concat(F.lit("^"), F.col("term"),
+                                             F.lit("$")))
+    add_grams = padded.select(
+        "term", "term_id", "df",
+        F.explode(F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.length("_p") - F.lit(2)),
+            lambda i: F.substring(F.col("_p"), i, F.lit(3))))).alias("gram")) \
+        .withColumn("gram_bucket",
+                    (F.crc32(F.encode(F.col("gram"), "utf-8"))
+                     % TRIGRAM_BUCKETS).cast("int"))
+    # surviving terms may have UPDATED df (the sidecar denormalizes it for
+    # ranking) — refresh df by key join, keep the gram rows
+    kept = (old_tg.join(F.broadcast(dropped), "term_id", "left_anti")
+            .drop("df")
+            .join(new_terms.select("term_id",
+                                   F.col("df").alias("df")), "term_id"))
+    new_index["trigrams"] = (kept.select(*old_tg.columns)
+                             .unionByName(add_grams.select(*old_tg.columns))
+                             .localCheckpoint(eager=False))
 
 
 def _pattern_grams(chunks: list[str]) -> list[str]:

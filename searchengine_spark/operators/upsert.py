@@ -386,12 +386,15 @@ def upsert_turns(index: dict, delta: DataFrame,
                     new_terms, new_postings):
         scratch.unpersist()
 
-    return {"mode": mode, "dictionary": dictionary,
-            "docs": out_docs, "terms": out_terms,
-            "postings": out_postings, "postings_flat": None,
-            "stats": new_stats,
-            "_delta": {"keys": delta_keys, "touched": delta_touched,
-                       "removed_only": False}}
+    out = {"mode": mode, "dictionary": dictionary,
+           "docs": out_docs, "terms": out_terms,
+           "postings": out_postings, "postings_flat": None,
+           "stats": new_stats,
+           "_delta": {"keys": delta_keys, "touched": delta_touched,
+                      "removed_only": False}}
+    from searchengine_spark.operators.suggest import refresh_trigram_index
+    refresh_trigram_index(out, index)  # no-op without a trigram sidecar
+    return out
 
 
 def compose_deltas(d1: "dict | None", d2: "dict | None") -> "dict | None":
@@ -563,12 +566,15 @@ def delete_turns(index: dict, keys,
     for scratch in (removed, old_flat, touched, new_terms, new_postings):
         scratch.unpersist()
 
-    return {"mode": mode, "dictionary": dictionary,
-            "docs": out_docs, "terms": out_terms,
-            "postings": out_postings, "postings_flat": None,
-            "stats": new_stats,
-            "_delta": {"keys": delta_keys, "touched": delta_touched,
-                       "removed_only": True}}
+    out = {"mode": mode, "dictionary": dictionary,
+           "docs": out_docs, "terms": out_terms,
+           "postings": out_postings, "postings_flat": None,
+           "stats": new_stats,
+           "_delta": {"keys": delta_keys, "touched": delta_touched,
+                      "removed_only": True}}
+    from searchengine_spark.operators.suggest import refresh_trigram_index
+    refresh_trigram_index(out, index)  # no-op without a trigram sidecar
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -139,3 +139,42 @@ def test_snippets_and_pagination_passthrough(index_general):
     page2 = bool_search(index_general, "лес OR дом", k=5, offset=5).collect()
     ids1 = {r["doc_id"] for r in page1}
     assert all(r["doc_id"] not in ids1 for r in page2)
+
+
+def test_bool_search_many_matches_single(index_general):
+    """Batched boolean replay == per-query bool_search row-for-row,
+    with shared leaves resolved once."""
+    from searchengine_spark.operators.boolean import bool_search_many
+    exprs = {
+        "q1": "лес AND дом",
+        "q2": "(лес OR дом) AND ошибка",
+        "q3": "лес AND NOT дом",
+        "q4": "(лес AND NOT дом) OR (ошибка AND система)",
+    }
+    batched = bool_search_many(index_general, exprs, k=10)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9)))
+    for qid, e in exprs.items():
+        single = [(r["doc_id"], round(r["score"], 9))
+                  for r in bool_search(index_general, e, k=10).collect()]
+        assert got.get(qid, []) == single, e
+
+
+def test_bool_search_many_per_query_params(index_general):
+    from searchengine_spark.operators.boolean import bool_search_many
+    exprs = {"a": "лес AND дом", "b": "лес OR ошибка"}
+    k1d = {"a": 0.9}
+    batched = bool_search_many(index_general, exprs, k=5, k1=k1d,
+                               b={"a": 0.4})
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9)))
+    sa = [(r["doc_id"], round(r["score"], 9))
+          for r in bool_search(index_general, exprs["a"], k=5,
+                               k1=0.9, b=0.4).collect()]
+    sb = [(r["doc_id"], round(r["score"], 9))
+          for r in bool_search(index_general, exprs["b"], k=5).collect()]
+    assert got["a"] == sa and got["b"] == sb

@@ -173,3 +173,28 @@ def test_validation(index_general):
         search(index_general, "лес", b=1.5)
     with pytest.raises(ValueError):
         search_many(index_general, {"a": "лес"}, mode="ref_compat", b=0.2)
+
+
+def test_search_many_per_query_params(index_general):
+    """A per-query {query_id: k1/b} dict replays an A/B similarity sweep
+    in one job, row-identical to per-query search(k1=, b=) — including a
+    query left at the defaults."""
+    qd = {"a": QUERIES[0], "b": QUERIES[1], "c": QUERIES[2]}
+    k1d = {"a": 0.9, "b": 2.0}          # "c" defaults
+    bd = {"a": 0.4, "b": 0.0}
+    batched = search_many(index_general, qd, k=K, k1=k1d, b=bd)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in qd.items():
+        single = _rows(search(index_general, q, k=K,
+                              k1=k1d.get(qid), b=bd.get(qid)))
+        assert got.get(qid, []) == single, qid
+
+
+def test_search_many_per_query_validation(index_general):
+    with pytest.raises(ValueError, match="b must"):
+        search_many(index_general, {"a": "лес"}, b={"a": 2.0})
+    with pytest.raises(ValueError, match="ref_compat"):
+        search_many(index_general, {"a": "лес"}, mode="ref_compat",
+                    k1={"a": 0.5})

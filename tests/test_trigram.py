@@ -104,3 +104,49 @@ def test_grammar_wildcards_identical_with_sidecar(index_general, monkeypatch):
         assert got == base
     finally:
         index_general.pop("trigrams", None)
+
+
+def test_maintenance_carries_sidecar(spark, corpus_df):
+    """upsert_turns/delete_turns refresh the trigram sidecar
+    incrementally; the refreshed rows EQUAL a fresh build over the new
+    dictionary (added terms appear, dropped terms vanish, surviving
+    terms carry their updated df)."""
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.suggest import (build_trigram_index,
+                                                      suggest_infix)
+    from searchengine_spark.operators.upsert import delete_turns, upsert_turns
+
+    idx = build_index(corpus_df.limit(300), mode="general",
+                      bucket_range=256, block_size=32)
+    idx["postings"].count()
+    build_trigram_index(idx)
+
+    delta = spark.createDataFrame(
+        [("zzconv", 0, "user", None, None,
+          "инкрементальнейшее словослияние zqx")],
+        "conv_id string, turn_idx int, role string, tool string, "
+        "ts timestamp, text string")
+    up = upsert_turns(idx, delta)
+    assert up.get("trigrams") is not None
+
+    def rows(ix):
+        return sorted((r["gram"], r["term_id"], r["term"], int(r["df"]),
+                       r["gram_bucket"])
+                      for r in ix["trigrams"].collect())
+
+    fresh = dict(up)
+    build_trigram_index(fresh)
+    assert rows(up) == rows(fresh)
+    # the new term is reachable through the gram path
+    assert any(r["term"] == "zqx"
+               for r in suggest_infix(up, "*zq*", k=5).collect()) or \
+        any(r["term"].startswith("zq")
+            for r in suggest_infix(up, "zq*", k=5).collect())
+
+    # delete the upserted doc: its unique terms drop out of the sidecar
+    dn = delete_turns(up, F.col("conv_id") == "zzconv")
+    assert dn.get("trigrams") is not None
+    fresh2 = dict(dn)
+    build_trigram_index(fresh2)
+    assert rows(dn) == rows(fresh2)
+    assert not any(r["term"] == "zqx" for r in dn["trigrams"].collect())
