@@ -1327,6 +1327,21 @@ def _q_temperature_mix(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """LEARNED BPE merges (Sennrich 2016): one corpus-scale word-count
+    aggregation, then the driver-side merge loop over the word-type
+    dictionary (the reference/SentencePiece formulation). Uniform type
+    weights here so the merge list depends only on the word SET — both
+    sf dirs share the exact same 31-word vocabulary, making the result
+    sf-independent and the oracle a committed expected table generated
+    by an independent reimplementation
+    (tests/data/make_expected_bpe.py)."""
+    from searchengine_spark.functions.bpe import bpe_merges_df, train_bpe
+    model = train_bpe(_docs(spark, sf_dir), n_merges=40,
+                      weighting="uniform")
+    return bpe_merges_df(spark, model)
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Sequence packing: the corpus' tokens laid on one deterministic
     hash-ordered stream, cut into 512-token training sequences; one row
@@ -2424,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_stratified_sample": _q_stratified_sample,
         "pipeline_token_budget_mix": _q_token_budget_mix,
         "pipeline_temperature_mix": _q_temperature_mix,
+        "pipeline_bpe_merges": _q_bpe_merges,
         "pipeline_pack_sequences": _q_pack_sequences,
         "q_grouped_topk": _q_grouped_topk,
         "dedup_contamination": _q_contamination,
@@ -4830,6 +4846,9 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
         # (independent of sf), so the full value-hash oracle is a committed
         # expected table generated by an independent numpy recomputation
         # (tests/data/make_expected_multimodal.py).
+        "pipeline_bpe_merges": """
+            select * from read_parquet(
+              '/root/repo/tests/data/expected_bpe_merges.parquet')""",
         "multimodal_features": """
             select * from read_parquet(
               '/root/repo/tests/data/expected_multimodal_features.parquet')""",
