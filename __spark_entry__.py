@@ -789,6 +789,19 @@ def _q_batched_bool(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+def _q_percolate_bool(spark, sf_dir):
+    """Boolean-tree PERCOLATION (reverse search over AND/OR/NOT trees):
+    both registered boolean expressions matched against the whole doc
+    batch in one inverted dataflow — leaf satisfaction via the shared
+    kernels, then a per-query boolean expression over each doc's
+    satisfied-leaf set. Full match sets vs SQL set algebra."""
+    from searchengine_spark.operators.percolate import percolate_bool
+    docs = _docs(spark, sf_dir)
+    out = percolate_bool({"b1": BOOL_EXPR, "b2": BOOL_EXPR2}, docs,
+                         key_cols=["doc_id"])
+    return out.select("query_id", "doc_id")
+
+
 def _q_bool_count(spark, sf_dir):
     """Candidate-set size of the same boolean tree (the `_count` twin —
     qualifier-only branches would count here even though they rank
@@ -2409,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bool_search": _q_bool_search,
         "q_batched_bool": _q_batched_bool,
         "q_bool_count": _q_bool_count,
+        "q_percolate_bool": _q_percolate_bool,
         "q_querylang_min": _q_querylang_min,
         "q_querylang_fuzzy": _q_querylang_fuzzy,
         "q_querylang_count": _q_querylang_count,
@@ -3494,6 +3508,25 @@ union all select 'ps', doc_id from m_ps
             select query_id, doc_id, round(s, 6) as score from s1
             union all
             select query_id, doc_id, round(s, 6) as score from s2""",
+        "q_percolate_bool": f"""
+            with tf as ({_TF}),
+            cand1 as (
+              (select doc_id from tf where term = 'merge'
+               intersect
+               (select doc_id from tf where term = 'scan'
+                union
+                select doc_id from tf where term = 'hash'))
+              except
+              select doc_id from tf where term = 'stream'),
+            cand2 as (
+              select doc_id from tf where term = 'scan'
+              union
+              (select doc_id from tf where term = 'stream'
+               except
+               select doc_id from tf where term = 'hash'))
+            select 'b1' as query_id, doc_id from cand1
+            union all
+            select 'b2' as query_id, doc_id from cand2""",
         "q_more_like_this": f"""
             with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
             stats as (select count(*) as n, avg(dl) as avgdl from dl),

@@ -452,3 +452,151 @@ def percolate_stream(queries: dict[str, str], turns_stream: DataFrame,
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+def percolate_bool(exprs: dict[str, str], docs: DataFrame,
+                   mode: str = "general", dictionary: str = "fixture",
+                   key_cols: "list[str] | None" = None) -> DataFrame:
+    """Percolation over RECURSIVE BOOLEAN trees (operators/boolean.py's
+    grammar): match every doc against registered AND/OR/NOT expressions
+    — saved searches with full boolean structure. A doc matches a query
+    exactly when it would be in ``bool_count``'s candidate set over an
+    index of these docs.
+
+    Inverted dataflow, same cost model as ``percolate``: every LEAF
+    (term / phrase / span / qualifier — positive or under NOT) gets a
+    per-query clause id; leaf satisfaction rows come from the same four
+    kernels (term fan-out, phrase slot alignment, span window DP,
+    qualifier when-array); then ONE collect_set aggregation per
+    (doc, query) and a driver-built boolean EXPRESSION per query
+    (array_contains over the satisfied-leaf set, AND/OR/NOT in codegen)
+    decides the match — no per-tree job, no join per operator. Docs
+    satisfying no leaf never match (the bounded-NOT parse invariant:
+    an all-false assignment falsifies every tree), so absent rows are
+    correct rejections. Returns (query_id, *key_cols)."""
+    from functools import reduce
+
+    from searchengine_spark.operators.boolean import parse_bool
+
+    spark = docs.sparkSession
+    key = list(key_cols or KEY)
+    trees = {qid: parse_bool(e) for qid, e in exprs.items()}
+    out_schema = (", ".join(f"{c} {t}" for c, t in
+                            zip(["query_id"] + key,
+                                ["string"] + [dict(docs.dtypes)[c]
+                                              for c in key])))
+    if not trees:
+        return spark.createDataFrame([], out_schema)
+
+    # per-query leaf enumeration; leaves analyze with the index chain so
+    # positional semantics match the forward path
+    next_cid = iter(range(10 ** 9))
+    t_by_term: dict = {}          # term → [(qid, cid)]
+    p_cl, s_cl, qual_tags = [], [], []
+    leaf_cid: dict = {}           # (qid, leaf node) → cid or None (unsat)
+    for qid, tree in trees.items():
+
+        def walk(node, qid=qid):
+            kind = node[0]
+            if kind in ("and", "or"):
+                for c in node[1]:
+                    walk(c)
+                return
+            if kind == "not":
+                walk(node[1])
+                return
+            lk = (qid, node)
+            if lk in leaf_cid:
+                return
+            if kind == "term":
+                seq = analyze_text(node[1], mode, dictionary=dictionary)
+                if not seq:
+                    leaf_cid[lk] = None
+                    return
+                cid = next(next_cid)
+                t_by_term.setdefault(seq[0], []).append((qid, int(cid)))
+                leaf_cid[lk] = cid
+            elif kind == "phrase":
+                seq = analyze_text(node[1], mode, dictionary=dictionary)
+                if not seq:
+                    leaf_cid[lk] = None
+                    return
+                cid = next(next_cid)
+                if len(seq) == 1:
+                    t_by_term.setdefault(seq[0], []).append((qid, int(cid)))
+                else:
+                    p_cl.append((qid, cid, seq))
+                leaf_cid[lk] = cid
+            elif kind == "span":
+                seq = analyze_text(node[1], mode, dictionary=dictionary)
+                if not seq:
+                    leaf_cid[lk] = None
+                    return
+                cid = next(next_cid)
+                if len(seq) == 1:
+                    t_by_term.setdefault(seq[0], []).append((qid, int(cid)))
+                else:
+                    s_cl.append((qid, cid, seq, int(node[2]),
+                                 bool(node[3])))
+                leaf_cid[lk] = cid
+            else:  # qual
+                cid = next(next_cid)
+                qual_tags.append((qid, cid,
+                                  _qualifier_pred(node[1], node[2])))
+                leaf_cid[lk] = cid
+
+        walk(tree)
+
+    ev = docs.withColumn("_toks", analyze_col(F.col("text"), mode,
+                                              dictionary))
+    events = ev.select(*key, F.posexplode("_toks").alias("pos", "term"))
+    cparts = []
+    if t_by_term:
+        cparts.append(
+            _fanout_by_term(events, t_by_term,
+                            [("query_id", "string"), ("clause", "int")],
+                            key_col="term", key_type="string")
+            .select(*key, "query_id", "clause").distinct())
+    if p_cl:
+        cparts.append(_phrase_matches(events, key, p_cl))
+    if s_cl:
+        cparts.append(_span_matches(events, key, s_cl))
+    if qual_tags:
+        tags = F.array_compact(F.array(*[
+            F.when(pred, F.struct(F.lit(qid).alias("query_id"),
+                                  F.lit(int(cid)).cast("int")
+                                  .alias("clause")))
+            for qid, cid, pred in qual_tags]))
+        cparts.append(ev.select(*key, F.explode(tags).alias("_qc"))
+                      .select(*key,
+                              F.col("_qc.query_id").alias("query_id"),
+                              F.col("_qc.clause").alias("clause")))
+    if not cparts:
+        return spark.createDataFrame([], out_schema)
+    allcl = cparts[0]
+    for p in cparts[1:]:
+        allcl = allcl.unionByName(p)
+    sat = (allcl.groupBy(*key, "query_id")
+           .agg(F.collect_set("clause").alias("_ls")))
+
+    def tree_col(node, qid):
+        kind = node[0]
+        if kind == "and":
+            return reduce(lambda a, b: a & b,
+                          (tree_col(c, qid) for c in node[1]))
+        if kind == "or":
+            return reduce(lambda a, b: a | b,
+                          (tree_col(c, qid) for c in node[1]))
+        if kind == "not":
+            return ~tree_col(node[1], qid)
+        cid = leaf_cid.get((qid, node))
+        if cid is None:
+            return F.lit(False)  # unanalyzable leaf satisfies nothing
+        return F.array_contains(F.col("_ls"), int(cid))
+
+    match_expr = None
+    for qid, tree in trees.items():
+        branch = (F.col("query_id") == qid) & tree_col(tree, qid)
+        match_expr = branch if match_expr is None else match_expr | branch
+    return (sat.filter(match_expr)
+            .select("query_id", *key))

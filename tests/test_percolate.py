@@ -110,3 +110,36 @@ def test_percolate_stream_smoke(spark, tmp_path):
     q.stop()
     assert (0, "a", "c1") in got          # phrase matched in-stream
     assert all(g[1] != "d" for g in got)  # NOT term banned c2
+
+
+BOOL_EXPRS = {
+    "b1": "alpha AND gamma",
+    "b2": "alpha AND NOT gamma",
+    "b3": "(gamma OR delta) AND alpha",
+    "b4": '(alpha AND "alpha beta") OR (delta AND NOT beta)',
+    "b5": "alpha AND (role:assistant OR tool:bash)",
+    "b6": 'beta AND "alpha gamma"~1',
+    "b7": "(alpha AND NOT (gamma OR delta)) OR tool:bash",
+}
+
+
+def test_percolate_bool_matches_forward_eval(qpos_index):
+    """Boolean-tree percolation == the forward boolean evaluator's
+    candidate set, query by query (terms, nesting, NOT, phrases, spans,
+    qualifiers)."""
+    from searchengine_spark.operators.boolean import _eval, parse_bool
+    from searchengine_spark.operators.percolate import percolate_bool
+    spark = qpos_index["docs"].sparkSession
+    docs = qpos_index["docs"]
+    got: dict[str, set] = {}
+    for r in percolate_bool(BOOL_EXPRS, docs).collect():
+        got.setdefault(r["query_id"], set()).add(r["conv_id"])
+    id2conv = {r["doc_id"]: r["conv_id"]
+               for r in docs.select("doc_id", "conv_id").collect()}
+    hit = 0
+    for qid, e in BOOL_EXPRS.items():
+        cand = _eval(qpos_index, parse_bool(e), spark)
+        exp = {id2conv[r["doc_id"]] for r in cand.collect()}
+        assert got.get(qid, set()) == exp, (qid, e)
+        hit += bool(exp)
+    assert hit >= 5  # non-vacuous matrix
