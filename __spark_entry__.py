@@ -143,6 +143,15 @@ def _q_bm25_tuned_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_term_boost(spark, sf_dir):
+    """Lucene caret boost through the grammar (`merge^2 scan`): the
+    boosted term's additive contribution doubles via idf scaling, so
+    WAND bounds and the cache scorer stay exact under the boost."""
+    from searchengine_spark.operators.querylang import query_search
+    hits = query_search(_index_for(spark, sf_dir), "merge^2 scan", k=K)
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 NOT_T = "hash"  # NOT-clause term (mid-frequency in the documents corpus)
 
 
@@ -2371,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_ref_topk": _q_ref_topk,
         "q7_bm25_topk": _q_bm25_topk,
         "q_bm25_tuned": _q_bm25_tuned_topk,
+        "q_term_boost": _q_term_boost,
         "q_bm25_not_topk": _q_bm25_not_topk,
         "q_min_match": _q_min_match,
         "q_select_all": _q_select_all,
@@ -3024,6 +3034,20 @@ def oracle_sql() -> dict[str, str]:
             from m order by tf_sum desc, doc_id asc limit {K}""",
         "q7_bm25_topk": _bm25_sql(BM25_Q, K),
         "q_bm25_tuned": _bm25_sql(BM25_Q, K, k1=TUNED_K1, b=TUNED_B),
+        "q_term_boost": f"""
+            with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+            stats as (select count(*) as n, avg(dl) as avgdl from dl),
+            scored as (
+              select tf.doc_id,
+                     sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                          * (case when tf.term = 'merge'
+                                  then 2.0 else 1.0 end)
+                          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+              from tf join dfv using (term) join dl using (doc_id) cross join stats
+              where tf.term in ('merge', 'scan')
+              group by tf.doc_id)
+            select doc_id, round(s, 6) as score from scored
+            order by round(s, 9) desc, doc_id asc limit {K}""",
         "q_bm25_not_topk": _bm25_sql(BM25_Q, K, exclude=[NOT_T]),
         "q_min_match": _bm25_sql(AND3, K, min_match=2),
         "q_select_all": f"""

@@ -184,7 +184,7 @@ def parse_query(qstr: str) -> dict:
            "groups": [], "qualifiers": [],
            "wildcards": [], "not_wildcards": [], "min_match": None,
            "fuzzies": [], "not_fuzzies": [],
-           "regexes": [], "not_regexes": []}
+           "regexes": [], "not_regexes": [], "boosts": {}}
     for m in _TOKEN.finditer(qstr):
         if m.group(2) is not None:
             out["not_regexes" if m.group(1) == "-"
@@ -239,6 +239,13 @@ def parse_query(qstr: str) -> dict:
                 # dictionary within N edits (suggest_corrections ranking)
                 out["not_fuzzies" if neg else "fuzzies"].append(
                     (fz.group(1), int(fz.group(2))))
+            elif (cb := re.match(r"^(.+?)\^(\d+(?:\.\d+)?)$", word)) \
+                    and not neg:
+                # Lucene caret boost: word^2 — a ranked term whose score
+                # contribution is multiplied (search(term_boosts=); a
+                # caret on a NOT term is meaningless and lexes as a term)
+                out["terms"].append(cb.group(1))
+                out["boosts"][cb.group(1)] = float(cb.group(2))
             else:
                 out["not_terms" if neg else "terms"].append(word)
     return out
@@ -411,7 +418,8 @@ def _resolve_grammar(index: dict, qstr: str, scope,
         persists.append(xdocs)
     return {"pos_words": pos_words, "not_terms": q["not_terms"],
             "eff_scope": eff_scope, "exclude_docs": xdocs,
-            "persists": persists, "min_match": q["min_match"]}
+            "persists": persists, "min_match": q["min_match"],
+            "boosts": q.get("boosts") or None}
 
 
 def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
@@ -467,7 +475,7 @@ def query_search(index: dict, qstr: str, k: int = 10, mode: str = "bm25",
                  search_after=search_after, sort_by=sort_by,
                  sort_asc=sort_asc, boost_by=boost_by,
                  min_match=g["min_match"], n_fragments=n_fragments,
-                 k1=k1, b=b)
+                 k1=k1, b=b, term_boosts=g["boosts"])
     index.setdefault("_query_persists", []).extend(held + g["persists"])
     return out
 

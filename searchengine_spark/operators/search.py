@@ -546,6 +546,7 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
            boost_by=None, min_match: "int | None" = None,
            n_fragments: "int | None" = None,
            k1: "float | None" = None, b: "float | None" = None,
+           term_boosts: "dict[str, float] | None" = None,
            _stats_override: "dict | None" = None) -> DataFrame:
     """Top-k search over a built index; returns DataFrame
     (doc_id, conv_id, turn_idx, role, tool, ts, score[, snippet]).
@@ -658,9 +659,23 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     decreasing in dl for any k1≥0, 0≤b≤1; legacy indexes without
     block_max_tf fall back to the exhaustive decode. Postings-cache
     entries store raw (tf, dl) rows, so cache hits score correctly (and
-    bit-identically to the decode path) under any (k1, b). bm25 only."""
+    bit-identically to the decode path) under any (k1, b). bm25 only.
+
+    ``term_boosts`` is the Lucene caret boost (``word^2``): {word →
+    positive factor} multiplying that term's ADDITIVE score contribution
+    (implemented as an idf scaling, so the WAND bounds, phase-1 θ, cache
+    scorer and decode path all see the boosted weight — pruning stays
+    exact). Words analyze through the index's chain, so a boost on an
+    inflected form lands on its lemma. bm25 only (ref_compat's tf sum
+    has no per-term weight)."""
     spark = index["docs"].sparkSession
     k1e, be, custom_sim = _sim_params(k1, b, mode)
+    if term_boosts:
+        if mode != "bm25":
+            raise ValueError("term_boosts requires mode='bm25'")
+        for _w, _bv in term_boosts.items():
+            if float(_bv) <= 0.0:
+                raise ValueError(f"term boost for {_w!r} must be > 0")
     if min_match is not None:
         if mode != "bm25":
             raise ValueError("min_match requires mode='bm25': ref_compat "
@@ -727,6 +742,17 @@ def search(index: dict, query: str, k: int = 10, mode: str = "bm25",
     idf_of = {r["term_id"]: float(np.log(1.0 + (n_docs - _df_eff(r) + 0.5)
                                          / (_df_eff(r) + 0.5)))
               for r in trows}
+    if term_boosts:
+        # caret boosts scale idf — every downstream consumer (decode
+        # scorer, cache scorer, WAND M_t/θ, tf-bounds column) reads
+        # idf_of/idf_map, so boosted ranking stays prune-exact
+        term_of = {r["term"]: r["term_id"] for r in trows}
+        for w, bv in term_boosts.items():
+            for lem in _query_terms(w, index.get("mode", "general"),
+                                    index.get("dictionary", "fixture")):
+                tid = term_of.get(lem)
+                if tid is not None:
+                    idf_of[tid] *= float(bv)
 
     # Serving-tier postings cache (operators/pcache.py): hot terms' decoded
     # (doc_id, tf, dl) rows are persisted per term inside the index dict, so

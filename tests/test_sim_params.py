@@ -198,3 +198,57 @@ def test_search_many_per_query_validation(index_general):
     with pytest.raises(ValueError, match="ref_compat"):
         search_many(index_general, {"a": "лес"}, mode="ref_compat",
                     k1={"a": 0.5})
+
+
+def _golden_boosted(g, query: str, boosts: dict, k: int = K):
+    qterms = sorted(set(golden_analyze(query, g.mode)))
+    bl = {}
+    for w, bv in boosts.items():
+        for lem in golden_analyze(w, g.mode):
+            bl[lem] = float(bv)
+    acc: dict[int, float] = {}
+    for t in qterms:
+        if g.df.get(t, 0) == 0:
+            continue
+        idf = g._idf(t) * bl.get(t, 1.0)
+        for did in range(g.n_docs):
+            tf = g.tf[did].get(t, 0)
+            if tf:
+                s = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
+                                                    * g.dl[did] / g.avgdl))
+                acc[did] = acc.get(did, 0.0) + s
+    return sorted(acc.items(), key=lambda p: (-round(p[1], 9), p[0]))[:k]
+
+
+def test_term_boosts_brute_force_and_wand(index_general, golden_general):
+    """Caret boosts scale the boosted term's additive contribution (idf
+    scaling); block-max pruning stays exact because every bound consumer
+    reads the boosted idf."""
+    q, boosts = "лес дом", {"дом": 2.5}
+    got = _rows(search(index_general, q, k=K, term_boosts=boosts,
+                       prune_blocks=False))
+    expected = _golden_boosted(golden_general, q, boosts)
+    assert len(got) == len(expected)
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gd == ed and abs(gs - es) < 1e-9
+    pruned = _rows(search(index_general, q, k=K, term_boosts=boosts,
+                          prune_blocks=True))
+    assert pruned == got
+    # neutral boost is a no-op
+    assert _rows(search(index_general, q, k=K,
+                        term_boosts={"дом": 1.0})) == _rows(
+        search(index_general, q, k=K))
+
+
+def test_grammar_caret_boost(index_general):
+    """`word^2` in the query string == search(term_boosts=)."""
+    from searchengine_spark.operators.querylang import query_search
+    got = _rows(query_search(index_general, "лес дом^2.5", k=K))
+    ref = _rows(search(index_general, "лес дом", k=K,
+                       term_boosts={"дом": 2.5}))
+    assert got == ref
+    with pytest.raises(ValueError, match="bm25"):
+        search(index_general, "лес", mode="ref_compat",
+               term_boosts={"лес": 2.0})
+    with pytest.raises(ValueError, match="must be > 0"):
+        search(index_general, "лес", term_boosts={"лес": 0.0})
