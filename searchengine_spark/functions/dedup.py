@@ -221,20 +221,43 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
 
 def dedup_keep_canonical(df: DataFrame, clusters: DataFrame,
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         keep: str = "rep",
+                         text_col: str = "text") -> DataFrame:
     """Materialize the deduplicated corpus: given near-dup ``clusters``
     ((id, rep) from ``connected_components``), keep exactly ONE doc per
-    component — the representative (smallest id, the deterministic
-    canonical) — plus every doc that appears in no component. The final
+    component plus every doc that appears in no component. The final
     step of the dedup pipeline (pairs → clusters → deduped table).
 
-    One broadcast-or-shuffle anti-join against the non-representative ids:
-    no per-row Python, no window; at 100 TB the victims set is the only
-    thing shuffled (components are a small fraction of the corpus), and
-    the surviving rows stream straight through. Returns ``df``'s full rows
-    filtered; row order is whatever the source scan yields."""
-    victims = clusters.filter(F.col("id") != F.col("rep")) \
-        .select(F.col("id").alias(id_col))
+    ``keep="rep"`` (default) keeps the representative (smallest id, the
+    deterministic canonical). ``keep="longest"`` keeps each component's
+    member with the MOST tokens (ties → smallest id) — the standard
+    quality choice when near-dup clusters contain truncated copies of
+    the same document; costs one component-set-sized join to the docs
+    for the token count plus one narrow per-component max_by.
+
+    One broadcast-or-shuffle anti-join against the victim ids either
+    way: no per-row Python, no window over data; at 100 TB the
+    components set is the only thing shuffled (a small fraction of the
+    corpus) and surviving rows stream straight through. Returns ``df``'s
+    full rows filtered; row order is whatever the source scan yields."""
+    if keep == "rep":
+        victims = clusters.filter(F.col("id") != F.col("rep")) \
+            .select(F.col("id").alias(id_col))
+    elif keep == "longest":
+        from searchengine_spark.functions.text import token_count
+        lens = df.select(F.col(id_col).alias("id"),
+                         token_count(F.col(text_col)).alias("_n"))
+        keepers = (clusters.join(lens, "id")
+                   .groupBy("rep")
+                   .agg(F.max_by(F.col("id"),
+                                 F.struct(F.col("_n"), -F.col("id")))
+                        .alias("_keep")))
+        victims = (clusters.join(keepers, "rep")
+                   .filter(F.col("id") != F.col("_keep"))
+                   .select(F.col("id").alias(id_col)))
+    else:
+        raise ValueError("keep must be 'rep' or 'longest'")
     return df.join(victims, id_col, "left_anti")
 
 

@@ -471,3 +471,26 @@ def test_bigram_ppl_cross_corpus(spark):
     got = {r["doc_id"]: r["ppl"]
            for r in bigram_lm_perplexity(probe, lm).collect()}
     assert got[0] * 5 < got[1]  # in-domain ≪ garbage
+
+
+def test_dedup_keep_longest(spark):
+    """keep='longest' keeps each component's most-token member (ties →
+    smallest id); singletons always survive; keep='rep' unchanged."""
+    from searchengine_spark.functions.dedup import (connected_components,
+                                                    dedup_keep_canonical)
+    rows = [(0, "a b"), (1, "a b c d e"), (2, "a b c"),
+            (3, "x y z"), (4, "x y z"),        # tie on 3 tokens → id 3
+            (9, "solo untouched doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long")
+    clusters = connected_components(pairs)
+    longest = {r["doc_id"] for r in
+               dedup_keep_canonical(df, clusters, keep="longest").collect()}
+    assert longest == {1, 3, 9}
+    rep = {r["doc_id"] for r in
+           dedup_keep_canonical(df, clusters).collect()}
+    assert rep == {0, 3, 9}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="keep"):
+        dedup_keep_canonical(df, clusters, keep="best")
