@@ -600,3 +600,24 @@ def percolate_bool(exprs: dict[str, str], docs: DataFrame,
         match_expr = branch if match_expr is None else match_expr | branch
     return (sat.filter(match_expr)
             .select("query_id", *key))
+
+
+def percolate_bool_stream(exprs: dict[str, str], turns_stream: DataFrame,
+                          sink, mode: str = "general",
+                          dictionary: str = "fixture",
+                          key_cols: "list[str] | None" = None,
+                          checkpoint: "str | None" = None):
+    """Continuous boolean-tree percolation: ``percolate_bool`` per
+    micro-batch via foreachBatch — saved searches with AND/OR/NOT
+    structure over a streaming turns source. Stateless per batch;
+    exactly-once delivery is the sink's contract via batch_id (the
+    ``percolate_stream`` protocol)."""
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        sink(percolate_bool(exprs, batch_df, mode=mode,
+                            dictionary=dictionary, key_cols=key_cols),
+             batch_id)
+
+    w = turns_stream.writeStream.foreachBatch(apply).outputMode("append")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

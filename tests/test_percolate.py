@@ -143,3 +143,31 @@ def test_percolate_bool_matches_forward_eval(qpos_index):
         assert got.get(qid, set()) == exp, (qid, e)
         hit += bool(exp)
     assert hit >= 5  # non-vacuous matrix
+
+
+def test_percolate_bool_stream_smoke(spark, tmp_path):
+    """Boolean trees over a stream: foreachBatch wiring + AND/NOT
+    semantics per micro-batch."""
+    from searchengine_spark.operators.percolate import percolate_bool_stream
+    from searchengine_spark.streaming.stream_index import TURN_SCHEMA
+    from datetime import datetime
+    t0 = datetime(2026, 1, 1)
+    src = str(tmp_path / "bsrc")
+    rows = [("c1", 0, "user", "alpha beta gamma", None, t0),
+            ("c2", 0, "user", "alpha epsilon", None, t0)]
+    spark.createDataFrame(rows, TURN_SCHEMA).write.parquet(src)
+    got: list = []
+
+    def sink(matches, batch_id):
+        got.extend((batch_id, r["query_id"], r["conv_id"])
+                   for r in matches.collect())
+
+    stream = spark.readStream.schema(TURN_SCHEMA).parquet(src)
+    q = percolate_bool_stream(
+        {"x": "alpha AND (beta OR epsilon)",
+         "y": "alpha AND NOT gamma"},
+        stream, sink, checkpoint=str(tmp_path / "bckpt"))
+    q.processAllAvailable()
+    q.stop()
+    matched = {(g[1], g[2]) for g in got}
+    assert matched == {("x", "c1"), ("x", "c2"), ("y", "c2")}
