@@ -798,6 +798,16 @@ def _q_batched_bool(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+def _q_bool_select(spark, sf_dir):
+    """Full match-set export for a boolean tree (bool_select — the
+    scroll surface × the algebra): every candidate doc with its
+    distinct-matched-term count and BM25 score, no top-k."""
+    from searchengine_spark.operators.boolean import bool_select
+    out = bool_select(_index_for(spark, sf_dir), BOOL_EXPR)
+    return out.select(_orig_doc_id(), F.col("nt").cast("long").alias("nt"),
+                      F.round("score", 6).alias("score"))
+
+
 def _q_percolate_bool(spark, sf_dir):
     """Boolean-tree PERCOLATION (reverse search over AND/OR/NOT trees):
     both registered boolean expressions matched against the whole doc
@@ -2432,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bool_search": _q_bool_search,
         "q_batched_bool": _q_batched_bool,
         "q_bool_count": _q_bool_count,
+        "q_bool_select": _q_bool_select,
         "q_percolate_bool": _q_percolate_bool,
         "q_querylang_min": _q_querylang_min,
         "q_querylang_fuzzy": _q_querylang_fuzzy,
@@ -3532,6 +3543,26 @@ union all select 'ps', doc_id from m_ps
             select query_id, doc_id, round(s, 6) as score from s1
             union all
             select query_id, doc_id, round(s, 6) as score from s2""",
+        "q_bool_select": f"""
+            with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+            stats as (select count(*) as n, avg(dl) as avgdl from dl),
+            cand as (
+              (select doc_id from tf where term = 'merge'
+               intersect
+               (select doc_id from tf where term = 'scan'
+                union
+                select doc_id from tf where term = 'hash'))
+              except
+              select doc_id from tf where term = 'stream')
+            select tf.doc_id, cast(count(*) as bigint) as nt,
+                   round(sum( ln(1.0 + (stats.n - dfv.df + 0.5)
+                                 / (dfv.df + 0.5))
+                          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ), 6) as score
+            from tf join dfv using (term) join dl using (doc_id)
+            cross join stats
+            where tf.term in ('hash', 'merge', 'scan')
+              and tf.doc_id in (select doc_id from cand)
+            group by tf.doc_id""",
         "q_percolate_bool": f"""
             with tf as ({_TF}),
             cand1 as (

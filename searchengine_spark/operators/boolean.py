@@ -342,6 +342,35 @@ def bool_search_many(index: dict, exprs: "dict[str, str]", k: int = 10,
     return out
 
 
+def bool_select(index: dict, expr: str,
+                with_text: bool = False) -> DataFrame:
+    """Full match-set EXPORT for a boolean tree — every candidate doc
+    with its BM25 score over the tree's scoring terms (the
+    ``search_select`` scroll surface × the boolean algebra: select a
+    training subset by an arbitrary AND/OR/NOT expression in one call).
+    Candidates containing no scoring term (possible only via
+    qualifier-only branches) carry no decoded row and drop, like the
+    ranked path — ``bool_count`` reports the raw candidate size.
+    Returns ``search_select``'s schema."""
+    spark = index["docs"].sparkSession
+    tree = parse_bool(expr)
+    words = sorted(set(_scoring_words(tree)))
+    empty = spark.createDataFrame(
+        [], "doc_id long, conv_id string, turn_idx int, role string, "
+            "tool string, ts timestamp, nt long, score double"
+            + (", text string" if with_text else ""))
+    if not words:
+        return empty
+    from searchengine_spark.operators.search import search_select
+    release_query_caches(index)
+    cand = _eval(index, tree, spark).persist()
+    held = index.pop("_query_persists", [])
+    out = search_select(index, " ".join(words), scope=cand,
+                        with_text=with_text)
+    index.setdefault("_query_persists", []).extend(held + [cand])
+    return out
+
+
 def bool_count(index: dict, expr: str) -> DataFrame:
     """Candidate-set size of a boolean expression — EXACTLY ONE row
     ``(n_matches long)``, qualifier-only branches included (unlike the

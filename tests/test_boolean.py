@@ -178,3 +178,26 @@ def test_bool_search_many_per_query_params(index_general):
     sb = [(r["doc_id"], round(r["score"], 9))
           for r in bool_search(index_general, exprs["b"], k=5).collect()]
     assert got["a"] == sa and got["b"] == sb
+
+
+def test_bool_select_full_match_set(index_general, golden_general):
+    """bool_select exports EVERY candidate with its BM25 score — the
+    candidate ids equal the brute-force algebra, scores equal
+    search_select over the same scope."""
+    from searchengine_spark.operators.boolean import bool_select
+    from searchengine_spark.operators.search import search_select
+    expr = "(лес OR дом) AND NOT ошибка"
+    g = golden_general
+    sets = _golden_docsets(g)
+    exp_ids = (_gset(g, sets, "лес") | _gset(g, sets, "дом")) \
+        - _gset(g, sets, "ошибка")
+    out = {r["doc_id"]: r["score"]
+           for r in bool_select(index_general, expr).collect()}
+    assert set(out) == exp_ids
+    spark = index_general["docs"].sparkSession
+    cdf = spark.createDataFrame([(int(d),) for d in sorted(exp_ids)],
+                                "doc_id long")
+    ref = {r["doc_id"]: r["score"]
+           for r in search_select(index_general, "лес дом",
+                                  scope=cdf).collect()}
+    assert out == ref
