@@ -47,7 +47,7 @@ def _base(**kw):
            "groups": [], "qualifiers": [],
            "wildcards": [], "not_wildcards": [], "min_match": None,
            "fuzzies": [], "not_fuzzies": [],
-           "regexes": [], "not_regexes": []}
+           "regexes": [], "not_regexes": [], "boosts": {}}
     out.update(kw)
     return out
 

@@ -232,10 +232,14 @@ def test_stream_dedup_first_seen_wins(spark, tmp_path_factory):
              _row("c1", 0, "gamma")]
     drop2 = [_row("c2", 0, "alpha beta"), _row("c2", 1, "delta"),
              _row("c2", 2, "gamma")]
-    _mk_df(spark, drop1).write.parquet(f"{src}/d1")
+    # one FILE per drop: with maxFilesPerTrigger=1 the source ingests one
+    # file per batch and "first seen" is defined by INGEST order — a
+    # multi-file drop would make the within-drop winner depend on file
+    # enumeration order (mtime ties), not on the engine's contract
+    _mk_df(spark, drop1).coalesce(1).write.parquet(f"{src}/d1")
     q = stream_dedup_turns(spark, f"{src}/*", out, ckpt)
     q.awaitTermination(120)
-    _mk_df(spark, drop2).write.parquet(f"{src}/d2")
+    _mk_df(spark, drop2).coalesce(1).write.parquet(f"{src}/d2")
     q = stream_dedup_turns(spark, f"{src}/*", out, ckpt)
     q.awaitTermination(120)
     rows = {(r["conv_id"], r["turn_idx"]): r["text"]
