@@ -1359,6 +1359,16 @@ def _q_temperature_mix(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def _q_split_corpus(spark, sf_dir):
+    """Deterministic train/val/test split: one portable-LCG hash draw per
+    row, cumulative thresholds → disjoint named splits, reproducible
+    across runs/layouts/engines."""
+    from searchengine_spark.functions.sampling import split_corpus
+    out = split_corpus(_docs(spark, sf_dir),
+                       {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")
+    return out.select("doc_id", "split")
+
+
 def _q_bpe_merges(spark, sf_dir):
     """LEARNED BPE merges (Sennrich 2016): one corpus-scale word-count
     aggregation, then the driver-side merge loop over the word-type
@@ -2475,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_token_budget_mix": _q_token_budget_mix,
         "pipeline_temperature_mix": _q_temperature_mix,
         "pipeline_bpe_merges": _q_bpe_merges,
+        "pipeline_split_corpus": _q_split_corpus,
         "pipeline_pack_sequences": _q_pack_sequences,
         "q_grouped_topk": _q_grouped_topk,
         "dedup_contamination": _q_contamination,
@@ -4937,6 +4948,16 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
         "pipeline_bpe_merges": """
             select * from read_parquet(
               '/root/repo/tests/data/expected_bpe_merges.parquet')""",
+        "pipeline_split_corpus": f"""
+            with h as (select doc_id,
+                       ((doc_id % 1000000007) * 1103515245 + 12345)
+                         % 2147483648 as hv
+                       from documents)
+            select doc_id,
+                   case when hv < {int(0.8 * 2**31)} then 'train'
+                        when hv < {int(0.9 * 2**31)} then 'val'
+                        else 'test' end as split
+            from h""",
         "multimodal_features": """
             select * from read_parquet(
               '/root/repo/tests/data/expected_multimodal_features.parquet')""",

@@ -123,6 +123,38 @@ def token_budget_mix(df: DataFrame, budgets: dict, strata_col: str,
     return out.select(*df.columns)
 
 
+def split_corpus(df: DataFrame, fractions: "dict[str, float]",
+                 key_col: str, salt: int = 0) -> DataFrame:
+    """Deterministic train/val/test split: assign each row to a named
+    split by its hash's position in the [0, 2^31) space, partitioned
+    proportionally to ``fractions`` (values must sum to ≤ 1; any
+    remainder is unassigned and dropped — use an explicit fraction for
+    every split you want). The assignment is a pure function of the row
+    key (the module's portable LCG), so it is reproducible across runs,
+    layouts, and engines, and DISJOINT by construction — the split
+    boundaries are cumulative thresholds over one hash draw, never N
+    independent samples. Returns ``df`` plus a ``split`` column.
+
+    Splits are named in INSERTION order of ``fractions`` (dicts
+    preserve it): {"train": .8, "val": .1, "test": .1} lays train on
+    [0, .8), val on [.8, .9), test on [.9, 1.0)."""
+    total = sum(float(v) for v in fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    if any(float(v) < 0 for v in fractions.values()):
+        raise ValueError("fractions must be >= 0")
+    h = det_hash_col(F.col(key_col), salt)
+    expr, lo = None, 0.0
+    for name, frac in fractions.items():
+        hi = lo + float(frac)
+        cond = (h >= F.lit(int(lo * HASH_SPACE))) & \
+               (h < F.lit(int(hi * HASH_SPACE)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return (df.withColumn("split", expr)
+            .filter(F.col("split").isNotNull()))
+
+
 def temperature_budgets(sizes: dict, alpha: float, budget: int) -> dict:
     """Water-filled temperature targets: stratum s gets a share of
     ``budget`` proportional to size_s^alpha (the multilingual-LM

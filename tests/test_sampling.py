@@ -247,3 +247,33 @@ def test_temperature_mix_token_budget(corpus):
             run += toks[d]
             exp.add(d)
         assert {d for d in kept if src[d] == s} == exp, s
+
+
+def test_split_corpus_deterministic_and_disjoint(corpus):
+    from searchengine_spark.functions.sampling import split_corpus
+    sdf, rows = corpus
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r["doc_id"]: r["split"]
+           for r in split_corpus(sdf, fr, "doc_id").collect()}
+    # every row assigned exactly once; golden recomputation via the LCG
+    assert len(got) == len(rows)
+    for d, _, _ in rows:
+        h = _h(d)
+        if h < int(0.8 * HASH_SPACE):
+            want = "train"
+        elif h < int(0.9 * HASH_SPACE):
+            want = "val"
+        else:
+            want = "test"
+        assert got[d] == want, d
+    # proportions roughly honored on 400 rows
+    from collections import Counter
+    c = Counter(got.values())
+    assert 280 <= c["train"] <= 360 and c["val"] >= 15 and c["test"] >= 15
+    # partial fractions drop the remainder
+    part = split_corpus(sdf, {"train": 0.5}, "doc_id").count()
+    assert part == sum(1 for d, _, _ in rows
+                       if _h(d) < int(0.5 * HASH_SPACE))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        split_corpus(sdf, {"a": 0.9, "b": 0.2}, "doc_id")
