@@ -208,7 +208,7 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "dedup_contamination", "dedup_cross_corpus",
                  "pipeline_stratified_sample", "pipeline_token_budget_mix",
                  "pipeline_temperature_mix", "sim_hard_negatives",
-                 "pipeline_bpe_merges",
+                 "pipeline_bpe_merges", "pipeline_split_corpus",
                  "pipeline_pack_sequences", "pipeline_encode_ids",
                  "pipeline_pack_token_ids", "text_nb_classify",
                  "corpus_profile", "q_passage_topk", "q_batched_passage",
