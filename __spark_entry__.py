@@ -143,6 +143,18 @@ def _q_bm25_tuned_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_prf_topk(spark, sf_dir):
+    """Pseudo-relevance-feedback expansion (RM3-lite): bm25 first pass on
+    the standard query, top-3 NEW lemmas from the top-5 hits by
+    (feedback tf desc, df asc, term asc), second pass with the expansion
+    terms at weight 0.5 through the caret-boost machinery (WAND stays
+    exact on both passes)."""
+    from searchengine_spark.operators.search import prf_search
+    hits = prf_search(_index_for(spark, sf_dir), " ".join(BM25_Q), k=K,
+                      fb_docs=5, fb_terms=3, fb_weight=0.5)
+    return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 def _q_term_boost(spark, sf_dir):
     """Lucene caret boost through the grammar (`merge^2 scan`): the
     boosted term's additive contribution doubles via idf scaling, so
@@ -2401,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_bm25_topk": _q_bm25_topk,
         "q_bm25_tuned": _q_bm25_tuned_topk,
         "q_term_boost": _q_term_boost,
+        "q_prf_topk": _q_prf_topk,
         "q_bm25_not_topk": _q_bm25_not_topk,
         "q_min_match": _q_min_match,
         "q_select_all": _q_select_all,
@@ -3056,6 +3069,35 @@ def oracle_sql() -> dict[str, str]:
             from m order by tf_sum desc, doc_id asc limit {K}""",
         "q7_bm25_topk": _bm25_sql(BM25_Q, K),
         "q_bm25_tuned": _bm25_sql(BM25_Q, K, k1=TUNED_K1, b=TUNED_B),
+        "q_prf_topk": f"""
+            with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+            stats as (select count(*) as n, avg(dl) as avgdl from dl),
+            first as (
+              select tf.doc_id,
+                     sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+              from tf join dfv using (term) join dl using (doc_id) cross join stats
+              where tf.term in ('merge', 'scan')
+              group by tf.doc_id
+              order by round(s, 9) desc, tf.doc_id asc limit 5),
+            fbtf as (select tf.term, sum(tf.tf) as c
+                     from tf where tf.doc_id in (select doc_id from first)
+                       and tf.term not in ('merge', 'scan')
+                     group by tf.term),
+            sel as (select f.term from fbtf f join dfv using (term)
+                    order by f.c desc, dfv.df asc, f.term asc limit 3),
+            scored as (
+              select tf.doc_id,
+                     sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                          * (case when tf.term in ('merge', 'scan')
+                                  then 1.0 else 0.5 end)
+                          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+              from tf join dfv using (term) join dl using (doc_id) cross join stats
+              where tf.term in ('merge', 'scan')
+                 or tf.term in (select term from sel)
+              group by tf.doc_id)
+            select doc_id, round(s, 6) as score from scored
+            order by round(s, 9) desc, doc_id asc limit {K}""",
         "q_term_boost": f"""
             with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
             stats as (select count(*) as n, avg(dl) as avgdl from dl),

@@ -1546,6 +1546,50 @@ def rescore_search(index: dict, query: str, k: int = 10, n: int = 100,
                      F.col("doc_id").asc()))
 
 
+def prf_search(index: dict, query: str, k: int = 10, fb_docs: int = 10,
+               fb_terms: int = 5, fb_weight: float = 0.5,
+               scope=None) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (RM3-lite, the classic
+    two-pass retrieval): run the plain BM25 query, re-analyze the top
+    ``fb_docs`` hits, select the ``fb_terms`` most characteristic
+    NEW lemmas by (feedback tf desc, df asc, term asc) — the
+    ``more_like_this`` selection rule, integer keys so the choice is
+    exactly reproducible — and re-run the query expanded with those
+    terms at ``fb_weight`` (through the caret-boost machinery: each
+    expansion term's additive contribution is scaled by ``fb_weight``,
+    original terms keep weight 1, so WAND pruning stays exact on the
+    second pass too).
+
+    Cost shape: two ordinary ranked searches + one fb_docs-row
+    re-analysis (driver-side Arrow collect of ≤ fb_docs texts) — the
+    standard PRF contract; no corpus-sized work beyond the two passes.
+    Returns ``search``'s schema ranked by the expanded query."""
+    spark = index["docs"].sparkSession
+    amode = index.get("mode", "general")
+    dic = index.get("dictionary", "fixture")
+    first = search(index, query, k=int(fb_docs), mode="bm25", scope=scope)
+    ids = [r["doc_id"] for r in first.collect()]
+    if not ids:
+        return first.limit(0)
+    texts = (index["docs"].filter(F.col("doc_id").isin(ids))
+             .select("text").collect())
+    tf: dict[str, int] = {}
+    for r in texts:
+        for t in analyze_text(r["text"], amode, dictionary=dic):
+            tf[t] = tf.get(t, 0) + 1
+    orig = set(_query_terms(query, amode, dic))
+    cand = sorted(t for t in tf if t not in orig)
+    _, df_of = _resolve_ids_dfs(index, cand)
+    sel = sorted((t for t in cand if t in df_of),
+                 key=lambda t: (-tf[t], df_of[t], t))[:int(fb_terms)]
+    if not sel:
+        return search(index, query, k=k, mode="bm25", scope=scope)
+    expanded = " ".join(sorted(orig) + sel)
+    boosts = {t: float(fb_weight) for t in sel}
+    return search(index, expanded, k=k, mode="bm25", scope=scope,
+                  term_boosts=boosts)
+
+
 def significant_terms(index: dict, query: str, k: int = 20,
                       mode: str = "bm25", scope=None,
                       exclude: "str | None" = None,

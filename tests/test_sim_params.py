@@ -252,3 +252,46 @@ def test_grammar_caret_boost(index_general):
                term_boosts={"лес": 2.0})
     with pytest.raises(ValueError, match="must be > 0"):
         search(index_general, "лес", term_boosts={"лес": 0.0})
+
+
+def test_prf_search_golden(index_general, golden_general):
+    """RM3-lite PRF == a full golden recomputation: bm25 first pass →
+    feedback-term selection by (fb tf desc, df asc, term asc) → expanded
+    query with fb_weight-scaled expansion contributions."""
+    import math
+
+    from searchengine_spark.operators.search import prf_search
+    g = golden_general
+    query, FB_D, FB_T, W = "ошибка лес", 5, 3, 0.5
+    got = _rows(prf_search(index_general, query, k=K,
+                           fb_docs=FB_D, fb_terms=FB_T, fb_weight=W))
+
+    def bm25(terms, weights, k):
+        acc = {}
+        for t in terms:
+            if g.df.get(t, 0) == 0:
+                continue
+            idf = g._idf(t) * weights.get(t, 1.0)
+            for did in range(g.n_docs):
+                tf = g.tf[did].get(t, 0)
+                if tf:
+                    s = idf * (tf * 2.2) / (
+                        tf + 1.2 * (0.25 + 0.75 * g.dl[did] / g.avgdl))
+                    acc[did] = acc.get(did, 0.0) + s
+        return sorted(acc.items(), key=lambda p: (-round(p[1], 9), p[0]))[:k]
+
+    orig = sorted(set(golden_analyze(query, g.mode)))
+    first = [d for d, _ in bm25(orig, {}, FB_D)]
+    fbtf: dict = {}
+    for did in first:
+        for t, c in g.tf[did].items():
+            fbtf[t] = fbtf.get(t, 0) + c
+    cand = [t for t in fbtf if t not in set(orig) and g.df.get(t, 0) > 0]
+    sel = sorted(cand, key=lambda t: (-fbtf[t], g.df[t], t))[:FB_T]
+    expected = bm25(sorted(set(orig) | set(sel)),
+                    {t: W for t in sel}, K)
+    assert len(got) == len(expected)
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gd == ed and abs(gs - es) < 1e-9
+    # expansion actually engaged (the corpus has co-occurring vocabulary)
+    assert sel
