@@ -143,6 +143,17 @@ def _q_bm25_tuned_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_significant_bigrams(spark, sf_dir):
+    """significant_text for PHRASES: adjacent-lemma bigrams
+    over-represented in the match set vs the cached corpus bigram
+    background, JLH-scored like significant_terms."""
+    from searchengine_spark.operators.search import significant_bigrams
+    index = _index_for(spark, sf_dir)
+    rows = significant_bigrams(index, " ".join(BM25_Q), k=20)
+    return rows.select("bigram", "fg_df", "bg_df",
+                       F.round("score", 6).alias("score"))
+
+
 def _q_prf_topk(spark, sf_dir):
     """Pseudo-relevance-feedback expansion (RM3-lite): bm25 first pass on
     the standard query, top-3 NEW lemmas from the top-5 hits by
@@ -2414,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25_tuned": _q_bm25_tuned_topk,
         "q_term_boost": _q_term_boost,
         "q_prf_topk": _q_prf_topk,
+        "q_significant_bigrams": _q_significant_bigrams,
         "q_bm25_not_topk": _q_bm25_not_topk,
         "q_min_match": _q_min_match,
         "q_select_all": _q_select_all,
@@ -3069,6 +3081,35 @@ def oracle_sql() -> dict[str, str]:
             from m order by tf_sum desc, doc_id asc limit {K}""",
         "q7_bm25_topk": _bm25_sql(BM25_Q, K),
         "q_bm25_tuned": _bm25_sql(BM25_Q, K, k1=TUNED_K1, b=TUNED_B),
+        "q_significant_bigrams": f"""
+            with t as (select doc_id, list_filter(string_split_regex(
+                         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                         ' +'), x -> x <> '') as w
+                       from documents),
+            tf as ({_TF}), dl as ({_DL}),
+            stats as (select count(*) as n from dl),
+            mset as (select distinct doc_id from tf
+                     where term in ({", ".join(f"'{t}'" for t in BM25_Q)})),
+            nfg as (select count(*) as n_fg from mset),
+            bgr as (select doc_id,
+                           unnest(list_distinct(
+                             [w[i] || ' ' || w[i + 1]
+                              for i in range(1, len(w))])) as bigram
+                    from t where len(w) >= 2),
+            fg as (select bigram, count(*) as fg_df
+                   from bgr join mset using (doc_id) group by bigram),
+            bg as (select bigram, count(*) as bg_df from bgr group by bigram),
+            j as (select fg.bigram, fg.fg_df, bg.bg_df,
+                         (fg.fg_df * 1.0 / nfg.n_fg
+                          - bg.bg_df * 1.0 / stats.n)
+                         * ((fg.fg_df * 1.0 / nfg.n_fg)
+                            / (bg.bg_df * 1.0 / stats.n)) as score
+                  from fg join bg using (bigram)
+                  cross join nfg cross join stats
+                  where fg.fg_df >= 2)
+            select bigram, fg_df, bg_df, round(score, 6) as score from j
+            where score > 0
+            order by round(score, 9) desc, bigram asc limit 20""",
         "q_prf_topk": f"""
             with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
             stats as (select count(*) as n, avg(dl) as avgdl from dl),

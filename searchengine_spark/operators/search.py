@@ -1658,6 +1658,94 @@ def significant_terms(index: dict, query: str, k: int = 20,
             .select("term", "fg_df", "bg_df", "score"))
 
 
+def bigram_background(index: dict) -> DataFrame:
+    """Corpus bigram document frequencies — the BACKGROUND table
+    ``significant_bigrams`` scores against. Bigram dfs aren't in the
+    dictionary (the index stores unigram postings), so this is one
+    corpus re-analysis pass: analyzed lemma arrays → distinct adjacent
+    bigrams per doc (zip_with over shifted slices of the MATERIALIZED
+    array — the HOF contract) → one hash aggregation. Computed once per
+    index dict and cached (``_bigram_bg``); at 10^12 turns it is a
+    map-side-combined agg the ingest pipeline runs alongside the build,
+    not a per-query cost."""
+    cached = index.get("_bigram_bg")
+    if cached is not None:
+        return cached
+    from searchengine_spark.functions.analysis import analyze_col
+    amode = index.get("mode", "general")
+    dic = index.get("dictionary", "fixture")
+    t = index["docs"].select(analyze_col(F.col("text"), amode, dic)
+                             .alias("_t")).filter(F.size("_t") >= 2)
+    sz1 = F.greatest(F.size("_t") - F.lit(1), F.lit(0))
+    bigrams = F.array_distinct(F.zip_with(
+        F.slice("_t", F.lit(1), sz1), F.slice("_t", F.lit(2), sz1),
+        lambda a, b: F.concat(a, F.lit(" "), b)))
+    bg = (t.select(F.explode(bigrams).alias("bigram"))
+          .groupBy("bigram").agg(F.count("*").alias("bg_df"))
+          .localCheckpoint(eager=False))
+    index["_bigram_bg"] = bg
+    return bg
+
+
+def significant_bigrams(index: dict, query: str, k: int = 20,
+                        mode: str = "bm25", scope=None,
+                        exclude: "str | None" = None,
+                        require_all: "bool | None" = None,
+                        sample: "int | None" = None,
+                        min_fg: int = 2) -> DataFrame:
+    """PHRASES over-represented in the query's match set vs the corpus —
+    ``significant_terms`` lifted to adjacent-lemma bigrams (the
+    Elasticsearch ``significant_text`` shape for multi-word signals:
+    which two-word collocations are special about these matches).
+    Returns (bigram, fg_df, bg_df, score) under the same JLH scoring,
+    ordering, ``min_fg`` floor and match-set parameters as
+    ``significant_terms``; the background comes from
+    ``bigram_background`` (cached corpus bigram dfs — the one piece the
+    unigram dictionary can't supply)."""
+    spark = index["docs"].sparkSession
+    release_query_caches(index)
+    stats = index["stats"]
+    n_docs = int(stats["n_docs"])
+    empty = spark.createDataFrame(
+        [], "bigram string, fg_df long, bg_df long, score double")
+    if sample is not None:
+        mset = search(index, query, k=int(sample), mode=mode, scope=scope,
+                      exclude=exclude).select("doc_id")
+    else:
+        m = _match_set(index, query, mode, scope, exclude, require_all, None)
+        if m is None:
+            return empty
+        mset = m.select("doc_id")
+    mset = mset.persist()
+    index.setdefault("_query_persists", []).append(mset)
+    n_fg = mset.count()
+    if n_fg == 0:
+        return empty
+    from searchengine_spark.functions.analysis import analyze_col
+    amode = index.get("mode", "general")
+    dic = index.get("dictionary", "fixture")
+    t = (index["docs"].join(mset, "doc_id")
+         .select(analyze_col(F.col("text"), amode, dic).alias("_t"))
+         .filter(F.size("_t") >= 2))
+    sz1 = F.greatest(F.size("_t") - F.lit(1), F.lit(0))
+    bigrams = F.array_distinct(F.zip_with(
+        F.slice("_t", F.lit(1), sz1), F.slice("_t", F.lit(2), sz1),
+        lambda a, b: F.concat(a, F.lit(" "), b)))
+    fg = (t.select(F.explode(bigrams).alias("bigram"))
+          .groupBy("bigram").agg(F.count("*").alias("fg_df")))
+    bg = bigram_background(index)
+    fg_pct = F.col("fg_df").cast("double") / F.lit(float(n_fg))
+    bg_pct = F.col("bg_df").cast("double") / F.lit(float(n_docs))
+    return (fg.join(bg, "bigram")
+            .filter(F.col("fg_df") >= F.lit(int(min_fg)))
+            .withColumn("score", (fg_pct - bg_pct) * (fg_pct / bg_pct))
+            .filter(F.col("score") > 0)
+            .orderBy(F.round(F.col("score"), 9).desc(),
+                     F.col("bigram").asc())
+            .limit(k)
+            .select("bigram", "fg_df", "bg_df", "score"))
+
+
 def explain_score(index: dict, query: str, doc_ids=None, k: int = 10,
                   mode: str = "bm25", k1: "float | None" = None,
                   b: "float | None" = None) -> DataFrame:

@@ -66,3 +66,40 @@ def test_facets_still_green_after_refactor(index_general, golden_general):
     expected = sum(1 for d in range(golden_general.n_docs)
                    if golden_general.tf[d].get("ошибка", 0) > 0)
     assert n == expected
+
+
+def test_significant_bigrams_golden(index_general, golden_general):
+    """Bigram JLH == a pure-Python recomputation: fg = distinct adjacent
+    lemma bigrams per matched doc, bg = corpus bigram df, same ordering
+    and floors as significant_terms."""
+    from searchengine_spark.operators.search import significant_bigrams
+    from tests.golden_model import golden_analyze
+    g = golden_general
+    query = "ошибка лес"
+    got = [(r["bigram"], r["fg_df"], r["bg_df"], round(r["score"], 9))
+           for r in significant_bigrams(index_general, query, k=20).collect()]
+    qterms = set(golden_analyze(query, g.mode))
+    mset = [d for d in range(g.n_docs)
+            if any(g.tf[d].get(t, 0) for t in qterms)]
+    def bigrams(did):
+        seq = golden_analyze(g.docs[did]["text"], g.mode)
+        return {f"{a} {b}" for a, b in zip(seq, seq[1:])}
+    fg: dict = {}
+    for d in mset:
+        for bgm in bigrams(d):
+            fg[bgm] = fg.get(bgm, 0) + 1
+    bg: dict = {}
+    for d in range(g.n_docs):
+        for bgm in bigrams(d):
+            bg[bgm] = bg.get(bgm, 0) + 1
+    n_fg, n = len(mset), g.n_docs
+    rows = []
+    for bgm, f in fg.items():
+        if f < 2:
+            continue
+        fp, bp = f / n_fg, bg[bgm] / n
+        s = (fp - bp) * (fp / bp)
+        if s > 0:
+            rows.append((bgm, f, bg[bgm], round(s, 9)))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    assert got == rows[:20] and got  # non-vacuous
