@@ -1523,6 +1523,35 @@ def _q_hybrid_rrf(spark, sf_dir):
                        F.col("vec_rank").cast("long").alias("vec_rank"))
 
 
+def _q_multi_fusion(spark, sf_dir):
+    """N-arm weighted RRF (fuse_rankings): BM25 top-100 + exact cosine
+    top-100 + a recency prior (ts desc, weight 0.5) fused in one call —
+    the ensemble-serving shape past two arms. Embedding ids == dense doc
+    ids under this corpus shaping; ts = base + doc_id seconds, so the
+    recency ranking is doc_id desc in the oracle."""
+    from searchengine_spark.operators.hybrid import fuse_rankings
+    from searchengine_spark.operators.search import search
+    from searchengine_spark.functions.similarity import cosine_topk
+    index = _index_for(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    lex = search(index, " ".join(BM25_Q), k=100).select("doc_id", "score")
+    vec = cosine_topk(emb, qvec, k=100) \
+        .select(F.col("vec_id").cast("long").alias("doc_id"), "cos")
+    rec = (index["docs"]
+           .select("doc_id", F.col("ts").cast("double").alias("score"))
+           .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+           .limit(100))
+    out = fuse_rankings({"lex": lex, "vec": vec, "rec": rec}, k=K,
+                        weights={"lex": 1.0, "vec": 1.0, "rec": 0.5},
+                        score_cols={"vec": "cos"})
+    return out.select("doc_id", F.round("score", 6).alias("score"),
+                      F.col("lex_rank").cast("long").alias("lex_rank"),
+                      F.col("vec_rank").cast("long").alias("vec_rank"),
+                      F.col("rec_rank").cast("long").alias("rec_rank"))
+
+
 def _q_count(spark, sf_dir):
     """Total-hits count with a NOT clause: |docs matching any of BM25_Q,
     not containing NOT_T)| — exactly one row, zero included."""
@@ -2426,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_term_boost": _q_term_boost,
         "q_prf_topk": _q_prf_topk,
         "q_significant_bigrams": _q_significant_bigrams,
+        "q_multi_fusion": _q_multi_fusion,
         "q_bm25_not_topk": _q_bm25_not_topk,
         "q_min_match": _q_min_match,
         "q_select_all": _q_select_all,
@@ -4055,6 +4085,55 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
             from pairs join sizes sa on sa.doc_id = id_a
                        join sizes sb on sb.doc_id = id_b
             where inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.2""",
+        "q_multi_fusion": f"""
+            with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+            stats as (select count(*) as n, avg(dl) as avgdl from dl),
+            scored as (
+              select tf.doc_id,
+                     sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+                          * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+              from tf join dfv using (term) join dl using (doc_id) cross join stats
+              where tf.term in ({", ".join(f"'{t}'" for t in BM25_Q)})
+              group by tf.doc_id),
+            lex_cut as (select doc_id, s from scored
+                        order by round(s, 9) desc, doc_id asc limit 100),
+            lex as (select doc_id, row_number() over (
+                        order by round(s, 6) desc, doc_id asc) as lex_rank
+                    from lex_cut),
+            qv as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0),
+            cs as (select vec_id,
+                    round(list_dot_product(embedding::DOUBLE[], (select qv from qv))
+                    / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                       * sqrt(list_dot_product((select qv from qv), (select qv from qv)))), 6) as c
+                   from embeddings),
+            vec_cut as (select vec_id as doc_id, c from cs
+                        order by c desc, vec_id asc limit 100),
+            vec as (select doc_id, row_number() over (
+                        order by round(c, 6) desc, doc_id asc) as vec_rank
+                    from vec_cut),
+            rec_cut as (select doc_id from documents
+                        order by doc_id desc limit 100),
+            rec as (select doc_id, row_number() over (
+                        order by doc_id desc) as rec_rank from rec_cut),
+            j as (select coalesce(lex.doc_id, vec.doc_id, rec.doc_id)
+                           as doc_id,
+                         lex_rank, vec_rank, rec_rank
+                  from lex
+                  full join vec on lex.doc_id = vec.doc_id
+                  full join rec on coalesce(lex.doc_id, vec.doc_id)
+                                   = rec.doc_id),
+            fused as (
+              select doc_id,
+                     coalesce(1.0::DOUBLE / (60 + lex_rank), 0.0)
+                     + coalesce(1.0::DOUBLE / (60 + vec_rank), 0.0)
+                     + coalesce(0.5::DOUBLE / (60 + rec_rank), 0.0) as s,
+                     coalesce(lex_rank, 0) as lex_rank,
+                     coalesce(vec_rank, 0) as vec_rank,
+                     coalesce(rec_rank, 0) as rec_rank
+              from j)
+            select doc_id, round(s, 6) as score,
+                   lex_rank, vec_rank, rec_rank
+            from fused order by round(s, 9) desc, doc_id asc limit {K}""",
         "q_hybrid_rrf": f"""
             with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
             stats as (select count(*) as n, avg(dl) as avgdl from dl),

@@ -103,6 +103,54 @@ def hybrid_fuse(lex: DataFrame, vec: DataFrame, k: int = 10,
                        F.col("doc_id").asc()).limit(int(k))
 
 
+def fuse_rankings(arms: "dict[str, DataFrame]", k: int = 10,
+                  rrf_k: int = RRF_K,
+                  weights: "dict[str, float] | None" = None,
+                  score_cols: "dict[str, str] | None" = None,
+                  n_cut: "int | None" = None) -> DataFrame:
+    """N-ARM weighted reciprocal-rank fusion — ``hybrid_fuse``
+    generalized past two lists: fuse ANY number of ranked arms (BM25,
+    exact/ANN cosine, a recency prior, a sharded run, an external
+    reranker — anything producing (doc_id, score) over one doc_id
+    space):
+
+        score(d) = Σ_arm w_arm / (rrf_k + rank_arm(d))
+
+    with absent-from-arm contributing nothing (rank column 0 = "not
+    retrieved", real ranks 1-based — the ``hybrid_fuse`` convention).
+    ``weights`` defaults to 1.0 per arm (classic multi-list RRF);
+    ``score_cols`` names each arm's score column (default "score");
+    ``n_cut`` re-cuts every arm to its top-n before fusing. Each arm
+    ranks at the fusion's 6-dp quantization like ``hybrid_fuse``, so a
+    two-arm call with unit weights is row-identical to it.
+
+    Plan: |arms| single-partition rank windows over top-n lists (never
+    corpus-sized) + a sequence of doc_id full-outer joins — bounded by
+    Σ n_arm rows at every step."""
+    if not arms:
+        raise ValueError("fuse_rankings needs at least one arm")
+    w_of = {a: float((weights or {}).get(a, 1.0)) for a in arms}
+    joined = None
+    for name in arms:  # insertion order: deterministic output columns
+        sc = (score_cols or {}).get(name, "score")
+        r = _ranked(arms[name], sc, n_cut) \
+            .select("doc_id", F.col("rank").alias(f"{name}_rank"))
+        joined = r if joined is None else \
+            joined.join(r, "doc_id", "full_outer")
+    fused = None
+    for name in arms:
+        part = F.coalesce(F.lit(w_of[name])
+                          / (F.lit(int(rrf_k)) + F.col(f"{name}_rank")),
+                          F.lit(0.0))
+        fused = part if fused is None else fused + part
+    out = joined.select(
+        "doc_id", fused.alias("score"),
+        *[F.coalesce(F.col(f"{n}_rank"), F.lit(0)).alias(f"{n}_rank")
+          for n in arms])
+    return out.orderBy(F.round(F.col("score"), 9).desc(),
+                       F.col("doc_id").asc()).limit(int(k))
+
+
 def hybrid_search_many(index: dict, queries: "dict[str, str]",
                        emb: DataFrame, qvecs: "dict[str, list[float]]",
                        k: int = 10, method: str = "rrf", n_lex: int = 100,

@@ -178,3 +178,44 @@ def test_hybrid_snippets_and_titles(index_general, emb_df, qvec):
     # lexical hits highlight; vector-only hits render the fallback
     lex_hits = [r for r in got if r["lex_rank"] > 0]
     assert lex_hits and all("<b>" in r["snippet"] for r in lex_hits)
+
+
+def test_fuse_rankings_two_arms_equals_hybrid_fuse(spark):
+    """Unit-weight two-arm fuse_rankings == hybrid_fuse row-for-row."""
+    from searchengine_spark.operators.hybrid import fuse_rankings, hybrid_fuse
+    lex = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (3, 3.0), (4, 1.0)], "doc_id long, score double")
+    vec = spark.createDataFrame(
+        [(3, 0.9), (5, 0.8), (1, 0.2)], "doc_id long, cos double")
+    a = [(r["doc_id"], round(r["score"], 9), r["lex_rank"], r["vec_rank"])
+         for r in hybrid_fuse(lex, vec, k=10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9), r["lex_rank"], r["vec_rank"])
+         for r in fuse_rankings({"lex": lex, "vec": vec}, k=10,
+                                score_cols={"vec": "cos"}).collect()]
+    assert a == b
+
+
+def test_fuse_rankings_three_arms_weighted_golden(spark):
+    """Three weighted arms match a hand computation (absent arm → no
+    contribution; ties broken by doc_id)."""
+    from searchengine_spark.operators.hybrid import fuse_rankings
+    arms = {
+        "a": spark.createDataFrame([(1, 3.0), (2, 2.0), (3, 1.0)],
+                                   "doc_id long, score double"),
+        "b": spark.createDataFrame([(2, 9.0), (4, 5.0)],
+                                   "doc_id long, score double"),
+        "c": spark.createDataFrame([(3, 0.5), (1, 0.4), (4, 0.3)],
+                                   "doc_id long, score double"),
+    }
+    w = {"a": 1.0, "b": 2.0, "c": 0.5}
+    got = {r["doc_id"]: (round(r["score"], 9), r["a_rank"], r["b_rank"],
+                         r["c_rank"])
+           for r in fuse_rankings(arms, k=10, rrf_k=60,
+                                  weights=w).collect()}
+    ranks = {"a": {1: 1, 2: 2, 3: 3}, "b": {2: 1, 4: 2},
+             "c": {3: 1, 1: 2, 4: 3}}
+    for d in (1, 2, 3, 4):
+        want = sum(w[arm] / (60 + ranks[arm][d])
+                   for arm in arms if d in ranks[arm])
+        assert abs(got[d][0] - round(want, 9)) < 1e-9, d
+        assert got[d][1:] == tuple(ranks[arm].get(d, 0) for arm in arms)
