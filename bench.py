@@ -161,6 +161,9 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
 
     # --- table ops over the sf-dir corpus ---------------------------------
     import __spark_entry__ as E
+    # bench measures true build cost: bypass the persisted side-index cache
+    # so every *_index_build line times a real build, never a parquet load
+    E._SIDECACHE_OFF = True
     # the documents-corpus index build is a one-time cost — time it apart so
     # q7 measures query latency, not lazy cache population
     t0 = time.time()
@@ -188,6 +191,17 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
     E._INDEX_CACHE[ckey] = build_index(
         E._docs_as_grouped_transcripts(spark, sf_dir), mode="general")
     queries["grouped_index_build"] = round(time.time() - t0, 3)
+    # en_simple + passage side indexes timed apart (VERDICT r3 #1: their
+    # first-touch cost used to land inside q_bm25_en_topk / q_passage_topk,
+    # conflating one-time builds with query latency)
+    t0 = time.time()
+    en_idx = E._en_index_for(spark, sf_dir)
+    en_idx["postings"].count(); en_idx["terms"].count()
+    queries["en_index_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    p_idx = E._passage_index_for(spark, sf_dir)
+    p_idx["postings"].count(); p_idx["terms"].count()
+    queries["passage_index_build"] = round(time.time() - t0, 3)
     table_ops = ["t2_t5_tokenize_tf", "a1_term_df", "q6_conjunctive_and",
                  "q_bm25f_topk", "q_bm25f_scoped", "q_bm25f_not",
                  "q_batched_bm25f", "q_batched_scoped",
@@ -197,7 +211,7 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "q2_scoped_bm25_topk", "q_phrase_topk",
                  "q_batched_phrase", "q_querylang", "q_batched_querylang",
                  "q_querylang_wildcard", "q_suggest", "q_more_like_this",
-                 "q_span_topk", "q_percolate",
+                 "q_span_topk", "q_percolate", "q_percolate_scaled",
                  "q_collapse_topk", "q_grouped_topk",
                  "text_pii_scrub", "text_clean_lines", "text_repetition",
                  "text_chunks", "text_gopher", "text_unigram_ppl",

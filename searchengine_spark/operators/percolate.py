@@ -23,7 +23,13 @@ Spark-first design — the INVERTED dataflow, not N forward searches:
   (doc, pos, term) events;
 - every requirement family evaluates as a literal-map fan-out over those
   events (``search._fanout_by_term`` keyed by the term STRING — pure
-  codegen below LIT_MAP_MAX total entries, broadcast join above) + one
+  codegen below LIT_MAP_MAX total entries, broadcast join above; every
+  scalar lookup (min-match, arity, clause lengths) auto-switches the
+  same way via ``_attach_scalar``, and qualifier predicates dedupe on
+  their canonical signature — so NO component of the plan grows with
+  the registry size past the literal-map threshold; a 10^5-query
+  alerting tier runs as broadcast joins of (term → query) postings,
+  which IS the ES-percolator "index the queries" design) + one
   narrow aggregation on (doc, query):
   ranked → countDistinct(term) ≥ m; groups/qualifiers → clause rows;
   phrases → the slot-alignment base check; spans → the one-pass
@@ -51,7 +57,8 @@ from pyspark.sql import DataFrame, functions as F
 from searchengine_spark.functions.analysis import analyze_col, analyze_text
 from searchengine_spark.operators.querylang import (_qualifier_pred,
                                                     parse_query)
-from searchengine_spark.operators.search import (_fanout_by_term,
+from searchengine_spark.operators.search import (LIT_MAP_MAX,
+                                                 _fanout_by_term,
                                                  _lit_lookup)
 
 KEY = ["conv_id", "turn_idx"]  # default doc identity (the engine's doc key)
@@ -162,8 +169,30 @@ def _compile_queries(queries: dict[str, str], amode: str, dictionary: str,
             c = ~c if neg else c
             pred = c if pred is None else pred & c
         spec["qual"] = pred
+        # canonical signature for predicate dedup: many registered queries
+        # share few distinct qualifier sets (site:/role:/after: families),
+        # so the evaluation expression stays O(distinct sigs) not O(|Q|)
+        spec["qual_sig"] = (tuple(sorted(q["qualifiers"]))
+                            if q["qualifiers"] else None)
         specs[qid] = spec
     return specs
+
+
+def _attach_scalar(df: DataFrame, d: dict, val_type: str, out_col: str,
+                   key_expr=None) -> DataFrame:
+    """Attach ``d[key]`` as column ``out_col`` (missing keys → NULL).
+    Below LIT_MAP_MAX a create_map literal (pure codegen, no job); above
+    it a broadcast join — the same auto-switch as ``_fanout_by_term``, so
+    registry size never hits a Catalyst expression-size wall."""
+    k = key_expr if key_expr is not None else F.col("query_id")
+    if len(d) <= LIT_MAP_MAX:
+        return df.withColumn(out_col, _lit_lookup(d, val_type)[k])
+    spark = df.sparkSession
+    m = spark.createDataFrame(
+        [(kk, v) for kk, v in d.items()],
+        f"_ask string, {out_col} {val_type}")
+    return (df.withColumn("_ask", k)
+            .join(F.broadcast(m), "_ask", "left").drop("_ask"))
 
 
 def _phrase_matches(ev: DataFrame, key: list, clauses: list) -> DataFrame:
@@ -184,8 +213,9 @@ def _phrase_matches(ev: DataFrame, key: list, clauses: list) -> DataFrame:
                .agg(F.countDistinct("qidx").alias("nslots")))
     ncl = {f"{qid}:{cid}": len(seq) for qid, cid, seq in clauses}
     qc = F.concat_ws(":", F.col("query_id"), F.col("clause").cast("string"))
-    return (grouped.filter((F.col("nslots") == _lit_lookup(ncl, "int")[qc])
-                           & (F.col("base") >= 0))
+    return (_attach_scalar(grouped, ncl, "int", "_ncl", key_expr=qc)
+            .filter((F.col("nslots") == F.col("_ncl"))
+                    & (F.col("base") >= 0))
             .select(*key, "query_id", "clause").distinct())
 
 
@@ -212,13 +242,13 @@ def _span_matches(ev: DataFrame, key: list, clauses: list) -> DataFrame:
                     F.struct(F.col("pos").cast("long").alias("pos"),
                              F.col("slot")).alias("e")))
         grouped = (aligned.groupBy(*key, "query_id", "clause")
-                   .agg(F.sort_array(F.collect_list("e")).alias("evs"))
-                   .withColumn("n_q", _lit_lookup(
-                       {f"{q}:{c}": len(ls) for q, c, ls, _ in uno},
-                       "int")[qc])
-                   .withColumn("w", _lit_lookup(
-                       {f"{q}:{c}": int(w) for q, c, _, w in uno},
-                       "int")[qc]))
+                   .agg(F.sort_array(F.collect_list("e")).alias("evs")))
+        grouped = _attach_scalar(
+            grouped, {f"{q}:{c}": len(ls) for q, c, ls, _ in uno},
+            "int", "n_q", key_expr=qc)
+        grouped = _attach_scalar(
+            grouped, {f"{q}:{c}": int(w) for q, c, _, w in uno},
+            "int", "w", key_expr=qc)
         init = F.struct(
             F.array_repeat(F.lit(-1).cast("long"),
                            F.col("n_q")).alias("last"),
@@ -252,13 +282,13 @@ def _span_matches(ev: DataFrame, key: list, clauses: list) -> DataFrame:
                     F.struct(F.col("pos").cast("long").alias("pos"),
                              F.col("rs")).alias("e")))
         grouped = (aligned.groupBy(*key, "query_id", "clause")
-                   .agg(F.sort_array(F.collect_list("e")).alias("evs"))
-                   .withColumn("n_q", _lit_lookup(
-                       {f"{q}:{c}": len(seq) for q, c, seq, _ in ordo},
-                       "int")[qc])
-                   .withColumn("w", _lit_lookup(
-                       {f"{q}:{c}": int(w) for q, c, _, w in ordo},
-                       "int")[qc]))
+                   .agg(F.sort_array(F.collect_list("e")).alias("evs")))
+        grouped = _attach_scalar(
+            grouped, {f"{q}:{c}": len(seq) for q, c, seq, _ in ordo},
+            "int", "n_q", key_expr=qc)
+        grouped = _attach_scalar(
+            grouped, {f"{q}:{c}": int(w) for q, c, _, w in ordo},
+            "int", "w", key_expr=qc)
         init = F.struct(
             F.array_repeat(F.lit(-1).cast("long"),
                            F.col("n_q")).alias("arr"),
@@ -306,9 +336,13 @@ def percolate(queries: dict[str, str], docs: DataFrame,
     ``key_cols`` (default (conv_id, turn_idx)) must identify rows
     uniquely. ``index`` is only consulted to expand wildcard/fuzzy terms
     against a corpus dictionary. Plan shape: one analysis pass + ≤4
-    literal-map fan-out aggregations on (doc, query), independent of the
-    number of registered queries below LIT_MAP_MAX total requirement
-    entries."""
+    fan-out aggregations on (doc, query), independent of the number of
+    registered queries at ANY registry size: below LIT_MAP_MAX total
+    requirement entries the fan-outs are create_map literals (pure
+    codegen, zero jobs); above it they become broadcast joins against
+    the (term → query) requirement postings — the inverted query index
+    — so plan size stays O(1) in |registry| and per-batch cost stays
+    O(B·matched terms)."""
     spark = docs.sparkSession
     key = list(key_cols or KEY)
     specs = _compile_queries(queries, mode, dictionary, index)
@@ -333,15 +367,21 @@ def percolate(queries: dict[str, str], docs: DataFrame,
           .groupBy(*key, "query_id")
           .agg(F.countDistinct("term").alias("nt")))
     mm_d = {qid: s["mm"] for qid, s in specs.items()}
-    matched = nt.filter(F.col("nt")
-                        >= _lit_lookup(mm_d, "int")[F.col("query_id")]) \
-        .select(*key, "query_id")
+    matched = (_attach_scalar(nt, mm_d, "int", "_mm")
+               .filter(F.col("nt") >= F.col("_mm"))
+               .select(*key, "query_id"))
 
     # positive clauses → (key, query, clause) rows; clause ids are global
     next_cid = iter(range(10 ** 9))
     g_by_term: dict = {}
     p_cl, s_cl, np_cl, ns_cl = [], [], [], []
-    qual_tags = []
+    # qualifier predicates dedup on signature: the evaluation expression
+    # is one when-branch per DISTINCT qualifier set, and a sig→(query,
+    # clause) fan-out (literal map / broadcast join) attaches queries —
+    # expression size stays O(distinct sigs), not O(|registry|)
+    qual_sig_id: dict[tuple, int] = {}
+    qual_preds: list = []  # [(sig_id, pred Column)]
+    qual_fan: dict[int, list[tuple]] = {}
     arity: dict[str, int] = {}
     for qid, s in specs.items():
         n_cl = 0
@@ -357,7 +397,12 @@ def percolate(queries: dict[str, str], docs: DataFrame,
             s_cl.append((qid, next(next_cid), ls, w, o))
             n_cl += 1
         if s["qual"] is not None:
-            qual_tags.append((qid, next(next_cid), s["qual"]))
+            sig = s["qual_sig"]
+            if sig not in qual_sig_id:
+                qual_sig_id[sig] = len(qual_preds)
+                qual_preds.append((qual_sig_id[sig], s["qual"]))
+            qual_fan.setdefault(qual_sig_id[sig], []).append(
+                (qid, next(next_cid)))
             n_cl += 1
         for seq in s["not_phrases"]:
             np_cl.append((qid, next(next_cid), seq))
@@ -377,32 +422,40 @@ def percolate(queries: dict[str, str], docs: DataFrame,
         cparts.append(_phrase_matches(events, key, p_cl))
     if s_cl:
         cparts.append(_span_matches(events, key, s_cl))
-    if qual_tags:
-        # one when-array explode over the batch — the batched grammar
-        # path's qualifier shape, keyed by the doc key
+    if qual_preds:
+        # one when-array explode over the batch (one branch per DISTINCT
+        # qualifier signature), then sig→(query, clause) fan-out — the
+        # batched grammar path's qualifier shape, keyed by the doc key
         tags = F.array_compact(F.array(*[
-            F.when(pred, F.struct(F.lit(qid).alias("query_id"),
-                                  F.lit(int(cid)).cast("int")
-                                  .alias("clause")))
-            for qid, cid, pred in qual_tags]))
-        cparts.append(ev.select(*key, F.explode(tags).alias("_qc"))
-                      .select(*key,
-                              F.col("_qc.query_id").alias("query_id"),
-                              F.col("_qc.clause").alias("clause")))
+            F.when(pred, F.lit(int(sid)).cast("int"))
+            for sid, pred in qual_preds]))
+        sigrows = ev.select(*key, F.explode(tags).alias("_sid"))
+        cparts.append(
+            _fanout_by_term(sigrows, qual_fan,
+                            [("query_id", "string"), ("clause", "int")],
+                            key_col="_sid", key_type="int")
+            .select(*key, "query_id", "clause"))
     if arity:
         allcl = cparts[0]
         for p in cparts[1:]:
             allcl = allcl.unionByName(p)
-        sat = (allcl.groupBy(*key, "query_id")
-               .agg(F.countDistinct("clause").alias("nc"))
-               .filter(F.col("nc") == F.coalesce(
-                   _lit_lookup(arity, "int")[F.col("query_id")],
-                   F.lit(10 ** 9)))
+        nc = (allcl.groupBy(*key, "query_id")
+              .agg(F.countDistinct("clause").alias("nc")))
+        sat = (_attach_scalar(nc, arity, "int", "_ar")
+               .filter(F.col("nc") == F.coalesce(F.col("_ar"),
+                                                 F.lit(10 ** 9)))
                .select(*key, "query_id"))
         # queries WITHOUT clauses pass unconditionally
         free = sorted(q for q in specs if q not in arity)
-        kept = matched.filter(F.col("query_id").isin(free)) if free \
-            else matched.limit(0)
+        if not free:
+            kept = matched.limit(0)
+        elif len(free) <= LIT_MAP_MAX:
+            kept = matched.filter(F.col("query_id").isin(free))
+        else:  # huge registries: anti-join away the clause-bearing ids
+            spark_ = matched.sparkSession
+            ar = spark_.createDataFrame([(q,) for q in arity],
+                                        "query_id string")
+            kept = matched.join(F.broadcast(ar), "query_id", "left_anti")
         matched = kept.unionByName(
             matched.join(sat, key + ["query_id"], "left_semi"))
 
@@ -492,7 +545,10 @@ def percolate_bool(exprs: dict[str, str], docs: DataFrame,
     # positional semantics match the forward path
     next_cid = iter(range(10 ** 9))
     t_by_term: dict = {}          # term → [(qid, cid)]
-    p_cl, s_cl, qual_tags = [], [], []
+    p_cl, s_cl = [], []
+    qual_sig_id: dict = {}        # (field, value) → sig id
+    qual_preds: list = []         # [(sig_id, pred Column)]
+    qual_fan: dict = {}           # sig_id → [(qid, cid)]
     leaf_cid: dict = {}           # (qid, leaf node) → cid or None (unsat)
     for qid, tree in trees.items():
 
@@ -539,10 +595,16 @@ def percolate_bool(exprs: dict[str, str], docs: DataFrame,
                     s_cl.append((qid, cid, seq, int(node[2]),
                                  bool(node[3])))
                 leaf_cid[lk] = cid
-            else:  # qual
+            else:  # qual — dedupe the PREDICATE on (field, value): the
+                # when-array stays O(distinct qualifiers), not O(|Q|)
                 cid = next(next_cid)
-                qual_tags.append((qid, cid,
-                                  _qualifier_pred(node[1], node[2])))
+                sig = (node[1], node[2])
+                if sig not in qual_sig_id:
+                    qual_sig_id[sig] = len(qual_preds)
+                    qual_preds.append((qual_sig_id[sig],
+                                       _qualifier_pred(node[1], node[2])))
+                qual_fan.setdefault(qual_sig_id[sig], []).append(
+                    (qid, int(cid)))
                 leaf_cid[lk] = cid
 
         walk(tree)
@@ -561,16 +623,16 @@ def percolate_bool(exprs: dict[str, str], docs: DataFrame,
         cparts.append(_phrase_matches(events, key, p_cl))
     if s_cl:
         cparts.append(_span_matches(events, key, s_cl))
-    if qual_tags:
+    if qual_preds:
         tags = F.array_compact(F.array(*[
-            F.when(pred, F.struct(F.lit(qid).alias("query_id"),
-                                  F.lit(int(cid)).cast("int")
-                                  .alias("clause")))
-            for qid, cid, pred in qual_tags]))
-        cparts.append(ev.select(*key, F.explode(tags).alias("_qc"))
-                      .select(*key,
-                              F.col("_qc.query_id").alias("query_id"),
-                              F.col("_qc.clause").alias("clause")))
+            F.when(pred, F.lit(int(sid)).cast("int"))
+            for sid, pred in qual_preds]))
+        sigrows = ev.select(*key, F.explode(tags).alias("_sid"))
+        cparts.append(
+            _fanout_by_term(sigrows, qual_fan,
+                            [("query_id", "string"), ("clause", "int")],
+                            key_col="_sid", key_type="int")
+            .select(*key, "query_id", "clause"))
     if not cparts:
         return spark.createDataFrame([], out_schema)
     allcl = cparts[0]
@@ -594,12 +656,62 @@ def percolate_bool(exprs: dict[str, str], docs: DataFrame,
             return F.lit(False)  # unanalyzable leaf satisfies nothing
         return F.array_contains(F.col("_ls"), int(cid))
 
-    match_expr = None
-    for qid, tree in trees.items():
-        branch = (F.col("query_id") == qid) & tree_col(tree, qid)
-        match_expr = branch if match_expr is None else match_expr | branch
-    return (sat.filter(match_expr)
-            .select("query_id", *key))
+    if len(trees) <= LIT_MAP_MAX:
+        match_expr = None
+        for qid, tree in trees.items():
+            branch = (F.col("query_id") == qid) & tree_col(tree, qid)
+            match_expr = branch if match_expr is None \
+                else match_expr | branch
+        return (sat.filter(match_expr)
+                .select("query_id", *key))
+
+    # huge registries: a per-query codegen OR-chain would be an O(|Q|)
+    # Catalyst expression — instead evaluate the trees data-side. Each
+    # tree compiles to a postfix (RPN) program over its leaf clause ids;
+    # the programs ride to executors as a broadcast dict and an
+    # Arrow-batched iterator evaluates each candidate (doc, query) row's
+    # satisfied-leaf set — plan size O(1) in |Q|, rows bounded by docs
+    # sharing ≥1 leaf with a query (the candidate set, same as above).
+    def _rpn(node, qid):
+        kind = node[0]
+        if kind in ("and", "or"):
+            prog = []
+            for c in node[1]:
+                prog += _rpn(c, qid)
+            prog.append(("&" if kind == "and" else "|", len(node[1])))
+            return prog
+        if kind == "not":
+            return _rpn(node[1], qid) + [("!", 0)]
+        cid = leaf_cid.get((qid, node))
+        return [("L", -1 if cid is None else int(cid))]
+
+    progs = {qid: _rpn(tree, qid) for qid, tree in trees.items()}
+    bc = spark.sparkContext.broadcast(progs)
+    cols = ["query_id"] + key
+    out_t = sat.select(*cols, "_ls")
+
+    def _eval_batches(it):
+        for pdf in it:
+            keep = []
+            for qid, ls in zip(pdf["query_id"], pdf["_ls"]):
+                prog, stack = bc.value.get(qid), []
+                have = set(int(x) for x in ls)
+                for op, n in prog:
+                    if op == "L":
+                        stack.append(n in have)
+                    elif op == "!":
+                        stack.append(not stack.pop())
+                    else:
+                        args = stack[-n:]
+                        del stack[-n:]
+                        stack.append(all(args) if op == "&" else any(args))
+                keep.append(bool(stack[-1]))
+            yield pdf.loc[keep, [c for c in pdf.columns if c != "_ls"]]
+
+    schema = ", ".join(f"{c} {t}" for c, t in out_t.dtypes
+                       if c != "_ls")
+    return out_t.mapInPandas(_eval_batches, schema=schema) \
+        .select("query_id", *key)
 
 
 def percolate_bool_stream(exprs: dict[str, str], turns_stream: DataFrame,

@@ -171,3 +171,76 @@ def test_percolate_bool_stream_smoke(spark, tmp_path):
     q.stop()
     matched = {(g[1], g[2]) for g in got}
     assert matched == {("x", "c1"), ("x", "c2"), ("y", "c2")}
+
+
+def test_percolate_above_litmap_parity(qpos_index, monkeypatch):
+    """Past LIT_MAP_MAX every lookup auto-switches: requirement fan-outs
+    become broadcast joins of the (term → query) postings, scalar lookups
+    (min-match / arity / clause lengths) become broadcast joins, qualifier
+    predicates dedupe by signature, clause-free queries keep matching via
+    the anti-join path. Forcing the cap to 0 must not change one match."""
+    import searchengine_spark.operators.percolate as P
+    import searchengine_spark.operators.search as S
+    exp = _forward_sets(qpos_index, QUERIES)
+    monkeypatch.setattr(P, "LIT_MAP_MAX", 0)
+    monkeypatch.setattr(S, "LIT_MAP_MAX", 0)
+    got = _percolate_sets(qpos_index["docs"], QUERIES)
+    for qid in QUERIES:
+        assert got.get(qid, set()) == exp[qid], (qid, QUERIES[qid])
+
+
+def test_percolate_bool_above_litmap_parity(qpos_index, monkeypatch):
+    """Boolean-tree percolation past the cap: the per-query codegen OR
+    chain is replaced by the Arrow-batched RPN evaluator (plan size O(1)
+    in |registry|); match sets must be identical."""
+    import searchengine_spark.operators.percolate as P
+    import searchengine_spark.operators.search as S
+    from searchengine_spark.operators.percolate import percolate_bool
+    docs = qpos_index["docs"]
+
+    def sets():
+        got: dict[str, set] = {}
+        for r in percolate_bool(BOOL_EXPRS, docs).collect():
+            got.setdefault(r["query_id"], set()).add(r["conv_id"])
+        return got
+
+    exp = sets()
+    monkeypatch.setattr(P, "LIT_MAP_MAX", 0)
+    monkeypatch.setattr(S, "LIT_MAP_MAX", 0)
+    got = sets()
+    assert got == exp and sum(bool(s) for s in exp.values()) >= 5
+
+
+def test_percolate_5000_query_registry(qpos_index):
+    """A 5,000-query registry (10k+ requirement entries, naturally above
+    LIT_MAP_MAX) percolates in ONE inverted pass; expected match sets are
+    recomputed in plain Python from the docs' analyzed token sets."""
+    from searchengine_spark.functions.analysis import analyze_text
+    docs = qpos_index["docs"]
+    rows = docs.select("conv_id", "text").collect()
+    toks = {r["conv_id"]: set(analyze_text(r["text"], "general",
+                                           dictionary="fixture"))
+            for r in rows}
+    vocab = sorted(set().union(*toks.values()))
+    n = len(vocab)
+    queries, exp = {}, {}
+    for i in range(5000):
+        a = i % n
+        b = (i * 7 + 3) % n
+        if b == a:
+            b = (b + 1) % n
+        q = f"{vocab[a]} {vocab[b]} min:2"
+        c = None
+        if i % 3 == 0:
+            c = vocab[(i * 5 + 1) % n]
+            q += f" -{c}"
+        qid = f"q{i:05d}"
+        queries[qid] = q
+        m = {cv for cv, ts in toks.items()
+             if vocab[a] in ts and vocab[b] in ts
+             and (c is None or c not in ts)}
+        if m:
+            exp[qid] = m
+    got = _percolate_sets(docs, queries)
+    assert got == exp
+    assert len(exp) >= 100  # non-vacuous: plenty of real matches
