@@ -246,10 +246,12 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
 
     # sim_semantic_dedup's entry is likewise a gate (exact all-pairs
     # verification); time the raw cluster→pairs→components→keep pipeline
+    # at the operator's own √n cluster default (the 100 TB-shaped config —
+    # n_clusters=4 at sf0.1 was near-all-pairs, VERDICT r3 #2)
     def _semdedup_op(spark_, sf_dir_):
         from searchengine_spark.functions.similarity import semantic_dedup
         emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
-        return semantic_dedup(emb, 64, threshold=0.35, n_clusters=4)["kept"]
+        return semantic_dedup(emb, 64, threshold=0.35)["kept"]
 
     bench_fns = dict(qmap)
     bench_fns["dedup_minhash_lsh"] = _minhash_op

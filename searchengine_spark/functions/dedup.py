@@ -154,8 +154,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return pairs
 
 
+SMALL_CC_MAX = 200_000  # edge count below which CC runs driver-side
+
+
 def connected_components(pairs: DataFrame, a_col: str = "id_a",
-                         b_col: str = "id_b", max_iter: int = 20) -> DataFrame:
+                         b_col: str = "id_b", max_iter: int = 20,
+                         small_max: int = SMALL_CC_MAX) -> DataFrame:
     """Dedup clusters from near-dup pairs: connected components by min-label
     propagation. Returns (id, rep) — rep is the smallest id in the
     component — for every id that appears in at least one pair.
@@ -165,6 +169,13 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     near-dup components are shallow). Iteration stops early when a round
     changes nothing (one small count action per round). Pair order is
     irrelevant; edges are symmetrized internally.
+
+    Small edge sets (≤ ``small_max`` distinct directed edges — known from
+    the one count the loop needs anyway) short-circuit to a driver-side
+    union-find: near-dup graphs are usually tiny relative to the corpus,
+    and ~5 Spark rounds of fixed job overhead dwarf a bounded collect.
+    The distributed loop is the ≥100M-edge path; both return identical
+    (id, min-rep) labels.
     """
     edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
     edges = edges.unionByName(
@@ -173,6 +184,27 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     # chaining 20 join+agg rounds into one logical plan blows up the
     # optimizer and recomputes the pair source per round
     edges = edges.localCheckpoint(eager=True)
+    if edges.count() <= small_max:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for e in rows:
+            ra, rb = find(e["a"]), find(e["b"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out = sorted({i for e in rows for i in (e["a"], e["b"])})
+        spark = pairs.sparkSession
+        t = dict(pairs.dtypes)[a_col]
+        return spark.createDataFrame([(i, find(i)) for i in out],
+                                     f"id {t}, rep {t}")
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .withColumn("rep", F.col("id")).localCheckpoint(eager=True))
     for _ in range(max_iter):
@@ -186,6 +218,13 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         labels = prop
         if n_changed == 0:
             break
+    else:  # labels were still moving in the final round — surface it
+        import warnings
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_changed} labels still changing) — components with "
+            f"diameter > {max_iter} may carry non-minimal reps; raise "
+            "max_iter", RuntimeWarning, stacklevel=2)
     return labels.select("id", "rep")
 
 

@@ -115,6 +115,11 @@ def test_connected_components_clusters(spark):
     got = {r["id"]: r["rep"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+    # the distributed min-label loop (small_max=0 forces it) must produce
+    # identical labels to the driver union-find fast path
+    dist = {r["id"]: r["rep"]
+            for r in connected_components(pairs, small_max=0).collect()}
+    assert dist == got
 
 
 def test_cosine_neardup_exact(vectors):
