@@ -2496,6 +2496,32 @@ def _q_multimodal_audio(spark, sf_dir):
     return audio_features(synthetic_media_df(spark, n=48), window_ms=500)
 
 
+def _q_multimodal_png(spark, sf_dir):
+    """Image features over REALLY-ENCODED PNG payloads: the engine's own
+    pure numpy+zlib PNG codec (functions/multimodal.py png_decode — chunk
+    parse, inflate, all five scanline unfilters) decodes payloads written
+    by png_encode (the table cycles every filter type). The oracle is a
+    committed expected table recomputed from the closed-form SOURCE
+    pixels, never through the codecs — an encode OR decode bug breaks
+    the value hash (VERDICT r3 #4)."""
+    from searchengine_spark.functions.multimodal import (
+        image_features, synthetic_real_media_df)
+    feats = image_features(synthetic_real_media_df(spark, n=32))
+    return feats.select(
+        "media_id", "mean_r", "mean_g", "mean_b",
+        *[F.col("luma_hist")[i].alias(f"luma_h{i}") for i in range(8)])
+
+
+def _q_multimodal_wav(spark, sf_dir):
+    """Audio RMS/ZCR over REALLY-ENCODED RIFF/WAVE payloads (wav_decode:
+    fmt/data parse, PCM16 → mono float at the FILE's sample rate); same
+    committed round-trip oracle construction as multimodal_png."""
+    from searchengine_spark.functions.multimodal import (
+        audio_features, synthetic_real_media_df)
+    return audio_features(synthetic_real_media_df(spark, n=32),
+                          window_ms=500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "t2_t5_tokenize_tf": _q_tokenize_tf,
@@ -2652,6 +2678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "multimodal_features": _q_multimodal_features,
         "multimodal_audio": _q_multimodal_audio,
+        "multimodal_png": _q_multimodal_png,
+        "multimodal_wav": _q_multimodal_wav,
     }
 
 
@@ -5210,6 +5238,12 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
         "multimodal_audio": """
             select * from read_parquet(
               '/root/repo/tests/data/expected_multimodal_audio.parquet')""",
+        "multimodal_png": """
+            select * from read_parquet(
+              '/root/repo/tests/data/expected_multimodal_png.parquet')""",
+        "multimodal_wav": """
+            select * from read_parquet(
+              '/root/repo/tests/data/expected_multimodal_wav.parquet')""",
     }
     # suffix-rank exact-substring dedup: contractually row-identical to
     # the windowed op at window == min_len → literally the same oracle

@@ -56,3 +56,134 @@ def test_audio_features_windows(media):
         assert len(rows) == auds[mid] // 250  # full windows only
         for r in rows:
             assert 0.0 <= r["rms"] <= 1.0 and 0.0 <= r["zcr"] <= 1.0
+
+
+# ---------- real PNG / WAV codecs (round 4) ----------
+
+def test_png_roundtrip_all_filters():
+    """png_encode → png_decode is identity for every scanline filter
+    type (0-4) across varied shapes."""
+    import numpy as np
+    from searchengine_spark.functions.multimodal import png_decode, png_encode
+    for i in range(6):
+        h, w = 5 + i, 7 + (i * 3) % 5
+        img = ((np.arange(h * w * 3).reshape(h, w, 3) * 31 + i * 17)
+               % 256).astype(np.uint8)
+        for ft in range(5):
+            assert np.array_equal(png_decode(png_encode(img, ft)), img), ft
+
+
+def test_png_decode_gray_and_rgba():
+    """Color type 0 expands to RGB; color type 6 drops alpha. Payloads
+    hand-built against the spec (IHDR/IDAT framing, filter 0)."""
+    import struct
+    import zlib
+    import numpy as np
+    from searchengine_spark.functions.multimodal import (_PNG_MAGIC,
+                                                         png_decode)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    # 2x3 grayscale ramp
+    g = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(2))
+    png = (_PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    out = png_decode(png)
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out[:, :, 0], g)
+    assert np.array_equal(out[:, :, 1], g)  # gray replicated
+    # 1x2 RGBA — alpha dropped
+    px = bytes([10, 20, 30, 255, 40, 50, 60, 0])
+    png = (_PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00" + px))
+           + chunk(b"IEND", b""))
+    out = png_decode(png)
+    assert out.tolist() == [[[10, 20, 30], [40, 50, 60]]]
+
+
+def test_png_decode_rejects_unsupported():
+    import struct
+    import zlib
+    import pytest
+    from searchengine_spark.functions.multimodal import (_PNG_MAGIC,
+                                                         png_decode)
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode(b"JFIF not a png")
+    interlaced = (_PNG_MAGIC
+                  + chunk(b"IHDR",
+                          struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)))
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        png_decode(interlaced)
+
+
+def test_wav_roundtrip_and_variants():
+    """16-bit mono round-trips exactly; stereo mono-izes by channel
+    mean; 8-bit PCM recenters; non-PCM formats raise."""
+    import struct
+    import numpy as np
+    import pytest
+    from searchengine_spark.functions.multimodal import wav_decode, wav_encode
+    pcm = (np.round(8000 * np.sin(np.arange(500) / 7.0))).astype(np.int16)
+    out, rate = wav_decode(wav_encode(pcm, rate=16000))
+    assert rate == 16000
+    assert np.allclose(out, pcm.astype(np.float32) / 32768.0)
+    # stereo: interleave L=pcm, R=-pcm → mono mean ≈ 0
+    inter = np.empty(1000, dtype=np.int16)
+    inter[0::2], inter[1::2] = pcm, -pcm
+    body = inter.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", len(body)) + body)
+    out, rate = wav_decode(wav)
+    assert len(out) == 500 and np.allclose(out, 0.0)
+    # 8-bit: 128 is zero
+    body8 = bytes([128, 255, 0, 128])
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (b"RIFF" + struct.pack("<I", 36 + len(body8)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt8
+            + b"data" + struct.pack("<I", len(body8)) + body8)
+    out, _ = wav_decode(wav8)
+    assert out[0] == 0.0 and out[1] > 0.99 and out[2] == -1.0
+    # IEEE-float format tag rejected
+    fmtf = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    wavf = (b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmtf)
+    with pytest.raises(ValueError, match="unsupported WAV format"):
+        wav_decode(wavf)
+
+
+def test_real_media_features_through_spark(spark):
+    """synthetic_real_media_df → image_features/audio_features runs the
+    REAL codecs inside mapInPandas; features match a driver-side
+    recomputation from the closed-form source arrays."""
+    import numpy as np
+    from searchengine_spark.functions.multimodal import (
+        _real_audio_pcm16, _real_image_array, audio_features,
+        image_features, synthetic_real_media_df)
+    media = synthetic_real_media_df(spark, n=10)
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    assert set(feats) == {0, 2, 4, 6, 8}
+    for i in feats:
+        img = _real_image_array(i).astype(np.float64)
+        assert feats[i]["mean_r"] == round(float(img[:, :, 0].mean()), 6)
+    auds = {}
+    for r in audio_features(media, window_ms=500).collect():
+        auds.setdefault(r["media_id"], []).append(r)
+    assert set(auds) == {1, 3, 5, 7, 9}
+    for i, rows in auds.items():
+        pcm = _real_audio_pcm16(i).astype(np.float32) / 32768.0
+        assert len(rows) == len(pcm) // 4000  # 500 ms @ 8 kHz
+        w0 = pcm[:4000]
+        exp_rms = round(float(np.sqrt((w0 ** 2).mean())), 6)
+        assert min(rows, key=lambda r: r["window_start_ms"])["rms"] == exp_rms
