@@ -1171,8 +1171,8 @@ def _tt_root_for(spark, sf_dir):
     the built index persisted as snap-00000, then the s6 delta MERGEd as
     an incremental snapshot (CURRENT → snap-00001)."""
     import shutil
-    from searchengine_spark.operators.upsert import (commit_snapshot,
-                                                     merge_into_path)
+    from searchengine_spark.operators.upsert import merge_into_path
+    from searchengine_spark.plans.manifest import commit_snapshot
     from searchengine_spark.plans.manifest import save_index
     key = (sf_dir, "ttroot")
     if key not in _INDEX_CACHE:

@@ -45,8 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from searchengine_spark.operators.codec import BLOCK_SIZE
 from searchengine_spark.operators.indexer import (
     assign_dense_ids, bm25_idf, bm25_tf_part)
-from searchengine_spark.operators.upsert import (
-    _make_block_decoder, _make_block_encoder)
+from searchengine_spark.operators.upsert import _make_block_decoder, _make_block_encoder
 
 _BLOCK_COLS = ["term_id", "block_id", "first_doc_id", "n", "doc_deltas",
                "tfs", "dls", "block_max_score", "block_max_tf",
@@ -462,8 +461,7 @@ def compact_into_path(spark: SparkSession, root: str,
     analog). Returns the new snapshot dir."""
     import os
 
-    from searchengine_spark.operators.upsert import (
-        commit_snapshot, read_current)
+    from searchengine_spark.plans.manifest import commit_snapshot, read_current
     from searchengine_spark.plans.manifest import load_index, save_index
 
     cur = read_current(root)
@@ -473,7 +471,7 @@ def compact_into_path(spark: SparkSession, root: str,
                               bucket_range=bucket_range,
                               block_size=block_size,
                               reassign_ids=reassign_ids)
-    from searchengine_spark.operators.upsert import next_snapshot_name
+    from searchengine_spark.plans.manifest import next_snapshot_name
     snap = next_snapshot_name(root)
     save_index(compacted, os.path.join(root, snap))
     commit_snapshot(root, snap)

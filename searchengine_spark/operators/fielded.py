@@ -941,8 +941,7 @@ def upsert_fielded(index: dict, delta: DataFrame,
     genuinely NEW keys append after max(doc_id) in delta key order).
     """
     from searchengine_spark.operators.indexer import dedup_turns
-    from searchengine_spark.operators.upsert import (
-        KEY, MAX_DELTA_ABS, MAX_DELTA_FRACTION)
+    from searchengine_spark.operators.upsert import KEY, MAX_DELTA_ABS, MAX_DELTA_FRACTION
     from pyspark.sql import Window
 
     spark = index["docs"].sparkSession
@@ -1136,8 +1135,7 @@ def delete_fielded(index: dict, keys,
     (conv_id, turn_idx) or a Column predicate over the docs table.
     ``fields`` must be the build-time field mapping (see upsert_fielded).
     Same micro-batch guard as upsert: bulk deletions should rebuild."""
-    from searchengine_spark.operators.upsert import (
-        KEY, MAX_DELTA_ABS, MAX_DELTA_FRACTION)
+    from searchengine_spark.operators.upsert import KEY, MAX_DELTA_ABS, MAX_DELTA_FRACTION
 
     mode = index.get("mode", "general")
     dictionary = index.get("dictionary", "fixture")
@@ -1275,15 +1273,14 @@ def delete_fielded_from_path(spark, root: str, keys,
     snapshot dir and flips CURRENT atomically. Returns the new dir."""
     import os as _os
 
-    from searchengine_spark.operators.upsert import (
-        commit_snapshot, read_current)
+    from searchengine_spark.plans.manifest import commit_snapshot, read_current
 
     cur = read_current(root)
     if cur is None:
         raise ValueError(f"no CURRENT snapshot under {root}")
     index = load_fielded_index(spark, cur)
     pruned = delete_fielded(index, keys, fields=fields)
-    from searchengine_spark.operators.upsert import next_snapshot_name
+    from searchengine_spark.plans.manifest import next_snapshot_name
     snap = next_snapshot_name(root)
     save_fielded_index(pruned, _os.path.join(root, snap),
                        term_buckets=index["stats"].get("term_buckets", 16))
@@ -1299,14 +1296,14 @@ def merge_fielded_into_path(spark, root: str, delta: DataFrame,
     snapshot commit). Returns the new snapshot dir."""
     import os as _os
 
-    from searchengine_spark.operators.upsert import commit_snapshot, read_current
+    from searchengine_spark.plans.manifest import commit_snapshot, read_current
 
     cur = read_current(root)
     if cur is None:
         raise ValueError(f"no CURRENT snapshot under {root}")
     index = load_fielded_index(spark, cur)
     merged = upsert_fielded(index, delta, fields=fields)
-    from searchengine_spark.operators.upsert import next_snapshot_name
+    from searchengine_spark.plans.manifest import next_snapshot_name
     snap = next_snapshot_name(root)
     save_fielded_index(merged, _os.path.join(root, snap),
                        term_buckets=index["stats"].get("term_buckets", 16))
@@ -1348,7 +1345,7 @@ def load_fielded_index_as_of(spark, root: str,
     read stats.json and the CURRENT pointer."""
     import os as _os
 
-    from searchengine_spark.operators.upsert import read_current
+    from searchengine_spark.plans.manifest import read_current
 
     if snapshot is None:
         cur = read_current(root)

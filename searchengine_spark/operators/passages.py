@@ -103,9 +103,7 @@ def upsert_passage_docs(index: dict, docs_delta: DataFrame,
     dict AND in ``stats["passage"]``, which save/load and the
     maintenance ops all carry, so loaded indexes need no arguments.
     """
-    from searchengine_spark.operators.upsert import (compose_deltas,
-                                                     delete_turns,
-                                                     upsert_turns)
+    from searchengine_spark.operators.upsert import compose_deltas, delete_turns, upsert_turns
     sep, d_ct, d_ov = _geometry(index)
     ct = chunk_tokens if chunk_tokens is not None else d_ct
     ov = overlap if overlap is not None else d_ov
@@ -292,9 +290,7 @@ def merge_passage_docs_into_path(spark, root: str, docs_delta: DataFrame,
     inputs)."""
     import os
 
-    from searchengine_spark.operators.upsert import (commit_snapshot,
-                                                     next_snapshot_name,
-                                                     read_current)
+    from searchengine_spark.plans.manifest import commit_snapshot, next_snapshot_name, read_current
     from searchengine_spark.plans.manifest import (load_index,
                                                    save_index,
                                                    save_index_delta)

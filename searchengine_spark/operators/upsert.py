@@ -581,56 +581,12 @@ def delete_turns(index: dict, keys,
 # Persisted snapshot flow (Iceberg-MERGE analog over plain parquet)
 # --------------------------------------------------------------------------
 
-def _current_path(root: str) -> str:
-    return os.path.join(root, "CURRENT")
-
-
-def read_current(root: str) -> str | None:
-    cp = _current_path(root)
-    if os.path.exists(cp):
-        with open(cp) as f:
-            return os.path.join(root, json.load(f)["snapshot"])
-    return None
-
-
-def commit_snapshot(root: str, snapshot: str) -> None:
-    """Atomic pointer flip — the parquet stand-in for an Iceberg commit."""
-    tmp = _current_path(root) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"snapshot": snapshot}, f)
-    os.replace(tmp, _current_path(root))
-
-
-def next_snapshot_name(root: str) -> str:
-    """Next snapshot dir name: max existing ordinal + 1 (NOT the dir
-    count — after a rollback + expire, count-based naming could reuse a
-    live name and overwrite an immutable snapshot)."""
-    ords = [int(d[5:]) for d in os.listdir(root)
-            if d.startswith("snap-") and d[5:].isdigit()]
-    return f"snap-{(max(ords) + 1 if ords else 0):05d}"
-
-
-def list_snapshots(root: str) -> list[dict]:
-    """Snapshot lineage under ``root``: one row per snapshot dir, ordered
-    by ordinal — (snapshot, kind full|delta, parent, n_docs, bytes,
-    current). The inspection surface for the time-travel API below."""
-    from searchengine_spark.plans.manifest import _dir_bytes
-    cur = read_current(root)
-    out = []
-    for d in sorted(x for x in os.listdir(root) if x.startswith("snap-")):
-        sp = os.path.join(root, d)
-        try:
-            with open(os.path.join(sp, "stats.json")) as f:
-                st = json.load(f)
-        except FileNotFoundError:
-            continue  # partially written snapshot (no commit) — invisible
-        out.append({"snapshot": d,
-                    "kind": "delta" if st.get("parent") else "full",
-                    "parent": st.get("parent"),
-                    "n_docs": st.get("n_docs"),
-                    "bytes": _dir_bytes(sp),
-                    "current": cur == sp})
-    return out
+# The commit-protocol primitives (read_current / commit_snapshot /
+# next_snapshot_name / list_snapshots / snapshot_parent) live in
+# plans/manifest.py — the ONE module that knows the snapshot path layout
+# and pointer-file format. The flows below only use that interface, so
+# the parquet+pointer shim swaps for a real Iceberg catalog without
+# touching them.
 
 
 def load_index_as_of(spark: SparkSession, root: str,
@@ -641,7 +597,7 @@ def load_index_as_of(spark: SparkSession, root: str,
     old version is never affected by later merges/deletes/compactions;
     delta snapshots resolve their parent chain exactly as the current
     reader does."""
-    from searchengine_spark.plans.manifest import load_index
+    from searchengine_spark.plans.manifest import load_index, read_current
 
     if snapshot is None:
         cur = read_current(root)
@@ -661,12 +617,12 @@ def rollback_to(root: str, snapshot: str) -> str:
     on disk (still time-travelable) until ``expire_snapshots`` garbage-
     collects them; the next commit branches from the rolled-back state
     under a fresh ordinal."""
-    sp = os.path.join(root, snapshot)
-    if not os.path.isdir(sp) or not os.path.exists(
-            os.path.join(sp, "stats.json")):
+    from searchengine_spark.plans.manifest import (commit_snapshot,
+                                                   snapshot_exists)
+    if not snapshot_exists(root, snapshot):
         raise ValueError(f"unknown snapshot {snapshot!r} under {root}")
     commit_snapshot(root, snapshot)
-    return sp
+    return os.path.join(root, snapshot)
 
 
 def expire_snapshots(root: str) -> list[str]:
@@ -678,6 +634,8 @@ def expire_snapshots(root: str) -> list[str]:
     ``expire_snapshots`` contract Iceberg users know)."""
     import shutil
 
+    from searchengine_spark.plans.manifest import (read_current,
+                                                   snapshot_parent)
     cur = read_current(root)
     if cur is None:
         raise ValueError(f"no CURRENT snapshot under {root}")
@@ -685,11 +643,7 @@ def expire_snapshots(root: str) -> list[str]:
     node = os.path.basename(cur)
     while node is not None and node not in live:
         live.add(node)
-        try:
-            with open(os.path.join(root, node, "stats.json")) as f:
-                node = json.load(f).get("parent")
-        except FileNotFoundError:
-            break
+        node = snapshot_parent(root, node)
     removed = []
     for d in sorted(x for x in os.listdir(root) if x.startswith("snap-")):
         if d not in live:
@@ -709,7 +663,8 @@ def merge_into_path(spark: SparkSession, root: str, delta: DataFrame,
     resolves the parent chain. Bound chain depth with periodic
     ``compact_into_path`` (writes a full snapshot, resetting the chain)."""
     from searchengine_spark.plans.manifest import (
-        load_index, save_index, save_index_delta)
+        commit_snapshot, load_index, next_snapshot_name, read_current,
+        save_index, save_index_delta)
 
     cur = read_current(root)
     if cur is None:
@@ -734,7 +689,8 @@ def delete_from_path(spark: SparkSession, root: str, keys,
     ``DELETE FROM`` commit mapped onto the same snapshot protocol.
     Returns the new snapshot dir. ``incremental`` as in merge_into_path."""
     from searchengine_spark.plans.manifest import (
-        load_index, save_index, save_index_delta)
+        commit_snapshot, load_index, next_snapshot_name, read_current,
+        save_index, save_index_delta)
 
     cur = read_current(root)
     if cur is None:

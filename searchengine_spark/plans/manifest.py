@@ -212,6 +212,108 @@ def finalize_index(spark: SparkSession, path: str, mode: str = "general",
     return build_index_from_docs(docs, mode, bucket_range, block_size, dictionary)
 
 
+# --------------------------------------------------------------------------
+# Snapshot catalog — THE commit-protocol interface (VERDICT r3 #6).
+#
+# Every persisted-index flow (upsert/delete/compact/passages/fielded/
+# streaming) talks to snapshot roots exclusively through these five
+# primitives + save_index/save_index_delta/load_index below. Invariants
+# (pinned by tests/test_commit_protocol.py):
+#   1. Snapshot dirs are IMMUTABLE once committed; a commit is ONE atomic
+#      CURRENT-pointer flip (tmp file + os.replace) — a crash mid-write
+#      leaves CURRENT on the previous snapshot and the half-written dir
+#      invisible (no stats.json → not listed, not loadable).
+#   2. Pointer metadata (e.g. streaming batch_id) rides the same pointer
+#      file, so "batch applied" and "snapshot visible" commit together —
+#      that is what makes foreachBatch replays idempotent.
+#   3. Delta snapshots name their parent in stats.json; readers resolve
+#      the chain; a full snapshot (compaction) resets it.
+#   4. Snapshot names are monotonic ordinals (max+1, never dir count) so
+#      rollback + expire can never reuse a live name.
+# Swapping this file's parquet+pointer shim for a real Iceberg catalog
+# (commit = Iceberg snapshot commit, delta = MERGE, expire =
+# expire_snapshots) touches no operator code.
+# --------------------------------------------------------------------------
+
+def _current_path(root: str) -> str:
+    return os.path.join(root, "CURRENT")
+
+
+def read_pointer(root: str) -> dict:
+    """The raw CURRENT pointer document ({} before the first commit):
+    {"snapshot": name, **commit metadata (batch_id, ...)}."""
+    cp = _current_path(root)
+    if os.path.exists(cp):
+        with open(cp) as f:
+            return json.load(f)
+    return {}
+
+
+def read_current(root: str) -> "str | None":
+    """Absolute path of the CURRENT snapshot dir, or None."""
+    p = read_pointer(root)
+    return os.path.join(root, p["snapshot"]) if "snapshot" in p else None
+
+
+def commit_snapshot(root: str, snapshot: str, **meta) -> None:
+    """Atomic pointer flip — the parquet stand-in for an Iceberg commit.
+    ``meta`` (e.g. batch_id=) commits atomically WITH the flip."""
+    tmp = _current_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"snapshot": snapshot, **meta}, f)
+    os.replace(tmp, _current_path(root))
+
+
+def next_snapshot_name(root: str) -> str:
+    """Next snapshot dir name: max existing ordinal + 1 (NOT the dir
+    count — after a rollback + expire, count-based naming could reuse a
+    live name and overwrite an immutable snapshot)."""
+    ords = [int(d[5:]) for d in os.listdir(root)
+            if d.startswith("snap-") and d[5:].isdigit()]
+    return f"snap-{(max(ords) + 1 if ords else 0):05d}"
+
+
+def snapshot_exists(root: str, snapshot: str) -> bool:
+    """True iff ``snapshot`` is a COMMITTED-shape dir (stats.json present
+    — the same visibility rule list_snapshots applies)."""
+    return os.path.isdir(os.path.join(root, snapshot)) and os.path.exists(
+        os.path.join(root, snapshot, "stats.json"))
+
+
+def snapshot_parent(root: str, snapshot: str) -> "str | None":
+    """Parent snapshot name of a delta snapshot (None for full snapshots
+    or uncommitted/partial dirs) — the one sanctioned way to walk the
+    delta chain without knowing the stats.json layout."""
+    try:
+        with open(os.path.join(root, snapshot, "stats.json")) as f:
+            return json.load(f).get("parent")
+    except FileNotFoundError:
+        return None
+
+
+def list_snapshots(root: str) -> list[dict]:
+    """Snapshot lineage under ``root``: one row per COMMITTED-shape
+    snapshot dir (partial dirs without stats.json are invisible),
+    ordered by ordinal — (snapshot, kind full|delta, parent, n_docs,
+    bytes, current). The inspection surface for the time-travel API."""
+    cur = read_current(root)
+    out = []
+    for d in sorted(x for x in os.listdir(root) if x.startswith("snap-")):
+        sp = os.path.join(root, d)
+        try:
+            with open(os.path.join(sp, "stats.json")) as f:
+                st = json.load(f)
+        except FileNotFoundError:
+            continue  # partially written snapshot (no commit) — invisible
+        out.append({"snapshot": d,
+                    "kind": "delta" if st.get("parent") else "full",
+                    "parent": st.get("parent"),
+                    "n_docs": st.get("n_docs"),
+                    "bytes": _dir_bytes(sp),
+                    "current": cur == sp})
+    return out
+
+
 def save_index(index: dict, path: str, term_buckets: int = 16) -> None:
     """Persist docs/terms/postings; postings partitioned by term bucket so a
     query's ``term_id IN (...)`` prunes whole partitions at scan time; terms

@@ -48,16 +48,9 @@ def _fp(text_col: str):
                                          r"\s+", " ")))
 
 
-def _ptr_path(out_root: str) -> str:
-    return os.path.join(out_root, "CURRENT")
-
-
 def _read_ptr(out_root: str) -> dict:
-    p = _ptr_path(out_root)
-    if os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)
-    return {}
+    from searchengine_spark.plans.manifest import read_pointer
+    return read_pointer(out_root)
 
 
 def _state_dirs(out_root: str, exclude_batch: int) -> list[str]:
@@ -99,11 +92,11 @@ def dedup_stream_batch(out_root: str, text_col: str = "text"):
         (firsts.drop("fp")
          .write.mode("overwrite")
          .parquet(os.path.join(out_root, "out", tag)))
-        tmp = _ptr_path(out_root) + ".tmp"
+        # same atomic pointer flip as the index catalog: the state tag
+        # and batch_id commit together (plans/manifest commit protocol)
+        from searchengine_spark.plans.manifest import commit_snapshot
         os.makedirs(out_root, exist_ok=True)
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id}, f)
-        os.replace(tmp, _ptr_path(out_root))
+        commit_snapshot(out_root, tag, batch_id=batch_id)
 
     return apply
 

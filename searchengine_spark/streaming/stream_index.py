@@ -33,21 +33,21 @@ TURN_SCHEMA = ("conv_id string, turn_idx int, role string, text string, "
                "tool string, ts timestamp")
 
 
+# Pointer IO goes through the plans/manifest snapshot catalog — batch_id
+# and merges_since_compact ride the SAME pointer file as the snapshot
+# name, so "batch applied" and "snapshot visible" commit in one atomic
+# flip (that is the whole idempotent-replay guarantee).
+
 def _pointer(root: str) -> dict:
-    p = os.path.join(root, "CURRENT")
-    if os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)
-    return {}
+    from searchengine_spark.plans.manifest import read_pointer
+    return read_pointer(root)
 
 
 def _commit_with_batch(root: str, snapshot: str, batch_id: int,
                        merges_since_compact: int = 0) -> None:
-    tmp = os.path.join(root, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"snapshot": snapshot, "batch_id": batch_id,
-                   "merges_since_compact": merges_since_compact}, f)
-    os.replace(tmp, os.path.join(root, "CURRENT"))
+    from searchengine_spark.plans.manifest import commit_snapshot
+    commit_snapshot(root, snapshot, batch_id=batch_id,
+                    merges_since_compact=merges_since_compact)
 
 
 def merge_batch(root: str, fielded: bool = False, fields=None,
@@ -101,7 +101,7 @@ def merge_batch(root: str, fielded: bool = False, fields=None,
                 load_index, save_index)
             compacted = compact_index(load_index(spark, new_dir),
                                       reassign_ids=True)
-            from searchengine_spark.operators.upsert import next_snapshot_name
+            from searchengine_spark.plans.manifest import next_snapshot_name
             snap = next_snapshot_name(root)
             save_index(compacted, os.path.join(root, snap))
             _commit_with_batch(root, snap, batch_id, 0)

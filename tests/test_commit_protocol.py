@@ -1,0 +1,180 @@
+"""Commit-protocol contract (VERDICT r3 #6): the snapshot catalog in
+plans/manifest.py is the ONE module that knows the pointer-file format and
+snapshot path layout. These tests enumerate the protocol invariants every
+persisted flow (upsert/delete/compact/passages/fielded/streaming) relies
+on, so swapping the parquet+pointer shim for a real Iceberg catalog has an
+executable spec to satisfy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from searchengine_spark.plans.manifest import (commit_snapshot,
+                                               list_snapshots,
+                                               next_snapshot_name,
+                                               read_current, read_pointer,
+                                               snapshot_exists,
+                                               snapshot_parent)
+
+
+def _mk_snapshot(root: str, name: str, parent: "str | None" = None,
+                 n_docs: int = 1) -> str:
+    """A committed-SHAPE snapshot dir (stats.json present) without the
+    parquet payload — the catalog never reads payload files."""
+    sp = os.path.join(root, name)
+    os.makedirs(sp, exist_ok=True)
+    st = {"n_docs": n_docs}
+    if parent:
+        st["parent"] = parent
+    with open(os.path.join(sp, "stats.json"), "w") as f:
+        json.dump(st, f)
+    return sp
+
+
+def test_pointer_lifecycle_and_atomic_flip(tmp_path):
+    """Invariant 1: a commit is ONE pointer flip; until it happens the
+    root has no CURRENT, and a half-written snapshot dir (no stats.json)
+    is invisible to every catalog read."""
+    root = str(tmp_path)
+    assert read_pointer(root) == {}
+    assert read_current(root) is None
+    # a writer crashed after mkdir but before stats.json/commit:
+    os.makedirs(os.path.join(root, "snap-00000"))
+    assert list_snapshots(root) == []
+    assert not snapshot_exists(root, "snap-00000")
+    assert read_current(root) is None
+    # finish the write + commit → visible in one step
+    _mk_snapshot(root, "snap-00000")
+    commit_snapshot(root, "snap-00000")
+    assert read_current(root) == os.path.join(root, "snap-00000")
+    assert [s["snapshot"] for s in list_snapshots(root)] == ["snap-00000"]
+    # no CURRENT.tmp debris survives a successful commit
+    assert not os.path.exists(os.path.join(root, "CURRENT.tmp"))
+
+
+def test_commit_metadata_rides_the_same_flip(tmp_path):
+    """Invariant 2: pointer metadata (streaming batch_id etc.) commits
+    atomically WITH the snapshot flip — one file, one os.replace — which
+    is what makes foreachBatch replays idempotent."""
+    root = str(tmp_path)
+    _mk_snapshot(root, "snap-00000")
+    commit_snapshot(root, "snap-00000", batch_id=7, merges_since_compact=2)
+    ptr = read_pointer(root)
+    assert ptr == {"snapshot": "snap-00000", "batch_id": 7,
+                   "merges_since_compact": 2}
+    # a later plain commit replaces the metadata wholesale (no merge of
+    # stale keys from the previous pointer)
+    _mk_snapshot(root, "snap-00001")
+    commit_snapshot(root, "snap-00001")
+    assert read_pointer(root) == {"snapshot": "snap-00001"}
+
+
+def test_delta_chain_and_full_reset(tmp_path):
+    """Invariant 3: delta snapshots name their parent; the chain walks to
+    a full snapshot; a full snapshot (compaction) resets the chain."""
+    root = str(tmp_path)
+    _mk_snapshot(root, "snap-00000")
+    _mk_snapshot(root, "snap-00001", parent="snap-00000")
+    _mk_snapshot(root, "snap-00002", parent="snap-00001")
+    _mk_snapshot(root, "snap-00003")  # compaction output: full
+    assert snapshot_parent(root, "snap-00002") == "snap-00001"
+    assert snapshot_parent(root, "snap-00001") == "snap-00000"
+    assert snapshot_parent(root, "snap-00000") is None
+    assert snapshot_parent(root, "snap-00003") is None
+    kinds = {s["snapshot"]: s["kind"] for s in list_snapshots(root)}
+    assert kinds == {"snap-00000": "full", "snap-00001": "delta",
+                     "snap-00002": "delta", "snap-00003": "full"}
+
+
+def test_snapshot_names_monotonic_never_reused(tmp_path):
+    """Invariant 4: names are max-ordinal+1. After rollback + expiry of a
+    later snapshot, the next name must NOT collide with anything that
+    ever existed while a gap remains on disk."""
+    import shutil
+    root = str(tmp_path)
+    assert next_snapshot_name(root) == "snap-00000"
+    _mk_snapshot(root, "snap-00000")
+    commit_snapshot(root, "snap-00000")
+    _mk_snapshot(root, "snap-00001")
+    commit_snapshot(root, "snap-00001")
+    assert next_snapshot_name(root) == "snap-00002"
+    # roll back to 0 and expire 1 (the upsert.rollback_to/expire flow)
+    commit_snapshot(root, "snap-00000")
+    shutil.rmtree(os.path.join(root, "snap-00001"))
+    # dir count is 1, but the next ordinal continues past the gap
+    assert next_snapshot_name(root) == "snap-00001"
+    _mk_snapshot(root, "snap-00001")  # fresh branch reuses the freed slot
+    assert next_snapshot_name(root) == "snap-00002"
+
+
+def test_snapshots_are_immutable_commit_only_flips(tmp_path):
+    """Invariant 1b: committing a new snapshot does not touch the bytes
+    of any existing snapshot dir."""
+    root = str(tmp_path)
+    sp = _mk_snapshot(root, "snap-00000")
+    commit_snapshot(root, "snap-00000")
+    before = {f: os.path.getmtime(os.path.join(sp, f))
+              for f in os.listdir(sp)}
+    _mk_snapshot(root, "snap-00001", parent="snap-00000")
+    commit_snapshot(root, "snap-00001", batch_id=1)
+    after = {f: os.path.getmtime(os.path.join(sp, f))
+             for f in os.listdir(sp)}
+    assert after == before
+    assert read_current(root) == os.path.join(root, "snap-00001")
+
+
+def test_catalog_interface_is_the_only_pointer_io():
+    """Structural invariant: no module outside plans/manifest.py opens,
+    writes, or renames the CURRENT pointer file — they all go through the
+    catalog primitives (grep-enforced so a future flow can't quietly fork
+    the protocol)."""
+    import glob
+    pkg = os.path.join(os.path.dirname(__file__), "..",
+                       "searchengine_spark")
+    offenders = []
+    for f in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        if f.endswith(os.path.join("plans", "manifest.py")):
+            continue
+        src = open(f).read()
+        for needle in ('"CURRENT"', "'CURRENT'", "CURRENT.tmp"):
+            if needle in src:
+                offenders.append((os.path.relpath(f, pkg), needle))
+    assert offenders == []
+
+
+def test_real_flow_honors_contract(spark, tmp_path):
+    """End-to-end: save → commit → merge (delta) → compact (full reset)
+    through the real operators only touches the root via the catalog:
+    lineage, parents, and CURRENT all line up."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.compact import compact_into_path
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.upsert import merge_into_path
+    from searchengine_spark.plans.manifest import save_index
+
+    rows = [(f"c{i}", 0, "user", f"alpha beta w{i}", None,
+             "2026-01-01 00:00:00") for i in range(30)]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    root = str(tmp_path / "root")
+    os.makedirs(root)
+    save_index(build_index(t, mode="general"), os.path.join(root,
+                                                            "snap-00000"))
+    commit_snapshot(root, "snap-00000")
+    delta = t.limit(1).withColumn("text", F.lit("alpha gamma new"))
+    merge_into_path(spark, root, delta, incremental=True)
+    snaps = list_snapshots(root)
+    assert [s["kind"] for s in snaps] == ["full", "delta"]
+    assert snaps[1]["parent"] == "snap-00000"
+    assert snaps[1]["current"]
+    compact_into_path(spark, root)
+    snaps = list_snapshots(root)
+    assert [s["kind"] for s in snaps] == ["full", "delta", "full"]
+    assert snaps[2]["current"] and snaps[2]["parent"] is None

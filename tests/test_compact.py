@@ -316,8 +316,8 @@ def test_compact_into_path_snapshot_flow(spark, rows, tmp_path_factory):
     compact_into_path → CURRENT flips → loaded snapshot has exact bounds
     and identical results."""
     from searchengine_spark.operators.compact import compact_into_path
-    from searchengine_spark.operators.upsert import (
-        commit_snapshot, merge_into_path, read_current)
+    from searchengine_spark.operators.upsert import merge_into_path
+    from searchengine_spark.plans.manifest import commit_snapshot, read_current
     from searchengine_spark.plans.manifest import load_index, save_index
 
     base = build_index(_mk_df(spark, rows), mode="general",

@@ -96,8 +96,8 @@ def test_delete_keys_df_and_positional(spark, corpus):
 def test_delete_from_path_snapshot_flow(spark, corpus, tmp_path_factory):
     """Persisted DELETE: save → commit → delete_from_path → CURRENT flips →
     loaded snapshot matches the in-memory delete (term df + ranking)."""
-    from searchengine_spark.operators.upsert import (
-        commit_snapshot, delete_from_path, read_current)
+    from searchengine_spark.operators.upsert import delete_from_path
+    from searchengine_spark.plans.manifest import commit_snapshot, read_current
     from searchengine_spark.plans.manifest import load_index, save_index
     rows = corpus
     base = build_index(_mk_df(spark, rows), mode="general",

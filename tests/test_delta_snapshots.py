@@ -15,9 +15,8 @@ from pyspark.sql import functions as F
 
 from searchengine_spark.operators.indexer import build_index
 from searchengine_spark.operators.search import phrase_search, search
-from searchengine_spark.operators.upsert import (
-    commit_snapshot, delete_from_path, delete_turns, merge_into_path,
-    read_current, upsert_turns)
+from searchengine_spark.operators.upsert import delete_from_path, delete_turns, merge_into_path, upsert_turns
+from searchengine_spark.plans.manifest import commit_snapshot, read_current
 from searchengine_spark.plans.manifest import load_index, save_index
 
 SCHEMA = ("conv_id string, turn_idx int, role string, text string, "
@@ -181,8 +180,8 @@ def test_time_travel_rollback_and_expire(spark, tmp_path_factory):
     loads pin an immutable version, rollback is a pointer flip, the next
     commit branches under a fresh ordinal (never reusing a name), and
     expire_snapshots GC-keeps exactly CURRENT's parent chain."""
-    from searchengine_spark.operators.upsert import (
-        expire_snapshots, list_snapshots, load_index_as_of, rollback_to)
+    from searchengine_spark.operators.upsert import expire_snapshots, load_index_as_of, rollback_to
+    from searchengine_spark.plans.manifest import list_snapshots
     import pytest
     root = str(tmp_path_factory.mktemp("tt_root"))
     base = build_index(_mk_df(spark, BASE), mode="general",

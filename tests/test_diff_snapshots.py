@@ -3,10 +3,8 @@
 import pandas as pd
 
 from searchengine_spark.operators.indexer import build_index
-from searchengine_spark.operators.upsert import (commit_snapshot,
-                                                 diff_snapshots,
-                                                 merge_into_path,
-                                                 delete_from_path)
+from searchengine_spark.operators.upsert import diff_snapshots, merge_into_path, delete_from_path
+from searchengine_spark.plans.manifest import commit_snapshot
 from searchengine_spark.plans.manifest import save_index
 
 SCHEMA = ("conv_id string, turn_idx int, role string, text string, "

@@ -137,7 +137,7 @@ def test_upsert_loaded_index(spark, tmp_path):
 
 def test_merge_fielded_snapshot_flow(spark, tmp_path):
     from searchengine_spark.operators.fielded import merge_fielded_into_path
-    from searchengine_spark.operators.upsert import commit_snapshot, read_current
+    from searchengine_spark.plans.manifest import commit_snapshot, read_current
 
     root = str(tmp_path / "froot")
     base = build_fielded_index(_df(spark, BASE))
@@ -196,8 +196,7 @@ def test_delete_fielded_snapshot_flow(spark, tmp_path):
     -> CURRENT flips -> loaded snapshot matches the in-memory delete."""
     from searchengine_spark.operators.fielded import (
         delete_fielded, delete_fielded_from_path)
-    from searchengine_spark.operators.upsert import (
-        commit_snapshot, read_current)
+    from searchengine_spark.plans.manifest import commit_snapshot, read_current
     base = build_fielded_index(_df(spark, BASE))
     root = str(tmp_path)
     save_fielded_index(base, f"{root}/snap-00000")
@@ -225,9 +224,8 @@ def test_fielded_time_travel_rollback_expire(spark, tmp_path_factory):
     from searchengine_spark.operators.fielded import (
         bm25f_search, build_fielded_index, load_fielded_index_as_of,
         merge_fielded_into_path, save_fielded_index)
-    from searchengine_spark.operators.upsert import (
-        commit_snapshot, expire_snapshots, list_snapshots, read_current,
-        rollback_to)
+    from searchengine_spark.operators.upsert import expire_snapshots, rollback_to
+    from searchengine_spark.plans.manifest import commit_snapshot, list_snapshots, read_current
     root = str(tmp_path_factory.mktemp("f_tt"))
     base = build_fielded_index(_df(spark, BASE), mode="general")
     save_fielded_index(base, f"{root}/snap-00000")

@@ -178,8 +178,7 @@ def test_stream_passage_docs_matches_rebuild(spark, tmp_path_factory):
     """Passage index maintained from a document stream == from-scratch
     passage rebuild of the final corpus; replay is idempotent."""
     import os
-    from searchengine_spark.operators.upsert import (commit_snapshot,
-                                                     read_current)
+    from searchengine_spark.plans.manifest import commit_snapshot, read_current
     from searchengine_spark.plans.manifest import load_index, save_index
     from searchengine_spark.streaming.stream_index import stream_passage_docs
 
@@ -251,8 +250,7 @@ def test_passage_geometry_persists_through_save_load_and_maintenance(
     geometry arguments."""
     from searchengine_spark.operators.compact import compact_index
     from searchengine_spark.operators.passages import upsert_passage_docs
-    from searchengine_spark.operators.upsert import (commit_snapshot,
-                                                     read_current)
+    from searchengine_spark.plans.manifest import commit_snapshot, read_current
     from searchengine_spark.plans.manifest import load_index, save_index
 
     root = str(tmp_path_factory.mktemp("pgeo_root"))
@@ -289,8 +287,7 @@ def test_persisted_passage_merge_writes_delta_layer(spark, tmp_path_factory):
 
     from searchengine_spark.operators.passages import (
         build_passage_index, merge_passage_docs_into_path)
-    from searchengine_spark.operators.upsert import (commit_snapshot,
-                                                     read_current)
+    from searchengine_spark.plans.manifest import commit_snapshot, read_current
     from searchengine_spark.plans.manifest import load_index, save_index
 
     root = str(tmp_path_factory.mktemp("proot"))

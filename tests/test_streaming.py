@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from searchengine_spark.operators.indexer import build_index
 from searchengine_spark.operators.search import search
-from searchengine_spark.operators.upsert import commit_snapshot, read_current
+from searchengine_spark.plans.manifest import commit_snapshot, read_current
 from searchengine_spark.plans.manifest import load_index, save_index
 from searchengine_spark.streaming.stream_index import (
     stream_index_turns, streaming_stats)

@@ -15,8 +15,8 @@ from pyspark.sql import functions as F
 
 from searchengine_spark.operators.indexer import build_index
 from searchengine_spark.operators.search import search
-from searchengine_spark.operators.upsert import (
-    commit_snapshot, merge_into_path, read_current, upsert_turns)
+from searchengine_spark.operators.upsert import merge_into_path, upsert_turns
+from searchengine_spark.plans.manifest import commit_snapshot, read_current
 
 SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
 
