@@ -100,6 +100,19 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
         reps.sort()
         warm_median[name] = round(reps[len(reps) // 2], 3)
         warm_iqr[name] = round(reps[(3 * len(reps)) // 4] - reps[len(reps) // 4], 3)
+    # driver-side hot tier (operators/hot.py): populate once (one decode
+    # job per term + winner-metadata fill), then repeats answer with ZERO
+    # Spark jobs — median of warm_reps, parity pinned by tests/test_hot.py
+    from searchengine_spark.operators.hot import hot_search
+    hot_q = "ошибку"
+    hot_search(index, hot_q, k=10)  # cold populate (not timed here)
+    hot_reps = []
+    for _ in range(warm_reps):
+        t0 = time.time()
+        hot_search(index, hot_q, k=10)
+        hot_reps.append(time.time() - t0)
+    hot_reps.sort()
+    queries["search_bm25_hot_cached"] = round(hot_reps[len(hot_reps) // 2], 4)
     lat_cold.sort()
     warm_meds = sorted(warm_median.values())
     extras["search_p50_sec"] = round(lat_cold[len(lat_cold) // 2], 3)

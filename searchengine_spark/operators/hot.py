@@ -1,0 +1,198 @@
+"""Sub-100 ms repeat-query tier: score hot BM25 queries entirely
+driver-side from cached decoded postings + the driver dictionary — zero
+Spark jobs on a warm hit (VERDICT r3 #7).
+
+Why this exists: the warm Spark path bottoms out at ~0.5 s per query —
+not algorithm time but fixed job machinery (scheduling, codegen reuse,
+exchange setup). The decoded rows it scores are immutable between
+upserts and already bounded by Σ df of the query's terms, so a serving
+tier can hold them driver-side (the classic searcher node's posting
+cache) and re-score any query over cached terms in numpy:
+
+- first touch of a term pays ONE Spark job (bucket-pruned block fetch →
+  driver numpy varint decode) and caches (doc_id, tf, dl) arrays under
+  an LRU rows budget;
+- every later query whose terms are all cached computes idf + the BM25
+  tf-part + the per-doc sum + canonical top-k purely in numpy — no job,
+  no py4j round-trip beyond (at most) a ≤k metadata fill;
+- winner metadata (conv_id, turn_idx, role, tool, ts) has its own LRU,
+  so a REPEATED (query, k) answers with zero Spark jobs end-to-end;
+- the cache lives inside the index dict: ``upsert_turns`` returns a NEW
+  dict, so staleness is structurally impossible (same argument as
+  operators/pcache.py).
+
+Scoring parity: identical formulas and float order as the engine's
+numpy decode path (search._decode_blocks — idf and tf-part as float64
+vector ops), identical canonical ordering (score rounded to 9 dp desc,
+doc_id asc); tests/test_hot.py pins row-for-row equality with
+``search()``. Term scale safety: a term with df above
+``HOT_MAX_DF_FETCH`` is never driver-cached — the query falls back to
+the distributed path (that is what a 10^9-posting term needs anyway).
+
+Reference: the reference has no cache tier at all — it re-runs the
+N+1 JDBC loop per query (services/SearchingServiceImpl.java:203-235).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import OrderedDict
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.indexer import B, K1
+
+HOT_MAX_ROWS = 5_000_000      # LRU budget: decoded postings on the driver
+HOT_MAX_DF_FETCH = 2_000_000  # never driver-cache terms bigger than this
+HOT_META_MAX = 100_000        # winner-metadata LRU (rows)
+
+_OUT_COLS = ["doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
+             "score"]
+
+
+def _hot_cache(index: dict) -> dict:
+    return index.setdefault(
+        "_hotcache", {"terms": OrderedDict(), "rows": 0,
+                      "meta": OrderedDict()})
+
+
+def _fetch_term_rows(index: dict, trow: dict) -> dict:
+    """ONE Spark job: collect a term's posting blocks (bucket-pruned scan,
+    same shape as the query path) and varint-decode them driver-side into
+    (doc_id, tf, dl) numpy arrays. Cost bounded by df ≤ HOT_MAX_DF_FETCH."""
+    from searchengine_spark.operators.codec import (decode_doc_ids_batch,
+                                                    varint_decode)
+    postings = index["postings"]
+    tb = index["stats"].get("term_buckets")
+    if tb and "term_bucket" in postings.columns:
+        postings = postings.filter(
+            F.col("term_bucket") == trow["term_id"] % tb)
+    rows = (postings.filter(F.col("term_id") == trow["term_id"])
+            .select("first_doc_id", "n", "doc_deltas", "tfs", "dls")
+            .collect())
+    if not rows:
+        return {"doc_id": np.empty(0, np.int64),
+                "tf": np.empty(0, np.int64),
+                "dl": np.empty(0, np.float64), "rows": 0}
+    firsts = np.array([r["first_doc_id"] for r in rows], dtype=np.int64)
+    ns = np.array([r["n"] for r in rows], dtype=np.int64)
+    doc_ids = decode_doc_ids_batch(
+        firsts, ns, b"".join(bytes(r["doc_deltas"]) for r in rows))
+    tfs = varint_decode(b"".join(bytes(r["tfs"]) for r in rows)).astype(
+        np.int64)
+    dls = varint_decode(b"".join(bytes(r["dls"]) for r in rows)).astype(
+        np.float64)
+    return {"doc_id": doc_ids.astype(np.int64), "tf": tfs, "dl": dls,
+            "rows": int(len(doc_ids))}
+
+
+def _term_rows_cached(index: dict, trow: dict) -> dict:
+    cache = _hot_cache(index)
+    tid = trow["term_id"]
+    ent = cache["terms"].get(tid)
+    if ent is not None:
+        cache["terms"].move_to_end(tid)
+        return ent
+    ent = _fetch_term_rows(index, trow)
+    cache["terms"][tid] = ent
+    cache["rows"] += ent["rows"]
+    while cache["rows"] > HOT_MAX_ROWS and len(cache["terms"]) > 1:
+        _, old = cache["terms"].popitem(last=False)
+        cache["rows"] -= old["rows"]
+    return ent
+
+
+def _resolve(index: dict, qterms: list[str]) -> "list[dict] | None":
+    from searchengine_spark.operators.search import (_resolve_terms_driver,
+                                                     _resolve_terms_paged)
+    trows = _resolve_terms_driver(index, qterms, "bm25")
+    if trows is None:
+        trows = _resolve_terms_paged(index, qterms, "bm25")
+    return trows
+
+
+def _meta_fill(index: dict, doc_ids: "list[int]") -> dict:
+    """Winner metadata via the LRU; at most one ≤k-row collect for the
+    ids not yet seen (zero jobs on a repeated query)."""
+    cache = _hot_cache(index)["meta"]
+    missing = [int(d) for d in doc_ids if int(d) not in cache]
+    if missing:
+        got = (index["docs"]
+               .filter(F.col("doc_id").isin(missing))
+               .select("doc_id", "conv_id", "turn_idx", "role", "tool",
+                       "ts")
+               .collect())
+        for r in got:
+            cache[int(r["doc_id"])] = r.asDict()
+        while len(cache) > HOT_META_MAX:
+            cache.popitem(last=False)
+    out = {}
+    for d in doc_ids:
+        cache.move_to_end(int(d))
+        out[int(d)] = cache[int(d)]
+    return out
+
+
+def hot_search(index: dict, query: str, k: int = 10,
+               k1: "float | None" = None, b: "float | None" = None,
+               fallback: bool = True) -> pd.DataFrame:
+    """BM25 top-k answered driver-side; returns a PANDAS DataFrame with
+    ``search()``'s columns (doc_id, conv_id, turn_idx, role, tool, ts,
+    score) in ``search()``'s exact order (score at 9 dp desc, doc_id
+    asc). Warm hit = zero Spark jobs. Cold terms pay one fetch job each;
+    a term over HOT_MAX_DF_FETCH (or a dictionary miss path error) falls
+    back to the distributed ``search()`` when ``fallback`` (else
+    raises), so the tier never tries to hold a 10^9-posting term on the
+    driver."""
+    from searchengine_spark.operators.search import _query_terms
+
+    k1e = K1 if k1 is None else float(k1)
+    be = B if b is None else float(b)
+    qterms = _query_terms(query, index["mode"],
+                          index.get("dictionary", "fixture"))
+    trows = _resolve(index, qterms)
+    big = [t for t in (trows or []) if t["df"] > HOT_MAX_DF_FETCH]
+    if big:
+        if not fallback:
+            raise ValueError(
+                f"terms over HOT_MAX_DF_FETCH: "
+                f"{[t['term'] for t in big]} — use search()")
+        from searchengine_spark.operators.search import search
+        pdf = search(index, query, k=k, mode="bm25", k1=k1, b=b).toPandas()
+        return pdf[[c for c in _OUT_COLS if c in pdf.columns]]
+    if not trows:
+        return pd.DataFrame(columns=_OUT_COLS)
+
+    stats = index["stats"]
+    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"])
+    ids_parts, w_parts = [], []
+    for t in sorted(trows, key=lambda r: r["term_id"]):
+        ent = _term_rows_cached(index, t)
+        if ent["rows"] == 0:
+            continue
+        idf = math.log(1.0 + (float(n_docs) - t["df"] + 0.5)
+                       / (t["df"] + 0.5))
+        tff = ent["tf"].astype(np.float64)
+        w = idf * (tff * (k1e + 1.0)) / (
+            tff + k1e * (1.0 - be + be * ent["dl"] / avgdl))
+        ids_parts.append(ent["doc_id"])
+        w_parts.append(w)
+    if not ids_parts:
+        return pd.DataFrame(columns=_OUT_COLS)
+    all_ids = np.concatenate(ids_parts)
+    all_w = np.concatenate(w_parts)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    scores = np.bincount(inv, weights=all_w)
+    s9 = np.round(scores, 9)
+    order = np.lexsort((uniq, -s9))[:k]
+    win_ids = uniq[order].tolist()
+    win_scores = scores[order].tolist()
+    meta = _meta_fill(index, win_ids)
+    rows = []
+    for d, s in zip(win_ids, win_scores):
+        m = meta[int(d)]
+        rows.append((int(d), m["conv_id"], m["turn_idx"], m["role"],
+                     m["tool"], m["ts"], float(s)))
+    return pd.DataFrame(rows, columns=_OUT_COLS)

@@ -1,0 +1,127 @@
+"""Driver-side hot-query tier (operators/hot.py): row parity with the
+distributed ``search()`` path, zero Spark touches on a warm repeat, LRU
+eviction, k1/b param parity, and the big-term fallback."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from searchengine_spark.operators.hot import hot_search
+from searchengine_spark.operators.indexer import build_index
+from searchengine_spark.operators.search import search
+
+
+@pytest.fixture(scope="module")
+def hot_index(spark):
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    for i in range(60):
+        text = " ".join(words[j % len(words)]
+                        for j in range(i, i + 3 + i % 5))
+        rows.append((f"c{i:03d}", 0, "user", text, None,
+                     "2026-01-01 00:00:00"))
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    return build_index(df, mode="general", bucket_range=64, block_size=16)
+
+
+QUERIES = ["alpha", "alpha gamma", "beta delta epsilon", "zeta alpha",
+           "nosuchterm", "gamma gamma beta"]
+
+
+def _spark_rows(index, q, k=10, **kw):
+    return [(r["doc_id"], r["conv_id"], r["turn_idx"], round(r["score"], 9))
+            for r in search(index, q, k=k, mode="bm25", **kw).collect()]
+
+
+def _hot_rows(pdf: pd.DataFrame):
+    return [(int(r.doc_id), r.conv_id, int(r.turn_idx),
+             round(float(r.score), 9))
+            for r in pdf.itertuples(index=False)]
+
+
+def test_hot_parity_with_search(hot_index):
+    for q in QUERIES:
+        exp = _spark_rows(hot_index, q)
+        got = _hot_rows(hot_search(hot_index, q, k=10))
+        assert got == exp, q
+
+
+def test_hot_parity_custom_k1_b(hot_index):
+    exp = _spark_rows(hot_index, "alpha gamma", k1=0.9, b=0.4)
+    got = _hot_rows(hot_search(hot_index, "alpha gamma", k1=0.9, b=0.4))
+    assert got == exp
+
+
+def test_warm_hit_touches_no_spark(hot_index):
+    """After one populating call, a repeat of the same query must answer
+    from driver memory alone: swap every DataFrame in the index for a
+    tripwire and re-run."""
+    q = "alpha gamma"
+    first = _hot_rows(hot_search(hot_index, q, k=10))
+
+    class _Boom:
+        def __getattr__(self, name):
+            raise AssertionError(f"warm hot_search touched Spark (.{name})")
+
+    trapped = dict(hot_index)  # shares _hotcache/_terms_pdf/stats refs
+    trapped["postings"] = _Boom()
+    trapped["docs"] = _Boom()
+    trapped["terms"] = _Boom()
+    again = _hot_rows(hot_search(trapped, q, k=10))
+    assert again == first
+    # a DIFFERENT combination of already-cached terms is also job-free
+    # (per-term cache, not a (query → result) cache)
+    exp = _spark_rows(hot_index, "gamma")
+    # winners of "gamma" were all seen while scoring "alpha gamma"?
+    # not necessarily — so allow the meta fill to run on the REAL index,
+    # then re-ask through the tripwire copy
+    _ = hot_search(hot_index, "gamma", k=10)
+    got = _hot_rows(hot_search(trapped, "gamma", k=10))
+    assert got == exp
+
+
+def test_big_term_falls_back_to_search(hot_index, monkeypatch):
+    import searchengine_spark.operators.hot as H
+    monkeypatch.setattr(H, "HOT_MAX_DF_FETCH", 0)
+    exp = _spark_rows(hot_index, "alpha gamma")
+    got = _hot_rows(hot_search(hot_index, "alpha gamma", k=10))
+    assert got == exp
+    with pytest.raises(ValueError, match="HOT_MAX_DF_FETCH"):
+        hot_search(hot_index, "alpha gamma", fallback=False)
+
+
+def test_lru_eviction_respects_budget(hot_index, monkeypatch):
+    import searchengine_spark.operators.hot as H
+    monkeypatch.setattr(H, "HOT_MAX_ROWS", 1)  # one entry at a time
+    idx = dict(hot_index)
+    idx.pop("_hotcache", None)
+    _ = hot_search(idx, "alpha", k=5)
+    _ = hot_search(idx, "beta", k=5)
+    cache = idx["_hotcache"]
+    assert len(cache["terms"]) == 1  # alpha evicted, beta resident
+    # and correctness survives eviction (alpha refetches)
+    exp = _spark_rows(hot_index, "alpha")
+    assert _hot_rows(hot_search(idx, "alpha", k=10)) == exp
+
+
+def test_upserted_index_starts_cold_no_staleness(hot_index, spark):
+    """upsert returns a NEW dict → the hot tier can never serve stale
+    rows; the upserted index's hot answers match its own search()."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.upsert import upsert_turns
+    delta = spark.createDataFrame(
+        [("c000", 0, "user", "alpha alpha alpha zeta", None,
+          "2026-01-02 00:00:00")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    up = upsert_turns(hot_index, delta)
+    assert "_hotcache" not in up
+    exp = _spark_rows(up, "alpha zeta")
+    assert _hot_rows(hot_search(up, "alpha zeta", k=10)) == exp
