@@ -213,6 +213,22 @@ def _q_bm25_topk(spark, sf_dir):
     return hits.select(_orig_doc_id(), F.round("score", 6).alias("score"))
 
 
+def _q_hot_cached_topk(spark, sf_dir):
+    """Driver-side hot-query tier (operators/hot.py): the SAME BM25 top-k
+    as q7_bm25_topk answered from cached decoded postings + dictionary in
+    numpy — the first call populates (one fetch job per term), the second
+    runs with ZERO Spark jobs; this entry returns the warm pass's rows, so
+    the oracle (the q7 BM25 SQL) gates the hot tier's scoring + ordering
+    end-to-end."""
+    from searchengine_spark.operators.hot import hot_search
+    index = _index_for(spark, sf_dir)
+    hot_search(index, " ".join(BM25_Q), k=K)          # cold populate
+    pdf = hot_search(index, " ".join(BM25_Q), k=K)    # warm: zero jobs
+    rows = [(int(r.doc_id), round(float(r.score), 6))
+            for r in pdf.itertuples(index=False)]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 TUNED_K1, TUNED_B = 0.9, 0.4  # query-time similarity params for q_bm25_tuned
 
 
@@ -2531,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_conjunctive_and": _q_conjunctive_and,
         "q7_ref_topk": _q_ref_topk,
         "q7_bm25_topk": _q_bm25_topk,
+        "q_hot_cached_topk": _q_hot_cached_topk,
         "q_bm25_tuned": _q_bm25_tuned_topk,
         "q_term_boost": _q_term_boost,
         "q_prf_topk": _q_prf_topk,
@@ -3193,6 +3210,7 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, round(tf_sum / (select max(tf_sum) from m), 6) as score
             from m order by tf_sum desc, doc_id asc limit {K}""",
         "q7_bm25_topk": _bm25_sql(BM25_Q, K),
+        "q_hot_cached_topk": _bm25_sql(BM25_Q, K),
         "q_bm25_tuned": _bm25_sql(BM25_Q, K, k1=TUNED_K1, b=TUNED_B),
         "q_significant_bigrams": f"""
             with t as (select doc_id, list_filter(string_split_regex(
