@@ -593,20 +593,15 @@ def _q_percolate(spark, sf_dir):
     return out.select("query_id", _orig_doc_id())
 
 
-N_PERC_SCALED = 5000  # registry size for the scaled percolation entry
+N_PERC_SCALED = 5000  # registry size for the scaled percolation entries
 
 
-def _q_percolate_scaled(spark, sf_dir):
-    """Percolation at alerting-tier registry scale (VERDICT r3 #2): a
-    deterministically generated 5,000-query registry (two required terms
-    via min:2, every third query adds a NOT term — >10k requirement
-    entries, far past LIT_MAP_MAX) percolates a 200-doc batch in ONE
-    inverted pass.  Above the literal-map cap the requirement fan-outs
-    run as broadcast joins of the (term → query) postings — the
-    ES-percolator "index the queries" design — so the plan is
-    independent of |registry|.  Output: per-query match counts."""
+def _perc_scaled_registry(spark, sf_dir) -> dict[str, str]:
+    """Deterministic 5,000-query registry over the corpus vocab — shared
+    by the dict-path (q_percolate_scaled) and table-path
+    (q_percolate_table) entries, and mirrored exactly by their common
+    DuckDB oracle."""
     from searchengine_spark.functions.text import tokens_col
-    from searchengine_spark.operators.percolate import percolate
     d = _docs(spark, sf_dir)
     vocab = [r["term"] for r in
              d.select(F.explode(tokens_col(F.col("text"))).alias("term"))
@@ -622,6 +617,38 @@ def _q_percolate_scaled(spark, sf_dir):
         if i % 3 == 0:
             q += f" -{vocab[(i * 5 + 1) % n]}"
         queries[f"q{i:05d}"] = q
+    return queries
+
+
+def _q_percolate_table(spark, sf_dir):
+    """Table-native percolation (percolate_table): the SAME 5,000-query
+    registry as q_percolate_scaled, but registered as a DataFrame —
+    grammar compile runs DISTRIBUTED (Arrow-batched parse+analysis), the
+    requirement postings are DataFrames, and every kernel is a join, so
+    neither the driver nor the plan holds per-query state (the
+    10^5–10^6-saved-search alerting tier). Same oracle as the dict
+    path — the two tiers must agree row-for-row."""
+    from searchengine_spark.operators.percolate import percolate_table
+    qdf = spark.createDataFrame(
+        list(_perc_scaled_registry(spark, sf_dir).items()),
+        "query_id string, query string")
+    batch = _docs_as_transcripts(spark, sf_dir).filter(
+        F.substring("conv_id", 4, 8).cast("long") < 200)
+    out = percolate_table(qdf, batch)
+    return out.groupBy("query_id").agg(F.count("*").alias("n_matches"))
+
+
+def _q_percolate_scaled(spark, sf_dir):
+    """Percolation at alerting-tier registry scale (VERDICT r3 #2): a
+    deterministically generated 5,000-query registry (two required terms
+    via min:2, every third query adds a NOT term — >10k requirement
+    entries, far past LIT_MAP_MAX) percolates a 200-doc batch in ONE
+    inverted pass.  Above the literal-map cap the requirement fan-outs
+    run as broadcast joins of the (term → query) postings — the
+    ES-percolator "index the queries" design — so the plan is
+    independent of |registry|.  Output: per-query match counts."""
+    from searchengine_spark.operators.percolate import percolate
+    queries = _perc_scaled_registry(spark, sf_dir)
     batch = _docs_as_transcripts(spark, sf_dir).filter(
         F.substring("conv_id", 4, 8).cast("long") < 200)
     out = percolate(queries, batch)
@@ -2584,6 +2611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_querylang_ospan": _q_querylang_ospan,
         "q_percolate": _q_percolate,
         "q_percolate_scaled": _q_percolate_scaled,
+        "q_percolate_table": _q_percolate_table,
         "q_querylang_regex": _q_querylang_regex,
         "q_querylang_exists": _q_querylang_exists,
         "q_synonyms": _q_synonyms,
@@ -5266,4 +5294,7 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
     # suffix-rank exact-substring dedup: contractually row-identical to
     # the windowed op at window == min_len → literally the same oracle
     d["text_sa_dedup"] = d["text_span_dedup"]
+    # table-native percolation is contractually row-identical to the
+    # dict path on the shared 5,000-query registry → same oracle
+    d["q_percolate_table"] = d["q_percolate_scaled"]
     return d

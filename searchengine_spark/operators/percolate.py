@@ -219,13 +219,68 @@ def _phrase_matches(ev: DataFrame, key: list, clauses: list) -> DataFrame:
             .select(*key, "query_id", "clause").distinct())
 
 
+def _span_window_filter(grouped: DataFrame, key: list) -> DataFrame:
+    """Min-window DP over (*key, query_id, clause, evs, n_q, w) rows —
+    evs sorted (pos, slot) structs — → matching (*key, query_id, clause).
+    Shared by the dict and table percolation paths."""
+    big = F.lit(2 ** 62).cast("long")
+    init = F.struct(
+        F.array_repeat(F.lit(-1).cast("long"), F.col("n_q")).alias("last"),
+        big.alias("best"))
+
+    def step(acc, e):
+        last = F.transform(
+            acc["last"],
+            lambda v, i: F.when(i == e["slot"], e["pos"]).otherwise(v))
+        best = F.when(~F.array_contains(last, F.lit(-1).cast("long")),
+                      F.least(acc["best"], e["pos"] - F.array_min(last))
+                      ).otherwise(acc["best"])
+        return F.struct(last.alias("last"), best.alias("best"))
+
+    spans = grouped.select(
+        *key, "query_id", "clause", "w",
+        F.aggregate("evs", init, step, lambda a: a["best"]).alias("span"))
+    return (spans.filter(F.col("span") <= F.col("w"))
+            .select(*key, "query_id", "clause"))
+
+
+def _ospan_chain_filter(grouped: DataFrame, key: list) -> DataFrame:
+    """In-order chain DP over (*key, query_id, clause, evs, n_q, w) rows —
+    evs sorted (pos, rs) structs, rs = n_q-1-slot — → matching rows."""
+    big = F.lit(2 ** 62).cast("long")
+    init = F.struct(
+        F.array_repeat(F.lit(-1).cast("long"), F.col("n_q")).alias("arr"),
+        big.alias("best"))
+
+    def ostep(acc, e):
+        slot = F.col("n_q") - 1 - e["rs"]
+        prev = acc["arr"]
+        arr = F.transform(
+            prev,
+            lambda v, i: F.when(
+                i == slot,
+                F.when(slot == F.lit(0), e["pos"]).otherwise(
+                    F.element_at(prev, F.greatest(slot, F.lit(1)))))
+            .otherwise(v))
+        tail = F.element_at(arr, F.col("n_q"))
+        best = F.when((slot == F.col("n_q") - 1) & (tail != F.lit(-1)),
+                      F.least(acc["best"], e["pos"] - tail)
+                      ).otherwise(acc["best"])
+        return F.struct(arr.alias("arr"), best.alias("best"))
+
+    spans = grouped.select(
+        *key, "query_id", "clause", "w",
+        F.aggregate("evs", init, ostep, lambda a: a["best"]).alias("span"))
+    return (spans.filter(F.col("span") <= F.col("w"))
+            .select(*key, "query_id", "clause"))
+
+
 def _span_matches(ev: DataFrame, key: list, clauses: list) -> DataFrame:
     """(key..., query_id, clause) for span clauses. ``clauses``:
     [(qid, cid, lemmas_or_seq, window, ordered)] — the forward batched
     path's min-window scan / in-order chain DP over the analyzed events,
     keyed by the doc key instead of decoded doc_ids."""
     qc = F.concat_ws(":", F.col("query_id"), F.col("clause").cast("string"))
-    big = F.lit(2 ** 62).cast("long")
     parts = []
     uno = [(q, c, ls, w) for q, c, ls, w, o in clauses if not o]
     ordo = [(q, c, ls, w) for q, c, ls, w, o in clauses if o]
@@ -249,25 +304,7 @@ def _span_matches(ev: DataFrame, key: list, clauses: list) -> DataFrame:
         grouped = _attach_scalar(
             grouped, {f"{q}:{c}": int(w) for q, c, _, w in uno},
             "int", "w", key_expr=qc)
-        init = F.struct(
-            F.array_repeat(F.lit(-1).cast("long"),
-                           F.col("n_q")).alias("last"),
-            big.alias("best"))
-
-        def step(acc, e):
-            last = F.transform(
-                acc["last"],
-                lambda v, i: F.when(i == e["slot"], e["pos"]).otherwise(v))
-            best = F.when(~F.array_contains(last, F.lit(-1).cast("long")),
-                          F.least(acc["best"], e["pos"] - F.array_min(last))
-                          ).otherwise(acc["best"])
-            return F.struct(last.alias("last"), best.alias("best"))
-
-        spans = grouped.select(
-            *key, "query_id", "clause", "w",
-            F.aggregate("evs", init, step, lambda a: a["best"]).alias("span"))
-        parts.append(spans.filter(F.col("span") <= F.col("w"))
-                     .select(*key, "query_id", "clause"))
+        parts.append(_span_window_filter(grouped, key))
     if ordo:
         by_term = {}
         for qid, cid, seq, _ in ordo:
@@ -289,33 +326,7 @@ def _span_matches(ev: DataFrame, key: list, clauses: list) -> DataFrame:
         grouped = _attach_scalar(
             grouped, {f"{q}:{c}": int(w) for q, c, _, w in ordo},
             "int", "w", key_expr=qc)
-        init = F.struct(
-            F.array_repeat(F.lit(-1).cast("long"),
-                           F.col("n_q")).alias("arr"),
-            big.alias("best"))
-
-        def ostep(acc, e):
-            slot = F.col("n_q") - 1 - e["rs"]
-            prev = acc["arr"]
-            arr = F.transform(
-                prev,
-                lambda v, i: F.when(
-                    i == slot,
-                    F.when(slot == F.lit(0), e["pos"]).otherwise(
-                        F.element_at(prev, F.greatest(slot, F.lit(1)))))
-                .otherwise(v))
-            tail = F.element_at(arr, F.col("n_q"))
-            best = F.when((slot == F.col("n_q") - 1) & (tail != F.lit(-1)),
-                          F.least(acc["best"], e["pos"] - tail)
-                          ).otherwise(acc["best"])
-            return F.struct(arr.alias("arr"), best.alias("best"))
-
-        spans = grouped.select(
-            *key, "query_id", "clause", "w",
-            F.aggregate("evs", init, ostep,
-                        lambda a: a["best"]).alias("span"))
-        parts.append(spans.filter(F.col("span") <= F.col("w"))
-                     .select(*key, "query_id", "clause"))
+        parts.append(_ospan_chain_filter(grouped, key))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -733,3 +744,239 @@ def percolate_bool_stream(exprs: dict[str, str], turns_stream: DataFrame,
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+# --------------------------------------------------------------------------
+# Table-native registry: percolate_table
+# --------------------------------------------------------------------------
+
+_REQ_SCHEMA = ("query_id string, kind string, clause int, slot int, "
+               "term string, w int, mm int")
+
+
+def compile_query_table(queries: DataFrame, mode: str = "general",
+                        dictionary: str = "fixture") -> DataFrame:
+    """Compile a registry TABLE (query_id, query) into the tall
+    requirements frame the table percolator joins against — parse +
+    analysis run DISTRIBUTED in an Arrow-batched pass, so a 10^6-query
+    registry never touches the driver (the dict-based ``percolate``
+    compiles driver-side, which is fine to ~10^4).
+
+    Kinds: ``meta`` (per-query min-match), ``ranked``/``notterm``
+    (term), ``group`` (clause, term), ``phrase``/``notphrase``
+    (clause, slot, term), ``span``/``ospan``/``notspan``/``notospan``
+    (clause, slot, term, w). Dead queries (no positive words, an
+    unanalyzable positive clause) compile to NO rows — they can match
+    nothing, mirroring ``_compile_queries``. Wildcard/fuzzy/regex and
+    metadata qualifiers raise: the table tier targets machine-registered
+    alerting registries (term/group/phrase/span/NOT); grammar exotica
+    stays on the dict path where the dictionary lives driver-side."""
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for qid, qstr in zip(pdf["query_id"], pdf["query"]):
+                q = parse_query(qstr)
+                if (q["wildcards"] or q["not_wildcards"] or q["fuzzies"]
+                        or q["not_fuzzies"] or q["regexes"]
+                        or q["not_regexes"] or q["qualifiers"]):
+                    raise ValueError(
+                        f"query {qid!r} uses wildcard/fuzzy/regex/"
+                        "qualifier terms — unsupported in "
+                        "percolate_table; use percolate()")
+                pos_words = (q["terms"]
+                             + [w for p in q["phrases"]
+                                for w in p.split()]
+                             + [w for p, _ in q["spans"]
+                                for w in p.split()]
+                             + [w for p, _ in q["ospans"]
+                                for w in p.split()]
+                             + [w for g in q["groups"] for w in g])
+                ranked = sorted(set(analyze_text(
+                    " ".join(pos_words), mode, dictionary=dictionary)))
+                if not ranked:
+                    continue
+                mm = int(q["min_match"] or 1)
+                rows = [(qid, "meta", -1, -1, None, -1, mm)]
+                rows += [(qid, "ranked", -1, -1, t, -1, -1)
+                         for t in ranked]
+                cid, dead = 0, False
+                for g in q["groups"]:
+                    members = sorted(set(analyze_text(
+                        " ".join(g), mode, dictionary=dictionary)))
+                    if not members:
+                        dead = True
+                        break
+                    rows += [(qid, "group", cid, -1, t, -1, -1)
+                             for t in members]
+                    cid += 1
+                if not dead:
+                    for p in q["phrases"]:
+                        seq = analyze_text(p, mode, dictionary=dictionary)
+                        if not seq:
+                            dead = True
+                            break
+                        rows += [(qid, "phrase", cid, i, t, -1, -1)
+                                 for i, t in enumerate(seq)]
+                        cid += 1
+                if not dead:
+                    for (p, w), o in ([(s, False) for s in q["spans"]]
+                                      + [(s, True) for s in q["ospans"]]):
+                        seq = analyze_text(p, mode, dictionary=dictionary)
+                        if not seq:
+                            dead = True
+                            break
+                        ls = seq if o else sorted(set(seq))
+                        kk = "ospan" if o else "span"
+                        rows += [(qid, kk, cid, i, t, int(w), -1)
+                                 for i, t in enumerate(ls)]
+                        cid += 1
+                if dead:
+                    continue
+                for t in sorted(set(analyze_text(
+                        " ".join(q["not_terms"]), mode,
+                        dictionary=dictionary))):
+                    rows.append((qid, "notterm", -1, -1, t, -1, -1))
+                for p in q["not_phrases"]:
+                    seq = analyze_text(p, mode, dictionary=dictionary)
+                    if seq:
+                        rows += [(qid, "notphrase", cid, i, t, -1, -1)
+                                 for i, t in enumerate(seq)]
+                        cid += 1
+                for (p, w), o in ([(s, False) for s in q["not_spans"]]
+                                  + [(s, True) for s in q["not_ospans"]]):
+                    seq = analyze_text(p, mode, dictionary=dictionary)
+                    if seq:
+                        ls = seq if o else sorted(set(seq))
+                        kk = "notospan" if o else "notspan"
+                        rows += [(qid, kk, cid, i, t, int(w), -1)
+                                 for i, t in enumerate(ls)]
+                        cid += 1
+                out.extend(rows)
+            import pandas as pd
+            cols = ["query_id", "kind", "clause", "slot", "term", "w",
+                    "mm"]
+            yield pd.DataFrame(out, columns=cols)
+
+    return queries.mapInPandas(gen, schema=_REQ_SCHEMA)
+
+
+def _table_phrase_part(events: DataFrame, req: DataFrame, key: list,
+                       kind: str) -> DataFrame:
+    p = req.filter(F.col("kind") == kind)
+    ncl = (p.groupBy("query_id", "clause")
+           .agg((F.max("slot") + 1).alias("_ncl")))
+    aligned = (events.join(p.select("term", "query_id", "clause", "slot"),
+                           "term")
+               .select(*key, "query_id", "clause",
+                       (F.col("pos") - F.col("slot")).alias("base"),
+                       "slot"))
+    grouped = (aligned.groupBy(*key, "query_id", "clause", "base")
+               .agg(F.countDistinct("slot").alias("nslots")))
+    return (grouped.join(ncl, ["query_id", "clause"])
+            .filter((F.col("nslots") == F.col("_ncl"))
+                    & (F.col("base") >= 0))
+            .select(*key, "query_id", "clause").distinct())
+
+
+def _table_span_part(events: DataFrame, req: DataFrame, key: list,
+                     kind: str, ordered: bool) -> DataFrame:
+    p = req.filter(F.col("kind") == kind)
+    geom = (p.groupBy("query_id", "clause")
+            .agg((F.max("slot") + 1).alias("n_q"),
+                 F.max("w").alias("w")))
+    j = (events.join(p.select("term", "query_id", "clause", "slot"),
+                     "term")
+         .join(geom, ["query_id", "clause"]))
+    e = (F.struct(F.col("pos").cast("long").alias("pos"),
+                  (F.col("n_q") - 1 - F.col("slot")).cast("int")
+                  .alias("rs")) if ordered
+         else F.struct(F.col("pos").cast("long").alias("pos"),
+                       F.col("slot")))
+    grouped = (j.select(*key, "query_id", "clause", "n_q", "w",
+                        e.alias("e"))
+               .groupBy(*key, "query_id", "clause", "n_q", "w")
+               .agg(F.sort_array(F.collect_list("e")).alias("evs")))
+    flt = _ospan_chain_filter if ordered else _span_window_filter
+    return flt(grouped, key)
+
+
+def percolate_table(queries: DataFrame, docs: DataFrame,
+                    mode: str = "general", dictionary: str = "fixture",
+                    key_cols: "list[str] | None" = None,
+                    compiled: "DataFrame | None" = None) -> DataFrame:
+    """``percolate`` with the registry as a TABLE: ``queries`` is a
+    DataFrame (query_id string, query string) of any size — compile
+    (``compile_query_table``), requirement storage, and every match
+    kernel run as DataFrame joins, so neither the plan nor the driver
+    holds per-query state. This is the 10^5–10^6-saved-search alerting
+    tier; semantics are identical to ``percolate`` on the supported
+    grammar (terms, min:m, OR-groups, phrases, spans, ordered spans,
+    NOT terms/clauses — no wildcards/qualifiers, see
+    ``compile_query_table``).
+
+    ``compiled`` short-circuits compilation with a previously compiled
+    (or persisted-and-reloaded) requirements frame — a streaming
+    deployment compiles the registry once and reuses it every batch.
+    Returns (query_id, *key_cols)."""
+    spark = docs.sparkSession
+    key = list(key_cols or KEY)
+    req = compiled if compiled is not None \
+        else compile_query_table(queries, mode, dictionary)
+    req = req.localCheckpoint(eager=True)  # reused by every kernel below
+
+    ev = docs.withColumn("_toks", analyze_col(F.col("text"), mode,
+                                              dictionary))
+    events = ev.select(*key, F.posexplode("_toks").alias("pos", "term"))
+
+    meta = req.filter(F.col("kind") == "meta").select("query_id", "mm")
+    ranked = req.filter(F.col("kind") == "ranked").select("term",
+                                                          "query_id")
+    nt = (events.join(ranked, "term")
+          .groupBy(*key, "query_id")
+          .agg(F.countDistinct("term").alias("nt")))
+    matched = (nt.join(meta, "query_id")
+               .filter(F.col("nt") >= F.col("mm"))
+               .select(*key, "query_id"))
+
+    cparts = [
+        (events.join(req.filter(F.col("kind") == "group")
+                     .select("term", "query_id", "clause"), "term")
+         .select(*key, "query_id", "clause").distinct()),
+        _table_phrase_part(events, req, key, "phrase"),
+        _table_span_part(events, req, key, "span", ordered=False),
+        _table_span_part(events, req, key, "ospan", ordered=True),
+    ]
+    allcl = cparts[0]
+    for p in cparts[1:]:
+        allcl = allcl.unionByName(p)
+    arity = (req.filter(F.col("kind").isin("group", "phrase", "span",
+                                           "ospan"))
+             .select("query_id", "clause").distinct()
+             .groupBy("query_id")
+             .agg(F.countDistinct("clause").alias("_ar")))
+    sat = (allcl.groupBy(*key, "query_id")
+           .agg(F.countDistinct("clause").alias("nc"))
+           .join(arity, "query_id")
+           .filter(F.col("nc") == F.col("_ar"))
+           .select(*key, "query_id"))
+    free = matched.join(arity, "query_id", "left_anti")
+    matched = free.unionByName(
+        matched.join(sat, key + ["query_id"], "left_semi"))
+
+    bans = [
+        (events.join(req.filter(F.col("kind") == "notterm")
+                     .select("term", "query_id"), "term")
+         .select(*key, "query_id").distinct()),
+        _table_phrase_part(events, req, key, "notphrase")
+        .select(*key, "query_id"),
+        _table_span_part(events, req, key, "notspan", ordered=False)
+        .select(*key, "query_id"),
+        _table_span_part(events, req, key, "notospan", ordered=True)
+        .select(*key, "query_id"),
+    ]
+    banned = bans[0]
+    for b in bans[1:]:
+        banned = banned.unionByName(b)
+    return (matched.join(banned.distinct(), key + ["query_id"],
+                         "left_anti")
+            .select("query_id", *key))

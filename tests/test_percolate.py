@@ -244,3 +244,80 @@ def test_percolate_5000_query_registry(qpos_index):
     got = _percolate_sets(docs, queries)
     assert got == exp
     assert len(exp) >= 100  # non-vacuous: plenty of real matches
+
+
+def test_percolate_table_matches_dict_path(qpos_index):
+    """Table-native percolation (registry as a DataFrame, distributed
+    compile, join-based kernels) == the dict path on the supported
+    grammar, query by query."""
+    from searchengine_spark.operators.percolate import percolate_table
+    docs = qpos_index["docs"]
+    spark = docs.sparkSession
+    supported = {qid: q for qid, q in QUERIES.items()
+                 if qid not in ("q1", "q2", "q3")}  # qualifiers excluded
+    exp = _percolate_sets(docs, supported)
+    qdf = spark.createDataFrame(list(supported.items()),
+                                "query_id string, query string")
+    got: dict[str, set] = {}
+    for r in percolate_table(qdf, docs).collect():
+        got.setdefault(r["query_id"], set()).add(r["conv_id"])
+    for qid in supported:
+        assert got.get(qid, set()) == exp.get(qid, set()), (
+            qid, supported[qid])
+
+
+def test_percolate_table_rejects_qualifiers(qpos_index):
+    import pytest
+    from searchengine_spark.operators.percolate import percolate_table
+    docs = qpos_index["docs"]
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame([("q", "alpha role:assistant")],
+                                "query_id string, query string")
+    with pytest.raises(Exception, match="unsupported in percolate_table"):
+        percolate_table(qdf, docs).collect()
+
+
+def test_percolate_table_5000_and_compiled_reuse(qpos_index):
+    """The 5,000-query registry as a TABLE matches the same pure-Python
+    ground truth; a pre-compiled requirements frame short-circuits
+    compilation and produces identical matches (the streaming reuse
+    path)."""
+    from searchengine_spark.functions.analysis import analyze_text
+    from searchengine_spark.operators.percolate import (compile_query_table,
+                                                        percolate_table)
+    docs = qpos_index["docs"]
+    spark = docs.sparkSession
+    rows = docs.select("conv_id", "text").collect()
+    toks = {r["conv_id"]: set(analyze_text(r["text"], "general",
+                                           dictionary="fixture"))
+            for r in rows}
+    vocab = sorted(set().union(*toks.values()))
+    n = len(vocab)
+    qrows, exp = [], {}
+    for i in range(5000):
+        a, b = i % n, (i * 7 + 3) % n
+        if b == a:
+            b = (b + 1) % n
+        q = f"{vocab[a]} {vocab[b]} min:2"
+        c = None
+        if i % 3 == 0:
+            c = vocab[(i * 5 + 1) % n]
+            q += f" -{c}"
+        qid = f"q{i:05d}"
+        qrows.append((qid, q))
+        m = {cv for cv, ts in toks.items()
+             if vocab[a] in ts and vocab[b] in ts
+             and (c is None or c not in ts)}
+        if m:
+            exp[qid] = m
+    qdf = spark.createDataFrame(qrows, "query_id string, query string")
+    got: dict[str, set] = {}
+    for r in percolate_table(qdf, docs).collect():
+        got.setdefault(r["query_id"], set()).add(r["conv_id"])
+    assert got == exp
+    # compiled-registry reuse (what a stream does every micro-batch)
+    req = compile_query_table(qdf).localCheckpoint(eager=True)
+    got2: dict[str, set] = {}
+    for r in percolate_table(qdf.limit(0), docs, compiled=req).collect():
+        got2.setdefault(r["query_id"], set()).add(r["conv_id"])
+    assert got2 == exp
