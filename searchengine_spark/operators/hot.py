@@ -196,3 +196,22 @@ def hot_search(index: dict, query: str, k: int = 10,
         rows.append((int(d), m["conv_id"], m["turn_idx"], m["role"],
                      m["tool"], m["ts"], float(s)))
     return pd.DataFrame(rows, columns=_OUT_COLS)
+
+
+def hot_search_many(index: dict, queries: "dict[str, str]", k: int = 10,
+                    k1: "float | None" = None,
+                    b: "float | None" = None) -> pd.DataFrame:
+    """Batched hot tier: every query in ``queries`` (query_id → string)
+    answered driver-side from the SAME per-term cache — a replayed query
+    log over hot terms costs one numpy pass per query and zero Spark
+    jobs once the union of terms is cached. Returns one pandas frame
+    with a leading ``query_id`` column and per-query rank order
+    identical to ``hot_search`` (hence to ``search``)."""
+    frames = []
+    for qid in sorted(queries):
+        pdf = hot_search(index, queries[qid], k=k, k1=k1, b=b)
+        pdf.insert(0, "query_id", qid)
+        frames.append(pdf)
+    if not frames:
+        return pd.DataFrame(columns=["query_id"] + _OUT_COLS)
+    return pd.concat(frames, ignore_index=True)

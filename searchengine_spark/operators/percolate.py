@@ -980,3 +980,27 @@ def percolate_table(queries: DataFrame, docs: DataFrame,
     return (matched.join(banned.distinct(), key + ["query_id"],
                          "left_anti")
             .select("query_id", *key))
+
+
+def percolate_table_stream(queries: DataFrame, turns_stream: DataFrame,
+                           sink, mode: str = "general",
+                           dictionary: str = "fixture",
+                           key_cols: "list[str] | None" = None,
+                           checkpoint: "str | None" = None):
+    """Continuous table-native percolation: the registry compiles ONCE
+    (distributed) and the checkpointed requirements frame is reused by
+    every micro-batch — the production alerting loop for 10^5+ saved
+    searches. Same sink/batch_id contract as ``percolate_stream``."""
+    compiled = compile_query_table(queries, mode, dictionary) \
+        .localCheckpoint(eager=True)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        sink(percolate_table(queries.limit(0), batch_df, mode=mode,
+                             dictionary=dictionary, key_cols=key_cols,
+                             compiled=compiled),
+             batch_id)
+
+    w = turns_stream.writeStream.foreachBatch(apply).outputMode("append")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

@@ -125,3 +125,13 @@ def test_upserted_index_starts_cold_no_staleness(hot_index, spark):
     assert "_hotcache" not in up
     exp = _spark_rows(up, "alpha zeta")
     assert _hot_rows(hot_search(up, "alpha zeta", k=10)) == exp
+
+
+def test_hot_search_many_parity(hot_index):
+    from searchengine_spark.operators.hot import hot_search_many
+    qs = {"qa": "alpha gamma", "qb": "beta delta", "qc": "nosuchterm"}
+    out = hot_search_many(hot_index, qs, k=5)
+    for qid, q in qs.items():
+        exp = _spark_rows(hot_index, q, k=5)
+        sub = out[out["query_id"] == qid].drop(columns=["query_id"])
+        assert _hot_rows(sub) == exp, qid

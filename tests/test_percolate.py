@@ -321,3 +321,33 @@ def test_percolate_table_5000_and_compiled_reuse(qpos_index):
     for r in percolate_table(qdf.limit(0), docs, compiled=req).collect():
         got2.setdefault(r["query_id"], set()).add(r["conv_id"])
     assert got2 == exp
+
+
+def test_percolate_table_stream_smoke(spark, tmp_path):
+    """Streaming table percolation: the registry compiles once, every
+    micro-batch reuses the checkpointed requirements frame."""
+    from datetime import datetime
+
+    from searchengine_spark.operators.percolate import percolate_table_stream
+    from searchengine_spark.streaming.stream_index import TURN_SCHEMA
+    src = str(tmp_path / "tsrc")
+    t0 = datetime(2026, 1, 1)
+    rows = [("c1", 0, "user", "alpha beta gamma", None, t0),
+            ("c2", 0, "user", "delta epsilon", None, t0)]
+    spark.createDataFrame(rows, TURN_SCHEMA).write.parquet(src)
+    qdf = spark.createDataFrame(
+        [("a", 'alpha "beta gamma"'), ("d", "delta -epsilon")],
+        "query_id string, query string")
+    got: list = []
+
+    def sink(matches, batch_id):
+        got.extend((batch_id, r["query_id"], r["conv_id"])
+                   for r in matches.collect())
+
+    stream = spark.readStream.schema(TURN_SCHEMA).parquet(src)
+    q = percolate_table_stream(qdf, stream, sink,
+                               checkpoint=str(tmp_path / "tckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert (0, "a", "c1") in got
+    assert all(g[1] != "d" for g in got)
