@@ -187,9 +187,10 @@ def _attach_scalar(df: DataFrame, d: dict, val_type: str, out_col: str,
     k = key_expr if key_expr is not None else F.col("query_id")
     if len(d) <= LIT_MAP_MAX:
         return df.withColumn(out_col, _lit_lookup(d, val_type)[k])
+    import pandas as pd
     spark = df.sparkSession
     m = spark.createDataFrame(
-        [(kk, v) for kk, v in d.items()],
+        pd.DataFrame({"_ask": list(d.keys()), out_col: list(d.values())}),
         f"_ask string, {out_col} {val_type}")
     return (df.withColumn("_ask", k)
             .join(F.broadcast(m), "_ask", "left").drop("_ask"))
@@ -464,8 +465,10 @@ def percolate(queries: dict[str, str], docs: DataFrame,
             kept = matched.filter(F.col("query_id").isin(free))
         else:  # huge registries: anti-join away the clause-bearing ids
             spark_ = matched.sparkSession
-            ar = spark_.createDataFrame([(q,) for q in arity],
-                                        "query_id string")
+            import pandas as pd
+            ar = spark_.createDataFrame(
+                pd.DataFrame({"query_id": list(arity)}),
+                "query_id string")
             kept = matched.join(F.broadcast(ar), "query_id", "left_anti")
         matched = kept.unionByName(
             matched.join(sat, key + ["query_id"], "left_semi"))

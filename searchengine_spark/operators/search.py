@@ -2866,12 +2866,27 @@ def _fanout_by_term(df: DataFrame, mapping: "dict[object, list[tuple]]",
     replays)."""
     total = sum(len(v) for v in mapping.values())
     if total <= LIT_MAP_MAX:
-        m = F.create_map(*[x for kk, entries in sorted(mapping.items())
-                           for x in (F.lit(kk).cast(key_type),
-                                     F.array(*[F.struct(*[
-                                         F.lit(v).cast(t).alias(n)
-                                         for v, (n, t) in zip(e, fields)])
-                                         for e in entries]))])
+        if total <= LIT_EXPR_MIN:
+            m = F.create_map(*[x for kk, entries in sorted(mapping.items())
+                               for x in (F.lit(kk).cast(key_type),
+                                         F.array(*[F.struct(*[
+                                             F.lit(v).cast(t).alias(n)
+                                             for v, (n, t) in zip(e, fields)])
+                                             for e in entries]))])
+        else:
+            # thousands of F.lit()/F.struct() py4j calls dominate plan
+            # build above a few hundred entries — render the identical
+            # literal map as ONE SQL expression instead (one py4j call,
+            # parsed JVM-side in milliseconds)
+            pairs = []
+            for kk, entries in sorted(mapping.items()):
+                arr = ", ".join(
+                    "named_struct(" + ", ".join(
+                        f"'{n}', {_sql_lit(v, t)}"
+                        for v, (n, t) in zip(e, fields)) + ")"
+                    for e in entries)
+                pairs.append(f"{_sql_lit(kk, key_type)}, array({arr})")
+            m = F.expr("map(" + ", ".join(pairs) + ")")
         out = df.select("*", F.explode(m[F.col(key_col)]).alias("_fx"))
         return out.select(*df.columns,
                           *[F.col(f"_fx.{n}").alias(n) for n, _ in fields])
@@ -2879,17 +2894,43 @@ def _fanout_by_term(df: DataFrame, mapping: "dict[object, list[tuple]]",
     rows = [(kk, *e) for kk, entries in mapping.items() for e in entries]
     schema = (f"{key_col} {key_type}, "
               + ", ".join(f"{n} {t}" for n, t in fields))
-    return df.join(F.broadcast(spark.createDataFrame(rows, schema)),
+    # pandas input takes the Arrow serialization path — a 10^4-entry
+    # registry costs milliseconds instead of seconds of py4j row shipping
+    pdf = pd.DataFrame(rows, columns=[key_col] + [n for n, _ in fields])
+    return df.join(F.broadcast(spark.createDataFrame(pdf, schema)),
                    key_col)
+
+
+LIT_EXPR_MIN = 256  # above this, literal maps render as one SQL expr()
+
+
+def _sql_lit(v, t: str) -> str:
+    """Render a Python scalar as a Spark-SQL literal of type ``t`` —
+    exactly what F.lit(v).cast(t) produces, minus the per-call py4j
+    round trip. Strings escape backslash + quote."""
+    if v is None:
+        return f"CAST(NULL AS {t})"
+    if t == "string":
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+    if t == "boolean":
+        return "true" if v else "false"
+    return f"CAST({v!r} AS {t})"
 
 
 def _lit_lookup(d: dict, val_type: str):
     """{string key → scalar} as a create_map literal Column (codegen
     lookup, no broadcast job); missing keys resolve to NULL like an inner
-    join's non-match. Caller guards len(d) ≤ LIT_MAP_MAX."""
-    return F.create_map(*[x for kk in sorted(d)
-                          for x in (F.lit(kk),
-                                    F.lit(d[kk]).cast(val_type))])
+    join's non-match. Caller guards len(d) ≤ LIT_MAP_MAX. Above
+    LIT_EXPR_MIN entries the same map renders as one SQL expression
+    (plan-build time, not semantics)."""
+    if len(d) <= LIT_EXPR_MIN:
+        return F.create_map(*[x for kk in sorted(d)
+                              for x in (F.lit(kk),
+                                        F.lit(d[kk]).cast(val_type))])
+    return F.expr("map(" + ", ".join(
+        f"{_sql_lit(kk, 'string')}, {_sql_lit(d[kk], val_type)}"
+        for kk in sorted(d)) + ")")
 
 
 def search_many(index: dict, queries: dict[str, str], k: int = 10,
