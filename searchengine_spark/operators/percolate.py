@@ -367,7 +367,11 @@ def percolate(queries: dict[str, str], docs: DataFrame,
 
     ev = docs.select(*key, *[c for c in docs.columns if c not in key]) \
         .withColumn("_toks", analyze_col(F.col("text"), mode, dictionary))
-    events = ev.select(*key, F.posexplode("_toks").alias("pos", "term"))
+    # 2-4 requirement families consume the analyzed events; without a
+    # lineage cut each branch re-runs the Arrow analysis UDF over the
+    # whole batch — checkpoint once, pay the analysis once
+    events = ev.select(*key, F.posexplode("_toks").alias("pos", "term"))\
+        .localCheckpoint(eager=False)
 
     # ranked-term requirement: ≥ mm distinct ranked terms present
     r_by_term: dict = {}
@@ -625,7 +629,11 @@ def percolate_bool(exprs: dict[str, str], docs: DataFrame,
 
     ev = docs.withColumn("_toks", analyze_col(F.col("text"), mode,
                                               dictionary))
-    events = ev.select(*key, F.posexplode("_toks").alias("pos", "term"))
+    # 2-4 requirement families consume the analyzed events; without a
+    # lineage cut each branch re-runs the Arrow analysis UDF over the
+    # whole batch — checkpoint once, pay the analysis once
+    events = ev.select(*key, F.posexplode("_toks").alias("pos", "term"))\
+        .localCheckpoint(eager=False)
     cparts = []
     if t_by_term:
         cparts.append(
@@ -929,7 +937,11 @@ def percolate_table(queries: DataFrame, docs: DataFrame,
 
     ev = docs.withColumn("_toks", analyze_col(F.col("text"), mode,
                                               dictionary))
-    events = ev.select(*key, F.posexplode("_toks").alias("pos", "term"))
+    # 2-4 requirement families consume the analyzed events; without a
+    # lineage cut each branch re-runs the Arrow analysis UDF over the
+    # whole batch — checkpoint once, pay the analysis once
+    events = ev.select(*key, F.posexplode("_toks").alias("pos", "term"))\
+        .localCheckpoint(eager=False)
 
     meta = req.filter(F.col("kind") == "meta").select("query_id", "mm")
     ranked = req.filter(F.col("kind") == "ranked").select("term",
