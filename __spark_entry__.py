@@ -229,6 +229,21 @@ def _q_hot_cached_topk(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+def _q_hot_ref_topk(spark, sf_dir):
+    """The REFERENCE's ranking mode (ref_compat: Q3 prune + conjunctive
+    AND + tf-sum normalized by the match max) answered by the driver-side
+    hot tier — warm pass zero Spark jobs; oracle = the q7_ref_topk SQL,
+    so the reference-semantics path is value-hash gated through the
+    cache tier too."""
+    from searchengine_spark.operators.hot import hot_search
+    index = _index_for(spark, sf_dir)
+    hot_search(index, " ".join(AND3), k=K, mode="ref_compat")
+    pdf = hot_search(index, " ".join(AND3), k=K, mode="ref_compat")
+    rows = [(int(r.doc_id), round(float(r.score), 6))
+            for r in pdf.itertuples(index=False)]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 TUNED_K1, TUNED_B = 0.9, 0.4  # query-time similarity params for q_bm25_tuned
 
 
@@ -2575,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_ref_topk": _q_ref_topk,
         "q7_bm25_topk": _q_bm25_topk,
         "q_hot_cached_topk": _q_hot_cached_topk,
+        "q_hot_ref_topk": _q_hot_ref_topk,
         "q_bm25_tuned": _q_bm25_tuned_topk,
         "q_term_boost": _q_term_boost,
         "q_prf_topk": _q_prf_topk,
@@ -3239,6 +3255,18 @@ def oracle_sql() -> dict[str, str]:
             from m order by tf_sum desc, doc_id asc limit {K}""",
         "q7_bm25_topk": _bm25_sql(BM25_Q, K),
         "q_hot_cached_topk": _bm25_sql(BM25_Q, K),
+        "q_hot_ref_topk": f"""
+            with tf as ({_TF}), dfv as ({_DF}),
+            n as (select count(*) as n from documents),
+            qt as (select term from dfv
+                   where term in ({and3})
+                     and df * 1.0 / (select n from n) < 0.8),
+            m as (
+              select doc_id, sum(tf) as tf_sum from tf
+              where term in (select term from qt) group by doc_id
+              having count(*) = (select count(*) from qt))
+            select doc_id, round(tf_sum / (select max(tf_sum) from m), 6) as score
+            from m order by tf_sum desc, doc_id asc limit {K}""",
         "q_bm25_tuned": _bm25_sql(BM25_Q, K, k1=TUNED_K1, b=TUNED_B),
         "q_significant_bigrams": f"""
             with t as (select doc_id, list_filter(string_split_regex(

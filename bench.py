@@ -218,7 +218,7 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
     table_ops = ["t2_t5_tokenize_tf", "a1_term_df", "q6_conjunctive_and",
                  "q_bm25f_topk", "q_bm25f_scoped", "q_bm25f_not",
                  "q_batched_bm25f", "q_batched_scoped",
-                 "q7_bm25_topk", "q_hot_cached_topk", "q_bm25_not_topk", "q_batched_not",
+                 "q7_bm25_topk", "q_hot_cached_topk", "q_hot_ref_topk", "q_bm25_not_topk", "q_batched_not",
                  "q_search_after", "q_sort_recent", "q_count", "q_boost_recent",
                  "q_facets", "q_facets_multi", "q_facets_metrics",
                  "q2_scoped_bm25_topk", "q_phrase_topk",

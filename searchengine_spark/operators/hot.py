@@ -104,13 +104,17 @@ def _term_rows_cached(index: dict, trow: dict) -> dict:
     return ent
 
 
-def _resolve(index: dict, qterms: list[str]) -> "list[dict] | None":
+def _resolve_mode(index: dict, qterms: list[str], mode: str):
     from searchengine_spark.operators.search import (_resolve_terms_driver,
                                                      _resolve_terms_paged)
-    trows = _resolve_terms_driver(index, qterms, "bm25")
+    trows = _resolve_terms_driver(index, qterms, mode)
     if trows is None:
-        trows = _resolve_terms_paged(index, qterms, "bm25")
+        trows = _resolve_terms_paged(index, qterms, mode)
     return trows
+
+
+def _resolve(index: dict, qterms: list[str]) -> "list[dict] | None":
+    return _resolve_mode(index, qterms, "bm25")
 
 
 def _meta_fill(index: dict, doc_ids: "list[int]") -> dict:
@@ -136,11 +140,15 @@ def _meta_fill(index: dict, doc_ids: "list[int]") -> dict:
 
 
 def hot_search(index: dict, query: str, k: int = 10,
+               mode: str = "bm25",
                k1: "float | None" = None, b: "float | None" = None,
                fallback: bool = True) -> pd.DataFrame:
-    """BM25 top-k answered driver-side; returns a PANDAS DataFrame with
-    ``search()``'s columns (doc_id, conv_id, turn_idx, role, tool, ts,
-    score) in ``search()``'s exact order (score at 9 dp desc, doc_id
+    """Top-k answered driver-side in ``mode`` "bm25" or "ref_compat"
+    (the reference's conjunctive tf-sum ranking — Q3 80%-df prune, AND
+    over the resolved terms, score = tf_sum / max over the matches);
+    returns a PANDAS DataFrame with ``search()``'s columns (doc_id,
+    conv_id, turn_idx, role, tool, ts, score) in ``search()``'s exact
+    order (score at 9 dp desc == tf_sum desc for ref_compat, doc_id
     asc). Warm hit = zero Spark jobs. Cold terms pay one fetch job each;
     a term over HOT_MAX_DF_FETCH (or a dictionary miss path error) falls
     back to the distributed ``search()`` when ``fallback`` (else
@@ -148,11 +156,14 @@ def hot_search(index: dict, query: str, k: int = 10,
     driver."""
     from searchengine_spark.operators.search import _query_terms
 
+    if mode not in ("bm25", "ref_compat"):
+        raise ValueError(f"hot_search supports bm25/ref_compat, not {mode!r}")
     k1e = K1 if k1 is None else float(k1)
     be = B if b is None else float(b)
     qterms = _query_terms(query, index["mode"],
                           index.get("dictionary", "fixture"))
-    trows = _resolve(index, qterms)
+    # the resolution helpers apply the Q3 80%-df prune for ref_compat
+    trows = _resolve_mode(index, qterms, mode)
     big = [t for t in (trows or []) if t["df"] > HOT_MAX_DF_FETCH]
     if big:
         if not fallback:
@@ -160,14 +171,14 @@ def hot_search(index: dict, query: str, k: int = 10,
                 f"terms over HOT_MAX_DF_FETCH: "
                 f"{[t['term'] for t in big]} — use search()")
         from searchengine_spark.operators.search import search
-        pdf = search(index, query, k=k, mode="bm25", k1=k1, b=b).toPandas()
+        pdf = search(index, query, k=k, mode=mode, k1=k1, b=b).toPandas()
         return pdf[[c for c in _OUT_COLS if c in pdf.columns]]
     if not trows:
         return pd.DataFrame(columns=_OUT_COLS)
 
     stats = index["stats"]
     n_docs, avgdl = stats["n_docs"], float(stats["avgdl"])
-    ids_parts, w_parts = [], []
+    ids_parts, w_parts, tf_parts = [], [], []
     for t in sorted(trows, key=lambda r: r["term_id"]):
         ent = _term_rows_cached(index, t)
         if ent["rows"] == 0:
@@ -179,11 +190,35 @@ def hot_search(index: dict, query: str, k: int = 10,
             tff + k1e * (1.0 - be + be * ent["dl"] / avgdl))
         ids_parts.append(ent["doc_id"])
         w_parts.append(w)
+        tf_parts.append(ent["tf"])
     if not ids_parts:
         return pd.DataFrame(columns=_OUT_COLS)
     all_ids = np.concatenate(ids_parts)
-    all_w = np.concatenate(w_parts)
     uniq, inv = np.unique(all_ids, return_inverse=True)
+    if mode == "ref_compat":
+        # Q6 conjunctive AND over the RESOLVED terms + Q7 tf-sum rank,
+        # normalized by the matches' max (== the rank-1 row's tf_sum)
+        n_q = len(ids_parts)
+        nt = np.bincount(inv)
+        tf_sum = np.bincount(inv, weights=np.concatenate(tf_parts)
+                             .astype(np.float64))
+        m = nt == n_q
+        mids, msum = uniq[m], tf_sum[m]
+        if len(mids) == 0:
+            return pd.DataFrame(columns=_OUT_COLS)
+        order = np.lexsort((mids, -msum))[:k]
+        win_ids = mids[order].tolist()
+        tfmax = float(msum[order[0]])
+        win_scores = [float(v) / tfmax for v in msum[order]]
+        meta = _meta_fill(index, win_ids)
+        rows = []
+        for d, s in zip(win_ids, win_scores):
+            mrow = meta[int(d)]
+            rows.append((int(d), mrow["conv_id"], mrow["turn_idx"],
+                         mrow["role"], mrow["tool"], mrow["ts"],
+                         float(s)))
+        return pd.DataFrame(rows, columns=_OUT_COLS)
+    all_w = np.concatenate(w_parts)
     scores = np.bincount(inv, weights=all_w)
     s9 = np.round(scores, 9)
     order = np.lexsort((uniq, -s9))[:k]

@@ -135,3 +135,24 @@ def test_hot_search_many_parity(hot_index):
         exp = _spark_rows(hot_index, q, k=5)
         sub = out[out["query_id"] == qid].drop(columns=["query_id"])
         assert _hot_rows(sub) == exp, qid
+
+
+def test_hot_ref_compat_parity(hot_index):
+    """ref_compat through the hot tier == search(mode='ref_compat'):
+    Q3 prune, conjunctive AND over resolved terms, tf-sum rank, max
+    normalization — row for row."""
+    for q in ["alpha gamma", "alpha beta gamma", "zeta", "nosuchterm",
+              "alpha nosuchterm"]:
+        exp = [(r["doc_id"], r["conv_id"], round(r["score"], 9))
+               for r in search(hot_index, q, k=10,
+                               mode="ref_compat").collect()]
+        got = [(int(r.doc_id), r.conv_id, round(float(r.score), 9))
+               for r in hot_search(hot_index, q, k=10,
+                                   mode="ref_compat")
+               .itertuples(index=False)]
+        assert got == exp, q
+
+
+def test_hot_rejects_unknown_mode(hot_index):
+    with pytest.raises(ValueError, match="bm25/ref_compat"):
+        hot_search(hot_index, "alpha", mode="phrase")
