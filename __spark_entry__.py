@@ -244,6 +244,23 @@ def _q_hot_ref_topk(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, score double")
 
 
+DYM_QUERY = "merqe hashh spark zzznope"  # two misspellings, one exact, one junk
+
+
+def _q_did_you_mean(spark, sf_dir):
+    """Whole-query spell correction (suggest.did_you_mean): each token
+    corrects to the closest dictionary term by (edit distance asc,
+    df desc, term asc) in ONE dictionary scan — exact tokens self-correct
+    at dist 0, unreachable tokens yield NULL (flattened to ''/-1 for the
+    hash compare). Oracle recomputes with DuckDB levenshtein."""
+    from searchengine_spark.operators.suggest import did_you_mean
+    out = did_you_mean(_index_for(spark, sf_dir), DYM_QUERY)
+    return out.select(
+        "pos", "word",
+        F.coalesce(F.col("corrected"), F.lit("")).alias("corrected"),
+        F.coalesce(F.col("dist"), F.lit(-1)).cast("int").alias("dist"))
+
+
 TUNED_K1, TUNED_B = 0.9, 0.4  # query-time similarity params for q_bm25_tuned
 
 
@@ -2591,6 +2608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_bm25_topk": _q_bm25_topk,
         "q_hot_cached_topk": _q_hot_cached_topk,
         "q_hot_ref_topk": _q_hot_ref_topk,
+        "q_did_you_mean": _q_did_you_mean,
         "q_bm25_tuned": _q_bm25_tuned_topk,
         "q_term_boost": _q_term_boost,
         "q_prf_topk": _q_prf_topk,
@@ -3268,6 +3286,23 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, round(tf_sum / (select max(tf_sum) from m), 6) as score
             from m order by tf_sum desc, doc_id asc limit {K}""",
         "q_bm25_tuned": _bm25_sql(BM25_Q, K, k1=TUNED_K1, b=TUNED_B),
+        "q_did_you_mean": f"""
+with dfv as ({_DF}),
+toks(pos, word) as (values (0, 'merqe'), (1, 'hashh'), (2, 'spark'), (3, 'zzznope')),
+cand as (select t.pos, t.word, d.term, d.df,
+                levenshtein(t.word, d.term) as dist
+         from toks t join dfv d
+           on abs(length(d.term) - length(t.word)) <= 2
+         where levenshtein(t.word, d.term) <= 2),
+best as (select pos, term as corrected, dist,
+                row_number() over (partition by pos
+                    order by dist asc, df desc, term asc) as rn
+         from cand)
+select cast(t.pos as int) as pos, t.word,
+       coalesce(b.corrected, '') as corrected,
+       cast(coalesce(b.dist, -1) as int) as dist
+from toks t left join (select * from best where rn = 1) b using (pos)
+""",
         "q_significant_bigrams": f"""
             with t as (select doc_id, list_filter(string_split_regex(
                          regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

@@ -372,3 +372,44 @@ def more_like_this(index: dict, doc_id: int, k: int = 10, n_terms: int = 10,
             .orderBy(F.round(F.col("score"), 9).desc(),
                      F.col("doc_id").asc())
             .limit(k))
+
+
+def did_you_mean(index: dict, query: str, max_dist: int = 2) -> DataFrame:
+    """Whole-query spell correction (the search-box "did you mean" —
+    no reference analog, its UI has no suggester): one row per query
+    token as (pos, word, corrected, dist) where ``corrected`` is the
+    best dictionary term within ``max_dist`` edits by (dist asc,
+    df desc, term asc) — a dictionary hit corrects to itself at dist 0,
+    an unreachable token gets corrected NULL / dist NULL.
+
+    Plan: ONE dictionary scan — the token list broadcasts against the
+    terms table under a length-band predicate (|len Δ| ≤ max_dist lower-
+    bounds edit distance), ``levenshtein(..., threshold)`` early-exits,
+    and a per-pos row_number picks the winner over the tiny candidate
+    set. Cost is independent of the corpus (dictionary-sized), and the
+    scan parallelizes over term partitions at 10^8-term scale."""
+    from pyspark.sql import Window
+
+    spark = index["docs"].sparkSession
+    mode = index.get("mode", "general")
+    words = [(_norm_word(w, mode),) for w in query.split()]
+    words = [(i, w) for i, (w,) in enumerate(words) if w]
+    out_schema = "pos int, word string, corrected string, dist int"
+    if not words:
+        return spark.createDataFrame([], out_schema)
+    toks = spark.createDataFrame(words, "pos int, word string")
+    dist = F.levenshtein(F.col("word"), F.col("term"), int(max_dist))
+    cand = (index["terms"]
+            .join(F.broadcast(toks),
+                  F.abs(F.length("term") - F.length("word"))
+                  <= int(max_dist))
+            .withColumn("dist", dist)
+            .filter((F.col("dist") >= 0) & (F.col("dist") <= int(max_dist))))
+    w = Window.partitionBy("pos").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+    best = (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("pos", F.col("term").alias("corrected"), "dist"))
+    return (toks.join(best, "pos", "left")
+            .select("pos", "word", "corrected", "dist")
+            .orderBy("pos"))

@@ -151,3 +151,16 @@ def test_wildcard_suffix_infix_grammar(qpos_index):
     y = {r["conv_id"] for r in
          query_search(qpos_index, "alpha -gam*", k=10).collect()}
     assert x == y == {"x001", "x003", "x004"}
+
+
+def test_did_you_mean(qpos_index):
+    """Exact tokens self-correct at dist 0; misspellings map to the
+    closest (then most frequent) dictionary term; unreachable tokens
+    get NULL."""
+    from searchengine_spark.operators.suggest import did_you_mean
+    out = {r["pos"]: r for r in
+           did_you_mean(qpos_index, "alpha alpax qqqqqqqq").collect()}
+    assert out[0]["corrected"] == "alpha" and out[0]["dist"] == 0
+    assert out[1]["word"] == "alpax"
+    assert out[1]["corrected"] == "alpha" and out[1]["dist"] == 2
+    assert out[2]["corrected"] is None and out[2]["dist"] is None
