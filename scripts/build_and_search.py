@@ -37,13 +37,21 @@ def main() -> None:
     ap.add_argument("--n-parts", type=int, default=8)
     args = ap.parse_args()
 
-    spark = SparkSession.builder.appName("searchengine-build").getOrCreate()
+    import os
+    builder = SparkSession.builder.appName("searchengine-build")
+    # honored only when this process launches its own JVM (plain `python
+    # scripts/build_and_search.py` locally); under real spark-submit the
+    # driver JVM already exists and --driver-memory governs instead
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     from searchengine_spark.operators.indexer import build_index
     from searchengine_spark.operators.search import search
     from searchengine_spark.plans.manifest import (
-        finalize_index, save_index, stage_partitions)
+        finalize_index, record_postings_metrics, save_index,
+        stage_partitions)
 
     transcripts = spark.read.parquet(args.input)
     t0 = time.time()
@@ -65,6 +73,12 @@ def main() -> None:
         "total_tokens": index["stats"]["total_tokens"],
         "queries": {},
     }
+    if args.staged or args.index_out:
+        # per-bucket postings lineage (postings/sec, compressed bytes)
+        # beside the staging manifest's per-partition docs/sec rows
+        mpath = args.staged or args.index_out
+        out["postings_metrics"] = record_postings_metrics(
+            index, mpath, elapsed_s=build_s)
     if args.index_out:
         t0 = time.time()
         save_index(index, args.index_out)

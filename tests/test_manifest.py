@@ -148,3 +148,40 @@ def test_save_load_round_trip(spark, oneshot, tmp_path_factory):
     # partition pruning is plannable: the scan must carry term_bucket
     plan = search(loaded, "лес", k=5)._jdf.queryExecution().executedPlan().toString()
     assert "term_bucket" in plan
+
+
+def test_record_postings_metrics(spark, tmp_path):
+    """Per-bucket postings lineage rows + totals: bucket rows partition
+    the block/posting/byte counts exactly, totals carry postings/sec and
+    bytes/posting (the north rule's encode-side metrics beside the
+    staging manifest's docs/sec)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.plans.manifest import record_postings_metrics
+    rows = [(f"c{i:03d}", 0, "user",
+             " ".join(f"w{(i + j) % 17}" for j in range(9)), None,
+             "2026-01-01 00:00:00") for i in range(40)]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    idx = build_index(t, mode="general", bucket_range=64, block_size=16)
+    root = str(tmp_path / "pm")
+    totals = record_postings_metrics(idx, root, elapsed_s=2.0)
+    lines = [json.loads(x) for x in
+             open(os.path.join(root, "postings_metrics.jsonl"))]
+    buckets = [x for x in lines if x["kind"] == "bucket"]
+    tot = [x for x in lines if x["kind"] == "totals"][0]
+    assert tot == totals
+    assert sum(b["postings"] for b in buckets) == tot["postings"]
+    assert sum(b["payload_bytes"] for b in buckets) == tot["payload_bytes"]
+    assert sum(b["blocks"] for b in buckets) == tot["blocks"]
+    # totals agree with the index itself
+    exp_postings = idx["postings"].agg(F.sum("n")).collect()[0][0]
+    assert tot["postings"] == int(exp_postings)
+    assert tot["postings_per_sec"] == round(tot["postings"] / 2.0, 1)
+    assert 0 < tot["bytes_per_posting"] < 30
