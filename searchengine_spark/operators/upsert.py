@@ -747,3 +747,34 @@ def diff_snapshots(spark: SparkSession, root: str, a: str,
     }
     return {"docs_added": docs_added, "docs_removed": docs_removed,
             "terms_changed": terms_changed, "summary": summary}
+
+
+def retention_sweep(spark: SparkSession, root: str, predicate,
+                    incremental: bool = True) -> "tuple[str, int]":
+    """TTL / retention DELETE over a persisted snapshot root: remove every
+    turn whose docs row satisfies ``predicate`` (a Column, e.g.
+    ``F.col("ts") < F.lit(cutoff)`` — the transcripts-retention sweep a
+    compliance pipeline runs nightly) and commit ONE new snapshot.
+
+    Thin composition over the existing protocol: resolve the matching
+    (conv_id, turn_idx) keys from the CURRENT snapshot's docs table (one
+    pruned scan — at 10^12 turns a ts predicate prunes parquet row
+    groups via min/max stats), then ``delete_from_path`` rewrites only
+    the touched posting groups as an O(|deleted|) delta layer
+    (``incremental=True``, default) and flips CURRENT atomically.
+    Time travel to the pre-sweep snapshot keeps working until
+    ``expire_snapshots`` — the standard audit window. Returns (new
+    snapshot dir, n_deleted); a predicate matching nothing commits
+    nothing and returns (current dir, 0)."""
+    from searchengine_spark.plans.manifest import load_index, read_current
+
+    cur = read_current(root)
+    if cur is None:
+        raise ValueError(f"no CURRENT snapshot under {root}")
+    index = load_index(spark, cur)
+    keys = index["docs"].filter(predicate).select(*KEY)
+    n = keys.count()
+    if n == 0:
+        return cur, 0
+    return delete_from_path(spark, root, keys,
+                            incremental=incremental), n

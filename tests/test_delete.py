@@ -136,3 +136,54 @@ def test_delete_edges(spark, corpus):
             delete_turns(base, F.lit(True), max_delta_fraction=0.0)
         finally:
             U.MAX_DELTA_ABS = orig
+
+
+def test_retention_sweep(spark, tmp_path):
+    """TTL sweep: ts-cutoff predicate deletes exactly the old turns as an
+    O(|deleted|) delta commit; the swept index equals a fresh rebuild of
+    the survivors, the pre-sweep snapshot stays time-travelable, and a
+    no-match sweep commits nothing."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.upsert import (load_index_as_of,
+                                                     retention_sweep)
+    from searchengine_spark.plans.manifest import (commit_snapshot,
+                                                   list_snapshots,
+                                                   read_current, save_index)
+    rows = [(f"c{i:03d}", 0, "user", f"alpha beta w{i % 7}", None,
+             f"2026-01-{1 + i % 20:02d} 00:00:00") for i in range(40)]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    root = str(tmp_path / "ret")
+    import os
+    os.makedirs(root)
+    save_index(build_index(t, mode="general"), os.path.join(root,
+                                                            "snap-00000"))
+    commit_snapshot(root, "snap-00000")
+    cutoff = "2026-01-08 00:00:00"
+    new_dir, n = retention_sweep(
+        spark, root, F.col("ts") < F.to_timestamp(F.lit(cutoff)))
+    expected_kept = t.filter(F.col("ts") >= F.to_timestamp(F.lit(cutoff)))
+    assert n == 40 - expected_kept.count() and n > 0
+    swept = load_index_as_of(spark, root)
+    fresh = build_index(expected_kept, mode="general")
+    # compare the term→df dictionaries and doc sets exactly
+    d1 = {r["term"]: r["df"] for r in swept["terms"].collect()}
+    d2 = {r["term"]: r["df"] for r in fresh["terms"].collect()}
+    assert d1 == d2
+    assert ({r["conv_id"] for r in swept["docs"].collect()}
+            == {r["conv_id"] for r in expected_kept.collect()})
+    # delta commit + audit window
+    snaps = list_snapshots(root)
+    assert snaps[-1]["kind"] == "delta" and snaps[-1]["current"]
+    pre = load_index_as_of(spark, root, "snap-00000")
+    assert pre["docs"].count() == 40
+    # no-match sweep: nothing committed
+    cur_before = read_current(root)
+    same, n0 = retention_sweep(
+        spark, root, F.col("conv_id") == "zzz_nomatch")
+    assert n0 == 0 and same == cur_before
+    assert read_current(root) == cur_before
