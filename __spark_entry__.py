@@ -261,6 +261,68 @@ def _q_did_you_mean(spark, sf_dir):
         F.coalesce(F.col("dist"), F.lit(-1)).cast("int").alias("dist"))
 
 
+
+MMR_K, MMR_N, MMR_LAM = 8, 30, 0.7
+
+
+def _q_sim_mmr_topk(spark, sf_dir):
+    """MMR diversification (similarity.mmr_rerank — Carbonell-Goldstein
+    maximal marginal relevance): exact cosine top-30 candidates in one
+    corpus scan, then the greedy lam*rel − (1−lam)*max-sim-to-selected
+    head rerank driver-side. Oracle: the SAME greedy unrolled as 8 chained
+    argmax CTEs over DuckDB list_cosine_similarity, every compared
+    quantity rounded to 6 dp half-away-from-zero on both sides."""
+    from searchengine_spark.functions.similarity import mmr_rerank
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = mmr_rerank(emb, qvec, k=MMR_K, n=MMR_N, lam=MMR_LAM)
+    return out.select("rank", "vec_id", F.round("cos", 6).alias("cos"),
+                      F.round("mmr", 6).alias("mmr"))
+
+
+
+def _mmr_sql(k: int, n: int, lam: float) -> str:
+    """Oracle for sim_mmr_topk: the MMR greedy unrolled as k chained
+    argmax CTEs (step i picks the best remaining candidate against the
+    union of picks 1..i-1); every compared quantity rounds to 6 dp, the
+    cosine formula is the sim_cosine_topk oracle's dot/norms shape."""
+    lam = float(lam)
+    dot = "list_dot_product"
+    sim = (f"round({dot}(c.v, p.v) / (sqrt({dot}(c.v, c.v)) "
+           f"* sqrt({dot}(p.v, p.v))), 6)")
+    steps, union_sel = [], ["s1"]
+    for i in range(2, int(k) + 1):
+        prev = " union all ".join(f"select vec_id, v from {t}"
+                                  for t in union_sel)
+        steps.append(f"""s{i} as materialized (
+  select c.vec_id, c.rel, c.v, {i} as rank,
+         round({lam!r} * c.rel - {1.0 - lam!r} * (
+             select max({sim}) from ({prev}) p), 6) as mmr
+  from cand c
+  where c.vec_id not in (select vec_id from ({prev}))
+  order by mmr desc, c.vec_id asc limit 1)""")
+        union_sel.append(f"s{i}")
+    final = " union all ".join(
+        f"select rank, vec_id, round(rel, 6) as cos, round(mmr, 6) as mmr "
+        f"from {t}" for t in union_sel)
+    return f"""
+with q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0),
+base as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+cand as materialized (select vec_id,
+                round({dot}(v, (select qv from q))
+                      / (sqrt({dot}(v, v))
+                         * sqrt({dot}((select qv from q),
+                                      (select qv from q)))), 6) as rel,
+                v
+         from base order by rel desc, vec_id asc limit {int(n)}),
+s1 as materialized (select vec_id, rel, v, 1 as rank, rel as mmr from cand
+       order by rel desc, vec_id asc limit 1),
+{",".join(steps)}
+select rank, vec_id, cos, mmr from ({final}) order by rank
+"""
+
+
 TUNED_K1, TUNED_B = 0.9, 0.4  # query-time similarity params for q_bm25_tuned
 
 
@@ -2710,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "sim_cosine_topk": _q_sim_cosine_topk,
+        "sim_mmr_topk": _q_sim_mmr_topk,
         "q_hybrid_rrf": _q_hybrid_rrf,
         "q_hybrid_batched": _q_hybrid_batched,
         "q_hybrid_ann": _q_hybrid_ann,
@@ -4400,6 +4463,7 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
             select * from top_a where rank <= {K}
             union all
             select * from top_b where rank <= {K}""",
+        "sim_mmr_topk": _mmr_sql(MMR_K, MMR_N, MMR_LAM),
         "sim_cosine_topk": f"""
             with q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0),
             s as (select vec_id,

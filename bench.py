@@ -244,7 +244,7 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "q_bm25_tuned", "q_trigram_infix", "text_cnb_classify",
                  "q_bool_search", "q_batched_bool", "text_bigram_ppl",
                  "q_term_boost", "q_prf_topk", "q_significant_bigrams", "q_multi_fusion",
-                 "sim_cosine_topk", "q_hybrid_rrf", "q_hybrid_batched", "text_quality", "text_lang_id",
+                 "sim_cosine_topk", "sim_mmr_topk", "q_hybrid_rrf", "q_hybrid_batched", "text_quality", "text_lang_id",
                  "events_sessionize", "text_token_count_bpe", "sim_neardup_pairs",
                  "multimodal_png", "multimodal_wav",
                  "sim_semantic_dedup"]

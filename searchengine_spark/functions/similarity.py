@@ -22,6 +22,7 @@ iterations), not just a sample.
 from __future__ import annotations
 
 import json
+import math
 import os
 
 import numpy as np
@@ -798,3 +799,67 @@ def ivfpq_topk(ann: dict, qvec: list[float], k: int = 10, n_probe: int = 2,
              .limit(int(rerank)).collect()]
     cand = probed.filter(F.col(id_col).isin(short))
     return cosine_topk(cand, qvec, k, vec_col, id_col)
+
+
+def _round_half_away(x: float, nd: int = 6) -> float:
+    """Spark/DuckDB ROUND semantics (half away from zero) — python's
+    round() is banker's and can disagree exactly at the boundary."""
+    m = 10.0 ** nd
+    return math.copysign(math.floor(abs(x) * m + 0.5) / m, x)
+
+
+def mmr_rerank(df: DataFrame, qvec: "list[float]", k: int = 10,
+               n: int = 50, lam: float = 0.7,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    1998 — the standard redundancy-aware rerank for retrieval-augmented
+    pipelines): exact cosine top-``n`` candidates in ONE corpus scan,
+    then greedily select ``k`` maximizing
+
+        mmr = lam * rel − (1 − lam) * max cos(candidate, selected)
+
+    The greedy is inherently sequential, so it runs driver-side over the
+    ≤ n candidate embeddings (the rescore-window contract: MMR reorders
+    the HEAD; the corpus-scale work is the one scan). Determinism: rel
+    and every pairwise sim round to 6 dp (half away from zero — Spark /
+    DuckDB ROUND), pick order (mmr 6 dp desc, id asc); the first pick is
+    the cosine rank-1 row with mmr = rel. Returns (rank, <id_col>, cos,
+    mmr)."""
+    spark = df.sparkSession
+    cand = cosine_topk(df, qvec, k=int(n), vec_col=vec_col,
+                       id_col=id_col)
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    rows = (cand.join(vecs, id_col)
+            .select(id_col, "cos", vec_col).collect())
+    if not rows:
+        return spark.createDataFrame(
+            [], f"rank int, {id_col} long, cos double, mmr double")
+    ids = [int(r[id_col]) for r in rows]
+    rel = {int(r[id_col]): float(r["cos"]) for r in rows}
+    # raw vectors + norms; pairwise sim computed as dot/(|a||b|) — the
+    # same float shape as the SQL oracle (NOT normalize-then-dot, whose
+    # last-ulp noise could land differently at the 6-dp boundary)
+    V = {int(r[id_col]): np.asarray(r[vec_col], dtype=float)
+         for r in rows}
+    NRM = {i: float(np.sqrt(float(V[i] @ V[i]))) for i in V}
+    sel, out = [], []
+    remaining = sorted(ids)
+    for rank in range(1, min(int(k), len(ids)) + 1):
+        best = None
+        for cid in remaining:
+            if not sel:
+                score = rel[cid]
+            else:
+                maxsim = max(_round_half_away(
+                    float(V[cid] @ V[s]) / (NRM[cid] * NRM[s]))
+                    for s in sel)
+                score = _round_half_away(
+                    float(lam) * rel[cid] - (1.0 - float(lam)) * maxsim)
+            if best is None or (score, -cid) > (best[1], -best[0]):
+                best = (cid, score)
+        sel.append(best[0])
+        remaining.remove(best[0])
+        out.append((rank, best[0], rel[best[0]], float(best[1])))
+    return spark.createDataFrame(
+        out, f"rank int, {id_col} long, cos double, mmr double")

@@ -499,3 +499,48 @@ def test_dedup_keep_longest(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="keep"):
         dedup_keep_canonical(df, clusters, keep="best")
+
+
+def test_mmr_rerank_diversifies(vectors):
+    """MMR head rerank: pick 1 == cosine rank-1; every later pick is the
+    argmax of lam*rel − (1−lam)*max-sim-to-selected over the remaining
+    candidates (recomputed independently here); and with the planted
+    near-duplicates, MMR demotes at least one redundant neighbor that
+    plain cosine order keeps adjacent."""
+    import numpy as np
+
+    from searchengine_spark.functions.similarity import (_round_half_away,
+                                                         cosine_topk,
+                                                         mmr_rerank)
+    rows = vectors.collect()
+    vec = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=float)
+           for r in rows}
+    qvec = [float(x) for x in vec[0]]
+    lam, k, n = 0.5, 6, 20
+    out = mmr_rerank(vectors, qvec, k=k, n=n, lam=lam).collect()
+    assert [r["rank"] for r in out] == list(range(1, k + 1))
+    base = {int(r["vec_id"]): float(r["cos"]) for r in
+            cosine_topk(vectors, qvec, k=n).collect()}
+    picks = [int(r["vec_id"]) for r in out]
+    assert picks[0] == sorted(base, key=lambda i: (-base[i], i))[0]
+
+    def sim(a, b):
+        va, vb = vec[a], vec[b]
+        return _round_half_away(
+            float(va @ vb) / (float(np.sqrt(va @ va))
+                              * float(np.sqrt(vb @ vb))))
+
+    for step in range(1, k):
+        sel = picks[:step]
+        remaining = [c for c in base if c not in sel]
+        scored = sorted(
+            ((_round_half_away(lam * base[c]
+                               - (1 - lam) * max(sim(c, s) for s in sel)),
+              -c) for c in remaining), reverse=True)
+        assert -scored[0][1] == picks[step], step
+    # vectors fixture plants near-dups (i, 40+i): after picking one of a
+    # near-dup pair, MMR must NOT pick its twin next while a less
+    # redundant candidate exists — i.e. the MMR order differs from the
+    # plain cosine order
+    plain = sorted(base, key=lambda i: (-base[i], i))[:k]
+    assert picks != plain
