@@ -262,6 +262,19 @@ def _q_did_you_mean(spark, sf_dir):
 
 
 
+
+def _q_top_hits(spark, sf_dir):
+    """Per-facet top hits (search_top_hits — ES top_hits aggregation):
+    the 3 best BM25 matches inside every doc_id%10 facet bucket, one
+    match-set window — the "best per category" panel."""
+    from searchengine_spark.operators.search import search_top_hits
+    index = _index_for(spark, sf_dir)
+    out = search_top_hits(index, " ".join(BM25_Q),
+                          by=F.substring(F.col("conv_id"), 11, 1), m=3)
+    return out.select("facet", "rank", _orig_doc_id(),
+                      F.round("score", 6).alias("score"))
+
+
 MMR_K, MMR_N, MMR_LAM = 8, 30, 0.7
 
 
@@ -2685,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_doc_term_weights": _a6_doc_term_weights,
         "q_significant_terms": _q_significant_terms,
         "q_facets": _q_facets,
+        "q_top_hits": _q_top_hits,
         "q_facets_multi": _q_facets_multi,
         "q_count": _q_count,
         "q_facets_minute": _q_facets_minute,
@@ -3567,6 +3581,24 @@ where tf.term in ({", ".join(f"'{t}'" for t in BM25_Q)})
             select cast(count(distinct doc_id) as bigint) as n_matches
             from tf where term in ({", ".join(f"'{t}'" for t in BM25_Q)})
               and doc_id not in (select doc_id from tf where term = '{NOT_T}')""",
+        "q_top_hits": f"""
+with tf as ({_TF}), dfv as ({_DF}), dl as ({_DL}),
+stats as (select count(*) as n, avg(dl) as avgdl from dl),
+scored as (
+  select tf.doc_id,
+         sum( ln(1.0 + (stats.n - dfv.df + 0.5) / (dfv.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) ) as s
+  from tf join dfv using (term) join dl using (doc_id), stats
+  where tf.term in ({", ".join(f"'{t}'" for t in BM25_Q)})
+  group by tf.doc_id),
+ranked as (
+  select cast(doc_id % 10 as varchar) as facet, doc_id, s,
+         row_number() over (partition by doc_id % 10
+             order by round(s, 9) desc, doc_id asc) as rank
+  from scored)
+select facet, cast(rank as int) as rank, doc_id, round(s, 6) as score
+from ranked where rank <= 3
+""",
         "q_facets_minute": f"""
             with tf as ({_TF}),
             m as (select distinct doc_id from tf

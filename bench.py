@@ -220,7 +220,7 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "q_batched_bm25f", "q_batched_scoped",
                  "q7_bm25_topk", "q_hot_cached_topk", "q_hot_ref_topk", "q_bm25_not_topk", "q_batched_not",
                  "q_search_after", "q_sort_recent", "q_count", "q_boost_recent",
-                 "q_facets", "q_facets_multi", "q_facets_metrics",
+                 "q_facets", "q_top_hits", "q_facets_multi", "q_facets_metrics",
                  "q2_scoped_bm25_topk", "q_phrase_topk",
                  "q_batched_phrase", "q_querylang", "q_batched_querylang",
                  "q_querylang_wildcard", "q_suggest", "q_more_like_this", "q_did_you_mean",

@@ -3780,3 +3780,36 @@ def search_grouped(index: dict, query: str, k: int = 10,
     return topk.select("group", "score", "n_turns", "best_doc_id",
                        "best_doc_score") \
         .orderBy(F.round(F.col("score"), 9).desc(), F.col("group").asc())
+
+
+def search_top_hits(index: dict, query: str, by="role", m: int = 3,
+                    mode: str = "bm25", scope=None,
+                    exclude: "str | None" = None,
+                    min_match: "int | None" = None,
+                    k1: "float | None" = None,
+                    b: "float | None" = None) -> DataFrame:
+    """Per-facet top hits — the Elasticsearch ``top_hits`` aggregation
+    (the "best 3 matches per category" panel; no reference analog, its
+    API returns one flat list): for every value of ``by`` (docs column
+    name or Column expression, cast to string), the ``m`` best matching
+    docs by the canonical ordering (score at 9 dp desc, doc_id asc).
+
+    Plan: the facet family's match-set plan (``search_select`` — one
+    bucket-pruned decode, doc agg, docs join) + ONE window partitioned by
+    the facet key. The window is match-set-sized and partitioned — never
+    a global sort — so the shape survives any corpus size; cardinality
+    of the output is |facets| × m. Returns (facet, rank, doc_id,
+    conv_id, turn_idx, role, tool, ts, score)."""
+    from pyspark.sql import Window
+
+    sel = search_select(index, query, mode=mode, scope=scope,
+                        exclude=exclude, min_match=min_match, k1=k1, b=b)
+    key = F.col(by) if isinstance(by, str) else by
+    sel = sel.withColumn("facet", key.cast("string"))
+    w = Window.partitionBy("facet").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("doc_id").asc())
+    return (sel.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(m))
+            .select("facet", F.col("rank").cast("int").alias("rank"),
+                    "doc_id", "conv_id", "turn_idx", "role", "tool",
+                    "ts", "score"))
