@@ -763,6 +763,19 @@ def _q_percolate_scaled(spark, sf_dir):
             .agg(F.count("*").alias("n_matches")))
 
 
+
+def _q_percolate_scored(spark, sf_dir):
+    """Scored percolation (percolate(with_scores=True) — the ES
+    percolator's _score analog): same match set as q_percolate plus
+    tf_sum = Σtf of each query's ranked terms in the doc, carried free
+    inside the ranked aggregation (events are per-position rows)."""
+    from searchengine_spark.operators.percolate import percolate
+    out = percolate(PERC_QUERIES, _docs_as_transcripts(spark, sf_dir),
+                    with_scores=True)
+    return out.select("query_id", _orig_doc_id(),
+                      F.col("tf_sum").cast("long").alias("tf_sum"))
+
+
 def _q_querylang(spark, sf_dir):
     """Unified query language (operators/querylang.py): bare terms rank via
     BM25 (phrase constituents included), the quoted phrase is a positional
@@ -2722,6 +2735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percolate": _q_percolate,
         "q_percolate_scaled": _q_percolate_scaled,
         "q_percolate_table": _q_percolate_table,
+        "q_percolate_scored": _q_percolate_scored,
         "q_querylang_regex": _q_querylang_regex,
         "q_querylang_exists": _q_querylang_exists,
         "q_synonyms": _q_synonyms,
@@ -3791,6 +3805,49 @@ ok as (select qi, doc_id from mm
 select 'q' || lpad(cast(qi as varchar), 5, '0') as query_id,
        cast(count(*) as bigint) as n_matches
 from ok group by 1
+""",
+        "q_percolate_scored": f"""
+with tf as ({_TF}),
+arrs as (select doc_id, list_filter(string_split_regex(
+    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+    x -> x <> '') as arr from documents),
+tp as (select doc_id, unnest(arr) as term,
+       unnest(range(len(arr))) as pos from arrs),
+alp as (select tp.doc_id, tp.pos - q.qidx as base, q.qidx
+        from tp join (values ('hash', 0), ('join', 1)) as q(term, qidx)
+        using (term)),
+pmp as (select doc_id from alp group by doc_id, base
+        having count(distinct qidx) = 2),
+sa0 as (select doc_id, pos as p0 from tp where term = 'spark'),
+sa1 as (select doc_id, pos as p1 from tp where term = 'hash'),
+pms as (select doc_id from (
+          select doc_id, greatest(p0, p1) - least(p0, p1) as s
+          from sa0 join sa1 using (doc_id))
+        group by doc_id having min(s) <= 8),
+m_pt as (select doc_id, cast(sum(tf) as bigint) as tf_sum from tf
+         where term in ('scan', 'hash') group by doc_id),
+m_pp as (select doc_id, cast(sum(tf) as bigint) as tf_sum from tf
+         where term in ('scan', 'hash', 'join')
+         and doc_id in (select doc_id from pmp) group by doc_id),
+m_pn as (select doc_id, cast(sum(tf) as bigint) as tf_sum from tf
+         where term = 'scan'
+         and doc_id not in (select doc_id from tf where term = 'merge')
+         group by doc_id),
+m_pm2 as (select doc_id, cast(sum(tf) as bigint) as tf_sum from tf
+          where term in ('scan', 'merge', 'hash')
+          group by doc_id having count(distinct term) >= 2),
+m_pq as (select doc_id, cast(sum(tf) as bigint) as tf_sum from tf
+         where term in ('scan', 'merge')
+         and doc_id between 100 and 199 group by doc_id),
+m_ps as (select doc_id, cast(sum(tf) as bigint) as tf_sum from tf
+         where term in ('scan', 'spark', 'hash')
+         and doc_id in (select doc_id from pms) group by doc_id)
+select 'pt' as query_id, doc_id, tf_sum from m_pt
+union all select 'pp', doc_id, tf_sum from m_pp
+union all select 'pn', doc_id, tf_sum from m_pn
+union all select 'pm2', doc_id, tf_sum from m_pm2
+union all select 'pq', doc_id, tf_sum from m_pq
+union all select 'ps', doc_id, tf_sum from m_ps
 """,
         "q_span_topk": _span_sql(SPAN_Q.split(), SPAN_W, K),
         "q_ordered_span_topk": _ordered_span_sql(SPAN_Q.split(), SPAN_W, K),

@@ -224,7 +224,7 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "q2_scoped_bm25_topk", "q_phrase_topk",
                  "q_batched_phrase", "q_querylang", "q_batched_querylang",
                  "q_querylang_wildcard", "q_suggest", "q_more_like_this", "q_did_you_mean",
-                 "q_span_topk", "q_percolate", "q_percolate_scaled", "q_percolate_table",
+                 "q_span_topk", "q_percolate", "q_percolate_scored", "q_percolate_scaled", "q_percolate_table",
                  "q_collapse_topk", "q_grouped_topk",
                  "text_pii_scrub", "text_clean_lines", "text_repetition",
                  "text_chunks", "text_gopher", "text_unigram_ppl",

@@ -337,7 +337,8 @@ def _span_matches(ev: DataFrame, key: list, clauses: list) -> DataFrame:
 def percolate(queries: dict[str, str], docs: DataFrame,
               mode: str = "general", dictionary: str = "fixture",
               index: "dict | None" = None,
-              key_cols: "list[str] | None" = None) -> DataFrame:
+              key_cols: "list[str] | None" = None,
+              with_scores: bool = False) -> DataFrame:
     """Match every doc in ``docs`` against every registered grammar query:
     returns (query_id, *key_cols) — one row per (matching query, doc),
     where a doc matches exactly when it would be in
@@ -378,14 +379,20 @@ def percolate(queries: dict[str, str], docs: DataFrame,
     for qid, s in specs.items():
         for t in s["ranked"]:
             r_by_term.setdefault(t, []).append((qid,))
+    # events are per-POSITION rows, so count(*) per (doc, query) is the
+    # Σtf of the query's ranked terms in the doc — the ES percolator's
+    # _score analog (the reference's own tf-sum flavor), carried free
+    # inside the same aggregation when ``with_scores``
+    score_cols = ([F.count("*").alias("tf_sum")] if with_scores else [])
+    out_extra = ["tf_sum"] if with_scores else []
     nt = (_fanout_by_term(events, r_by_term, [("query_id", "string")],
                           key_col="term", key_type="string")
           .groupBy(*key, "query_id")
-          .agg(F.countDistinct("term").alias("nt")))
+          .agg(F.countDistinct("term").alias("nt"), *score_cols))
     mm_d = {qid: s["mm"] for qid, s in specs.items()}
     matched = (_attach_scalar(nt, mm_d, "int", "_mm")
                .filter(F.col("nt") >= F.col("_mm"))
-               .select(*key, "query_id"))
+               .select(*key, "query_id", *out_extra))
 
     # positive clauses → (key, query, clause) rows; clause ids are global
     next_cid = iter(range(10 ** 9))
@@ -500,7 +507,7 @@ def percolate(queries: dict[str, str], docs: DataFrame,
             banned = banned.unionByName(b)
         matched = matched.join(banned.distinct(), key + ["query_id"],
                                "left_anti")
-    return matched.select("query_id", *key)
+    return matched.select("query_id", *key, *out_extra)
 
 
 def percolate_stream(queries: dict[str, str], turns_stream: DataFrame,

@@ -351,3 +351,30 @@ def test_percolate_table_stream_smoke(spark, tmp_path):
     q.stop()
     assert (0, "a", "c1") in got
     assert all(g[1] != "d" for g in got)
+
+
+def test_percolate_with_scores(qpos_index):
+    """with_scores=True: identical match SET plus tf_sum == the Σtf of
+    each query's ranked (positive, analyzed) terms in the doc —
+    recomputed here from the analyzed token streams."""
+    from searchengine_spark.functions.analysis import analyze_text
+    docs = qpos_index["docs"]
+    qs = {"t1": "alpha gamma", "mm": "alpha gamma delta min:2",
+          "p1": '"alpha beta"', "g1": "(gamma|delta) alpha"}
+    plain = _percolate_sets(docs, qs)
+    ranked_of = {"t1": {"alpha", "gamma"},
+                 "mm": {"alpha", "gamma", "delta"},
+                 "p1": {"alpha", "beta"},
+                 "g1": {"alpha", "gamma", "delta"}}
+    toks = {r["conv_id"]: analyze_text(r["text"], "general",
+                                       dictionary="fixture")
+            for r in docs.select("conv_id", "text").collect()}
+    got = {}
+    for r in percolate(qs, docs, with_scores=True).collect():
+        got[(r["query_id"], r["conv_id"])] = r["tf_sum"]
+    assert {q for q, _ in got} <= set(qs)
+    assert plain == {qid: {c for q, c in got if q == qid}
+                     for qid in plain}
+    for (qid, conv), tf_sum in got.items():
+        exp = sum(1 for t in toks[conv] if t in ranked_of[qid])
+        assert tf_sum == exp, (qid, conv)
