@@ -2074,6 +2074,47 @@ def _en_index_for(spark, sf_dir):
     return _disk_cached_index(spark, sf_dir, "en_simple", _build)
 
 
+def _porter_index_for(spark, sf_dir):
+    """en_porter-analyzed index over a derivation-shaped corpus: every
+    doc gets one extra token cycling (connection, connected, connecting,
+    generalization, <none>) by doc_id%5, so the full Porter algorithm is
+    load-bearing in retrieval (the base vocab has no derivations)."""
+    from searchengine_spark.operators.indexer import build_index
+
+    def _build():
+        d = _docs(spark, sf_dir)
+        extra = F.element_at(
+            F.array(F.lit("connection"), F.lit("connected"),
+                    F.lit("connecting"), F.lit("generalization"),
+                    F.lit("")),
+            (F.col("doc_id") % 5 + 1).cast("int"))
+        t = d.select(
+            F.format_string("doc%08d", F.col("doc_id")).alias("conv_id"),
+            F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+            F.concat_ws(" ", F.col("text"), extra).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"))
+        return build_index(t, dictionary="en_porter")
+
+    return _disk_cached_index(spark, sf_dir, "en_porter", _build)
+
+
+def _q_bm25_porter_topk(spark, sf_dir):
+    """BM25 top-10 through the FULL Porter stemmer (resources/
+    en_porter.py — the Porter 1980 algorithm as the en analyzer's rule
+    fallback): the whole connection/connected/connecting family
+    co-retrieves under 'connection', and 'generalizations' reaches
+    'generalization' through the gener- chain. Oracle: the same BM25 SQL
+    over stems resolved via a COMMITTED (word → stem) map computed by an
+    independent CV-pattern reimplementation
+    (tests/data/make_expected_porter.py) — any corpus word the two
+    implementations stem differently breaks the value hash."""
+    from searchengine_spark.operators.search import search
+    out = search(_porter_index_for(spark, sf_dir),
+                 "connection generalizations", k=K, mode="bm25")
+    return out.select(_orig_doc_id(), F.round("score", 6).alias("score"))
+
+
 def _q_pipeline_pack_token_ids(spark, sf_dir):
     """Tokenize → encode (32-term vocab + <unk>) → GPT-style packing into
     512-token sequences on the deterministic hash-ordered stream; one row
@@ -2840,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile": _q_corpus_profile,
         "pipeline_encode_ids": _q_pipeline_encode_ids,
         "q_bm25_en_topk": _q_bm25_en_topk,
+        "q_bm25_porter_topk": _q_bm25_porter_topk,
         "pipeline_pack_token_ids": _q_pipeline_pack_token_ids,
         "text_unigram_ppl": _q_text_unigram_ppl,
         "text_bigram_ppl": _q_text_bigram_ppl,
@@ -5048,6 +5090,46 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
               from tf join dfv using (term) join dl using (doc_id)
               cross join stats
               where tf.term in ('table', 'query')
+              group by tf.doc_id)
+            select doc_id, round(s, 6) as score from scored
+            order by round(s, 9) desc, doc_id asc limit {K}""",
+        "q_bm25_porter_topk": f"""
+            with map as (select * from read_parquet(
+              '/root/repo/tests/data/expected_porter_map.parquet')),
+            m as (
+              select doc_id,
+                     lower(text) || ' ' ||
+                     (case cast(doc_id % 5 as int)
+                        when 0 then 'connection' when 1 then 'connected'
+                        when 2 then 'connecting'
+                        when 3 then 'generalization'
+                        else '' end) as text
+              from documents),
+            toks as (select doc_id,
+                            unnest(list_filter(string_split_regex(
+                              regexp_replace(lower(text), '[^a-z0-9 ]',
+                                             ' ', 'g'), ' +'),
+                              x -> x <> '')) as word
+                     from m),
+            kept as (select t.doc_id, mp.stem as term
+                     from toks t join map mp using (word)),
+            tf as (select doc_id, term, count(*) as tf
+                   from kept group by 1, 2),
+            dfv as (select term, count(*) as df from tf group by 1),
+            dl as (select doc_id, count(*) as dl from kept group by 1),
+            stats as (select count(*) as n, avg(dl) as avgdl from dl),
+            scored as (
+              select tf.doc_id,
+                     sum( ln(1.0 + (stats.n - dfv.df + 0.5)
+                             / (dfv.df + 0.5))
+                          * (tf.tf * 2.2)
+                          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                            / stats.avgdl)) ) as s
+              from tf join dfv using (term) join dl using (doc_id)
+              cross join stats
+              where tf.term in (select distinct stem from map
+                                where word in ('connection',
+                                               'generalizations'))
               group by tf.doc_id)
             select doc_id, round(s, 6) as score from scored
             order by round(s, 9) desc, doc_id asc limit {K}""",

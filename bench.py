@@ -239,7 +239,7 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "pipeline_pack_sequences", "pipeline_encode_ids",
                  "pipeline_pack_token_ids", "text_nb_classify",
                  "corpus_profile", "q_passage_topk", "q_batched_passage",
-                 "q_bm25_en_topk",
+                 "q_bm25_en_topk", "q_bm25_porter_topk",
                  "q_eval_retrieval", "text_span_dedup", "text_sa_dedup",
                  "q_bm25_tuned", "q_trigram_infix", "text_cnb_classify",
                  "q_bool_search", "q_batched_bool", "text_bigram_ppl",

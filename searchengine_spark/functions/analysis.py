@@ -62,6 +62,12 @@ def get_dictionary(name: str = "fixture") -> tuple[dict[str, str], frozenset[str
             from searchengine_spark.resources.en_morph import (
                 EN_IRREGULAR, EN_STOP_WORDS)
             _DICTIONARIES[name] = (EN_IRREGULAR, EN_STOP_WORDS)
+        elif name == "en_porter":
+            # same stop list + irregular map; Porter replaces the
+            # S-stemmer as the rule fallback (resources/en_porter.py)
+            from searchengine_spark.resources.en_morph import (
+                EN_IRREGULAR, EN_STOP_WORDS)
+            _DICTIONARIES[name] = (EN_IRREGULAR, EN_STOP_WORDS)
         else:
             raise ValueError(f"unknown dictionary: {name}")
     return _DICTIONARIES[name]
@@ -79,6 +85,10 @@ def get_post_rule(name: str):
                                                            s_stem_series,
                                                            surface_forms)
         return (s_stem, s_stem_series, surface_forms)
+    if name == "en_porter":
+        from searchengine_spark.resources.en_porter import (
+            porter_stem, porter_stem_series, porter_surface_forms)
+        return (porter_stem, porter_stem_series, porter_surface_forms)
     return None
 
 
