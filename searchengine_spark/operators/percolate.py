@@ -769,7 +769,7 @@ def percolate_bool_stream(exprs: dict[str, str], turns_stream: DataFrame,
 # --------------------------------------------------------------------------
 
 _REQ_SCHEMA = ("query_id string, kind string, clause int, slot int, "
-               "term string, w int, mm int")
+               "term string, val string, w int, mm int")
 
 
 def compile_query_table(queries: DataFrame, mode: str = "general",
@@ -796,11 +796,21 @@ def compile_query_table(queries: DataFrame, mode: str = "general",
                 q = parse_query(qstr)
                 if (q["wildcards"] or q["not_wildcards"] or q["fuzzies"]
                         or q["not_fuzzies"] or q["regexes"]
-                        or q["not_regexes"] or q["qualifiers"]):
+                        or q["not_regexes"]):
                     raise ValueError(
-                        f"query {qid!r} uses wildcard/fuzzy/regex/"
-                        "qualifier terms — unsupported in "
-                        "percolate_table; use percolate()")
+                        f"query {qid!r} uses wildcard/fuzzy/regex "
+                        "terms — dictionary expansion is unsupported in "
+                        "percolate_table; use percolate(index=...)")
+                for fld, val, _neg in q["qualifiers"]:
+                    # validate eagerly, like the dict path (_qualifier_pred)
+                    if fld in ("before", "after"):
+                        from datetime import datetime
+                        try:
+                            datetime.fromisoformat(val)
+                        except ValueError:
+                            raise ValueError(
+                                f"{fld}:{val} — value must be ISO 8601"
+                            ) from None
                 pos_words = (q["terms"]
                              + [w for p in q["phrases"]
                                 for w in p.split()]
@@ -814,8 +824,8 @@ def compile_query_table(queries: DataFrame, mode: str = "general",
                 if not ranked:
                     continue
                 mm = int(q["min_match"] or 1)
-                rows = [(qid, "meta", -1, -1, None, -1, mm)]
-                rows += [(qid, "ranked", -1, -1, t, -1, -1)
+                rows = [(qid, "meta", -1, -1, None, None, -1, mm)]
+                rows += [(qid, "ranked", -1, -1, t, None, -1, -1)
                          for t in ranked]
                 cid, dead = 0, False
                 for g in q["groups"]:
@@ -824,7 +834,7 @@ def compile_query_table(queries: DataFrame, mode: str = "general",
                     if not members:
                         dead = True
                         break
-                    rows += [(qid, "group", cid, -1, t, -1, -1)
+                    rows += [(qid, "group", cid, -1, t, None, -1, -1)
                              for t in members]
                     cid += 1
                 if not dead:
@@ -833,7 +843,7 @@ def compile_query_table(queries: DataFrame, mode: str = "general",
                         if not seq:
                             dead = True
                             break
-                        rows += [(qid, "phrase", cid, i, t, -1, -1)
+                        rows += [(qid, "phrase", cid, i, t, None, -1, -1)
                                  for i, t in enumerate(seq)]
                         cid += 1
                 if not dead:
@@ -845,19 +855,24 @@ def compile_query_table(queries: DataFrame, mode: str = "general",
                             break
                         ls = seq if o else sorted(set(seq))
                         kk = "ospan" if o else "span"
-                        rows += [(qid, kk, cid, i, t, int(w), -1)
+                        rows += [(qid, kk, cid, i, t, None, int(w), -1)
                                  for i, t in enumerate(ls)]
                         cid += 1
                 if dead:
                     continue
+                if q["qualifiers"]:
+                    rows += [(qid, "qual", cid, 1 if neg else 0, fld,
+                              val, -1, -1)
+                             for fld, val, neg in q["qualifiers"]]
+                    cid += 1
                 for t in sorted(set(analyze_text(
                         " ".join(q["not_terms"]), mode,
                         dictionary=dictionary))):
-                    rows.append((qid, "notterm", -1, -1, t, -1, -1))
+                    rows.append((qid, "notterm", -1, -1, t, None, -1, -1))
                 for p in q["not_phrases"]:
                     seq = analyze_text(p, mode, dictionary=dictionary)
                     if seq:
-                        rows += [(qid, "notphrase", cid, i, t, -1, -1)
+                        rows += [(qid, "notphrase", cid, i, t, None, -1, -1)
                                  for i, t in enumerate(seq)]
                         cid += 1
                 for (p, w), o in ([(s, False) for s in q["not_spans"]]
@@ -866,16 +881,59 @@ def compile_query_table(queries: DataFrame, mode: str = "general",
                     if seq:
                         ls = seq if o else sorted(set(seq))
                         kk = "notospan" if o else "notspan"
-                        rows += [(qid, kk, cid, i, t, int(w), -1)
+                        rows += [(qid, kk, cid, i, t, None, int(w), -1)
                                  for i, t in enumerate(ls)]
                         cid += 1
                 out.extend(rows)
             import pandas as pd
-            cols = ["query_id", "kind", "clause", "slot", "term", "w",
-                    "mm"]
+            cols = ["query_id", "kind", "clause", "slot", "term", "val",
+                    "w", "mm"]
             yield pd.DataFrame(out, columns=cols)
 
     return queries.mapInPandas(gen, schema=_REQ_SCHEMA)
+
+
+def _table_qual_part(ev: DataFrame, req: DataFrame, key: list) -> DataFrame:
+    """Data-side qualifier evaluation for the table tier: the DISTINCT
+    (field, value) pairs broadcast against the doc batch, one codegen
+    CASE decides satisfaction per pair (site prefix, before/after ts,
+    exists, null-safe attribute equality — the `_qualifier_pred`
+    semantics as data), then the per-clause conjunction (count of
+    satisfied rows == clause size, negation as XOR). Expression size is
+    O(doc schema), rows are |batch| × |distinct qualifiers|."""
+    p = req.filter(F.col("kind") == "qual")
+    dq = p.select(F.col("term").alias("_fld"),
+                  F.col("val").alias("_val")).distinct()
+    fld, val = F.col("_fld"), F.col("_val")
+    sat = F.when(fld == "site", F.col("conv_id").startswith(val))
+    sat = sat.when(fld == "before",
+                   F.col("ts") < val.cast("timestamp"))
+    sat = sat.when(fld == "after",
+                   F.col("ts") >= val.cast("timestamp"))
+    ex = F.lit(False)
+    eqc = F.lit(False)
+    for c in ev.columns:
+        if c in ("_toks",):
+            continue
+        ex = F.when(val == c, F.col(c).isNotNull()).otherwise(ex)
+        if dict(ev.dtypes).get(c) == "string":
+            eqc = F.when(fld == c, F.col(c).eqNullSafe(val)).otherwise(eqc)
+    sat = sat.when(fld == "exists", ex).otherwise(eqc)
+    evald = (ev.crossJoin(F.broadcast(dq))
+             .select(*key, "_fld", "_val",
+                     F.coalesce(sat, F.lit(False)).alias("_sat")))
+    sz = p.groupBy("query_id", "clause").agg(F.count("*").alias("_nq"))
+    ok = (evald.join(p.select(F.col("term").alias("_fld"),
+                              F.col("val").alias("_val"),
+                              "query_id", "clause",
+                              (F.col("slot") == 1).alias("_neg")),
+                     ["_fld", "_val"])
+          .filter(F.col("_sat") != F.col("_neg"))
+          .groupBy(*key, "query_id", "clause")
+          .agg(F.count("*").alias("_nok")))
+    return (ok.join(sz, ["query_id", "clause"])
+            .filter(F.col("_nok") == F.col("_nq"))
+            .select(*key, "query_id", "clause"))
 
 
 def _table_phrase_part(events: DataFrame, req: DataFrame, key: list,
@@ -929,8 +987,9 @@ def percolate_table(queries: DataFrame, docs: DataFrame,
     holds per-query state. This is the 10^5–10^6-saved-search alerting
     tier; semantics are identical to ``percolate`` on the supported
     grammar (terms, min:m, OR-groups, phrases, spans, ordered spans,
-    NOT terms/clauses — no wildcards/qualifiers, see
-    ``compile_query_table``).
+    NOT terms/clauses, metadata qualifiers evaluated data-side — only
+    wildcard/fuzzy/regex terms stay dict-path-only, they need a
+    dictionary; see ``compile_query_table``).
 
     ``compiled`` short-circuits compilation with a previously compiled
     (or persisted-and-reloaded) requirements frame — a streaming
@@ -967,12 +1026,13 @@ def percolate_table(queries: DataFrame, docs: DataFrame,
         _table_phrase_part(events, req, key, "phrase"),
         _table_span_part(events, req, key, "span", ordered=False),
         _table_span_part(events, req, key, "ospan", ordered=True),
+        _table_qual_part(ev, req, key),
     ]
     allcl = cparts[0]
     for p in cparts[1:]:
         allcl = allcl.unionByName(p)
     arity = (req.filter(F.col("kind").isin("group", "phrase", "span",
-                                           "ospan"))
+                                           "ospan", "qual"))
              .select("query_id", "clause").distinct()
              .groupBy("query_id")
              .agg(F.countDistinct("clause").alias("_ar")))

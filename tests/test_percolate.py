@@ -253,8 +253,8 @@ def test_percolate_table_matches_dict_path(qpos_index):
     from searchengine_spark.operators.percolate import percolate_table
     docs = qpos_index["docs"]
     spark = docs.sparkSession
-    supported = {qid: q for qid, q in QUERIES.items()
-                 if qid not in ("q1", "q2", "q3")}  # qualifiers excluded
+    supported = dict(QUERIES)  # full matrix incl. qualifiers (r4: the
+    # table tier evaluates qualifier leaves data-side)
     exp = _percolate_sets(docs, supported)
     qdf = spark.createDataFrame(list(supported.items()),
                                 "query_id string, query string")
@@ -266,15 +266,19 @@ def test_percolate_table_matches_dict_path(qpos_index):
             qid, supported[qid])
 
 
-def test_percolate_table_rejects_qualifiers(qpos_index):
+def test_percolate_table_rejects_wildcards(qpos_index):
     import pytest
     from searchengine_spark.operators.percolate import percolate_table
     docs = qpos_index["docs"]
     spark = docs.sparkSession
-    qdf = spark.createDataFrame([("q", "alpha role:assistant")],
+    qdf = spark.createDataFrame([("q", "alp* beta")],
                                 "query_id string, query string")
     with pytest.raises(Exception, match="unsupported in percolate_table"):
         percolate_table(qdf, docs).collect()
+    bad = spark.createDataFrame([("q", "alpha after:notadate")],
+                                "query_id string, query string")
+    with pytest.raises(Exception, match="ISO 8601"):
+        percolate_table(bad, docs).collect()
 
 
 def test_percolate_table_5000_and_compiled_reuse(qpos_index):
