@@ -508,3 +508,44 @@ def load_index(spark: SparkSession, path: str) -> dict:
         "postings_flat": None,
         "stats": stats,
     }
+
+
+def catalog_report(roots: "dict[str, str]") -> list[dict]:
+    """Ops dashboard over MULTIPLE snapshot roots (main / fielded /
+    passages / per-tenant indexes): one row per root — current snapshot,
+    snapshot count, delta-chain depth under CURRENT, total bytes, doc
+    count, pointer metadata (streaming batch_id etc.), and the latest
+    postings-lineage totals when ``record_postings_metrics`` ran. Pure
+    catalog reads (pointer + stats.json files), zero Spark jobs."""
+    out = []
+    for name, root in sorted(roots.items()):
+        ptr = read_pointer(root)
+        snaps = list_snapshots(root)
+        cur = ptr.get("snapshot")
+        depth, node = 0, cur
+        while node is not None:
+            parent = snapshot_parent(root, node)
+            if parent is None:
+                break
+            depth += 1
+            node = parent
+        cur_row = next((s for s in snaps if s["snapshot"] == cur), None)
+        pm = None
+        pm_path = os.path.join(root, "postings_metrics.jsonl")
+        if os.path.exists(pm_path):
+            with open(pm_path) as f:
+                for line in f:
+                    row = json.loads(line)
+                    if row.get("kind") == "totals":
+                        pm = row
+        out.append({
+            "name": name, "root": root, "current": cur,
+            "n_snapshots": len(snaps),
+            "chain_depth": depth,
+            "n_docs": cur_row["n_docs"] if cur_row else None,
+            "total_bytes": sum(s["bytes"] for s in snaps),
+            "pointer_meta": {k: v for k, v in ptr.items()
+                             if k != "snapshot"},
+            "postings_totals": pm,
+        })
+    return out

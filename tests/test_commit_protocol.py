@@ -178,3 +178,42 @@ def test_real_flow_honors_contract(spark, tmp_path):
     snaps = list_snapshots(root)
     assert [s["kind"] for s in snaps] == ["full", "delta", "full"]
     assert snaps[2]["current"] and snaps[2]["parent"] is None
+
+
+def test_catalog_report(spark, tmp_path):
+    """Multi-root dashboard: current/chain-depth/doc-count/bytes/pointer
+    metadata per root, postings totals when recorded — all from catalog
+    files, no Spark jobs."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.indexer import build_index
+    from searchengine_spark.operators.upsert import merge_into_path
+    from searchengine_spark.plans.manifest import (catalog_report,
+                                                   record_postings_metrics,
+                                                   save_index)
+    rows = [(f"c{i}", 0, "user", f"alpha beta w{i}", None,
+             "2026-01-01 00:00:00") for i in range(20)]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    idx = build_index(t, mode="general")
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    for r in (ra, rb):
+        os.makedirs(r)
+        save_index(idx, os.path.join(r, "snap-00000"))
+        commit_snapshot(r, "snap-00000")
+    # root a: one delta on top + postings metrics; root b: untouched
+    delta = t.limit(1).withColumn("text", F.lit("alpha gamma new"))
+    merge_into_path(spark, ra, delta, incremental=True)
+    record_postings_metrics(idx, ra, elapsed_s=1.0)
+    rep = {r["name"]: r for r in catalog_report({"main": ra, "other": rb})}
+    assert rep["main"]["current"] == "snap-00001"
+    assert rep["main"]["chain_depth"] == 1
+    assert rep["main"]["n_snapshots"] == 2
+    assert rep["main"]["postings_totals"]["postings"] > 0
+    assert rep["other"]["current"] == "snap-00000"
+    assert rep["other"]["chain_depth"] == 0
+    assert rep["other"]["postings_totals"] is None
+    assert rep["main"]["total_bytes"] > rep["other"]["total_bytes"] > 0
+    assert rep["other"]["n_docs"] == 20
