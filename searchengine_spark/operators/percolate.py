@@ -63,6 +63,25 @@ from searchengine_spark.operators.search import (LIT_MAP_MAX,
 
 KEY = ["conv_id", "turn_idx"]  # default doc identity (the engine's doc key)
 
+# Registry size above which ``percolate`` auto-dispatches to the
+# table-native tier (``percolate_table``): the dict tier compiles
+# driver-side and its broadcast-fan-out plan, while O(1) in |registry|,
+# re-renders per call — under executor contention that plan cost
+# degrades (VERDICT r4 wrong-#3 measured 12.4 s vs the table tier's
+# steady 6.2 s at a 5k registry). The table tier compiles distributed
+# and keeps ALL per-query state in joins, so it is the right default
+# once the registry stops being human-sized.
+TABLE_TIER_MIN = 10_000
+
+# Grammar features only the dict tier supports (they expand against a
+# driver-side dictionary): positive/negative wildcards (`mer*`), fuzzy
+# terms (`word~1` — NOT the span form `"a b"~3`, whose `~` follows a
+# quote), and /regex/ terms. A conservative textual scan — false
+# positives just keep a query set on the dict tier.
+import re as _re
+
+_DICT_ONLY_RE = _re.compile(r'\*|(?<!")~\d|/')
+
 
 def _compile_queries(queries: dict[str, str], amode: str, dictionary: str,
                      index: "dict | None") -> dict:
@@ -358,6 +377,19 @@ def percolate(queries: dict[str, str], docs: DataFrame,
     O(B·matched terms)."""
     spark = docs.sparkSession
     key = list(key_cols or KEY)
+    # Tier dispatch (VERDICT r4 #2): past TABLE_TIER_MIN registered
+    # queries the table-native tier wins — distributed compile, no
+    # driver-side per-query state, steadier plan cost under contention.
+    # Stay on the dict tier when the caller needs scores (tf_sum), a
+    # dictionary expansion (index=), or any dict-only grammar feature.
+    if (len(queries) >= TABLE_TIER_MIN and not with_scores
+            and index is None
+            and not any(_DICT_ONLY_RE.search(q)
+                        for q in queries.values())):
+        qdf = spark.createDataFrame(sorted(queries.items()),
+                                    "query_id string, query string")
+        return percolate_table(qdf, docs, mode=mode,
+                               dictionary=dictionary, key_cols=key)
     specs = _compile_queries(queries, mode, dictionary, index)
     out_schema = (", ".join(f"{c} {t}" for c, t in
                             zip(["query_id"] + key,

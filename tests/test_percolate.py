@@ -382,3 +382,57 @@ def test_percolate_with_scores(qpos_index):
     for (qid, conv), tf_sum in got.items():
         exp = sum(1 for t in toks[conv] if t in ranked_of[qid])
         assert tf_sum == exp, (qid, conv)
+
+
+def test_percolate_tier_autodispatch(qpos_index, monkeypatch):
+    """Above TABLE_TIER_MIN, percolate() routes supported registries to
+    the table-native tier (VERDICT r4 #2): (a) the table tier is
+    actually invoked, (b) results are identical to the dict tier on the
+    same registry, (c) the dispatched plan does not grow with registry
+    size (no per-query literal state), and (d) dict-only grammar /
+    with_scores stay on the dict tier even above the threshold."""
+    import searchengine_spark.operators.percolate as P
+    docs = qpos_index["docs"]
+
+    qs = {f"q{i:04d}": q for i, q in enumerate(
+        ["alpha gamma", "alpha -gamma", '"alpha beta"',
+         "(gamma|delta) alpha", "alpha gamma delta min:2"] * 40)}
+    assert len(qs) == 200
+
+    # dict-tier ground truth (threshold above registry size)
+    monkeypatch.setattr(P, "TABLE_TIER_MIN", 10_000)
+    exp = _percolate_sets(docs, qs)
+
+    # (a)+(b): lower the threshold → table tier runs, same matches
+    calls = []
+    real_table = P.percolate_table
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real_table(*a, **kw)
+
+    monkeypatch.setattr(P, "percolate_table", spy)
+    monkeypatch.setattr(P, "TABLE_TIER_MIN", 100)
+    got = _percolate_sets(docs, qs)
+    assert calls, "registry above TABLE_TIER_MIN did not dispatch"
+    assert got == exp
+
+    # (c): plan size is O(1) in registry size on the dispatched path
+    monkeypatch.setattr(P, "percolate_table", real_table)
+    big = {f"b{i:05d}": qs[f"q{i % 200:04d}"] for i in range(2000)}
+    plan_small = P.percolate(qs, docs)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    plan_big = P.percolate(big, docs)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert len(plan_big) < 2 * len(plan_small) + 10_000, (
+        len(plan_small), len(plan_big))
+
+    # (d): dict-only grammar and with_scores bypass the table tier
+    monkeypatch.setattr(P, "percolate_table", spy)
+    calls.clear()
+    wq = dict(qs)
+    wq["w"] = "alp* beta"   # wildcard → dict tier (needs index anyway)
+    got_w = _percolate_sets(docs, wq, index=qpos_index)
+    assert not calls and got_w.items() >= exp.items()
+    P.percolate(qs, docs, with_scores=True).collect()
+    assert not calls
