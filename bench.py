@@ -121,6 +121,46 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
     extras["search_warm_iqr"] = warm_iqr
     extras["search_warm_reps"] = warm_reps
 
+    # --- serving throughput (QPS) — VERDICT r4 #4 --------------------------
+    # A 100 TB serving story is throughput-bound, not single-query-latency
+    # bound. Two tiers:
+    # (a) search_many: 64 distinct queries scored in ONE Spark job (block
+    #     scans union, per-query window rank) — the distributed batch tier.
+    # (b) hot_search_many: a Zipf-ish 256-request log over 8 hot queries
+    #     answered driver-side from the per-term cache — the front tier.
+    from searchengine_spark.operators.search import search_many
+    terms = [r["term"] for r in index["terms"]
+             .orderBy(F.desc("df"), "term").limit(40).collect()]
+    nt_ = len(terms)
+    qlog = {f"s{i:03d}": f"{terms[i % nt_]} {terms[(i * 7 + 3) % nt_]}"
+            for i in range(64)}
+    batch_walls = []
+    for _ in range(3):
+        t0 = time.time()
+        search_many(index, qlog, k=10).collect()
+        batch_walls.append(time.time() - t0)
+    batch_walls.sort()
+    bw = batch_walls[len(batch_walls) // 2]
+    queries["serving_batched_64"] = round(bw, 3)
+    extras["serving_qps_batched_64"] = round(64 / bw, 1)
+    hot_mix = [terms[[0, 1, 0, 2, 0, 1, 3, 0][i % 8]] for i in range(256)]
+    for q in set(hot_mix):
+        hot_search(index, q, k=10)  # populate (first-touch, untimed)
+    hot_lat = []
+    t0 = time.time()
+    for q in hot_mix:
+        t1 = time.time()
+        hot_search(index, q, k=10)
+        hot_lat.append(time.time() - t1)
+    hot_wall = time.time() - t0
+    hot_lat.sort()
+    extras["serving_qps_hot"] = round(256 / hot_wall, 1)
+    extras["serving_hot_p50_ms"] = round(
+        hot_lat[len(hot_lat) // 2] * 1000, 2)
+    extras["serving_hot_p95_ms"] = round(
+        hot_lat[(95 * len(hot_lat)) // 100] * 1000, 2)
+    queries["serving_hot_mix_256"] = round(hot_wall, 3)
+
     # --- maintenance ops on the main index --------------------------------
     # upsert → compact: the LSM maintenance path. Compaction rewrites every
     # block from the index itself (no re-analysis), so its wall vs
@@ -215,6 +255,28 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
     p_idx = E._passage_index_for(spark, sf_dir)
     p_idx["postings"].count(); p_idx["terms"].count()
     queries["passage_index_build"] = round(time.time() - t0, 3)
+    # Porter side index timed apart too (VERDICT r4 #3: its first-touch
+    # build landed inside q_bm25_porter_topk — 3.32 s reported vs the
+    # 0.35 s en_simple twin)
+    t0 = time.time()
+    por_idx = E._porter_index_for(spark, sf_dir)
+    por_idx["postings"].count(); por_idx["terms"].count()
+    queries["porter_index_build"] = round(time.time() - t0, 3)
+    # 100k-query percolation registry: generation is staging (untimed),
+    # the one-time distributed compile gets its own line (the analog of
+    # the *_index_build lines — it IS the alerting tier's index build)
+    from searchengine_spark.operators.percolate import compile_query_table
+    _pbase = E._perc_scaled_registry(spark, sf_dir)
+    _pvq = list(_pbase.values())
+    _perc_queries = {f"q{i:06d}": _pvq[i % len(_pvq)]
+                     for i in range(100_000)}
+    _perc_batch = E._docs_as_transcripts(spark, sf_dir).filter(
+        F.substring("conv_id", 4, 8).cast("long") < 200)
+    _perc_qdf = spark.createDataFrame(sorted(_perc_queries.items()),
+                                      "query_id string, query string")
+    t0 = time.time()
+    _perc_req = compile_query_table(_perc_qdf).localCheckpoint(eager=True)
+    queries["percolate_100k_compile"] = round(time.time() - t0, 3)
     table_ops = ["t2_t5_tokenize_tf", "a1_term_df", "q6_conjunctive_and",
                  "q_bm25f_topk", "q_bm25f_scoped", "q_bm25f_not",
                  "q_batched_bm25f", "q_batched_scoped",
@@ -225,6 +287,7 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "q_batched_phrase", "q_querylang", "q_batched_querylang",
                  "q_querylang_wildcard", "q_suggest", "q_more_like_this", "q_did_you_mean",
                  "q_span_topk", "q_percolate", "q_percolate_scored", "q_percolate_scaled", "q_percolate_table",
+                 "q_percolate_100k", "q_percolate_100k_match",
                  "q_collapse_topk", "q_grouped_topk",
                  "text_pii_scrub", "text_clean_lines", "text_repetition",
                  "text_chunks", "text_gopher", "text_unigram_ppl",
@@ -267,9 +330,31 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
         emb = spark_.read.parquet(f"{sf_dir_}/embeddings.parquet")
         return semantic_dedup(emb, 64, threshold=0.35)["kept"]
 
+    # percolation at the 100k-registry alerting tier (VERDICT r4 #2):
+    # percolate() auto-dispatches to the table-native tier above
+    # TABLE_TIER_MIN — distributed compile, join-only kernels, plan and
+    # driver state O(1) in |registry|
+    def _percolate_100k_op(spark_, sf_dir_):
+        # full path: driver registry dict → auto-dispatch → distributed
+        # compile → join kernels (first-touch cost of a fresh registry)
+        from searchengine_spark.operators.percolate import percolate
+        out = percolate(_perc_queries, _perc_batch)
+        return out.groupBy("query_id").agg(F.count("*").alias("n"))
+
+    def _percolate_100k_match_op(spark_, sf_dir_):
+        # steady-state: registry compiled ONCE (timed above as
+        # percolate_100k_compile — what a streaming alerting deployment
+        # amortizes across micro-batches) → per-batch match cost only
+        from searchengine_spark.operators.percolate import percolate_table
+        out = percolate_table(_perc_qdf.limit(0), _perc_batch,
+                              compiled=_perc_req)
+        return out.groupBy("query_id").agg(F.count("*").alias("n"))
+
     bench_fns = dict(qmap)
     bench_fns["dedup_minhash_lsh"] = _minhash_op
     bench_fns["sim_semantic_dedup"] = _semdedup_op
+    bench_fns["q_percolate_100k"] = _percolate_100k_op
+    bench_fns["q_percolate_100k_match"] = _percolate_100k_match_op
     for name in table_ops:
         t0 = time.time()
         df = bench_fns[name](spark, sf_dir)
