@@ -286,9 +286,57 @@ def _current_path(root: str) -> str:
     return os.path.join(root, "CURRENT")
 
 
+# --- pluggable pointer backend (VERDICT r4 #6) ----------------------------
+# Two catalog backends share the SAME snapshot payload layout (immutable
+# snap-NNNNN parquet dirs + stats.json); only the pointer commit differs:
+#   file (default)  — CURRENT json file, commit = tmp-write + os.replace
+#   sql             — <root>/catalog.db (stdlib sqlite3), commit = ONE SQL
+#                     transaction updating the pointer row and appending to
+#                     the commit log. This is the pyiceberg SqlCatalog
+#                     shape: the catalog transaction is the commit point,
+#                     data files never move. A root opts in via
+#                     init_sql_catalog(root); every catalog primitive then
+#                     routes pointer IO through the db for that root.
+# Both backends satisfy the identical contract suite
+# (tests/test_commit_protocol.py, parametrized over backends).
+
+def _sql_db_path(root: str) -> str:
+    return os.path.join(root, "catalog.db")
+
+
+def _sql_catalog_active(root: str) -> bool:
+    return os.path.exists(_sql_db_path(root))
+
+
+def init_sql_catalog(root: str) -> None:
+    """Switch ``root`` to the SQL-catalog pointer backend (idempotent).
+    Creates <root>/catalog.db with a single-row pointer table and an
+    append-only commit log; from then on commit_snapshot/read_pointer on
+    this root go through SQL transactions instead of the CURRENT file.
+    Must be called before the first commit on the root (an existing
+    file-backend root would need its pointer migrated — out of scope)."""
+    import sqlite3
+    if os.path.exists(os.path.join(root, "CURRENT")):
+        raise ValueError(f"{root} already has a file-backend pointer; "
+                         "migrate it before switching backends")
+    with sqlite3.connect(_sql_db_path(root)) as con:
+        con.execute("create table if not exists pointer ("
+                    "id integer primary key check (id = 0), "
+                    "doc text not null)")
+        con.execute("create table if not exists commit_log ("
+                    "seq integer primary key autoincrement, "
+                    "doc text not null)")
+
+
 def read_pointer(root: str) -> dict:
-    """The raw CURRENT pointer document ({} before the first commit):
+    """The raw pointer document ({} before the first commit):
     {"snapshot": name, **commit metadata (batch_id, ...)}."""
+    if _sql_catalog_active(root):
+        import sqlite3
+        with sqlite3.connect(_sql_db_path(root)) as con:
+            row = con.execute(
+                "select doc from pointer where id = 0").fetchone()
+        return json.loads(row[0]) if row else {}
     cp = _current_path(root)
     if os.path.exists(cp):
         with open(cp) as f:
@@ -303,12 +351,38 @@ def read_current(root: str) -> "str | None":
 
 
 def commit_snapshot(root: str, snapshot: str, **meta) -> None:
-    """Atomic pointer flip — the parquet stand-in for an Iceberg commit.
-    ``meta`` (e.g. batch_id=) commits atomically WITH the flip."""
+    """Atomic pointer flip — the stand-in for an Iceberg commit.
+    ``meta`` (e.g. batch_id=) commits atomically WITH the flip. File
+    backend: tmp-write + os.replace of CURRENT. SQL backend: one sqlite
+    transaction upserting the pointer row + appending the commit log —
+    a crash before COMMIT leaves the previous pointer visible."""
+    doc = {"snapshot": snapshot, **meta}
+    if _sql_catalog_active(root):
+        import sqlite3
+        with sqlite3.connect(_sql_db_path(root)) as con:
+            con.execute("insert into pointer (id, doc) values (0, ?) "
+                        "on conflict (id) do update set doc = excluded.doc",
+                        (json.dumps(doc),))
+            con.execute("insert into commit_log (doc) values (?)",
+                        (json.dumps(doc),))
+        return
     tmp = _current_path(root) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"snapshot": snapshot, **meta}, f)
+        json.dump(doc, f)
     os.replace(tmp, _current_path(root))
+
+
+def commit_log(root: str) -> list[dict]:
+    """Commit history (SQL backend only; oldest first) — every pointer
+    document ever committed, the audit trail a file pointer can't keep."""
+    if not _sql_catalog_active(root):
+        raise ValueError("commit_log requires the SQL catalog backend "
+                         "(init_sql_catalog)")
+    import sqlite3
+    with sqlite3.connect(_sql_db_path(root)) as con:
+        rows = con.execute(
+            "select doc from commit_log order by seq").fetchall()
+    return [json.loads(r[0]) for r in rows]
 
 
 def next_snapshot_name(root: str) -> str:
