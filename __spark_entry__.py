@@ -33,7 +33,8 @@ _INDEX_CACHE: dict[tuple[str, str], dict] = {}
 # from); later processes load_index and get partition-pruned scans.  Bump
 # _SIDECACHE_VER whenever any build recipe below changes.
 # ---------------------------------------------------------------------------
-_SIDECACHE_VER = "r4a"
+_SIDECACHE_VER = "r5a"  # r5: ru_full dictionary expanded (hushing gen-pl
+# fix + new vocab) — any ru-analyzed cached index must rebuild
 _SIDECACHE_ROOT = os.environ.get(
     "SPARK_GRAFT_INDEX_CACHE", "/tmp/searchengine_sidecache")
 _SIDECACHE_OFF = os.environ.get("SPARK_GRAFT_INDEX_CACHE_OFF", "") == "1"

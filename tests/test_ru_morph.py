@@ -4,7 +4,8 @@ real-ish text + engine integration through the named-dictionary registry.
 The r1 fixture dictionary dropped every OOV Russian word in ref_compat mode
 (reference semantics: no normal form → skip, Lemmatizator.java:47-52) —
 recall collapsed on real text. The paradigm-generated map must keep the OOV
-drop rate under 5% on text it was not built from.
+drop rate under 2% on text it was not built from (VERDICT r4 #7
+tightened the r3 5% bound).
 """
 
 from __future__ import annotations
@@ -51,6 +52,18 @@ HELD_OUT = """
 погода в последние дни была холодная шел дождь и дул сильный ветер
 в магазине рядом с домом можно купить свежий хлеб молоко и овощи
 после ужина вся семья собралась в большой комнате и смотрела старый фильм
+администратор пригласил коллег обсудить план перехода на новое оборудование
+перед выпуском обновления команда проводит полное тестирование всех модулей
+заказчик попросил добавить в отчет графики по продажам за каждый квартал
+бухгалтерия напомнила сотрудникам сдать документы до конца рабочей недели
+на конференции выступали специалисты из разных стран и делились опытом
+студенты готовились к экзамену всю неделю и повторяли сложные темы
+врач посоветовал больше гулять на свежем воздухе и меньше сидеть за компьютером
+поезд отправляется с третьего пути через пятнадцать минут после объявления
+осенью листья желтеют и падают а птицы улетают в теплые края
+повар приготовил вкусный суп из свежих овощей и подал его с хлебом
+мастер быстро починил сломанную дверь и проверил замок несколько раз
+библиотека работает ежедневно кроме воскресенья с девяти часов до восьми вечера
 """.strip()
 
 
@@ -59,14 +72,14 @@ def _tokens(text: str) -> list[str]:
     return [w for w in cleaned.split() if w]
 
 
-def test_oov_drop_rate_under_5_percent():
+def test_oov_drop_rate_under_2_percent():
     lemma_of, stop = get_dictionary("ru_full")
     toks = _tokens(HELD_OUT)
     content = [w for w in toks if w not in stop]
     assert len(content) > 100  # the sample is big enough to mean something
     oov = [w for w in content if w not in lemma_of]
     rate = len(oov) / len(content)
-    assert rate < 0.05, f"OOV drop rate {rate:.1%}: {sorted(set(oov))}"
+    assert rate < 0.02, f"OOV drop rate {rate:.1%}: {sorted(set(oov))}"
 
 
 def test_paradigms_map_to_first_normal_form():
