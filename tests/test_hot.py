@@ -156,3 +156,65 @@ def test_hot_ref_compat_parity(hot_index):
 def test_hot_rejects_unknown_mode(hot_index):
     with pytest.raises(ValueError, match="bm25/ref_compat"):
         hot_search(hot_index, "alpha", mode="phrase")
+
+
+def test_hot_tier_never_stale_across_streaming(spark, tmp_path_factory):
+    """VERDICT r4 #8 tripwire: a warm hot tier must never serve
+    pre-upsert rows across the STREAMING maintenance path. The serving
+    contract is load-per-snapshot: the cache lives inside the loaded
+    index dict, a streamed merge commits a NEW snapshot, and serving the
+    new snapshot means load_index → a fresh dict → cold cache. This test
+    warms the old snapshot's tier, streams a merge that rewrites the hot
+    doc, reloads current, and pins (a) the reload carries no cache and
+    (b) its hot answers equal its own search() — i.e. post-upsert rows."""
+    import pandas as pd
+
+    from searchengine_spark.plans.manifest import (commit_snapshot,
+                                                   load_index, read_current,
+                                                   save_index)
+    from searchengine_spark.streaming.stream_index import stream_index_turns
+
+    def _mk(rows):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                          "text", "tool", "ts"])
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        return spark.createDataFrame(
+            pdf, schema="conv_id string, turn_idx int, role string, "
+                        "text string, tool string, ts timestamp")
+
+    t0 = "2026-01-01 00:00:00"
+    base_rows = [("c0", 0, "user", "alpha beta", None, t0),
+                 ("c1", 0, "user", "alpha gamma", None, t0),
+                 ("c2", 0, "user", "beta gamma", None, t0)]
+    root = str(tmp_path_factory.mktemp("hot_stream_root"))
+    src = str(tmp_path_factory.mktemp("hot_stream_src"))
+    ckpt = str(tmp_path_factory.mktemp("hot_stream_ckpt"))
+    base = build_index(_mk(base_rows), mode="general",
+                       bucket_range=64, block_size=16)
+    save_index(base, f"{root}/snap-00000")
+    commit_snapshot(root, "snap-00000")
+
+    served_old = load_index(spark, read_current(root))
+    warm_old = _hot_rows(hot_search(served_old, "alpha", k=10))
+    assert {r[1] for r in warm_old} == {"c0", "c1"}
+
+    # streamed merge rewrites c0 to drop 'alpha' and adds an alpha-heavy c3
+    _mk([("c0", 0, "user", "beta beta", None, "2026-01-02 00:00:00"),
+         ("c3", 0, "user", "alpha alpha alpha", None,
+          "2026-01-02 00:00:00")]).write.parquet(f"{src}/d1")
+    q = stream_index_turns(spark, f"{src}/*", root, ckpt,
+                           available_now=True)
+    q.awaitTermination(120)
+
+    served_new = load_index(spark, read_current(root))
+    assert served_new is not served_old
+    assert "_hotcache" not in served_new  # reload starts cold
+    exp = _spark_rows(served_new, "alpha")
+    got = _hot_rows(hot_search(served_new, "alpha", k=10))
+    assert got == exp
+    convs = {r[1] for r in got}
+    assert "c3" in convs and "c0" not in convs  # post-upsert rows only
+    # the OLD dict's warm cache is untouched (snapshot isolation, not
+    # shared mutable state): same pre-upsert answer as before the merge
+    assert _hot_rows(hot_search(served_old, "alpha", k=10)) == warm_old
