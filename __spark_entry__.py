@@ -702,13 +702,15 @@ def _q_percolate(spark, sf_dir):
 
 
 N_PERC_SCALED = 5000  # registry size for the scaled percolation entries
+N_PERC_DISPATCH = 10000  # == percolate.TABLE_TIER_MIN: exercises auto-dispatch
 
 
-def _perc_scaled_registry(spark, sf_dir) -> dict[str, str]:
-    """Deterministic 5,000-query registry over the corpus vocab — shared
-    by the dict-path (q_percolate_scaled) and table-path
-    (q_percolate_table) entries, and mirrored exactly by their common
-    DuckDB oracle."""
+def _perc_scaled_registry(spark, sf_dir,
+                          n_queries: int = N_PERC_SCALED) -> dict[str, str]:
+    """Deterministic registry over the corpus vocab — shared by the
+    dict-path (q_percolate_scaled), table-path (q_percolate_table) and
+    auto-dispatch (q_percolate_dispatch, n=10,000) entries, and mirrored
+    exactly by their common parameterized DuckDB oracle."""
     from searchengine_spark.functions.text import tokens_col
     d = _docs(spark, sf_dir)
     vocab = [r["term"] for r in
@@ -716,7 +718,7 @@ def _perc_scaled_registry(spark, sf_dir) -> dict[str, str]:
              .distinct().orderBy("term").collect()]
     n = len(vocab)
     queries = {}
-    for i in range(N_PERC_SCALED):
+    for i in range(n_queries):
         a = i % n
         b = (i * 7 + 3) % n
         if b == a:
@@ -763,6 +765,24 @@ def _q_percolate_scaled(spark, sf_dir):
     return (out.groupBy("query_id")
             .agg(F.count("*").alias("n_matches")))
 
+
+def _q_percolate_dispatch(spark, sf_dir):
+    """Tier AUTO-DISPATCH through the public percolate() API (VERDICT r4
+    #2): the same deterministic registry construction at n=10,000 ==
+    TABLE_TIER_MIN, so percolate() routes to the table-native tier
+    (distributed compile, join-only kernels) without the caller naming
+    it. The oracle is the scaled-registry SQL parameterized at 10,000 —
+    dispatch is only correct if the two tiers are row-identical."""
+    from searchengine_spark.operators import percolate as P
+    from searchengine_spark.operators.percolate import percolate
+    queries = _perc_scaled_registry(spark, sf_dir,
+                                    n_queries=N_PERC_DISPATCH)
+    assert len(queries) >= P.TABLE_TIER_MIN  # really the dispatched path
+    batch = _docs_as_transcripts(spark, sf_dir).filter(
+        F.substring("conv_id", 4, 8).cast("long") < 200)
+    out = percolate(queries, batch)
+    return (out.groupBy("query_id")
+            .agg(F.count("*").alias("n_matches")))
 
 
 def _q_percolate_scored(spark, sf_dir):
@@ -2295,6 +2315,16 @@ def _q_text_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_text_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): k-gram
+    md5-prefix hashes, rightmost-min per w-window — the partial-overlap
+    dedup key (any shared >=w+k-1-token run shares a fingerprint). Pure
+    codegen; parity with an independent Python reference pinned by
+    tests/test_winnowing.py. Oracle recomputes the selection in SQL."""
+    from searchengine_spark.functions.text import winnow_fingerprints
+    return winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+
+
 def _q_lang_id(spark, sf_dir):
     """Heuristic language ID via marker-stopword hits (argmax, ties by code)."""
     from searchengine_spark.functions.text import lang_id
@@ -2772,7 +2802,7 @@ _ROTATE_FRONT = [
     "text_repetition", "text_chunks", "text_clean_lines",
     "text_hot_lines", "text_span_dedup", "text_sa_dedup",
     "text_ngram_counts", "text_collocations", "text_nb_classify",
-    "text_cnb_classify", "text_unigram_ppl", "text_bigram_ppl",
+    "text_cnb_classify", "text_unigram_ppl", "q_percolate_dispatch",
     "multimodal_features", "multimodal_audio", "multimodal_png",
     "multimodal_wav",
     "s6_upsert_term_df", "s7_delete_term_df", "s6_upsert_fielded_df",
@@ -2834,6 +2864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percolate": _q_percolate,
         "q_percolate_scaled": _q_percolate_scaled,
         "q_percolate_table": _q_percolate_table,
+        "q_percolate_dispatch": _q_percolate_dispatch,
         "q_percolate_scored": _q_percolate_scored,
         "q_querylang_regex": _q_querylang_regex,
         "q_querylang_exists": _q_querylang_exists,
@@ -2945,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_ppl": _q_text_bigram_ppl,
         "text_unigram_xppl": _q_text_unigram_xppl,
         "text_fingerprint": _q_text_fingerprint,
+        "text_winnowing": _q_text_winnowing,
         "text_lang_id": _q_lang_id,
         "multimodal_features": _q_multimodal_features,
         "multimodal_audio": _q_multimodal_audio,
@@ -4692,6 +4724,35 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
             select doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) as fp
             from documents""",
+        "text_winnowing": """
+            with a as (select doc_id, list_filter(string_split_regex(
+                         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                         ' +'), x -> x <> '') as t
+                       from documents),
+            b as (select doc_id, t, len(t) as n from a where len(t) >= 5),
+            g0 as (select doc_id,
+                          [array_to_string(t[i+1:i+5], ' ')
+                           for i in range(n - 4)] as grams
+                   from b),
+            h as (select doc_id,
+                         unnest(range(len(grams))) as i,
+                         ('0x' || substr(md5(unnest(grams)), 1, 8))::bigint
+                             as hv
+                  from g0),
+            wins as (select doc_id,
+                            unnest(range(greatest(len(grams) - 4, 0) + 1))
+                                as p
+                     from g0),
+            cand as (select w.doc_id, w.p, h.i, h.hv
+                     from wins w join h on h.doc_id = w.doc_id
+                                       and h.i between w.p and w.p + 3),
+            pick as (select doc_id, p, i, hv,
+                            row_number() over (partition by doc_id, p
+                                               order by hv asc, i desc) as rn
+                     from cand)
+            select distinct doc_id,
+                   cast(i as bigint) as pos, cast(hv as bigint) as fp
+            from pick where rn = 1""",
         # PII scrub: same synthetic shaping + the same ordered regex
         # chain (counts taken on the text each pattern actually sees)
         "text_pii_scrub": r"""
@@ -5663,4 +5724,8 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
     # table-native percolation is contractually row-identical to the
     # dict path on the shared 5,000-query registry → same oracle
     d["q_percolate_table"] = d["q_percolate_scaled"]
+    # auto-dispatch entry: the same parameterized registry SQL at
+    # n=10,000 (== TABLE_TIER_MIN, the threshold that flips the tier)
+    d["q_percolate_dispatch"] = d["q_percolate_scaled"].replace(
+        f"range({N_PERC_SCALED})", f"range({N_PERC_DISPATCH})")
     return d

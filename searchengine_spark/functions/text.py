@@ -744,6 +744,56 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
 
 
+def winnow_fingerprints(df: DataFrame, k: int = 5, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm — public): token k-gram hashes, then from every
+    window of ``w`` consecutive hashes keep the minimum (RIGHTMOST on
+    ties, the paper's robust-winnowing rule). Guarantees: any shared run
+    of ≥ w+k-1 tokens between two docs shares ≥1 selected fingerprint,
+    and density ≈ 2/(w+1) — the standard partial-overlap / plagiarism
+    dedup key where ``fingerprint`` (whole-doc md5) only catches exact
+    copies.
+
+    Pure-codegen plan: tokenize once per row, hash each k-gram (first 8
+    md5 hex digits as int64 — cross-engine reproducible, unlike
+    xxhash64), window-min via higher-order array functions, explode the
+    DISTINCT selections. No shuffle until the caller aggregates; arrays
+    pass between lambdas as materialized columns (never re-evaluated per
+    element). Output: (id_col, pos, fp) — one row per selected
+    fingerprint, pos = 0-based k-gram position. A doc shorter than
+    k+w-1 tokens contributes the min over whatever full k-grams it has
+    (single window), matching the paper's boundary behavior."""
+    toks = tokens_col(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("_t")) \
+        .filter(F.size("_t") >= k)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - k),
+        lambda i: F.concat_ws(" ", F.slice("_t", i + 1, F.lit(k))))
+    d = d.select(id_col, grams.alias("_g"))
+    hashes = F.transform(
+        "_g", lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+        .cast("long"))
+    d = d.select(id_col, hashes.alias("_h"))
+    # robust winnowing: window p covers hashes[p .. p+w-1]; pick the min,
+    # rightmost occurrence on ties -> global pos = p + w - idx_in_reversed
+    n_win = F.greatest(F.size("_h") - w, F.lit(0))
+    sel = F.transform(
+        F.sequence(F.lit(0), n_win),
+        lambda p: F.struct(
+            (p + F.least(F.size("_h") - p, F.lit(w))
+             - F.array_position(
+                 F.reverse(F.slice("_h", p + 1, F.lit(w))),
+                 F.array_min(F.slice("_h", p + 1, F.lit(w))))
+             ).cast("long").alias("pos"),
+            F.array_min(F.slice("_h", p + 1, F.lit(w))).alias("fp")))
+    return (d.select(id_col, F.explode(sel).alias("_s"))
+            .select(id_col, F.col("_s.pos").alias("pos"),
+                    F.col("_s.fp").alias("fp"))
+            .distinct())
+
+
 def corpus_profile(df: DataFrame, by: "str | list[str]" = "lang",
                    text_col: str = "text") -> DataFrame:
     """Per-stratum corpus profile: doc/token/char totals and the exact
