@@ -2331,6 +2331,18 @@ def _q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
+def _q_dedup_winnow_pairs(spark, sf_dir):
+    """MOSS-style near-dup pairs: docs sharing >=10 distinct winnowing
+    fingerprints (fp-bucketed join, boilerplate df cap) — local-overlap
+    dedup beside the whole-set Jaccard family. Oracle wraps the
+    text_winnowing selection SQL with the same pair join."""
+    from searchengine_spark.functions.dedup import winnow_neardup_pairs
+    out = winnow_neardup_pairs(_docs(spark, sf_dir), k=5, w=4,
+                               min_shared=10)
+    return out.select("id_a", "id_b",
+                      F.col("shared").cast("long").alias("shared"))
+
+
 def _gate_df(spark, rows: list[tuple[str, float]]):
     """Quantitative-gate result: (metric, value) rows, hash-compared against
     an oracle that computes the SQL-expressible metrics exactly and pins the
@@ -2977,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_xppl": _q_text_unigram_xppl,
         "text_fingerprint": _q_text_fingerprint,
         "text_winnowing": _q_text_winnowing,
+        "dedup_winnow_pairs": _q_dedup_winnow_pairs,
         "text_lang_id": _q_lang_id,
         "multimodal_features": _q_multimodal_features,
         "multimodal_audio": _q_multimodal_audio,
@@ -5724,6 +5737,20 @@ order by round(g.gs, 9) desc, g.grp asc limit {K}""",
     # table-native percolation is contractually row-identical to the
     # dict path on the shared 5,000-query registry → same oracle
     d["q_percolate_table"] = d["q_percolate_scaled"]
+    # MOSS match step: pair join wrapped around the SAME winnowing
+    # selection SQL (threshold/df-cap mirror the entry's parameters)
+    d["dedup_winnow_pairs"] = f"""
+        with sel as ({d["text_winnowing"]}),
+        capped as (select doc_id, fp from (
+                     select doc_id, fp,
+                            count(*) over (partition by fp) as fdf
+                     from (select distinct doc_id, fp from sel))
+                   where fdf <= 1000)
+        select a.doc_id as id_a, b.doc_id as id_b,
+               cast(count(*) as bigint) as shared
+        from capped a join capped b
+          on a.fp = b.fp and a.doc_id < b.doc_id
+        group by 1, 2 having count(*) >= 10"""
     # auto-dispatch entry: the same parameterized registry SQL at
     # n=10,000 (== TABLE_TIER_MIN, the threshold that flips the tier)
     d["q_percolate_dispatch"] = d["q_percolate_scaled"].replace(

@@ -304,7 +304,7 @@ def run(sf_dir: str, cpus: int, include_build: bool = True) -> dict:
                  "corpus_profile", "q_passage_topk", "q_batched_passage",
                  "q_bm25_en_topk", "q_bm25_porter_topk",
                  "q_eval_retrieval", "text_span_dedup", "text_sa_dedup",
-                 "text_winnowing",
+                 "text_winnowing", "dedup_winnow_pairs",
                  "q_bm25_tuned", "q_trigram_infix", "text_cnb_classify",
                  "q_bool_search", "q_batched_bool", "text_bigram_ppl",
                  "q_term_boost", "q_prf_topk", "q_significant_bigrams", "q_multi_fusion",

@@ -86,6 +86,40 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return out.select("id_a", "id_b", "inter", "jaccard")
 
 
+def winnow_neardup_pairs(df: DataFrame, k: int = 5, w: int = 4,
+                         min_shared: int = 10,
+                         max_fp_df: "int | None" = 1000,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SHARED WINNOWING FINGERPRINTS (the MOSS match
+    step over ``text.winnow_fingerprints``): docs a<b sharing ≥
+    ``min_shared`` distinct selected fingerprints. Complements Jaccard
+    (whole-set similarity) with LOCAL overlap detection — any copied run
+    of ≥ w+k-1 tokens contributes fingerprints, so partial plagiarism /
+    quoted-passage reuse surfaces even when global similarity is low.
+
+    Join strategy mirrors ``jaccard_pairs``: join ON fingerprint
+    (co-partitioned by fp, never all-pairs); fingerprints appearing in
+    more than ``max_fp_df`` docs are dropped from pairing (boilerplate
+    guard — a site-wide footer's fingerprints would otherwise create
+    quadratic pairs; documented recall bound, exact dedup runs first).
+    Output: (id_a, id_b, shared)."""
+    from searchengine_spark.functions.text import winnow_fingerprints
+    sel = (winnow_fingerprints(df, k=k, w=w, text_col=text_col,
+                               id_col=id_col)
+           .select(F.col(id_col).alias("id"), "fp").distinct())
+    if max_fp_df is not None:
+        hot = (sel.groupBy("fp").count()
+               .filter(F.col("count") > max_fp_df).select("fp"))
+        sel = sel.join(F.broadcast(hot), "fp", "left_anti")
+    return (sel.alias("a").join(sel.alias("b"), "fp")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .groupBy(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("shared"))
+            .filter(F.col("shared") >= min_shared))
+
+
 def _affine_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     """Seeded affine-family params sized so (a*h32 + b) fits SIGNED 64-bit:
     a < 2^30, h32 < 2^32 → a*h < 2^62; b < M ~2^61 → sum < 2^63."""

@@ -69,3 +69,36 @@ def test_winnowing_shared_run_guarantee(spark):
     # density sanity: ~2/(w+1) of the k-grams get selected, never all
     n_grams = len(_toks(a)) - K + 1
     assert len(fps[0]) < n_grams
+
+
+def test_winnow_neardup_pairs(spark):
+    """Pair detection: a planted shared passage links exactly the two
+    docs that carry it; min_shared filters; the boilerplate df cap
+    removes ubiquitous fingerprints from pairing."""
+    from searchengine_spark.functions.dedup import winnow_neardup_pairs
+    shared = ("quick brown foxes jump over lazy dogs beside the quiet "
+              "river bank every single morning while distant church bells "
+              "ring across the misty valley announcing another market day "
+              "to sleepy villagers")
+    footer = "standard footer text repeated across every document here"
+    docs = [
+        (0, "intro words before the passage " + shared + " tail zero " + footer),
+        (1, "other document leading text " + shared + " ending one " + footer),
+        (2, "entirely unrelated content about databases and queries " + footer),
+        (3, "more unrelated material concerning distributed systems " + footer),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["shared"]
+           for r in winnow_neardup_pairs(df, k=5, w=4, min_shared=5,
+                                         max_fp_df=None).collect()}
+    linked = {p for p, s in got.items() if s >= 5}
+    assert (0, 1) in linked
+    # the footer alone (shorter shared run) must not clear min_shared=5
+    assert (2, 3) not in linked
+    # df cap: fingerprints present in >3 docs (the footer's) are dropped,
+    # the planted pair must survive on its own shared passage
+    got2 = {(r["id_a"], r["id_b"]): r["shared"]
+            for r in winnow_neardup_pairs(df, k=5, w=4, min_shared=5,
+                                          max_fp_df=3).collect()}
+    assert (0, 1) in got2
+    assert got2[(0, 1)] <= got[(0, 1)]
