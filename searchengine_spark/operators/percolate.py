@@ -1041,6 +1041,37 @@ def percolate_table(queries: DataFrame, docs: DataFrame,
     events = ev.select(*key, F.posexplode("_toks").alias("pos", "term"))\
         .localCheckpoint(eager=False)
 
+    # requirement-set dedup (the ES percolator's query-dedup analog):
+    # queries whose COMPILED requirements are identical match identical
+    # docs, so the kernels evaluate one representative per distinct
+    # requirement set and matches fan back out through the sig → query
+    # map. Alerting registries are heavily duplicated in practice
+    # (templated saved searches); a fully-diverse registry costs one
+    # req-sized aggregation and skips the expansion join entirely.
+    sig = (req.groupBy("query_id")
+           .agg(F.md5(F.to_json(F.sort_array(F.collect_list(F.struct(
+               "kind", "clause", "slot", "term", "val", "w", "mm")))))
+               .alias("sig")))
+    rep = sig.groupBy("sig").agg(F.min("query_id").alias("rep_id"))
+    counts = sig.agg(F.count("*").alias("nq"),
+                     F.countDistinct("sig").alias("ns")).collect()[0]
+    dedup = counts["ns"] < counts["nq"]
+    expand = None
+    if dedup:
+        expand = (sig.join(rep, "sig")
+                  .select(F.col("rep_id").alias("_rep"), "query_id")
+                  .localCheckpoint(eager=True))
+        req = (req.join(rep.select(F.col("rep_id").alias("query_id")),
+                        "query_id", "left_semi")
+               .localCheckpoint(eager=True))
+
+    # kernel pruning: only the requirement KINDS present in the registry
+    # get their join kernel (one tiny agg over the checkpointed req —
+    # most alerting registries are term/NOT-only, and each skipped
+    # kernel saves 1-3 shuffles over (doc,query)-sized frames per batch)
+    kinds = {r["kind"] for r in
+             req.select("kind").distinct().collect()}
+
     meta = req.filter(F.col("kind") == "meta").select("query_id", "mm")
     ranked = req.filter(F.col("kind") == "ranked").select("term",
                                                           "query_id")
@@ -1051,49 +1082,68 @@ def percolate_table(queries: DataFrame, docs: DataFrame,
                .filter(F.col("nt") >= F.col("mm"))
                .select(*key, "query_id"))
 
-    cparts = [
-        (events.join(req.filter(F.col("kind") == "group")
-                     .select("term", "query_id", "clause"), "term")
-         .select(*key, "query_id", "clause").distinct()),
-        _table_phrase_part(events, req, key, "phrase"),
-        _table_span_part(events, req, key, "span", ordered=False),
-        _table_span_part(events, req, key, "ospan", ordered=True),
-        _table_qual_part(ev, req, key),
-    ]
-    allcl = cparts[0]
-    for p in cparts[1:]:
-        allcl = allcl.unionByName(p)
-    arity = (req.filter(F.col("kind").isin("group", "phrase", "span",
-                                           "ospan", "qual"))
-             .select("query_id", "clause").distinct()
-             .groupBy("query_id")
-             .agg(F.countDistinct("clause").alias("_ar")))
-    sat = (allcl.groupBy(*key, "query_id")
-           .agg(F.countDistinct("clause").alias("nc"))
-           .join(arity, "query_id")
-           .filter(F.col("nc") == F.col("_ar"))
-           .select(*key, "query_id"))
-    free = matched.join(arity, "query_id", "left_anti")
-    matched = free.unionByName(
-        matched.join(sat, key + ["query_id"], "left_semi"))
+    cparts = []
+    if "group" in kinds:
+        cparts.append(
+            events.join(req.filter(F.col("kind") == "group")
+                        .select("term", "query_id", "clause"), "term")
+            .select(*key, "query_id", "clause").distinct())
+    if "phrase" in kinds:
+        cparts.append(_table_phrase_part(events, req, key, "phrase"))
+    if "span" in kinds:
+        cparts.append(_table_span_part(events, req, key, "span",
+                                       ordered=False))
+    if "ospan" in kinds:
+        cparts.append(_table_span_part(events, req, key, "ospan",
+                                       ordered=True))
+    if "qual" in kinds:
+        cparts.append(_table_qual_part(ev, req, key))
+    if cparts:
+        allcl = cparts[0]
+        for p in cparts[1:]:
+            allcl = allcl.unionByName(p)
+        arity = (req.filter(F.col("kind").isin("group", "phrase", "span",
+                                               "ospan", "qual"))
+                 .select("query_id", "clause").distinct()
+                 .groupBy("query_id")
+                 .agg(F.countDistinct("clause").alias("_ar")))
+        sat = (allcl.groupBy(*key, "query_id")
+               .agg(F.countDistinct("clause").alias("nc"))
+               .join(arity, "query_id")
+               .filter(F.col("nc") == F.col("_ar"))
+               .select(*key, "query_id"))
+        free = matched.join(arity, "query_id", "left_anti")
+        matched = free.unionByName(
+            matched.join(sat, key + ["query_id"], "left_semi"))
 
-    bans = [
-        (events.join(req.filter(F.col("kind") == "notterm")
-                     .select("term", "query_id"), "term")
-         .select(*key, "query_id").distinct()),
-        _table_phrase_part(events, req, key, "notphrase")
-        .select(*key, "query_id"),
-        _table_span_part(events, req, key, "notspan", ordered=False)
-        .select(*key, "query_id"),
-        _table_span_part(events, req, key, "notospan", ordered=True)
-        .select(*key, "query_id"),
-    ]
-    banned = bans[0]
-    for b in bans[1:]:
-        banned = banned.unionByName(b)
-    return (matched.join(banned.distinct(), key + ["query_id"],
-                         "left_anti")
-            .select("query_id", *key))
+    bans = []
+    if "notterm" in kinds:
+        bans.append(
+            events.join(req.filter(F.col("kind") == "notterm")
+                        .select("term", "query_id"), "term")
+            .select(*key, "query_id").distinct())
+    if "notphrase" in kinds:
+        bans.append(_table_phrase_part(events, req, key, "notphrase")
+                    .select(*key, "query_id"))
+    if "notspan" in kinds:
+        bans.append(_table_span_part(events, req, key, "notspan",
+                                     ordered=False)
+                    .select(*key, "query_id"))
+    if "notospan" in kinds:
+        bans.append(_table_span_part(events, req, key, "notospan",
+                                     ordered=True)
+                    .select(*key, "query_id"))
+    if bans:
+        banned = bans[0]
+        for b in bans[1:]:
+            banned = banned.unionByName(b)
+        matched = matched.join(banned.distinct(), key + ["query_id"],
+                               "left_anti")
+    if dedup:
+        # fan representative matches back out to every duplicate query
+        matched = (matched.withColumnRenamed("query_id", "_rep")
+                   .join(expand, "_rep").drop("_rep"))
+    return matched.select("query_id", *key)
 
 
 def percolate_table_stream(queries: DataFrame, turns_stream: DataFrame,
