@@ -47,6 +47,9 @@ from searchengine_spark.operators.indexer import B, K1
 HOT_MAX_ROWS = 5_000_000      # LRU budget: decoded postings on the driver
 HOT_MAX_DF_FETCH = 2_000_000  # never driver-cache terms bigger than this
 HOT_META_MAX = 100_000        # winner-metadata LRU (rows)
+HOT_DENSE_MAX = 8_000_000     # doc-id-space bound for the O(n) bincount
+                              # merge (64 MB float64 scratch); larger id
+                              # spaces use the O(n log n) unique-merge
 
 _OUT_COLS = ["doc_id", "conv_id", "turn_idx", "role", "tool", "ts",
              "score"]
@@ -183,27 +186,54 @@ def hot_search(index: dict, query: str, k: int = 10,
         ent = _term_rows_cached(index, t)
         if ent["rows"] == 0:
             continue
-        idf = math.log(1.0 + (float(n_docs) - t["df"] + 0.5)
-                       / (t["df"] + 0.5))
-        tff = ent["tf"].astype(np.float64)
-        w = idf * (tff * (k1e + 1.0)) / (
-            tff + k1e * (1.0 - be + be * ent["dl"] / avgdl))
+        # the per-doc BM25 weight vector depends only on (term stats,
+        # corpus stats, k1, b) — all immutable between upserts — so a
+        # repeated hot term skips the vector math entirely (≤2 (k1,b)
+        # pairs per term: the default + one tuned setting)
+        wc = ent.setdefault("w_cache", {})
+        w = wc.get((k1e, be))
+        if w is None:
+            idf = math.log(1.0 + (float(n_docs) - t["df"] + 0.5)
+                           / (t["df"] + 0.5))
+            tff = ent["tf"].astype(np.float64)
+            w = idf * (tff * (k1e + 1.0)) / (
+                tff + k1e * (1.0 - be + be * ent["dl"] / avgdl))
+            if len(wc) < 2:
+                wc[(k1e, be)] = w
         ids_parts.append(ent["doc_id"])
         w_parts.append(w)
         tf_parts.append(ent["tf"])
     if not ids_parts:
         return pd.DataFrame(columns=_OUT_COLS)
-    all_ids = np.concatenate(ids_parts)
-    uniq, inv = np.unique(all_ids, return_inverse=True)
+    # Multi-term merge strategy: doc ids are DENSE (assign_dense_ids), so
+    # when the id space fits a driver buffer the per-doc combine is an
+    # O(n) bincount scatter — no sort anywhere. Beyond HOT_DENSE_MAX
+    # (e.g. a 10^12-doc id space where only df-capped slices are cached)
+    # fall back to the O(n log n) unique-merge.
+    id_top = max(int(p.max()) for p in ids_parts)
+    dense_ok = id_top + 1 <= HOT_DENSE_MAX
     if mode == "ref_compat":
         # Q6 conjunctive AND over the RESOLVED terms + Q7 tf-sum rank,
         # normalized by the matches' max (== the rank-1 row's tf_sum)
         n_q = len(ids_parts)
-        nt = np.bincount(inv)
-        tf_sum = np.bincount(inv, weights=np.concatenate(tf_parts)
-                             .astype(np.float64))
-        m = nt == n_q
-        mids, msum = uniq[m], tf_sum[m]
+        if dense_ok:
+            m_sz = id_top + 1
+            ntd = np.zeros(m_sz, np.int64)
+            tfd = np.zeros(m_sz, np.float64)
+            for ids, tf in zip(ids_parts, tf_parts):
+                ntd += np.bincount(ids, minlength=m_sz).astype(np.int64)
+                tfd += np.bincount(ids, weights=tf.astype(np.float64),
+                                   minlength=m_sz)
+            mids = np.nonzero(ntd == n_q)[0]
+            msum = tfd[mids]
+        else:
+            all_ids = np.concatenate(ids_parts)
+            uniq, inv = np.unique(all_ids, return_inverse=True)
+            nt = np.bincount(inv)
+            tf_sum = np.bincount(inv, weights=np.concatenate(tf_parts)
+                                 .astype(np.float64))
+            m = nt == n_q
+            mids, msum = uniq[m], tf_sum[m]
         if len(mids) == 0:
             return pd.DataFrame(columns=_OUT_COLS)
         order = np.lexsort((mids, -msum))[:k]
@@ -218,10 +248,32 @@ def hot_search(index: dict, query: str, k: int = 10,
                          mrow["role"], mrow["tool"], mrow["ts"],
                          float(s)))
         return pd.DataFrame(rows, columns=_OUT_COLS)
-    all_w = np.concatenate(w_parts)
-    scores = np.bincount(inv, weights=all_w)
+    if len(ids_parts) == 1:
+        # single-term fast path: a term's postings carry each doc at
+        # most once — no merge needed at all
+        uniq, scores = ids_parts[0], w_parts[0]
+    elif dense_ok:
+        m_sz = id_top + 1
+        dense = np.zeros(m_sz, np.float64)
+        for ids, w in zip(ids_parts, w_parts):
+            dense += np.bincount(ids, weights=w, minlength=m_sz)
+        uniq = np.nonzero(dense)[0]  # BM25 weights are strictly positive
+        scores = dense[uniq]
+    else:
+        all_ids = np.concatenate(ids_parts)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        scores = np.bincount(inv, weights=np.concatenate(w_parts))
     s9 = np.round(scores, 9)
-    order = np.lexsort((uniq, -s9))[:k]
+    if len(s9) > 4 * k:
+        # exact top-k without sorting the full array: O(n) partition to
+        # the k-th rounded score, then the canonical (-score, doc_id)
+        # lexsort over only the >= boundary candidates (ties included,
+        # so ordering is identical to the full sort)
+        kth = np.partition(s9, len(s9) - k)[len(s9) - k]
+        cand = np.nonzero(s9 >= kth)[0]
+        order = cand[np.lexsort((uniq[cand], -s9[cand]))][:k]
+    else:
+        order = np.lexsort((uniq, -s9))[:k]
     win_ids = uniq[order].tolist()
     win_scores = scores[order].tolist()
     meta = _meta_fill(index, win_ids)

@@ -218,3 +218,20 @@ def test_hot_tier_never_stale_across_streaming(spark, tmp_path_factory):
     # the OLD dict's warm cache is untouched (snapshot isolation, not
     # shared mutable state): same pre-upsert answer as before the merge
     assert _hot_rows(hot_search(served_old, "alpha", k=10)) == warm_old
+
+
+def test_dense_and_unique_merges_identical(hot_index, monkeypatch):
+    """The O(n) dense bincount merge and the O(n log n) unique-merge
+    fallback (id space > HOT_DENSE_MAX) must produce row-identical
+    frames — bm25 multi-term and ref_compat both."""
+    import searchengine_spark.operators.hot as H
+    for mode in ("bm25", "ref_compat"):
+        idx = dict(hot_index)
+        idx.pop("_hotcache", None)
+        a = hot_search(idx, "alpha gamma", k=10, mode=mode)
+        monkeypatch.setattr(H, "HOT_DENSE_MAX", 0)
+        b = hot_search(idx, "alpha gamma", k=10, mode=mode)
+        monkeypatch.undo()
+        assert _hot_rows(a) == _hot_rows(b), mode
+        if mode == "bm25":
+            assert _hot_rows(a) == _spark_rows(hot_index, "alpha gamma")
